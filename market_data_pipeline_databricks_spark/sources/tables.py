@@ -1,0 +1,38 @@
+"""Parquet table IO and testdata registration (SURVEY §2.1 S3-S4)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, warehouse_dir: str, table: str) -> DataFrame:
+    """Scan a materialized table from the warehouse directory."""
+    return spark.read.parquet(str(Path(warehouse_dir) / table))
+
+
+def testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-generated testdata table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for name in TESTDATA_TABLES:
+        p = Path(sf_dir) / f"{name}.parquet"
+        if p.exists():
+            spark.read.parquet(str(p)).createOrReplaceTempView(name)

@@ -1,0 +1,90 @@
+"""Shared pytest fixtures: one local SparkSession + market-data fixture CSVs.
+
+Fixture data follows FIXTURES.md §1: two symbols (SPY with volume,
+EURUSD without a Volume column), ≥25 weekday dates so the 20-row rolling
+frame fills, plus edge-case rows exercising every silver/DQ path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from pathlib import Path
+
+import pytest
+
+from market_data_pipeline_databricks_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", extra_conf={
+        "spark.sql.shuffle.partitions": "4",
+        "spark.driver.memory": "4g",
+    })
+    yield s
+
+
+def weekdays(start: dt.date, n: int) -> list[dt.date]:
+    out, d = [], start
+    while len(out) < n:
+        if d.weekday() < 5:
+            out.append(d)
+        d += dt.timedelta(days=1)
+    return out
+
+
+SPY_DAYS = weekdays(dt.date(2025, 10, 1), 30)
+FX_DAYS = weekdays(dt.date(2025, 10, 1), 30)
+
+
+def write_fixture_csvs(raw_dir: Path) -> None:
+    raw_dir.mkdir(parents=True, exist_ok=True)
+
+    # SPY: equity with volume; includes a gap (>4 days), a >10% jump,
+    # a duplicate date, and invalid rows for every reject reason.
+    lines = ["Date,Open,High,Low,Close,Volume"]
+    price = 100.0
+    days = list(SPY_DAYS)
+    # introduce a 7-day gap after the 10th day by dropping days 11-12
+    kept = days[:10] + days[13:]
+    for i, d in enumerate(kept):
+        if i == 15:
+            price *= 1.15  # sudden jump > 10%
+        else:
+            price *= 1.002
+        o, h, l, c = price * 0.999, price * 1.01, price * 0.99, price
+        lines.append(f"{d},{o:.4f},{h:.4f},{l:.4f},{c:.4f},{1000000 + i}")
+    # duplicate (symbol,date): same date again with different prices
+    d0 = kept[5]
+    lines.append(f"{d0},1.0,2.0,0.5,1.5,999")
+    # missing key (empty date)
+    lines.append(",10,11,9,10,100")
+    # missing price (null close)
+    lines.append(f"{days[-1] + dt.timedelta(days=3)},10,11,9,,100")
+    # non-positive price
+    lines.append(f"{days[-1] + dt.timedelta(days=4)},0,11,9,10,100")
+    # OHLC inconsistent (high < close)
+    lines.append(f"{days[-1] + dt.timedelta(days=5)},10,9.5,9,10,100")
+    # invalid (negative) volume
+    lines.append(f"{days[-1] + dt.timedelta(days=6)},10,11,9,10,-100")
+    (raw_dir / "SPY.csv").write_text("\n".join(lines) + "\n")
+
+    # EURUSD: FX, no Volume column at all; stale (ends early).
+    lines = ["Date,Open,High,Low,Close"]
+    price = 1.10
+    for d in FX_DAYS[:22]:  # stops > 7 days before SPY's latest date
+        price *= 1.0005
+        o, h, l, c = price * 0.9995, price * 1.001, price * 0.999, price
+        lines.append(f"{d},{o:.6f},{h:.6f},{l:.6f},{c:.6f}")
+    (raw_dir / "EURUSD.csv").write_text("\n".join(lines) + "\n")
+
+
+@pytest.fixture(scope="session")
+def raw_dir(tmp_path_factory) -> Path:
+    p = tmp_path_factory.mktemp("raw")
+    write_fixture_csvs(p)
+    return p
+
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"

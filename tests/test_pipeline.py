@@ -1,0 +1,90 @@
+"""End-to-end pipeline test over fixture CSVs (FIXTURES.md §1-5).
+
+Asserts the reference's declared contracts (SURVEY §5): unique grain,
+reject routing, gold null pattern, DQ check emission, and MERGE
+idempotency.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.config import PipelineConfig
+from market_data_pipeline_databricks_spark.pipeline import run_bronze, run_pipeline
+
+RUN_TS = dt.datetime(2025, 12, 1, 12, 0, 0)
+TODAY = dt.date(2025, 12, 1)
+
+
+def _cfg(raw_dir, tmp_path) -> PipelineConfig:
+    return PipelineConfig(raw_dir=str(raw_dir), warehouse_dir=str(tmp_path / "wh"))
+
+
+def test_pipeline_end_to_end(spark, raw_dir, tmp_path):
+    cfg = _cfg(raw_dir, tmp_path)
+    out = run_pipeline(spark, cfg, ingested_at=RUN_TS, today=TODAY)
+
+    bronze, silver, rejected, gold = (
+        out["bronze"], out["silver"], out["rejected"], out["gold"]
+    )
+
+    # Grain: unique (symbol, date) in bronze and silver.
+    for df in (bronze, silver):
+        dup = df.groupBy("symbol", "date").count().filter("count > 1")
+        assert dup.count() == 0
+
+    # Reject routing: every reason present exactly once from the fixtures
+    # (missing_key row has null date → dropped at bronze key filter).
+    reasons = {
+        r["reject_reason"]: r["count"]
+        for r in rejected.groupBy("reject_reason").count().collect()
+    }
+    assert reasons == {
+        "missing_prices": 1,
+        "non_positive_price": 1,
+        "ohlc_inconsistent": 1,
+        "invalid_volume": 1,
+    }
+
+    # Silver invariants (docs/silver_layer.md:35-40 of the reference).
+    bad = silver.filter(
+        (F.col("high") < F.greatest("open", "close", "low"))
+        | (F.col("low") > F.least("open", "close", "high"))
+        | (F.col("open") <= 0) | (F.col("close") <= 0)
+        | (F.col("volume") < 0)
+    )
+    assert bad.count() == 0
+
+    # Gold null pattern (FIXTURES.md §4).
+    first_rows = gold.withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark").sql.Window.partitionBy("symbol").orderBy("date")
+        ),
+    )
+    assert first_rows.filter("rn = 1 AND return_1d IS NOT NULL").count() == 0
+    # FX has no volume → avg_volume_20d NULL throughout.
+    assert gold.filter("symbol = 'EURUSD' AND avg_volume_20d IS NOT NULL").count() == 0
+    # SPY with ≥20 days of volume → rolling avg non-null at the tail.
+    assert gold.filter("symbol = 'SPY' AND avg_volume_20d IS NOT NULL").count() > 0
+
+    # DQ: gap (7-day hole), jump (15% day), stale (EURUSD ends early) all fire.
+    dq = out["quality"]
+    names = {r["check_name"] for r in dq.select("check_name").distinct().collect()}
+    assert {"missing_trading_days_gap", "sudden_price_jump", "stale_data", "row_counts"} <= names
+    assert dq.filter("check_name = 'stale_data' AND symbol = 'EURUSD'").count() == 1
+    assert dq.filter("check_name = 'sudden_price_jump' AND symbol = 'SPY'").count() >= 1
+    assert dq.filter("check_name = 'missing_trading_days_gap' AND symbol = 'SPY'").count() >= 1
+    assert dq.filter("check_name = 'row_counts' AND check_status = 'PASS'").count() == 1
+
+
+def test_bronze_upsert_idempotent(spark, raw_dir, tmp_path):
+    cfg = _cfg(raw_dir, tmp_path)
+    first = run_bronze(spark, cfg, ingested_at=RUN_TS)
+    n1 = first.count()
+    again = run_bronze(spark, cfg, ingested_at=RUN_TS + dt.timedelta(hours=1))
+    assert again.count() == n1  # same keys → same row count (MERGE semantics)
+    # and the later ingest won: all rows carry the newer timestamp
+    assert again.filter(F.col("ingested_at") == RUN_TS).count() == 0
