@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set; per-query
+timings are in ``queries``. Each query is forced with a count() so the
+full plan executes without collecting results to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from market_data_pipeline_databricks_spark.plans import relational
+from market_data_pipeline_databricks_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the shapes
+# that stress shuffle/window/join machinery at scale.
+HEADLINE = [
+    "agg_pricing_summary",
+    "filter_project_revenue",
+    "join_revenue_by_nation",
+    "join_range_volatility_expansion",
+    "window_supplier_daily_gold",
+    "window_latest_snapshot_per_supplier",
+    "window_sessionization",
+    "sort_topk_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers once so timings measure the
+    # queries, not session bootstrap.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    from market_data_pipeline_databricks_spark.plans.registry import all_queries
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
