@@ -1,0 +1,317 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all shuffle-disciplined for 100 TB:
+
+- **exact**: hash-groupBy on a normalized fingerprint (one shuffle on a
+  16-byte key; skew-free because md5 is uniform);
+- **MinHash + LSH**: shingle → per-seed min of xxhash64 → band hashes →
+  candidate pairs via equi-join on (band_id, band_hash) — the classic
+  shingle/minhash/band/bucket pipeline, entirely in built-in JVM
+  expressions (no Python, no UDF);
+- **SimHash**: 64-bit sign-of-sum signature via explode + bit-count
+  aggregation; near-dups = pairs within Hamming distance d on any of
+  4 16-bit bands;
+- **n-gram Jaccard**: exact token-set Jaccard on candidate pairs
+  blocked by rare shingles (oracle-verifiable in plain SQL);
+- **embedding cosine** near-dup lives in operators/similarity.py.
+
+Scale notes: every candidate-generation step is an equi-join on a
+bucket key, never a cross join; bucket skew is bounded by dropping
+over-frequent buckets (``max_bucket_size``), the standard guard against
+degenerate shingles (boilerplate headers etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.operators import text as TX
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of documents with identical normalized text: one row per
+    fingerprint with the keeper (min id) and the duplicate count."""
+    return (
+        df.select(F.col(id_col), TX.fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one document per fingerprint (the min id): the
+    survivor set. Implemented as a min-id semi-join, not a window, so
+    the only shuffle key is the fingerprint."""
+    keepers = exact_duplicates(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col: Column, num_hashes: int = 64, shingle_k: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hashes over word shingles.
+
+    Each hash family member is xxhash64(shingle, seed_i) — independent
+    seeds give independent permutation approximations. Pure Column
+    expression: evaluates inside whole-stage codegen.
+    """
+    sh = TX.shingles(col, shingle_k)
+
+    def seeded_hash(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, seeded_hash(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_bands(sig_col: Column, num_bands: int = 16, rows_per_band: int = 4) -> Column:
+    """Hash each band (contiguous signature slice) to one bucket key.
+    Returns array<struct<band_id,band_hash>> ready to explode."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig_col, b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    fraction of matching signature components. Buckets larger than
+    ``max_bucket_size`` are dropped (degenerate-content guard — at web
+    scale a boilerplate bucket would otherwise produce O(n²) pairs).
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    banded = sigs.select(
+        "id", "sig", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
+    ).select("id", "sig", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+
+    # Skew guard: drop over-full buckets before the self-join.
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("sz"))
+    banded = banded.join(
+        bucket_sizes.filter(F.col("sz") <= max_bucket_size).select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+        "left_semi",
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(64 if num_hashes == 64 else num_hashes))
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """Near-duplicate pairs with estimated Jaccard ≥ threshold."""
+    return minhash_candidate_pairs(df, **kwargs).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document over distinct tokens.
+
+    bit_j(doc) = 1 iff sum over tokens of (bit_j(xxhash64(token)) ? +1 : -1) > 0.
+    Explode + one groupBy on the doc id; the 64 bit-sums are a single
+    wide aggregate (codegen'd), not 64 passes.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(TX.tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    sim = bit_sums.select(
+        "id",
+        sum(
+            [
+                F.when(
+                    F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sim
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of each other.
+
+    Banding: split the 64-bit signature into 4×16-bit bands; any pair
+    with distance ≤ 16/4·… shares at least one exact band w.h.p. —
+    candidates come from equi-joins on (band_id, band_value), then the
+    exact popcount filter. bit_count is built-in (Spark ≥3.3).
+    """
+    sim = simhash(df, text_col, id_col)
+    bands = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.band_id", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard on blocked candidates
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_shingle_df: int = 10,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact k-gram-shingle-set Jaccard for pairs blocked on rare shingles.
+
+    Blocking: only pairs sharing a shingle that appears in ≤
+    ``max_shingle_df`` documents become candidates — selective shingles
+    bound the join fan-out, the SQL-expressible cousin of MinHash
+    banding (this one has a DuckDB oracle twin). Jaccard is computed on
+    shingle *sets* (word unigram sets are too dense to discriminate on
+    small vocabularies).
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.shingles(F.col(text_col), shingle_k)).alias("shingleset"),
+    )
+    sh = docs.select("id", F.explode("shingleset").alias("shingle"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle", "left_semi")
+    a, b = sh_rare.alias("a"), sh_rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("shingleset").alias("sh_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("shingleset").alias("sh_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

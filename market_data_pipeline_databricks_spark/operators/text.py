@@ -1,0 +1,141 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All of these are pure Column expressions (JVM-side, codegen'd — no
+Python in the hot path), designed for the ``documents`` table shape
+(doc_id BIGINT, text STRING, ...) at 100 TB: every operator is a
+narrow per-row projection that pipelines with the scan, no shuffle.
+
+Operators: normalization, fingerprinting, token/char stats, quality
+scoring, stopword-based language ID heuristic, shingling (the substrate
+for MinHash / Jaccard dedup in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Punctuation class kept explicit (not [[:punct:]]) so the regex means
+# the same thing in every engine this is compared against.
+_PUNCT_CLASS = r"""[.,!?;:'"()\[\]{}\-]"""
+
+# Small per-language stopword lists for the heuristic language ID.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, strip punctuation, collapse whitespace — the canonical
+    form used by fingerprinting and shingling."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, _PUNCT_CLASS, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 128-bit document fingerprint: md5 of the normalized
+    text. Identical normalization+hash on any engine → portable dedup key."""
+    return F.md5(normalize_text(col))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    return (F.length(col) - F.length(F.regexp_replace(col, _PUNCT_CLASS, ""))).cast(
+        "long"
+    )
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words))).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards stopword density and moderate
+    token length, penalizes punctuation soup. Deterministic double
+    arithmetic (same bits on any engine given the same counts)."""
+    n_tok = token_count(col).cast("double")
+    n_chr = char_count(col).cast("double")
+    n_punct = punct_count(col).cast("double")
+    n_stop = stopword_count(col).cast("double")
+    stop_ratio = n_stop / n_tok
+    punct_ratio = n_punct / n_chr
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(0.0)
+    score = len_ok * (0.5 + 0.5 * stop_ratio - punct_ratio)
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+def _membership(words: list[str]):
+    # Factory, not a default-arg lambda: PySpark reads a 2-arg lambda as
+    # (element, index) and would bind the word list to the index column.
+    def pred(t: Column) -> Column:
+        return t.isin(*words)
+
+    return pred
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Stopword-hit count per language over the token stream."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, _membership(words))).cast("long")
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when no
+    list scores ≥1. First-match CASE with fixed priority en>de>fr>es on
+    ties — deterministic and trivially expressible on any SQL engine."""
+    s = lang_scores(col)
+    return (
+        F.when((s["en"] >= F.greatest(s["de"], s["fr"], s["es"])) & (s["en"] >= 1), "en")
+        .when((s["de"] >= F.greatest(s["fr"], s["es"])) & (s["de"] >= 1), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= 1), "fr")
+        .when(s["es"] >= 1, "es")
+        .otherwise("und")
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles of the normalized text (MinHash substrate).
+    Documents shorter than k tokens yield their full token join as one
+    shingle so no document silently disappears from dedup."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return grams
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats block — one narrow projection, no shuffle."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_chars_computed", char_count(c))
+        .withColumn("n_tokens", token_count(c))
+        .withColumn("n_punct", punct_count(c))
+        .withColumn("n_stopwords", stopword_count(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

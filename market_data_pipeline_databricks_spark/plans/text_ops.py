@@ -1,0 +1,175 @@
+"""Text-analysis and dedup queries over the ``documents`` table.
+
+The SQL-expressible ops carry DuckDB oracle twins built on the exact
+same normalization (lower → strip punct → collapse whitespace → trim)
+so md5 fingerprints, token counts and Jaccard values hash-match across
+engines. MinHash/SimHash use engine-side 64-bit hashing with no
+portable SQL equivalent → rows-only checks (no ORACLE_SQL entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.operators import dedup as DD
+from market_data_pipeline_databricks_spark.operators import text as TX
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats block: chars, tokens, punctuation, stopwords,
+    quality score — all single-pass Column expressions."""
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.char_count(c).alias("n_chars_computed"),
+        TX.token_count(c).alias("n_tokens"),
+        TX.punct_count(c).alias("n_punct"),
+        TX.stopword_count(c).alias("n_stopwords"),
+        TX.quality_score(c).alias("quality"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-vote language ID per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5 fingerprint of normalized text → keeper
+    id + group size (covers every doc, so the hash compare exercises
+    normalization + md5 parity on all rows)."""
+    return DD.exact_duplicates(_docs(spark, sf_dir))
+
+
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor set after exact dedup (min doc_id per fingerprint)."""
+    return DD.exact_dedup(_docs(spark, sf_dir)).select("doc_id", "n_chars")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs with rare-shingle
+    blocking — the oracle-checkable dedup path."""
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (64 hashes, 16 bands × 4 rows).
+    Engine-hash-specific → rows-only driver check; cross-validated
+    against dedup_ngram_jaccard in tests/test_dedup.py."""
+    return DD.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.35)
+
+
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit near-dup pairs within Hamming distance 3.
+    Rows-only driver check (engine-hash-specific). Note: these synthetic
+    docs have 6-31 distinct tokens, so SimHash is inherently noisier
+    here than on web-scale text — the tight radius compensates."""
+    return DD.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint_groups": text_fingerprint_groups,
+    "dedup_exact_survivors": dedup_exact_survivors,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_near": dedup_minhash_near,
+    "dedup_simhash_near": dedup_simhash_near,
+}
+
+# Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
+_NORM = r"""
+WITH norm AS (
+  SELECT doc_id, text, n_chars,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[.,!?;:''"()\[\]{}\-]', '', 'g'), '\s+', ' ', 'g')) AS ntext
+  FROM documents
+), tok AS (
+  SELECT doc_id, text, n_chars, ntext, string_split(ntext, ' ') AS toks FROM norm
+)
+"""
+
+_STOP_EN = "('the','a','of','and','in','to','is')"
+
+_SHINGLE_DOCS = _NORM + r""",
+docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks)-2, 1) + 1),
+           i -> array_to_string(toks[i:least(i+2, len(toks))], ' ')
+         )) AS shingleset
+  FROM tok
+), sh AS (
+  SELECT doc_id, unnest(shingleset) AS shingle FROM docs
+)
+"""
+
+ORACLE_SQL = {
+    "text_stats": _NORM + f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_computed,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(toks, t -> t IN {_STOP_EN})) AS BIGINT) AS n_stopwords,
+               ROUND(GREATEST(LEAST(
+                 (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
+                 * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> t IN {_STOP_EN})) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+                    - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))),
+                 1.0), 0.0), 6) AS quality
+        FROM tok
+    """,
+    "text_lang_id": _NORM + """
+        SELECT doc_id,
+               CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) AND s_en >= 1 THEN 'en'
+                    WHEN s_de >= GREATEST(s_fr, s_es) AND s_de >= 1 THEN 'de'
+                    WHEN s_fr >= s_es AND s_fr >= 1 THEN 'fr'
+                    WHEN s_es >= 1 THEN 'es'
+                    ELSE 'und' END AS lang_pred
+        FROM (
+          SELECT doc_id,
+                 len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS s_en,
+                 len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+                 len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+                 len(list_filter(toks, t -> t IN ('el','la','los','y','es','un'))) AS s_es
+          FROM tok
+        )
+    """,
+    "text_fingerprint_groups": _NORM + """
+        SELECT md5(ntext) AS fingerprint,
+               MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_docs
+        FROM norm GROUP BY md5(ntext)
+    """,
+    "dedup_exact_survivors": _NORM + """
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id IN (
+          SELECT MIN(doc_id) FROM norm GROUP BY md5(ntext)
+        )
+    """,
+    "dedup_ngram_jaccard": _SHINGLE_DOCS + """,
+        rare AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a
+          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare)
+        )
+        SELECT id_a, id_b,
+               ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                     / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) AS jaccard
+        FROM cand
+        JOIN docs da ON da.doc_id = id_a
+        JOIN docs db ON db.doc_id = id_b
+        WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+              / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.1
+    """,
+}
