@@ -1,0 +1,275 @@
+"""Analyst query corpus (reference sql/example_queries.sql:1-172).
+
+Each of the reference's canonical ad-hoc query shapes over the gold
+feature table, re-expressed over the testdata gold base
+(:func:`relational._supplier_daily_gold` — (suppkey, day) plays
+(symbol, date)):
+
+- latest-snapshot per key via QUALIFY → ROW_NUMBER rewrite (:7-15)
+  [already covered: window_latest_snapshot_per_supplier]
+- top movers today (scalar-subquery max date + ABS sort, :17-25)
+- volatility regime scan (:27-34)
+- liquidity screen (:36-43)
+- single-symbol recent window (:45-54)
+- threshold alert scan (:123-132)
+- volatility expansion as a RANGE-frame window (:135-149 — the
+  scale-path formulation of join_range_volatility_expansion)
+- point-in-time cross-section on a DATE literal (:152-161)
+- completeness check (:164-171)
+- latest-run DQ triage with a CTE (docs/use_cases.md:48-57)
+
+Scale notes: every query here consumes the gold base, which reduces
+the fact table to O(keys × days) rows behind one suppkey shuffle; the
+latest-day scalar subqueries are 1-row broadcasts; the RANGE window
+replaces the O(days×60) self-join with a single sorted pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.plans.relational import (
+    _GOLD_CTE,
+    _dsum,
+    _events,
+    _supplier_daily_gold,
+    _t,
+)
+
+
+def _latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = _supplier_daily_gold(spark, sf_dir)
+    w = Window.partitionBy("suppkey").orderBy(F.desc("day"))
+    return gold.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+
+def analyst_top_movers_today(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top movers on the latest day: scalar-subquery max date + ABS
+    sort + LIMIT (reference sql/example_queries.sql:17-25)."""
+    gold = _supplier_daily_gold(spark, sf_dir)
+    mx = gold.agg(F.max("day").alias("max_day"))
+    return (
+        gold.join(F.broadcast(mx), gold.day == mx.max_day)
+        .filter(F.col("return_1d").isNotNull())
+        .select(
+            "suppkey",
+            "day",
+            F.round(F.col("return_1d"), 6).alias("return_1d"),
+            F.round(F.abs("return_1d"), 6).alias("abs_return"),
+        )
+        .orderBy(F.desc("abs_return"), F.asc("suppkey"))
+        .limit(10)
+    )
+
+
+def analyst_volatility_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-volatility regime scan on the latest snapshot (reference
+    sql/example_queries.sql:27-34)."""
+    return (
+        _latest_snapshot(spark, sf_dir)
+        .filter(F.col("vol_20d") > 0.5)
+        .select("suppkey", "day", "vol_20d")
+    )
+
+
+def analyst_liquidity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thin-liquidity screen on the latest snapshot (reference
+    sql/example_queries.sql:36-43)."""
+    return (
+        _latest_snapshot(spark, sf_dir)
+        .filter(F.col("avg_volume_20d") < 50.0)
+        .select("suppkey", "day", "avg_volume_20d")
+    )
+
+
+def analyst_single_key_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-instrument recent history: partition-pruned key filter +
+    last-60-rows window (reference sql/example_queries.sql:45-54).
+
+    Scale: with the gold table partitioned by key this is a
+    single-partition read; day is unique within a key so the LIMIT is
+    deterministic."""
+    gold = _supplier_daily_gold(spark, sf_dir)
+    return (
+        gold.filter(F.col("suppkey") == 1)
+        .select("suppkey", "day", "close", "return_1d", "vol_20d")
+        .orderBy(F.desc("day"))
+        .limit(60)
+    )
+
+
+def analyst_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history alert scan: |return| above alert threshold with
+    context columns (reference sql/example_queries.sql:123-132)."""
+    gold = _supplier_daily_gold(spark, sf_dir)
+    return (
+        gold.filter(F.col("return_1d").isNotNull() & (F.abs("return_1d") > 1.0))
+        .select(
+            "suppkey",
+            "day",
+            F.round(F.col("return_1d"), 6).alias("return_1d"),
+            "vol_20d",
+        )
+    )
+
+
+def window_rolling_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's volatility expansion as a RANGE-frame window instead of a
+    self range-join (reference sql/example_queries.sql:135-149).
+
+    Scale path: one sorted pass over the daily series (RANGE BETWEEN
+    59 PRECEDING AND CURRENT ROW on integer day number) replaces the
+    O(days × 60) join — same rows as join_range_volatility_expansion.
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        _dsum(F.col("o_totalprice"), 2).alias("revenue")
+    )
+    daily = daily.withColumn(
+        "day_num", F.datediff("day", F.lit("1992-01-01").cast("date"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-59, 0)
+    return (
+        daily.withColumn(
+            "avg_rev_60d",
+            F.round(
+                F.sum(F.col("revenue").cast("decimal(27,2)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w),
+                6,
+            ),
+        )
+        .filter(F.col("revenue") > 1.5 * F.col("avg_rev_60d"))
+        .select("day", "revenue", "avg_rev_60d")
+    )
+
+
+def analyst_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time cross-section on a DATE literal (reference
+    sql/example_queries.sql:152-161)."""
+    gold = _supplier_daily_gold(spark, sf_dir)
+    return (
+        gold.filter(F.col("day") == F.lit("1996-06-14").cast("date"))
+        .select("suppkey", "day", "close", "return_1d", "vol_20d", "avg_volume_20d")
+    )
+
+
+def analyst_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage/completeness report: per-key latest day and lag behind
+    the global max (reference sql/example_queries.sql:164-171; the
+    report-all sibling of window_stale_check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    latest = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("latest_day"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    today = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("global_max"))
+    return (
+        latest.crossJoin(F.broadcast(today))
+        .select(
+            "suppkey",
+            "latest_day",
+            "n_rows",
+            F.datediff("global_max", F.col("latest_day")).cast("long").alias(
+                "days_behind"
+            ),
+        )
+    )
+
+
+def analyst_dq_triage_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-run triage via CTE (reference docs/use_cases.md:48-57):
+    restrict to the latest event day, summarize by type."""
+    ev = _events(spark, sf_dir)
+    ev = ev.withColumn("day", F.col("ts").cast("date"))
+    latest = ev.agg(F.max("day").alias("latest_day"))
+    return (
+        ev.join(F.broadcast(latest), ev.day == latest.latest_day)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+QUERIES = {
+    "analyst_top_movers_today": analyst_top_movers_today,
+    "analyst_volatility_regime": analyst_volatility_regime,
+    "analyst_liquidity_screen": analyst_liquidity_screen,
+    "analyst_single_key_recent": analyst_single_key_recent,
+    "analyst_threshold_alerts": analyst_threshold_alerts,
+    "window_rolling_range_avg": window_rolling_range_avg,
+    "analyst_point_in_time": analyst_point_in_time,
+    "analyst_completeness": analyst_completeness,
+    "analyst_dq_triage_cte": analyst_dq_triage_cte,
+}
+
+_SNAPSHOT_CTE = _GOLD_CTE + """, snap AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY day DESC) AS rn
+    FROM feat
+  ) WHERE rn = 1
+)
+"""
+
+ORACLE_SQL = {
+    "analyst_top_movers_today": _GOLD_CTE + """
+        SELECT suppkey, day, ROUND(return_1d, 6) AS return_1d,
+               ROUND(ABS(return_1d), 6) AS abs_return
+        FROM feat
+        WHERE day = (SELECT MAX(day) FROM feat) AND return_1d IS NOT NULL
+        ORDER BY abs_return DESC, suppkey ASC LIMIT 10
+    """,
+    "analyst_volatility_regime": _SNAPSHOT_CTE + """
+        SELECT suppkey, day, vol_20d FROM snap WHERE vol_20d > 0.5
+    """,
+    "analyst_liquidity_screen": _SNAPSHOT_CTE + """
+        SELECT suppkey, day, avg_volume_20d FROM snap WHERE avg_volume_20d < 50.0
+    """,
+    "analyst_single_key_recent": _GOLD_CTE + """
+        SELECT suppkey, day, close, return_1d, vol_20d
+        FROM feat WHERE suppkey = 1 ORDER BY day DESC LIMIT 60
+    """,
+    "analyst_threshold_alerts": _GOLD_CTE + """
+        SELECT suppkey, day, ROUND(return_1d, 6) AS return_1d, vol_20d
+        FROM feat WHERE return_1d IS NOT NULL AND ABS(return_1d) > 1.0
+    """,
+    "window_rolling_range_avg": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1
+        ), numbered AS (
+          SELECT day, revenue,
+                 date_diff('day', DATE '1992-01-01', day) AS day_num
+          FROM daily
+        )
+        SELECT day, revenue, avg_rev_60d FROM (
+          SELECT day, revenue,
+                 ROUND(CAST(SUM(CAST(revenue AS DECIMAL(27,2))) OVER w AS DOUBLE)
+                       / COUNT(*) OVER w, 6) AS avg_rev_60d
+          FROM numbered
+          WINDOW w AS (ORDER BY day_num RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+        ) WHERE revenue > 1.5 * avg_rev_60d
+    """,
+    "analyst_point_in_time": _GOLD_CTE + """
+        SELECT suppkey, day, close, return_1d, vol_20d, avg_volume_20d
+        FROM feat WHERE day = DATE '1996-06-14'
+    """,
+    "analyst_completeness": """
+        SELECT l_suppkey AS suppkey, MAX(CAST(l_shipdate AS DATE)) AS latest_day,
+               COUNT(*) AS n_rows,
+               CAST(date_diff('day', MAX(CAST(l_shipdate AS DATE)),
+                    (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem)) AS BIGINT) AS days_behind
+        FROM lineitem GROUP BY l_suppkey
+    """,
+    "analyst_dq_triage_cte": """
+        WITH latest AS (SELECT MAX(CAST(ts AS DATE)) AS latest_day FROM events)
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events, latest
+        WHERE CAST(ts AS DATE) = latest_day
+        GROUP BY event_type
+    """,
+}
