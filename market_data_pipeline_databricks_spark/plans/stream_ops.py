@@ -1,0 +1,141 @@
+"""Streaming queries for the driver registry.
+
+Each entry executes a Structured Streaming plan to completion with
+``Trigger.AvailableNow`` (incremental-batch semantics over the finite
+testdata) and returns the materialized result; the tumbling/session
+queries carry full DuckDB oracles — the streaming result must be
+row-identical to the batch GROUP BY over the same files, which is the
+strongest correctness statement a streaming op can make.
+
+Memory-sink table names carry a per-process nonce: the driver may run
+multiple queries in one session and memory sinks are session-global.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.streaming.ingest import run_available_now
+from market_data_pipeline_databricks_spark.streaming.stateful import (
+    running_user_totals,
+)
+from market_data_pipeline_databricks_spark.streaming.windows import (
+    read_event_stream,
+    session_window_counts,
+    sliding_window_value_sum,
+    tumbling_daily_counts,
+)
+
+_NONCE = f"s{os.getpid()}"
+
+
+def stream_tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-day window counts (streaming) — equals
+    the batch daily GROUP BY."""
+    ev = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        tumbling_daily_counts(ev), f"tumbling_daily_{_NONCE}"
+    )
+
+
+def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day/1-day windows (streaming): every event counted in
+    exactly 2 windows. Oracle: union of the two covering windows per
+    event, then GROUP BY."""
+    ev = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        sliding_window_value_sum(ev), f"sliding_{_NONCE}"
+    )
+
+
+def stream_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user, rolled up to per-user
+    session/event counts batch-side. Oracle: LAG-gap formulation with
+    >= boundary (session_window starts a new session at gap >= 30min).
+    """
+    ev = read_event_stream(spark, sf_dir)
+    sessions = run_available_now(
+        session_window_counts(ev), f"sessions_{_NONCE}"
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals; with availableNow over
+    finite input the final update per user equals the batch aggregate.
+    Oracle: per-user COUNT/SUM/MAX(ts). float sum → ROUND(, 6)."""
+    ev = read_event_stream(spark, sf_dir)
+    totals = run_available_now(
+        running_user_totals(ev),
+        f"user_totals_{_NONCE}",
+        output_mode="update",
+    )
+    # update-mode memory sink may hold one row per micro-batch per key;
+    # keep the final (largest n_events) row per user.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            "last_ts",
+        )
+    )
+
+
+QUERIES = {
+    "stream_tumbling_daily_counts": stream_tumbling_daily_counts,
+    "stream_sliding_window_counts": stream_sliding_window_counts,
+    "stream_session_window_stats": stream_session_window_stats,
+    "stream_stateful_user_totals": stream_stateful_user_totals,
+}
+
+ORACLE_SQL = {
+    "stream_tumbling_daily_counts": """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_sliding_window_counts": """
+        WITH covering AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start, event_type
+          FROM events
+          UNION ALL
+          SELECT CAST(date_trunc('day', ts) AS DATE) - INTERVAL 1 DAY, event_type
+          FROM events
+        )
+        SELECT CAST(win_start AS DATE) AS win_start, event_type,
+               COUNT(*) AS n_events
+        FROM covering GROUP BY 1, 2
+    """,
+    "stream_session_window_stats": """
+        WITH marked AS (
+          SELECT user_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM marked GROUP BY user_id
+    """,
+    "stream_stateful_user_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value,
+               CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+        FROM events GROUP BY user_id
+    """,
+}

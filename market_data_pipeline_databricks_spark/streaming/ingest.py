@@ -1,0 +1,91 @@
+"""Streaming CSV ingest (Auto-Loader-style) into the bronze shape.
+
+The batch bronze stage (operators/bronze.py) normalizes a CSV glob into
+the bronze schema; this is its ``readStream`` twin — the reference's
+unbuilt streaming path (config.yaml:17 ``checkpoints_dir``).
+
+Scale: the file source lists new files per micro-batch and parallelizes
+reads across executors; ``maxFilesPerTrigger`` bounds batch size so one
+backfill drop does not produce a giant micro-batch. State here is only
+the file log (checkpointed), not data — safe at any scale.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw CSV schema: the superset header (Volume optional at file level is
+# handled by PERMISSIVE mode leaving it NULL). Streaming readers require
+# an explicit schema — inference would need a blocking pre-pass.
+RAW_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("Date", T.StringType()),
+        T.StructField("Open", T.StringType()),
+        T.StructField("High", T.StringType()),
+        T.StructField("Low", T.StringType()),
+        T.StructField("Close", T.StringType()),
+        T.StructField("Volume", T.StringType()),
+    ]
+)
+
+
+def read_price_csv_stream(
+    spark: SparkSession,
+    raw_dir: str,
+    source: str = "stream",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over a CSV drop directory, normalized to the
+    bronze column set (symbol from filename, try_cast types, provenance).
+
+    Mirrors operators/bronze.py (reference 01_ingest_bronze.py:23-59)
+    so streaming and batch ingest produce byte-identical rows.
+    """
+    from market_data_pipeline_databricks_spark.operators.bronze import normalize_raw
+
+    reader = (
+        spark.readStream.schema(RAW_CSV_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.csv(raw_dir).withColumn(
+        "input_file", F.col("_metadata.file_path")
+    )
+    # Identical normalization to the batch path — streaming and batch
+    # ingest must produce byte-identical bronze rows.
+    return normalize_raw(raw, source=source)
+
+
+def run_available_now(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over all currently
+    available data (``Trigger.AvailableNow``) into a memory sink and
+    return the result as a batch DataFrame.
+
+    Memory sinks are test/driver plumbing only — production writes go
+    to parquet/delta sinks with the same trigger. availableNow
+    processes the backlog in (possibly many) micro-batches then stops,
+    which is exactly the semantics of an incremental batch run.
+    """
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)

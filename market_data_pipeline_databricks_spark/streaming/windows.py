@@ -1,0 +1,117 @@
+"""Watermarked window aggregations over the event stream.
+
+Streaming twins of the batch event queries (plans/relational.py): each
+builder takes a *streaming* events DataFrame and returns a windowed
+aggregation whose availableNow/complete result is row-identical to the
+batch GROUP BY — that equivalence is what the oracle gate checks
+(plans/stream_ops.py).
+
+Scale: state per window key lives in the state store; the watermark
+bounds it — windows older than (max event time − delay) are finalized
+and evicted. Shuffle is one exchange on the grouping key, same as the
+batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Streaming schema for events.parquet: ts is TIMESTAMP(NANOS) in the
+# file; with spark.sql.legacy.parquet.nanosAsLong the reader surfaces
+# it as LongType nanoseconds (same truncation DuckDB applies at ns→µs).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one parquet file —
+    pathGlobFilter selects it from the read-only testdata dir)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_daily_counts(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling 1-day windows × event_type → count + exact value sum.
+
+    Batch twin: GROUP BY date_trunc('day', ts), event_type.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_value_sum(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Sliding windows (2-day length, 1-day slide) per event_type —
+    each event lands in 2 windows; demonstrates overlapping-window
+    state. Batch twin: explode the two covering windows then GROUP BY.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "2 days", "1 day").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").cast("date").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Session windows per user: events merge while each arrives within
+    ``gap`` of the session end; a gap ≥ ``gap`` starts a new session.
+
+    Built-in ``session_window`` — dynamic, mergeable windows in the
+    state store (the declarative twin of window_sessionization's
+    LAG+cumsum, with >= boundary semantics). Single streaming
+    aggregation (chained streaming aggs are unsupported) — per-user
+    rollups happen batch-side on the materialized result.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
