@@ -1,0 +1,101 @@
+"""Feature-function queries: the functions/ library driven end-to-end
+over the testdata gold base, oracle-checked against DuckDB.
+
+One shuffle on suppkey serves all features (shared Window); everything
+else is sort-local arithmetic — the plan a 100 TB feature build wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.functions import market as M
+from market_data_pipeline_databricks_spark.plans.relational import _t
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(
+        F.max("l_extendedprice").alias("close"),
+        F.sum("l_quantity").alias("volume"),
+    )
+
+
+def funcs_feature_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP / drawdown / z-score / momentum panel per (suppkey, day)."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("suppkey").orderBy("day")
+    close, vol = F.col("close"), F.col("volume")
+    return daily.select(
+        "suppkey",
+        "day",
+        "close",
+        # floor-truncate, not ROUND: the quotient can land exactly on a
+        # half-way point where Spark (HALF_UP on decimal repr) and
+        # DuckDB (double arithmetic) disagree; floor of x*1e6 is pure
+        # IEEE and bit-identical everywhere.
+        (F.floor(M.rolling_vwap(close, vol, w, 20) * 1e6) / 1e6).alias("vwap_20d"),
+        F.round(M.drawdown(close, w), 6).alias("drawdown"),
+        F.round(M.zscore(close, w, 20), 6).alias("zscore_20d"),
+        F.round(M.momentum(close, w, 5), 6).alias("momentum_5d"),
+    )
+
+
+def funcs_log_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key log-return summary: annualization-ready mean/stddev
+    (decimal-summed mean: order-independent)."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("suppkey").orderBy("day")
+    lr = daily.withColumn("log_ret", M.log_return(F.col("close"), w))
+    return lr.filter(F.col("log_ret").isNotNull()).groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum(F.col("log_ret").cast("decimal(27,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_log_ret"),
+        F.round(F.stddev_samp("log_ret"), 6).alias("sd_log_ret"),
+    )
+
+
+QUERIES = {
+    "funcs_feature_panel": funcs_feature_panel,
+    "funcs_log_return_stats": funcs_log_return_stats,
+}
+
+_DAILY_CTE = """
+WITH daily AS (
+  SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+         MAX(l_extendedprice) AS close, SUM(l_quantity) AS volume
+  FROM lineitem GROUP BY 1, 2
+)
+"""
+
+ORACLE_SQL = {
+    "funcs_feature_panel": _DAILY_CTE + """
+        SELECT suppkey, day, close,
+               FLOOR(CAST(SUM(CAST(close * volume AS DECIMAL(27,6))) OVER f AS DOUBLE)
+                     / CAST(SUM(CAST(volume AS DECIMAL(27,6))) OVER f AS DOUBLE) * 1e6) / 1e6 AS vwap_20d,
+               ROUND(close / MAX(close) OVER cum - 1, 6) AS drawdown,
+               ROUND((close - AVG(close) OVER f) / STDDEV_SAMP(close) OVER f, 6) AS zscore_20d,
+               ROUND(close / LAG(close, 5) OVER w - 1, 6) AS momentum_5d
+        FROM daily
+        WINDOW w AS (PARTITION BY suppkey ORDER BY day),
+               f AS (PARTITION BY suppkey ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+               cum AS (PARTITION BY suppkey ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "funcs_log_return_stats": _DAILY_CTE + """
+        , lr AS (
+          SELECT suppkey, LN(close / LAG(close) OVER (PARTITION BY suppkey ORDER BY day)) AS log_ret
+          FROM daily
+        )
+        SELECT suppkey, COUNT(*) AS n_days,
+               ROUND(CAST(SUM(CAST(log_ret AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*), 6) AS mean_log_ret,
+               ROUND(STDDEV_SAMP(log_ret), 6) AS sd_log_ret
+        FROM lr WHERE log_ret IS NOT NULL GROUP BY suppkey
+    """,
+}
