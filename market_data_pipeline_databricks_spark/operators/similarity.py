@@ -14,17 +14,21 @@ Two paths, both shuffle-disciplined:
   same bucket (+ optional multi-probe by flipping one bit), exact
   re-rank of candidates. Recall/cost tradeoff via n_planes.
 
-An IVF variant (k-means coarse quantizer) would slot in the same
-candidate-generation seam; LSH is preferred here because it needs no
-training pass over 100 TB.
+- **IVF ANN** — k-means coarse quantizer trained on a driver sample,
+  distributed cell assignment via Arrow-batched pandas UDF, probe
+  ``nprobe`` cells per query, exact re-rank within. Same
+  candidate-generation seam as LSH with a tunable recall knob.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def _as_double(col: Column) -> Column:
@@ -192,4 +196,132 @@ def brute_force_near_duplicates(
             F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 20000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means on a deterministic driver-side sample.
+
+    IVF training is centralized by design everywhere (FAISS trains the
+    coarse quantizer on a sample too) — at 100 TB you still sample
+    O(100k) vectors to the driver; only *assignment* must distribute.
+    Sample is ordered by id → reproducible across runs/partitionings.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "cells",
+) -> DataFrame:
+    """Attach the ``nprobe`` nearest centroid ids as an array column.
+
+    Arrow-batched pandas UDF: one matrix multiply per batch (the
+    vectorized scale path — per-row Python would be 100× slower).
+    Centroids ride along as a closure broadcast (KBs).
+    """
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return df.withColumn(out_col, cells(F.col(vec_col)))
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF top-k: corpus vectors live in their 1 nearest cell; queries
+    probe their ``nprobe`` nearest cells and re-rank exactly within.
+
+    Scale: candidate generation is an equi-join on a small int cell id
+    (shuffle ∝ corpus + nprobe×queries, not corpus×queries); recall is
+    tunable via nprobe — cross-validated against brute force in tests.
+    """
+    cent = train_ivf_centroids(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    c = assign_ivf_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cvec"),
+        ),
+        cent,
+        vec_col="cvec",
+        nprobe=1,
+    ).select("neighbor_id", "cvec", F.col("cells")[0].alias("cell"))
+    q = assign_ivf_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+        ),
+        cent,
+        vec_col="qvec",
+        nprobe=nprobe,
+    ).select("query_id", "qvec", F.explode("cells").alias("cell"))
+
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

@@ -54,11 +54,54 @@ def vector_ann_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (16-cell coarse quantizer, nprobe=3).
+    Rows-only driver check; recall vs brute force asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    return SIM.ann_topk_ivf(
+        emb, _queries_subset(emb), k=10, n_cells=16, nprobe=3
+    )
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → Arrow-batched mapInPandas feature extract
+    (deterministic fake decoder — real codecs absent here; plumbing,
+    schema and batch shape are the real thing). Rows-only check."""
+    from market_data_pipeline_databricks_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.documents_as_media(docs)
+    feats = MM.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only frame-sampling plan (every 10th frame) — decode
+    touches only sampled frames downstream. SQL-expressible, full
+    oracle."""
+    from market_data_pipeline_databricks_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.documents_as_media(docs)
+    plan = MM.frame_sample_plan(media, every_n=10)
+    return plan.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
     "vector_near_dup_pairs": vector_near_dup_pairs,
     "vector_ann_lsh_topk": vector_ann_lsh_topk,
     "vector_ann_near_dup_lsh": vector_ann_near_dup_lsh,
+    "vector_ann_ivf_topk": vector_ann_ivf_topk,
+    "multimodal_feature_extract": multimodal_feature_extract,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 _V = """
@@ -89,5 +132,14 @@ ORACLE_SQL = {
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE ROUND(list_dot_product(a.vec, b.vec)
               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.4
+    """,
+    "multimodal_frame_sample": """
+        WITH media AS (
+          SELECT doc_id AS media_id,
+                 GREATEST(CAST(FLOOR(octet_length(encode(text)) / 1024) AS INT), 1) AS n_frames
+          FROM documents
+        )
+        SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
+        FROM media
     """,
 }

@@ -126,3 +126,28 @@ def test_frame_sample_plan(docs):
     n = plan.count()
     assert n >= 5  # at least one frame per media row
     assert plan.columns == ["media_id", "frame_idx"]
+
+
+def test_ann_ivf_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    brute = SIM.cosine_topk(emb, queries, k=10)
+    ivf = SIM.ann_topk_ivf(emb, queries, k=10, n_cells=8, nprobe=4)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    a = {(r.query_id, r.neighbor_id): r.cosine_sim for r in ivf.collect()}
+    # IVF scores are exact cosines for the candidate pairs
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in SIM.cosine_topk(emb, queries, k=10**9).collect()
+    }
+    for pair, v in a.items():
+        assert exact_all[pair] == v
+    # probing half the cells must recover a healthy share of true top-10
+    hits = len(b & set(a))
+    assert hits / len(b) > 0.3
+
+
+def test_ann_ivf_deterministic(emb):
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    r1 = sorted(map(tuple, SIM.ann_topk_ivf(emb, queries, k=5).collect()))
+    r2 = sorted(map(tuple, SIM.ann_topk_ivf(emb, queries, k=5).collect()))
+    assert r1 == r2
