@@ -31,6 +31,8 @@ HEADLINE = [
     "window_supplier_daily_gold",
     "window_latest_snapshot_per_supplier",
     "window_sessionization",
+    "window_rolling_range_avg",
+    "funcs_feature_panel",
     "sort_topk_orders",
 ]
 
