@@ -1,0 +1,154 @@
+"""Databricks-SQL compatibility shims for the analyst surface.
+
+The reference's analyst corpus uses the ``QUALIFY`` clause
+(sql/example_queries.sql:14,71), which Databricks SQL has and OSS
+Spark does not. :func:`sql` accepts that dialect verbatim: it rewrites
+``QUALIFY <predicate>`` into a window-column + filter — the exact
+transform Databricks' own planner applies — then hands the result to
+``spark.sql``.
+
+Rewrite shape::
+
+    SELECT <list> FROM ... [WHERE ...] [GROUP BY ...]
+    QUALIFY <pred> [ORDER BY ...] [LIMIT n]
+
+becomes::
+
+    SELECT <list>, (<pred>) AS __qualify__ FROM ...   -- inner
+    → .filter(__qualify__).drop(__qualify__)          -- DataFrame side
+    → ORDER BY / LIMIT re-applied
+
+Scope (documented, tested): one QUALIFY per statement, at the top
+level of the final SELECT (CTEs before it are fine); the predicate may
+be any boolean expression over window functions and base columns —
+which covers the reference corpus and the common latest-per-group
+idiom. Anything fancier should be written as a subquery, which is
+what this rewrite produces anyway.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUALIFY_COL = "__qualify__"
+
+# Keywords that may follow the QUALIFY clause at top level.
+_TAIL_KEYWORDS = ("ORDER", "LIMIT")
+
+
+def _scan_top_level(text: str, word: str, start: int = 0) -> int:
+    """Index of ``word`` at paren-depth 0 outside string literals, or -1."""
+    depth = 0
+    i = start
+    n = len(text)
+    wlen = len(word)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i += 1
+            while i < n and text[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + wlen].upper() == word:
+            before = text[i - 1] if i > 0 else " "
+            after = text[i + wlen] if i + wlen < n else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                return i
+        i += 1
+    return -1
+
+
+def rewrite_qualify(stmt: str) -> tuple[str, str | None, str]:
+    """Split a statement with QUALIFY into (inner_sql_with_flag_column,
+    predicate_present?, tail_sql). Returns (stmt, None, "") unchanged
+    when there is no top-level QUALIFY."""
+    q = _scan_top_level(stmt, "QUALIFY")
+    if q == -1:
+        return stmt, None, ""
+    # predicate runs until a top-level ORDER/LIMIT or end of statement
+    end = len(stmt)
+    for kw in _TAIL_KEYWORDS:
+        k = _scan_top_level(stmt, kw, q)
+        if k != -1 and k < end:
+            end = k
+    pred = stmt[q + len("QUALIFY") : end].strip().rstrip(";")
+    tail = stmt[end:].strip().rstrip(";")
+    head = stmt[:q]
+
+    # the SELECT owning the QUALIFY = last top-level SELECT before it
+    sel = -1
+    pos = _scan_top_level(head, "SELECT")
+    while pos != -1:
+        sel = pos
+        pos = _scan_top_level(head, "SELECT", pos + 6)
+    if sel == -1:
+        raise ValueError("QUALIFY without a top-level SELECT")
+    frm = _scan_top_level(head, "FROM", sel)
+    if frm == -1:
+        raise ValueError("QUALIFY SELECT has no FROM clause")
+    inner = (
+        head[:frm].rstrip()
+        + f", ({pred}) AS {_QUALIFY_COL} "
+        + head[frm:]
+    )
+    return inner, pred, tail
+
+
+def sql(spark: SparkSession, text: str) -> DataFrame:
+    """``spark.sql`` that also accepts the QUALIFY dialect."""
+    inner, pred, tail = rewrite_qualify(text.strip().rstrip(";"))
+    if pred is None:
+        return spark.sql(inner)
+    df = spark.sql(inner).filter(_QUALIFY_COL).drop(_QUALIFY_COL)
+    if tail:
+        # re-apply ORDER BY / LIMIT on the filtered result
+        m = re.match(r"(?is)^(ORDER\s+BY\s+.+?)?\s*(LIMIT\s+(\d+))?$", tail)
+        if m:
+            order, _, limit = m.group(1), m.group(2), m.group(3)
+            if order:
+                df = df.selectExpr("*").orderBy(
+                    *_order_exprs(order)
+                )
+            if limit:
+                df = df.limit(int(limit))
+        else:
+            raise ValueError(f"unsupported tail after QUALIFY: {tail!r}")
+    return df
+
+
+def _order_exprs(order_clause: str):
+    from pyspark.sql import functions as F
+
+    body = re.sub(r"(?is)^ORDER\s+BY\s+", "", order_clause.strip())
+    exprs = []
+    for part in _split_top_level_commas(body):
+        p = part.strip()
+        if re.search(r"(?is)\s+DESC$", p):
+            exprs.append(F.expr(re.sub(r"(?is)\s+DESC$", "", p)).desc())
+        else:
+            exprs.append(F.expr(re.sub(r"(?is)\s+ASC$", "", p)).asc())
+    return exprs
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for c in text:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        out.append("".join(cur))
+    return out

@@ -1,0 +1,86 @@
+"""QUALIFY dialect acceptance: the reference's Databricks-SQL analyst
+queries (sql/example_queries.sql:7-15,61-72 shapes) run verbatim
+through sqlcompat.sql and match the ROW_NUMBER-subquery rewrite."""
+
+from __future__ import annotations
+
+import pytest
+
+from market_data_pipeline_databricks_spark.sqlcompat import rewrite_qualify, sql
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ("orders", "events"):
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()), key=str)
+
+
+def test_qualify_latest_per_group(spark):
+    # reference sql/example_queries.sql:7-15 shape, verbatim dialect
+    got = sql(
+        spark,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        """,
+    )
+    want = spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders
+        ) WHERE rn = 1
+        """
+    )
+    assert _rows(got) == _rows(want)
+    assert "__qualify__" not in got.columns
+
+
+def test_qualify_with_order_and_limit(spark):
+    got = sql(
+        spark,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC) = 1
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 5
+        """,
+    )
+    rows = got.collect()
+    assert len(rows) == 5
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_qualify_with_cte(spark):
+    got = sql(
+        spark,
+        """
+        WITH big AS (SELECT * FROM orders WHERE o_totalprice > 100000)
+        SELECT o_custkey, o_orderkey
+        FROM big
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+        """,
+    )
+    # one row per customer
+    assert got.count() == got.select("o_custkey").distinct().count()
+
+
+def test_plain_sql_passthrough(spark):
+    got = sql(spark, "SELECT COUNT(*) AS n FROM orders")
+    assert got.collect()[0].n > 0
+    assert rewrite_qualify("SELECT 1")[1] is None
