@@ -134,3 +134,32 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def read_media_dir(
+    spark, path: str, glob: str = "*", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Ingest a directory of media files via Spark's ``binaryFile``
+    source into MEDIA_SCHEMA shape.
+
+    Scale: binaryFile parallelizes across files; pair with
+    ``spark.sql.files.maxPartitionBytes`` so many small files coalesce
+    per task. media_id = stable hash of the path (collision-checked
+    downstream by dedup ops); real deployments carry the path through.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.col("path").alias("source_uri"),
+        ).alias("meta"),
+    )

@@ -33,7 +33,14 @@ def all_oracle_sql() -> dict[str, str]:
 
 def _extension_modules():
     mods = []
-    for name in ("text_ops", "vector_ops", "analyst", "stream_ops", "feature_ops"):
+    for name in (
+        "text_ops",
+        "vector_ops",
+        "analyst",
+        "stream_ops",
+        "feature_ops",
+        "scale_ops",
+    ):
         try:
             mods.append(
                 __import__(

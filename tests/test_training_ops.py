@@ -151,3 +151,17 @@ def test_ann_ivf_deterministic(emb):
     r1 = sorted(map(tuple, SIM.ann_topk_ivf(emb, queries, k=5).collect()))
     r2 = sorted(map(tuple, SIM.ann_topk_ivf(emb, queries, k=5).collect()))
     assert r1 == r2
+
+
+def test_read_media_dir_binaryfile(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-b" * 100)
+    media = MM.read_media_dir(spark, str(tmp_path), glob="*.bin")
+    rows = {r.meta.source_uri.split("/")[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"].meta.n_bytes == 11
+    assert bytes(rows["b.bin"].content) == b"payload-b" * 100
+    # plumbing composes: binaryFile source → feature extraction
+    feats = MM.extract_features(media, fake=True)
+    assert feats.count() == 2
+    assert len(feats.first().feature) == MM.FEATURE_DIM
