@@ -34,6 +34,7 @@ def all_oracle_sql() -> dict[str, str]:
 def _extension_modules():
     mods = []
     for name in (
+        "relational_ext",
         "text_ops",
         "vector_ops",
         "analyst",
