@@ -56,3 +56,59 @@ def latest_snapshot(gold: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def gold_incremental(
+    silver: DataFrame,
+    existing_gold: DataFrame,
+    changed: DataFrame,
+    computed_at: datetime | None = None,
+) -> DataFrame:
+    """Incremental gold rebuild: recompute only the rows a batch of
+    new/changed silver rows can affect, keep everything else.
+
+    The reference overwrites gold wholesale every run
+    (03_aggregate_gold.py:82-95) — correct but O(total history) daily.
+    Every gold feature looks back at most ``ROLL`` rows (19-preceding
+    frames + the LAG), so a changed (symbol, date) can only alter gold
+    rows of that symbol with date >= the change; rows needed to
+    recompute them are the ROLL preceding silver rows. Per affected
+    symbol:
+
+    - cutoff   = MIN(changed date)
+    - recompute window = silver rows within the last ROLL rows before
+      cutoff (seed history) + all rows >= cutoff
+    - emitted  = recomputed rows >= cutoff, unioned with untouched
+      existing gold (< cutoff, and all unaffected symbols)
+
+    Scale: cost ∝ |affected symbols| × (tail + ROLL) rows — a daily
+    increment touches O(symbols) rows instead of O(all history). The
+    seed rows' own features are recomputed but discarded (their frames
+    would be truncated); only rows >= cutoff are replaced, and those
+    have full frames by construction.
+    """
+    cutoffs = changed.groupBy("symbol").agg(F.min("date").alias("cutoff"))
+
+    sl = silver.join(F.broadcast(cutoffs), "symbol", "inner")
+    w = Window.partitionBy("symbol").orderBy(F.desc("date"))
+    # rows >= cutoff plus the ROLL rows immediately before it
+    before = (
+        sl.filter(F.col("date") < F.col("cutoff"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ROLL)
+        .drop("rn")
+    )
+    tail = sl.filter(F.col("date") >= F.col("cutoff"))
+    recompute_src = before.unionByName(tail).drop("cutoff")
+
+    recomputed = gold_features(recompute_src, computed_at=computed_at)
+    fresh = recomputed.join(F.broadcast(cutoffs), "symbol").filter(
+        F.col("date") >= F.col("cutoff")
+    ).drop("cutoff")
+
+    untouched = existing_gold.join(
+        F.broadcast(cutoffs), "symbol", "left"
+    ).filter(F.col("cutoff").isNull() | (F.col("date") < F.col("cutoff"))).drop(
+        "cutoff"
+    )
+    return untouched.unionByName(fresh)

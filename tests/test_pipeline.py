@@ -88,3 +88,47 @@ def test_bronze_upsert_idempotent(spark, raw_dir, tmp_path):
     assert again.count() == n1  # same keys → same row count (MERGE semantics)
     # and the later ingest won: all rows carry the newer timestamp
     assert again.filter(F.col("ingested_at") == RUN_TS).count() == 0
+
+
+def test_gold_incremental_equals_full_recompute(spark):
+    import datetime as dt
+    from market_data_pipeline_databricks_spark.operators.gold import (
+        gold_features, gold_incremental,
+    )
+    days = [dt.date(2025, 1, 1) + dt.timedelta(days=i) for i in range(60)]
+    rows = []
+    for sym, base in (("AAA", 100.0), ("BBB", 50.0)):
+        px = base
+        for i, d in enumerate(days):
+            px *= 1.0 + ((i * 7 + hash(sym) % 13) % 9 - 4) / 1000.0
+            rows.append((sym, d, px, 1000 + i, "t"))
+    silver_v1 = spark.createDataFrame(
+        rows, "symbol string, date date, close double, volume long, source string"
+    )
+    ts = dt.datetime(2025, 3, 1)
+    gold_v1 = gold_features(silver_v1, computed_at=ts)
+
+    # late backfill: BBB day 40 corrected, plus two brand-new AAA days
+    changed_rows = [
+        ("BBB", days[40], 55.5, 9999, "t"),
+        ("AAA", days[-1] + dt.timedelta(days=1), 130.0, 2000, "t"),
+        ("AAA", days[-1] + dt.timedelta(days=2), 131.0, 2001, "t"),
+    ]
+    changed = spark.createDataFrame(
+        changed_rows, "symbol string, date date, close double, volume long, source string"
+    )
+    # silver after merge: replace BBB day40, append AAA rows
+    silver_v2 = (
+        silver_v1.join(
+            changed.select("symbol", "date").withColumn("x", F.lit(1)),
+            ["symbol", "date"], "left",
+        ).filter(F.col("x").isNull()).drop("x").unionByName(changed)
+    )
+
+    want = gold_features(silver_v2, computed_at=ts)
+    got = gold_incremental(silver_v2, gold_v1, changed, computed_at=ts)
+
+    key = lambda r: (r["symbol"], str(r["date"]))
+    w_rows = sorted(map(lambda r: tuple(map(str, r)), want.collect()))
+    g_rows = sorted(map(lambda r: tuple(map(str, r)), got.collect()))
+    assert g_rows == w_rows
