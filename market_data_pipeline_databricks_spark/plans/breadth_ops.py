@@ -1,0 +1,153 @@
+"""Breadth queries: window/scalar surfaces beyond the reference corpus
+(LEAD, RANK family, first/last_value, JSON extraction, string
+functions, calendar rollups) — all free in Spark, all oracle-checked,
+so an analyst moving off the reference keeps the whole ANSI surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.plans.relational import (
+    _dsum,
+    _events,
+    _t,
+)
+
+
+def window_lead_gap_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD (the forward twin of the reference's LAG): seconds until
+    each user's next event; long idle gaps only."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))
+    return (
+        ev.withColumn("gap_s", (gap_us / 1_000_000).cast("long"))
+        .filter(F.col("gap_s") > 3600)
+        .select("user_id", "event_id", "gap_s")
+    )
+
+
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / PERCENT_RANK / NTILE / FIRST_VALUE in one
+    window pass per order-priority group (unique tie-break so every
+    engine agrees row-for-row)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.first_value("o_orderkey").over(w).cast("long").alias("top_order"),
+        )
+        .filter(F.col("rnk") <= 50)
+    )
+
+
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props column (get_json_object) —
+    histogram of k by event_type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type", (F.col("k") - F.pmod("k", F.lit(10))).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def scalar_string_kitchen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: case, substring, padding, translate,
+    length, levenshtein distance to a fixed probe."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padded_key"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("xlated"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("long").alias(
+            "lev_building"
+        ),
+    )
+
+
+def agg_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: revenue per month (date_trunc), the standard
+    reporting grain the daily gold table feeds."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            _dsum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+QUERIES = {
+    "window_lead_gap_to_next": window_lead_gap_to_next,
+    "window_rank_family": window_rank_family,
+    "scalar_json_extract": scalar_json_extract,
+    "scalar_string_kitchen": scalar_string_kitchen,
+    "agg_monthly_revenue": agg_monthly_revenue,
+}
+
+ORACLE_SQL = {
+    "window_lead_gap_to_next": """
+        SELECT user_id, event_id, gap_s FROM (
+          SELECT user_id, event_id,
+                 CAST((LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       - epoch_us(CAST(ts AS TIMESTAMP))) // 1000000 AS BIGINT) AS gap_s
+          FROM events
+        ) WHERE gap_s > 3600
+    """,
+    "window_rank_family": """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderkey,
+                 CAST(RANK() OVER w AS BIGINT) AS rnk,
+                 CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+                 ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+                 CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+                 CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS top_order
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ) WHERE rnk <= 50
+    """,
+    "scalar_json_extract": """
+        SELECT event_type,
+               CAST(k - (k % 10) AS BIGINT) AS k_bucket, COUNT(*) AS n
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        ) GROUP BY 1, 2
+    """,
+    "scalar_string_kitchen": """
+        SELECT c_custkey,
+               UPPER(c_name) AS uname,
+               SUBSTRING(c_name, 1, 8) AS prefix8,
+               LPAD(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS xlated,
+               CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+               CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev_building
+        FROM customer
+    """,
+    "agg_monthly_revenue": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    """,
+}

@@ -35,6 +35,7 @@ def _extension_modules():
     mods = []
     for name in (
         "relational_ext",
+        "breadth_ops",
         "text_ops",
         "vector_ops",
         "analyst",
