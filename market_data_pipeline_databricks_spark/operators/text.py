@@ -12,7 +12,7 @@ for MinHash / Jaccard dedup in operators/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Punctuation class kept explicit (not [[:punct:]]) so the regex means
@@ -139,3 +139,57 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+# GPT-2-style pre-tokenizer classes: contractions, letter runs, digit
+# runs, punctuation runs, whitespace runs — the regex BPE vocabularies
+# split on before merges. Counting these is the standard cheap proxy
+# for "LLM tokens" without a vocab file.
+_BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+|\s+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization of normalized text (regex classes, no
+    merges). Pure Column op: regexp_extract_all is JVM-side."""
+    return F.regexp_extract_all(normalize_text(col), F.lit(_BPE_SPLIT), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens, excluding pure-whitespace runs."""
+    toks = F.filter(bpe_tokens(col), lambda t: F.trim(t) != "")
+    return F.size(toks).cast("long")
+
+
+def winnow_fingerprints(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 7,
+    window: int = 4,
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every char k-gram, keep the min hash of each sliding window of
+    ``window`` k-gram hashes, dedup → (id, fp) rows. Near-identical
+    documents share most fingerprints, so a join on fp finds local
+    (substring-level) overlap that whole-doc md5 cannot.
+
+    Expressed relationally on purpose: posexplode the k-gram hashes and
+    take a forward ROWS frame min — O(len) per document with one
+    shuffle on the doc id. (The tempting pure-Column form —
+    ``transform(sequence, i -> array_min(slice(hashes, i, w)))`` —
+    re-evaluates the hash array per window element because higher-order
+    lambdas defeat subexpression elimination: O(len²) hashing. Measured
+    >100× slower; don't go back.)
+    """
+    t = normalize_text(F.col(text_col))
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(k)))
+    g = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram"))
+    g = g.withColumn("h", F.xxhash64("gram"))
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    full = (
+        g.withColumn("fp", F.min("h").over(w))
+        .withColumn("n_in_frame", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_in_frame") == window)  # full windows only
+    )
+    return full.select("id", "fp").distinct()

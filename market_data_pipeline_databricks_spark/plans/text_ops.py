@@ -74,14 +74,57 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
 
 
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-token counting (GPT-2 regex classes) — the standard
+    cheap LLM-token proxy; JVM-side regexp_extract_all."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint overlap: pairs of documents
+    sharing ≥ 5 selected k-gram window minima — catches substring-level
+    plagiarism/copy that whole-doc hashing misses. xxhash64-seeded →
+    rows-only driver check; behavior verified in tests against
+    controlled mutations."""
+    docs = _docs(spark, sf_dir)
+    fp = TX.winnow_fingerprints(docs, id_col="doc_id", text_col="text", k=12, window=25)
+    counts = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .withColumn(
+            "overlap", F.col("n_shared") / F.least("n_a", "n_b")
+        )
+        # fractional overlap for robustness + absolute floor so 2-
+        # fingerprint docs can't qualify on a single generic collision
+        .filter((F.col("overlap") >= 0.5) & (F.col("n_shared") >= 3))
+        .select("id_a", "id_b", "n_shared")
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
     "text_fingerprint_groups": text_fingerprint_groups,
+    "text_bpe_token_count": text_bpe_token_count,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_near": dedup_minhash_near,
     "dedup_simhash_near": dedup_simhash_near,
+    "dedup_winnow_overlap": dedup_winnow_overlap,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -112,6 +155,15 @@ docs AS (
 """
 
 ORACLE_SQL = {
+    "text_bpe_token_count": _NORM + r"""
+        SELECT doc_id,
+               CAST(len(string_split(ntext, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(list_filter(
+                   regexp_extract_all(ntext,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+|\s+'),
+                   t -> trim(t) != '')) AS BIGINT) AS n_bpe_tokens
+        FROM tok
+    """,
     "text_stats": _NORM + f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_computed,

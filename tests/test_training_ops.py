@@ -165,3 +165,30 @@ def test_read_media_dir_binaryfile(spark, tmp_path):
     feats = MM.extract_features(media, fake=True)
     assert feats.count() == 2
     assert len(feats.first().feature) == MM.FEATURE_DIM
+
+
+def test_winnow_recovers_jaccard_pairs(spark, docs):
+    from market_data_pipeline_databricks_spark.plans import text_ops as TO
+    jac = {
+        (r.id_a, r.id_b)
+        for r in TO.dedup_ngram_jaccard(spark, SF).collect()
+    }
+    win = {
+        (r.id_a, r.id_b)
+        for r in TO.dedup_winnow_overlap(spark, SF).collect()
+    }
+    assert jac, "fixture corpus must contain near-dup pairs"
+    # winnowing must recover the exact-Jaccard near-dups (high recall)
+    assert len(jac & win) / len(jac) >= 0.9
+    # and not drown them in noise (bounded false-positive mass)
+    assert len(win) <= 3 * len(jac)
+
+
+def test_bpe_token_count_bounds(docs):
+    out = docs.select(
+        TX.token_count(F.col("text")).alias("ws"),
+        TX.bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    for r in out:
+        # BPE pre-tokens are at least as granular as whitespace tokens
+        assert r.bpe >= r.ws
