@@ -42,9 +42,24 @@ def main() -> None:
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
 
-    # Warm the JVM + parquet footers once so timings measure the
-    # queries, not session bootstrap.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM + parquet footers + codegen paths (scan, hash-agg,
+    # exchange, window) once so timings measure the queries, not
+    # session bootstrap or first-use JIT.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.count()
+    li.limit(10000).groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,2)")),
+        F.count(F.lit(1)),
+    ).count()
+    li.limit(10000).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("l_suppkey").orderBy("l_shipdate")
+        ),
+    ).count()
 
     from market_data_pipeline_databricks_spark.plans.registry import all_queries
 
