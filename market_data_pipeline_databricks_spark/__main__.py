@@ -1,0 +1,66 @@
+"""CLI: run the medallion pipeline end-to-end from a YAML config.
+
+Replaces the reference's Databricks Job orchestration
+(README.md:100-108 — 4 linear notebook tasks) with a plain runner::
+
+    python -m market_data_pipeline_databricks_spark --config config.yaml
+    python -m market_data_pipeline_databricks_spark --raw-dir data/raw --warehouse-dir wh
+
+State passes between stages only through the written tables, same as
+the reference's task boundaries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="market_data_pipeline_databricks_spark",
+        description="Run the bronze→silver→gold→quality pipeline.",
+    )
+    p.add_argument("--config", help="YAML config (reference config.yaml layout)")
+    p.add_argument("--raw-dir", help="override: directory of raw CSVs")
+    p.add_argument("--warehouse-dir", help="override: table output directory")
+    p.add_argument("--source", help="override: provenance source tag")
+    p.add_argument(
+        "--show", action="store_true", help="print per-table summaries after the run"
+    )
+    args = p.parse_args(argv)
+
+    from market_data_pipeline_databricks_spark.config import (
+        PipelineConfig,
+        load_config,
+    )
+    from market_data_pipeline_databricks_spark.pipeline import run_pipeline
+    from market_data_pipeline_databricks_spark.session import get_spark
+
+    cfg = load_config(args.config) if args.config else PipelineConfig()
+    overrides = {
+        k: v
+        for k, v in {
+            "raw_dir": args.raw_dir,
+            "warehouse_dir": args.warehouse_dir,
+            "source": args.source,
+        }.items()
+        if v is not None
+    }
+    if overrides:
+        from dataclasses import replace
+
+        cfg = replace(cfg, **overrides)
+
+    spark = get_spark(app_name="market-data-pipeline")
+    out = run_pipeline(spark, cfg)
+    for name, df in out.items():
+        n = df.count()
+        print(f"{name}: {n} rows")
+        if args.show:
+            df.show(20, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

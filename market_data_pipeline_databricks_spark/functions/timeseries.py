@@ -1,0 +1,43 @@
+"""Grouped-map time-series features via ``applyInPandas``.
+
+Window functions cover every frame-based feature (functions/market.py);
+*recursive* features — EWMA, and anything of the form
+``y[t] = f(y[t-1], x[t])`` — have no SQL window form. The Spark-native
+answer is ``groupBy(key).applyInPandas``: each key's ordered series
+arrives as one pandas DataFrame, the recursion runs vectorized inside
+pandas/numpy, and the result keeps the engine's distributed shape (one
+group per task, shuffle on the key only).
+
+Scale: per-key series are bounded (a daily symbol series is O(10³)
+rows/decade) so group memory is small; Arrow moves each group once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key:
+    ``e[0] = x[0]; e[t] = alpha*x[t] + (1-alpha)*e[t-1]``
+    (pandas ``ewm(alpha, adjust=False)`` semantics; NULL values carry
+    the previous EWMA forward)."""
+    import pandas as pd  # noqa: F401 — imported for the worker closure
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+
+    def compute(pdf):
+        pdf = pdf.sort_values(order_col)
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(compute, schema=out_schema)

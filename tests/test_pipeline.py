@@ -132,3 +132,31 @@ def test_gold_incremental_equals_full_recompute(spark):
     w_rows = sorted(map(lambda r: tuple(map(str, r)), want.collect()))
     g_rows = sorted(map(lambda r: tuple(map(str, r)), got.collect()))
     assert g_rows == w_rows
+
+
+def test_ewma_matches_reference_recursion(spark):
+    from market_data_pipeline_databricks_spark.functions.timeseries import ewma
+    data = [("A", i, float(v)) for i, v in enumerate([10, 12, 11, 15, 14, 13, 18])]
+    data += [("B", i, float(v)) for i, v in enumerate([5, 5, 6, 4])]
+    df = spark.createDataFrame(data, "sym string, t long, x double")
+    got = {
+        (r.sym, r.t): r.ewma
+        for r in ewma(df, ["sym"], "t", "x", alpha=0.3).collect()
+    }
+    for sym, series in (("A", [10, 12, 11, 15, 14, 13, 18]), ("B", [5, 5, 6, 4])):
+        e = None
+        for t, x in enumerate(series):
+            e = x if e is None else 0.3 * x + 0.7 * e
+            assert abs(got[(sym, t)] - e) < 1e-12
+
+
+def test_cli_runs_pipeline(raw_dir, tmp_path):
+    import subprocess, sys, os
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g")
+    r = subprocess.run(
+        [sys.executable, "-m", "market_data_pipeline_databricks_spark",
+         "--raw-dir", str(raw_dir), "--warehouse-dir", str(tmp_path / "wh")],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "gold:" in r.stdout and "quality:" in r.stdout
