@@ -66,9 +66,37 @@ def skew_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scale_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts (rsd=0.5%): at 100 TB an exact
+    COUNT(DISTINCT) shuffles every distinct value; HLL ships a fixed
+    ~KB sketch per group. Rows-only driver check; the rsd error bound
+    vs exact is asserted in tests/test_scale_ops.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.005).alias("approx_suppliers"),
+        F.approx_count_distinct("l_partkey", rsd=0.005).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def scale_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch, accuracy 1e4):
+    mergeable fixed-size sketches instead of a global sort. Rows-only
+    driver check; error bound vs exact asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_pcts"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES = {
     "skew_salted_pricing_summary": skew_salted_pricing_summary,
     "skew_salted_join_orders": skew_salted_join_orders,
+    "scale_approx_distinct": scale_approx_distinct,
+    "scale_approx_percentiles": scale_approx_percentiles,
 }
 
 ORACLE_SQL = {

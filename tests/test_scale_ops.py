@@ -1,0 +1,81 @@
+"""Scale-path operators: salted plans equal plain plans; approximate
+sketches stay inside their error bounds; partition pruning reaches the
+scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.operators.skew import salted_agg, salted_join
+from market_data_pipeline_databricks_spark.plans import scale_ops as SO
+
+from tests.conftest import SF_SMALL
+
+
+def test_salted_agg_equals_plain(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.n, float(r.total))
+        for r in salted_agg(
+            li.select("l_returnflag", F.col("l_quantity").cast("decimal(27,2)").alias("q")),
+            ["l_returnflag"],
+            {"n": ("count", "*"), "total": ("sum", "q")},
+            n_salt=8,
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (r.n, float(r.total))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_approx_distinct_within_rsd(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    approx = {
+        r.l_returnflag: r.approx_suppliers
+        for r in SO.scale_approx_distinct(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n")).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, approx[k], n)
+
+
+def test_approx_percentiles_within_bound(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    approx = {
+        r.l_returnflag: r.price_pcts
+        for r in SO.scale_approx_percentiles(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.l_returnflag: r.p
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("p"))
+        .collect()
+    }
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.02, (k, a, e)
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    out = str(tmp_path / "part")
+    li.withColumn("bucket", F.pmod("l_suppkey", F.lit(8))).write.partitionBy(
+        "bucket"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter(F.col("bucket") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan[:800]
+    # pruned read returns exactly the partition's rows
+    want = li.filter(F.pmod("l_suppkey", F.lit(8)) == 3).count()
+    assert df.count() == want
