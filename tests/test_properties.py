@@ -1,0 +1,125 @@
+"""Property-based invariants (hypothesis) over the core operators.
+
+Each property runs few examples (Spark round-trips are costly) but
+explores adversarial shapes a hand fixture won't: empty frames,
+all-duplicate keys, NULL-heavy columns, single-row groups.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_symbols = st.sampled_from(["AAA", "BBB", "CCC"])
+_dates = st.dates(dt.date(2025, 1, 1), dt.date(2025, 2, 28))
+_prices = st.one_of(
+    st.none(), st.floats(-10, 1000, allow_nan=False, width=32).map(float)
+)
+
+_rows = st.lists(
+    st.tuples(_symbols, _dates, _prices, _prices, _prices, _prices),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _silver_input(spark, rows):
+    data = [
+        (s, d, o, h, l, c, 100, "t", dt.datetime(2025, 3, 1), "f.csv")
+        for (s, d, o, h, l, c) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "symbol string, date date, open double, high double, low double, "
+        "close double, volume long, source string, ingested_at timestamp, "
+        "input_file string",
+    )
+
+
+@given(rows=_rows)
+@settings(**SETTINGS)
+def test_silver_partitions_every_row(spark, rows):
+    """valid ∪ rejected == deduped input, disjointly — no row is lost
+    or double-routed whatever the data looks like."""
+    from market_data_pipeline_databricks_spark.operators.silver import (
+        dedup_latest,
+        split_silver,
+    )
+
+    df = _silver_input(spark, rows)
+    deduped = dedup_latest(df)
+    valid, rejected = split_silver(deduped)
+    n, nv, nr = deduped.count(), valid.count(), rejected.count()
+    assert n == nv + nr
+    # rejected rows always carry a reason; valid rows never would
+    assert rejected.filter(F.col("reject_reason").isNull()).count() == 0
+
+
+@given(rows=_rows)
+@settings(**SETTINGS)
+def test_dedup_latest_is_idempotent_and_keyed(spark, rows):
+    from market_data_pipeline_databricks_spark.operators.silver import dedup_latest
+
+    df = _silver_input(spark, rows)
+    once = dedup_latest(df)
+    # unique (symbol, date) grain
+    assert once.groupBy("symbol", "date").count().filter("count > 1").count() == 0
+    # idempotent
+    assert dedup_latest(once).count() == once.count()
+
+
+@given(
+    batch=st.lists(
+        st.tuples(_symbols, _dates, st.floats(1, 100, allow_nan=False)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_upsert_idempotent(spark, tmp_path_factory, batch):
+    """Re-applying the same batch is a no-op on final state (S6)."""
+    from market_data_pipeline_databricks_spark.sources.writers import upsert_by_key
+
+    wh = str(tmp_path_factory.mktemp("wh"))
+    df = spark.createDataFrame(
+        [(s, d, float(c)) for (s, d, c) in batch],
+        "symbol string, date date, close double",
+    ).dropDuplicates(["symbol", "date"])
+    upsert_by_key(spark, df, wh, "t", ["symbol", "date"])
+    first = sorted(map(tuple, spark.read.parquet(f"{wh}/t").collect()))
+    upsert_by_key(spark, df, wh, "t", ["symbol", "date"])
+    second = sorted(map(tuple, spark.read.parquet(f"{wh}/t").collect()))
+    assert first == second
+
+
+@given(
+    texts=st.lists(
+        # ASCII only: unicode case-folding is not round-trippable
+        # (ß→SS, dotless-ı) and normalize_text promises only
+        # ASCII-case + whitespace invariance
+        st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=80),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_fingerprint_invariant_to_whitespace(spark, texts):
+    """Normalized fingerprints ignore ASCII case and whitespace runs."""
+    from market_data_pipeline_databricks_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    a = [r[0] for r in df.select(fingerprint(F.col("text"))).collect()]
+    mangled = df.select(
+        F.concat(F.lit("  "), F.upper("text"), F.lit("\t")).alias("text")
+    )
+    b = [r[0] for r in mangled.select(fingerprint(F.col("text"))).collect()]
+    assert a == b
