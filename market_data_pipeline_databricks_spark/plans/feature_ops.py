@@ -62,9 +62,24 @@ def funcs_log_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funcs_ewma_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive EWMA of close per supplier via applyInPandas
+    (functions/timeseries.py) — the grouped-map surface. No SQL
+    recursion in the oracle dialect → rows-only driver check; exact
+    recursion verified in tests/test_pipeline.py."""
+    from market_data_pipeline_databricks_spark.functions.timeseries import ewma
+
+    daily = _daily(spark, sf_dir)
+    out = ewma(daily, ["suppkey"], "day", "close", alpha=0.2, out_col="ewma_close")
+    return out.select(
+        "suppkey", "day", "close", F.round("ewma_close", 6).alias("ewma_close")
+    )
+
+
 QUERIES = {
     "funcs_feature_panel": funcs_feature_panel,
     "funcs_log_return_stats": funcs_log_return_stats,
+    "funcs_ewma_close": funcs_ewma_close,
 }
 
 _DAILY_CTE = """
