@@ -340,7 +340,15 @@ def window_supplier_daily_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_latest_snapshot_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 over the gold output: latest feature row per supplier
-    (reference use_cases.md:3-14 pre-trade snapshot)."""
+    (reference use_cases.md:3-14 pre-trade snapshot).
+
+    Scale note: the snapshot needs only each key's last 21 daily rows,
+    but pruning via a desc ROW_NUMBER pass costs the same full sort it
+    tries to avoid (measured +30% here). The real scale lever is
+    *scan-level* date pruning — on a date-partitioned gold table,
+    filter to the trailing ~45 calendar days before windowing and the
+    exchange itself shrinks. Kept as the shared-base formulation, which
+    Catalyst executes with one exchange and two sorts."""
     gold = _supplier_daily_gold(spark, sf_dir)
     w = Window.partitionBy("suppkey").orderBy(F.desc("day"))
     return (
