@@ -36,6 +36,7 @@ def _extension_modules():
     for name in (
         "relational_ext",
         "breadth_ops",
+        "asof_ops",
         "text_ops",
         "vector_ops",
         "analyst",

@@ -160,3 +160,30 @@ def test_cli_runs_pipeline(raw_dir, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "gold:" in r.stdout and "quality:" in r.stdout
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+    from market_data_pipeline_databricks_spark.operators.asof import asof_join
+    d = lambda s: dt.date.fromisoformat(s)
+    trades = spark.createDataFrame(
+        [(1, "K", d("2025-01-10")), (2, "K", d("2025-01-05")),
+         (3, "K", d("2025-01-01")), (4, "X", d("2025-01-10"))],
+        "trade_id long, key string, tdate date",
+    )
+    quotes = spark.createDataFrame(
+        [("K", d("2025-01-05"), 101.0), ("K", d("2025-01-08"), 102.0),
+         ("Z", d("2025-01-01"), 999.0)],
+        "key string, qdate date, px double",
+    )
+    out = {
+        r.trade_id: (r.asof_qdate, r.asof_px)
+        for r in asof_join(
+            trades, quotes, key="key", left_time="tdate",
+            right_time="qdate", value_cols=["px"],
+        ).collect()
+    }
+    assert out[1] == (d("2025-01-08"), 102.0)   # latest at-or-before
+    assert out[2] == (d("2025-01-05"), 101.0)   # same-instant visible
+    assert out[3] == (None, None)               # nothing before → NULL
+    assert out[4] == (None, None)               # key with no quotes
