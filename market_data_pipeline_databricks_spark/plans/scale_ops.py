@@ -92,14 +92,76 @@ def scale_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+
+def join_range_binned_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's 60-day volatility expansion through the BINNED range join
+    (operators/rangejoin.py): hash-join shuffles instead of the
+    broadcast-nested-loop a raw interval predicate forces — the plan
+    that survives when neither side broadcasts. Oracle: identical SQL
+    to join_range_volatility_expansion."""
+    from market_data_pipeline_databricks_spark.operators.rangejoin import (
+        range_join_binned,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias(
+            "revenue"
+        )
+    )
+    anchors = daily.select(
+        F.col("day").alias("a_day"), F.col("revenue").alias("a_revenue")
+    )
+    probes = daily.select(
+        F.col("day").alias("p_day"), F.col("revenue").alias("p_revenue")
+    )
+    epoch = F.lit("1992-01-01").cast("date")
+    joined = range_join_binned(
+        probes,
+        anchors,
+        left_time="p_day",
+        right_time="a_day",
+        window=59,
+        time_unit_expr=lambda c: F.datediff(c, epoch),
+    )
+    return (
+        joined.groupBy(
+            F.col("a_day").alias("day"), F.col("a_revenue").alias("revenue")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("p_revenue").cast("decimal(27,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_rev_60d")
+        )
+        .filter(F.col("revenue") > 1.5 * F.col("avg_rev_60d"))
+    )
+
 QUERIES = {
     "skew_salted_pricing_summary": skew_salted_pricing_summary,
     "skew_salted_join_orders": skew_salted_join_orders,
     "scale_approx_distinct": scale_approx_distinct,
     "scale_approx_percentiles": scale_approx_percentiles,
+    "join_range_binned_volatility": join_range_binned_volatility,
 }
 
 ORACLE_SQL = {
+    "join_range_binned_volatility": """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT g.day AS day, g.revenue AS revenue,
+               ROUND(CAST(SUM(CAST(g2.revenue AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*), 6) AS avg_rev_60d
+        FROM daily g JOIN daily g2
+          ON g2.day >= g.day - INTERVAL 59 DAY AND g2.day <= g.day
+        GROUP BY g.day, g.revenue
+        HAVING g.revenue > 1.5 * ROUND(CAST(SUM(CAST(g2.revenue AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*), 6)
+    """,
     "skew_salted_pricing_summary": """
         SELECT l_returnflag,
                CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
