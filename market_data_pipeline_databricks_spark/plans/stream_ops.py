@@ -93,7 +93,28 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks ⋈ views, 1-hour event-time
+    bound, watermarked state): availableNow result equals the batch
+    join. Rolled up per user batch-side."""
+    from market_data_pipeline_databricks_spark.streaming.joins import (
+        click_view_attribution,
+    )
+
+    ev = read_event_stream(spark, sf_dir)
+    pairs = run_available_now(
+        click_view_attribution(ev),
+        f"clickview_{_NONCE}",
+        output_mode="append",
+    )
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_attributed_clicks"),
+    )
+
+
 QUERIES = {
+    "stream_stream_click_attribution": stream_stream_click_attribution,
     "stream_tumbling_daily_counts": stream_tumbling_daily_counts,
     "stream_sliding_window_counts": stream_sliding_window_counts,
     "stream_session_window_stats": stream_session_window_stats,
@@ -101,6 +122,20 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "stream_stream_click_attribution": """
+        WITH c AS (
+          SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+          FROM events WHERE event_type = 'click'
+        ), v AS (
+          SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS v_ts
+          FROM events WHERE event_type = 'view'
+        )
+        SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
+               COUNT(DISTINCT c.click_id) AS n_attributed_clicks
+        FROM c JOIN v ON c.user_id = v.user_id
+          AND v.v_ts >= c.c_ts - INTERVAL 1 HOUR AND v.v_ts <= c.c_ts
+        GROUP BY c.user_id
+    """,
     "stream_tumbling_daily_counts": """
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
                COUNT(*) AS n_events,
