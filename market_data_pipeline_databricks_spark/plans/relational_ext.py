@@ -76,14 +76,43 @@ def agg_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+
+def set_except_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT set operations (U-family breadth): customers
+    who ordered in the first half of the data but not the second
+    (EXCEPT), and in both halves (INTERSECT), labeled and unioned."""
+    o = _t(spark, sf_dir, "orders")
+    mid = F.lit("1995-06-01").cast("date")
+    early = o.filter(F.col("o_orderdate") < mid).select("o_custkey").distinct()
+    late = o.filter(F.col("o_orderdate") >= mid).select("o_custkey").distinct()
+    churned = early.exceptAll(late).withColumn("cohort", F.lit("churned"))
+    retained = early.intersectAll(late).withColumn("cohort", F.lit("retained"))
+    return (
+        churned.unionByName(retained)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_q3_shipping_priority": join_q3_shipping_priority,
     "agg_rollup_revenue": agg_rollup_revenue,
     "agg_cube_order_stats": agg_cube_order_stats,
+    "set_except_intersect_buyers": set_except_intersect_buyers,
 }
 
 ORACLE_SQL = {
+    "set_except_intersect_buyers": """
+        WITH early AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < DATE '1995-06-01'),
+             late  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-06-01'),
+             churned  AS (SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM early EXCEPT SELECT * FROM late)),
+             retained AS (SELECT o_custkey, 'retained' AS cohort FROM (SELECT * FROM early INTERSECT SELECT * FROM late))
+        SELECT cohort, COUNT(*) AS n_customers
+        FROM (SELECT * FROM churned UNION ALL SELECT * FROM retained)
+        GROUP BY cohort
+    """,
     "join_semi_customers_with_orders": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer c
