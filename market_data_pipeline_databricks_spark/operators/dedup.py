@@ -315,3 +315,59 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    (node, component) where component = min node id in the component.
+
+    Near-dup PAIRS are not a dedup decision — similarity is not
+    transitive, so keep-one-per-pair can over- or under-delete chains
+    (A~B~C). Components give the closure: one survivor per cluster.
+
+    Each iteration is one shuffle (join + min-agg); label values only
+    decrease, so convergence is monotone and needs O(diameter)
+    iterations (≤ log n with doubling in practice). The driver loop
+    carries only a changed-row COUNT, never data — this is the
+    standard Spark iterative-graph pattern (GraphX/GraphFrames do the
+    same under the hood).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).distinct()
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

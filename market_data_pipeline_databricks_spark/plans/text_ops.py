@@ -146,6 +146,17 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "n_tokens", "quality")
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup graph
+    (threshold 0.35): (doc_id, component) with component = min id in
+    the cluster — the transitive-closure dedup decision. Oracle: DuckDB
+    recursive-CTE reachability computes the same components."""
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.35)
+    return DD.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").cast("long").alias("component")
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -157,6 +168,7 @@ QUERIES = {
     "dedup_simhash_near": dedup_simhash_near,
     "dedup_winnow_overlap": dedup_winnow_overlap,
     "curate_training_corpus": curate_training_corpus,
+    "dedup_components": dedup_components,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -187,6 +199,31 @@ docs AS (
 """
 
 ORACLE_SQL = {
+    "dedup_components": _SHINGLE_DOCS.replace("WITH norm", "WITH RECURSIVE norm", 1) + """,
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare)
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM cand
+          JOIN docs da ON da.doc_id = id_a
+          JOIN docs db ON db.doc_id = id_b
+          WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.35
+        ),
+        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        )
+        SELECT u AS doc_id,
+               CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+        FROM reach GROUP BY u
+    """,
     "curate_training_corpus": _NORM + f""",
         enr AS (
           SELECT doc_id, ntext, toks,

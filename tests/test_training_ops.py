@@ -192,3 +192,15 @@ def test_bpe_token_count_bounds(docs):
     for r in out:
         # BPE pre-tokens are at least as granular as whitespace tokens
         assert r.bpe >= r.ws
+
+
+def test_connected_components_chains(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component for r in DD.connected_components(edges).collect()}
+    # chain 1-2-3 collapses transitively even though 1~3 has no edge
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
