@@ -157,6 +157,35 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic train/test assignment per document (salted
+    md5 bucket): same row → same split on any engine, partitioning, or
+    cluster. Full row-level oracle."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        split_column,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", split_column(F.col("doc_id"), 0.2, seed="r1").alias("split")
+    )
+
+
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of events, counted per type — the
+    content-addressed sampling path (no sampleBy partitioning
+    dependence)."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    s = stratified_sample(ev, "event_id", 0.10, seed="ev")
+    return s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -169,6 +198,8 @@ QUERIES = {
     "dedup_winnow_overlap": dedup_winnow_overlap,
     "curate_training_corpus": curate_training_corpus,
     "dedup_components": dedup_components,
+    "sample_train_test_split": sample_train_test_split,
+    "sample_stratified_events": sample_stratified_events,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -199,6 +230,18 @@ docs AS (
 """
 
 ORACLE_SQL = {
+    "sample_train_test_split": """
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':r1'), 1, 8)) AS UBIGINT) % 10000 < 2000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "sample_stratified_events": """
+        SELECT event_type, COUNT(*) AS n_sampled
+        FROM events
+        WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':ev'), 1, 8)) AS UBIGINT) % 10000 < 1000
+        GROUP BY event_type
+    """,
     "dedup_components": _SHINGLE_DOCS.replace("WITH norm", "WITH RECURSIVE norm", 1) + """,
         rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
         cand AS (

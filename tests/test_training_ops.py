@@ -204,3 +204,17 @@ def test_connected_components_chains(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_split_is_partitioning_invariant(spark, docs):
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        train_test_split,
+    )
+    tr1, te1 = train_test_split(docs, "doc_id", 0.2, seed="x")
+    tr2, te2 = train_test_split(docs.repartition(13), "doc_id", 0.2, seed="x")
+    ids = lambda df: sorted(r.doc_id for r in df.select("doc_id").collect())
+    assert ids(te1) == ids(te2)          # same rows regardless of layout
+    assert not set(ids(tr1)) & set(ids(te1))   # disjoint
+    assert len(ids(tr1)) + len(ids(te1)) == docs.count()  # total
+    frac = len(ids(te1)) / docs.count()
+    assert 0.1 < frac < 0.3              # ~20% within tolerance on 500 docs
