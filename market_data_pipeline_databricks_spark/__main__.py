@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--show", action="store_true", help="print per-table summaries after the run"
     )
+    p.add_argument(
+        "--fetch-synthetic",
+        action="store_true",
+        help="populate raw_dir with deterministic synthetic OHLCV CSVs "
+        "first (the reference's empty fetch_market_data.py step, made real)",
+    )
     args = p.parse_args(argv)
 
     from market_data_pipeline_databricks_spark.config import (
@@ -51,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
         from dataclasses import replace
 
         cfg = replace(cfg, **overrides)
+
+    if args.fetch_synthetic:
+        from market_data_pipeline_databricks_spark.sources.synthetic import fetch
+
+        counts = fetch(cfg)
+        for sym, n in counts.items():
+            print(f"fetched {sym}: {n} rows")
 
     spark = get_spark(app_name="market-data-pipeline")
     out = run_pipeline(spark, cfg)

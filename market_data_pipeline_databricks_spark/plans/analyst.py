@@ -193,6 +193,33 @@ def analyst_dq_triage_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def quality_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive DQ check (beyond the reference's fixed thresholds,
+    04_data_quality_checks.py:15-17): flag days whose return is > 3
+    sample-stddevs from that key's own mean — per-instrument adaptive
+    thresholds from one extra aggregation. Decimal mean; stddev and the
+    z-ratio floor-truncated (half-way-safe)."""
+    gold = _supplier_daily_gold(spark, sf_dir)
+    r = gold.filter(F.col("return_1d").isNotNull())
+    stats = r.groupBy("suppkey").agg(
+        (
+            F.sum(F.col("return_1d").cast("decimal(27,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.stddev_samp("return_1d").alias("sd"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    z = (F.col("return_1d") - F.col("mu")) / F.col("sd")
+    return (
+        r.join(F.broadcast(stats), "suppkey")
+        .filter(F.col("sd") > 0)
+        .withColumn("z", F.floor(z * 1e6) / 1e6)
+        .filter(F.abs("z") > 3.0)
+        .select("suppkey", "day", F.round("return_1d", 6).alias("return_1d"), "z")
+    )
+
+
 QUERIES = {
     "analyst_top_movers_today": analyst_top_movers_today,
     "analyst_volatility_regime": analyst_volatility_regime,
@@ -203,6 +230,7 @@ QUERIES = {
     "analyst_point_in_time": analyst_point_in_time,
     "analyst_completeness": analyst_completeness,
     "analyst_dq_triage_cte": analyst_dq_triage_cte,
+    "quality_zscore_outliers": quality_zscore_outliers,
 }
 
 _SNAPSHOT_CTE = _GOLD_CTE + """, snap AS (
@@ -214,6 +242,20 @@ _SNAPSHOT_CTE = _GOLD_CTE + """, snap AS (
 """
 
 ORACLE_SQL = {
+    "quality_zscore_outliers": _GOLD_CTE + """,
+        r AS (SELECT suppkey, day, return_1d FROM feat WHERE return_1d IS NOT NULL),
+        stats AS (
+          SELECT suppkey,
+                 CAST(SUM(CAST(return_1d AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS mu,
+                 STDDEV_SAMP(return_1d) AS sd
+          FROM r GROUP BY suppkey
+        )
+        SELECT r.suppkey AS suppkey, r.day AS day,
+               ROUND(r.return_1d, 6) AS return_1d,
+               FLOOR((r.return_1d - mu) / sd * 1e6) / 1e6 AS z
+        FROM r JOIN stats ON r.suppkey = stats.suppkey
+        WHERE sd > 0 AND ABS(FLOOR((r.return_1d - mu) / sd * 1e6) / 1e6) > 3.0
+    """,
     "analyst_top_movers_today": _GOLD_CTE + """
         SELECT suppkey, day, ROUND(return_1d, 6) AS return_1d,
                ROUND(ABS(return_1d), 6) AS abs_return

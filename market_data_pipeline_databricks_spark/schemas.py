@@ -81,3 +81,13 @@ PARTITION_COLS = {
     "gold_market_features_daily": ["symbol"],
     "data_quality_checks": ["layer"],
 }
+
+# Declared schema per table — the read-back fallback for empty
+# partitioned tables (parquet writes no data files for them).
+TABLE_SCHEMAS = {
+    "bronze_prices": BRONZE_SCHEMA,
+    "silver_prices_daily": SILVER_SCHEMA,
+    "silver_prices_rejected": REJECTED_SCHEMA,
+    "gold_market_features_daily": GOLD_SCHEMA,
+    "data_quality_checks": DQ_SCHEMA,
+}

@@ -21,8 +21,25 @@ TESTDATA_TABLES = (
 
 
 def read_table(spark: SparkSession, warehouse_dir: str, table: str) -> DataFrame:
-    """Scan a materialized table from the warehouse directory."""
-    return spark.read.parquet(str(Path(warehouse_dir) / table))
+    """Scan a materialized table from the warehouse directory.
+
+    An EMPTY partitioned table writes no parquet data files (only
+    _SUCCESS), so schema inference fails — e.g. the rejected table on a
+    clean run. Fall back to the declared table schema (schemas.py) and
+    return an empty frame; unknown tables re-raise.
+    """
+    from pyspark.errors import AnalysisException
+
+    path = str(Path(warehouse_dir) / table)
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        from market_data_pipeline_databricks_spark import schemas
+
+        schema = schemas.TABLE_SCHEMAS.get(table)
+        if schema is None:
+            raise
+        return spark.createDataFrame([], schema)
 
 
 def testdata_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -187,3 +187,32 @@ def test_asof_join_semantics(spark):
     assert out[2] == (d("2025-01-05"), 101.0)   # same-instant visible
     assert out[3] == (None, None)               # nothing before → NULL
     assert out[4] == (None, None)               # key with no quotes
+
+
+def test_fetch_synthetic_feeds_pipeline(spark, tmp_path):
+    import datetime as dt
+    from market_data_pipeline_databricks_spark.config import PipelineConfig
+    from market_data_pipeline_databricks_spark.pipeline import run_pipeline
+    from market_data_pipeline_databricks_spark.sources.synthetic import fetch
+
+    cfg = PipelineConfig(
+        raw_dir=str(tmp_path / "raw"),
+        warehouse_dir=str(tmp_path / "wh"),
+        symbols=("SPY", "EURUSD"),
+        start_date="2025-09-01",
+        end_date="2025-12-01",
+    )
+    counts = fetch(cfg)
+    assert counts["SPY"] > 60 and counts["EURUSD"] > 60
+    # determinism: regenerating produces identical bytes
+    import hashlib, pathlib
+    h1 = hashlib.md5((tmp_path / "raw" / "SPY.csv").read_bytes()).hexdigest()
+    fetch(cfg)
+    assert hashlib.md5((tmp_path / "raw" / "SPY.csv").read_bytes()).hexdigest() == h1
+
+    out = run_pipeline(
+        spark, cfg, ingested_at=dt.datetime(2025, 12, 2, 12), today=dt.date(2025, 12, 2)
+    )
+    assert out["gold"].count() == out["silver"].count() > 100
+    assert out["bronze"].filter("symbol='EURUSD' AND volume IS NOT NULL").count() == 0
+    assert out["rejected"].count() == 0  # clean synthetic data
