@@ -54,10 +54,20 @@ def asof_join(
         *[F.col(c) for c in value_cols],
     ).withColumn(_SIDE, F.lit(0))
 
+    # Carry ONE struct of all right columns, not per-column last():
+    # independent per-column carries would mix values from different right
+    # rows whenever the latest right row has a NULL in one value column,
+    # diverging from native ASOF JOIN semantics (which returns the latest
+    # row wholesale, NULLs included). The struct itself is non-null for
+    # every right row, so last(ignorenulls=True) always picks whole rows.
     carried = [right_time] + value_cols
-    r = r.withColumn(f"__v_{right_time}__", F.col("__t__"))
-    for c in value_cols:
-        r = r.withColumnRenamed(c, f"__v_{c}__")
+    r = r.withColumn(
+        "__v__",
+        F.struct(
+            F.col("__t__").alias(right_time),
+            *[F.col(c).alias(c) for c in value_cols],
+        ),
+    ).drop(*value_cols)
 
     unioned = l.unionByName(r, allowMissingColumns=True)
 
@@ -66,10 +76,8 @@ def asof_join(
     w = Window.partitionBy(key).orderBy("__t__", _SIDE).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    for c in carried:
-        unioned = unioned.withColumn(
-            f"{prefix}{c}", F.last(f"__v_{c}__", ignorenulls=True).over(w)
-        )
+    unioned = unioned.withColumn("__v__", F.last("__v__", ignorenulls=True).over(w))
     return unioned.filter(F.col(_SIDE) == 1).select(
-        *lcols, *[f"{prefix}{c}" for c in carried]
+        *lcols,
+        *[F.col(f"__v__.{c}").alias(f"{prefix}{c}") for c in carried],
     )

@@ -349,6 +349,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -370,4 +371,12 @@ def connected_components(
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    if changed != 0:
+        # Silently returning split components would be a wrong answer; a
+        # dup-chain graph with diameter > max_iter needs more iterations
+        # (or large-star/small-star doubling for O(log n) convergence).
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))

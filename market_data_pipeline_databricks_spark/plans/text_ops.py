@@ -62,7 +62,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (64 hashes, 16 bands × 4 rows).
     Engine-hash-specific → rows-only driver check; cross-validated
-    against dedup_ngram_jaccard in tests/test_dedup.py."""
+    against dedup_ngram_jaccard in tests/test_training_ops.py."""
     return DD.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.35)
 
 

@@ -41,7 +41,7 @@ def vector_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vector_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (random-hyperplane signatures,
     8 planes). Rows-only driver check; recall vs brute force is
-    asserted in tests/test_similarity.py."""
+    asserted in tests/test_training_ops.py."""
     emb = _emb(spark, sf_dir)
     return SIM.ann_topk_lsh(emb, _queries_subset(emb), k=10, n_planes=6)
 

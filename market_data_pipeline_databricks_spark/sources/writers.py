@@ -98,20 +98,39 @@ def upsert_by_key(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(str(staging))
 
-    # Swap the affected partition dirs (or whole table when unpartitioned).
+    # Swap partition dirs at the full partition-tuple granularity (or the
+    # whole table when unpartitioned). Swapping only the top level would
+    # delete sibling second-level partitions that share a first-level value
+    # but were not touched by this batch. The per-directory swap is not
+    # atomic across partitions: a crash mid-loop leaves some partitions
+    # updated and some not (each individual partition is still consistent);
+    # on a cluster use Delta MERGE (below) or partitionOverwriteMode=dynamic
+    # for transactional semantics.
     if partition_cols:
-        for part_dir in staging.iterdir():
-            if not part_dir.name.startswith(f"{partition_cols[0]}="):
-                continue
-            dest = path / part_dir.name
+        for leaf in _leaf_partition_dirs(staging, partition_cols):
+            dest = path / leaf.relative_to(staging)
             if dest.exists():
                 shutil.rmtree(dest)
-            shutil.move(str(part_dir), str(dest))
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            shutil.move(str(leaf), str(dest))
         shutil.rmtree(staging, ignore_errors=True)
         _ = untouched_kept
     else:
         shutil.rmtree(path)
         shutil.move(str(staging), str(path))
+
+
+def _leaf_partition_dirs(root: Path, partition_cols: list[str]) -> list[Path]:
+    """Descend ``col=value`` directory levels to the deepest partition dirs."""
+    level = [root]
+    for col in partition_cols:
+        level = [
+            child
+            for d in level
+            for child in d.iterdir()
+            if child.is_dir() and child.name.startswith(f"{col}=")
+        ]
+    return level
 
 
 def merge_into_delta(

@@ -50,6 +50,14 @@ def _scan_top_level(text: str, word: str, start: int = 0) -> int:
             i += 1
             while i < n and text[i] != "'":
                 i += 1
+        elif c == '"' or c == "`":
+            quote = c
+            i += 1
+            while i < n and text[i] != quote:
+                i += 1
+        elif c == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":
+                i += 1
         elif c == "(":
             depth += 1
         elif c == ")":
@@ -90,6 +98,14 @@ def rewrite_qualify(stmt: str) -> tuple[str, str | None, str]:
         pos = _scan_top_level(head, "SELECT", pos + 6)
     if sel == -1:
         raise ValueError("QUALIFY without a top-level SELECT")
+    # SELECT DISTINCT ... QUALIFY would silently change results: the
+    # injected flag column widens the DISTINCT grain, so duplicates the
+    # outer DISTINCT should have removed survive the post-filter drop.
+    if re.match(r"(?is)^\s*DISTINCT\b", head[sel + len("SELECT") :]):
+        raise ValueError(
+            "SELECT DISTINCT with QUALIFY is not supported by the rewrite; "
+            "wrap the QUALIFY query in a subquery and apply DISTINCT outside"
+        )
     frm = _scan_top_level(head, "FROM", sel)
     if frm == -1:
         raise ValueError("QUALIFY SELECT has no FROM clause")
