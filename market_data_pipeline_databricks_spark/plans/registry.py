@@ -14,21 +14,103 @@ from market_data_pipeline_databricks_spark.plans import relational
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The correctness driver hash-checks only the FIRST 50 registry entries
+# against their DuckDB oracles, so dict order is load-bearing. The window
+# below pins exactly 50 oracle-backed names; families that had no driver
+# correctness row through round 2 (stream/analyst/funcs/scale/skew, the
+# RANGE-window and binned range-join forms, z-score DQ, vector near-dup,
+# multimodal frame-sample) lead the list so they are inside the window
+# even if it ever shrinks. Remaining oracle-backed queries follow the
+# window (they stay verifiable via tools/check_oracle.py and hold green
+# rows in CORRECTNESS_r01/r02); rows-only entries (seeded-hash / sketch
+# ops with no SQL twin) always sort last so they never spend a window
+# slot on a weaker rows-only check.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # -- never driver-checked before round 3 ------------------------------
+    "stream_tumbling_daily_counts",
+    "stream_sliding_window_counts",
+    "stream_session_window_stats",
+    "stream_stateful_user_totals",
+    "stream_stream_click_attribution",
+    "analyst_top_movers_today",
+    "analyst_volatility_regime",
+    "analyst_liquidity_screen",
+    "analyst_single_key_recent",
+    "analyst_threshold_alerts",
+    "analyst_point_in_time",
+    "analyst_completeness",
+    "analyst_dq_triage_cte",
+    "window_rolling_range_avg",
+    "quality_zscore_outliers",
+    "funcs_feature_panel",
+    "funcs_log_return_stats",
+    "skew_salted_pricing_summary",
+    "skew_salted_join_orders",
+    "join_range_binned_volatility",
+    "vector_near_dup_pairs",
+    "multimodal_frame_sample",
+    # -- new in round 3 ---------------------------------------------------
+    "window_latest_snapshot_pruned",
+    # -- core coverage anchors (driver-green in r1+r2, kept in-window) ----
+    "agg_pricing_summary",
+    "agg_dup_grain_detector",
+    "agg_coverage_report",
+    "agg_conditional_counts",
+    "filter_project_revenue",
+    "filter_case_classification",
+    "filter_scalar_subquery_latest",
+    "join_revenue_by_nation",
+    "join_range_volatility_expansion",
+    "window_latest_event_per_user",
+    "window_dedup_latest_wins",
+    "window_supplier_daily_gold",
+    "window_latest_snapshot_per_supplier",
+    "window_sessionization",
+    "sort_topk_orders",
+    "union_all_check_streams",
+    "scalar_regexp_extract",
+    "join_asof_orders_quotes",
+    "text_stats",
+    "text_lang_id",
+    "text_bpe_token_count",
+    "dedup_exact_survivors",
+    "dedup_ngram_jaccard",
+    "curate_training_corpus",
+    "dedup_components",
+    "sample_train_test_split",
+    "vector_cosine_topk",
+)
+
+
+def _ordered(names, oracle_names):
+    """Window names first (in pinned order), then the remaining
+    oracle-backed queries, then rows-only queries."""
+    window = [n for n in DRIVER_WINDOW if n in names]
+    rest = [n for n in names if n not in DRIVER_WINDOW]
+    rest_oracle = [n for n in rest if n in oracle_names]
+    rest_rows_only = [n for n in rest if n not in oracle_names]
+    return window + rest_oracle + rest_rows_only
+
+
+def _merged():
+    queries: dict[str, QueryFn] = {}
+    oracle: dict[str, str] = {}
+    queries.update(relational.QUERIES)
+    oracle.update(relational.ORACLE_SQL)
+    for mod in _extension_modules():
+        queries.update(mod.QUERIES)
+        oracle.update(mod.ORACLE_SQL)
+    return queries, oracle
+
 
 def all_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
-    out.update(relational.QUERIES)
-    for mod in _extension_modules():
-        out.update(mod.QUERIES)
-    return out
+    queries, oracle = _merged()
+    return {n: queries[n] for n in _ordered(queries, oracle)}
 
 
 def all_oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    out.update(relational.ORACLE_SQL)
-    for mod in _extension_modules():
-        out.update(mod.ORACLE_SQL)
-    return out
+    queries, oracle = _merged()
+    return {n: oracle[n] for n in _ordered(queries, oracle) if n in oracle}
 
 
 def _extension_modules():

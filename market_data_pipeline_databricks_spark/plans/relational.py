@@ -358,6 +358,58 @@ def window_latest_snapshot_per_supplier(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def window_latest_snapshot_pruned(
+    spark: SparkSession, sf_dir: str, trailing_days: int = 45
+) -> DataFrame:
+    """Scan-pruned latest snapshot (reference sql/example_queries.sql:7-15):
+    restrict the fact scan to the trailing ``trailing_days`` calendar days
+    BEFORE the daily rollup and windows, so the suppkey exchange carries
+    O(active keys × trailing_days) rows instead of full history.
+
+    This is the 100×-scale plan for the pre-trade snapshot: on a
+    date-partitioned gold/fact table the cutoff predicate prunes whole
+    partitions at scan time, and everything downstream (rollup shuffle,
+    window sort) shrinks proportionally. Semantics: snapshot of keys
+    *active in the trailing window*; rolling stats are computed within the
+    pruned slice. On a dense daily series any ``trailing_days`` >= ~2× the
+    20-row frame reproduces the unpruned query's values exactly —
+    ``tests/test_pipeline.py`` proves equality with a window wide enough
+    for this sparse testdata; the 45-day default is the production shape.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    max_day = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("max_day"))
+    pruned = (
+        li.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_shipdate").cast("date").alias("day"),
+            "l_extendedprice",
+            "l_quantity",
+        )
+        # 1-row broadcast scalar: at scale this is the dynamic cutoff a
+        # date-partitioned table prunes on; never a real cartesian.
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") > F.date_sub(F.col("max_day"), trailing_days))
+        .drop("max_day")
+    )
+    daily = pruned.groupBy("suppkey", "day").agg(
+        F.max("l_extendedprice").alias("close"),
+        F.sum("l_quantity").alias("volume"),
+    )
+    w = Window.partitionBy("suppkey").orderBy("day")
+    frame = w.rowsBetween(-19, 0)
+    feat = (
+        daily.withColumn("return_1d", F.col("close") / F.lag("close").over(w) - 1)
+        .withColumn("vol_20d", F.round(F.stddev_samp("return_1d").over(frame), 6))
+        .withColumn("avg_volume_20d", F.round(F.avg("volume").over(frame), 6))
+    )
+    wd = Window.partitionBy("suppkey").orderBy(F.desc("day"))
+    return (
+        feat.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("suppkey", "day", "close", "vol_20d", "avg_volume_20d")
+    )
+
+
 def window_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 trading-gap check: LAG(day) + datediff > threshold (reference
     04_data_quality_checks.py:43-74) over per-user event days."""
@@ -505,6 +557,7 @@ QUERIES = {
     "window_dedup_latest_wins": window_dedup_latest_wins,
     "window_supplier_daily_gold": window_supplier_daily_gold,
     "window_latest_snapshot_per_supplier": window_latest_snapshot_per_supplier,
+    "window_latest_snapshot_pruned": window_latest_snapshot_pruned,
     "window_gap_detection": window_gap_detection,
     "window_jump_check": window_jump_check,
     "window_stale_check": window_stale_check,
@@ -651,6 +704,31 @@ ORACLE_SQL = {
         SELECT suppkey, day, close, volume, return_1d, vol_20d, avg_volume_20d FROM feat
     """,
     "window_latest_snapshot_per_supplier": _GOLD_CTE + """
+        SELECT suppkey, day, close, vol_20d, avg_volume_20d FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY day DESC) AS rn
+          FROM feat
+        ) WHERE rn = 1
+    """,
+    "window_latest_snapshot_pruned": """
+        WITH mx AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS max_day FROM lineitem),
+        daily AS (
+          SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+                 MAX(l_extendedprice) AS close, SUM(l_quantity) AS volume
+          FROM lineitem, mx
+          WHERE CAST(l_shipdate AS DATE) > max_day - INTERVAL 45 DAY
+          GROUP BY 1, 2
+        ), gold AS (
+          SELECT suppkey, day, close, volume,
+                 close / LAG(close) OVER (PARTITION BY suppkey ORDER BY day) - 1 AS return_1d
+          FROM daily
+        ), feat AS (
+          SELECT suppkey, day, close, volume, return_1d,
+                 ROUND(STDDEV_SAMP(return_1d) OVER (PARTITION BY suppkey ORDER BY day
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS vol_20d,
+                 ROUND(AVG(volume) OVER (PARTITION BY suppkey ORDER BY day
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS avg_volume_20d
+          FROM gold
+        )
         SELECT suppkey, day, close, vol_20d, avg_volume_20d FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY day DESC) AS rn
           FROM feat

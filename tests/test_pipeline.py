@@ -189,6 +189,66 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, None)               # key with no quotes
 
 
+def test_asof_join_null_value_carry(spark):
+    """Regression for the struct-carry fix (operators/asof.py:57-70): a
+    NULL in the latest right row's value column must be carried as-is
+    (whole-row semantics), not skipped in favor of an older non-null
+    value — per-column last(ignorenulls=True) would wrongly return
+    102.0 from 01-08 here."""
+    import datetime as dt
+    from market_data_pipeline_databricks_spark.operators.asof import asof_join
+    d = lambda s: dt.date.fromisoformat(s)
+    trades = spark.createDataFrame(
+        [(1, "K", d("2025-01-10")), (2, "K", d("2025-01-08"))],
+        "trade_id long, key string, tdate date",
+    )
+    quotes = spark.createDataFrame(
+        [("K", d("2025-01-05"), 101.0, 10.0),
+         ("K", d("2025-01-08"), 102.0, None),
+         ("K", d("2025-01-09"), None, 30.0)],
+        "key string, qdate date, px double, sz double",
+    )
+    out = {
+        r.trade_id: (r.asof_qdate, r.asof_px, r.asof_sz)
+        for r in asof_join(
+            trades, quotes, key="key", left_time="tdate",
+            right_time="qdate", value_cols=["px", "sz"],
+        ).collect()
+    }
+    # trade 1: latest quote at-or-before 01-10 is the 01-09 row — its
+    # NULL px comes along with its non-null sz (no column mixing).
+    assert out[1] == (d("2025-01-09"), None, 30.0)
+    # trade 2: the 01-08 row wholesale — NULL sz, not 10.0 from 01-05.
+    assert out[2] == (d("2025-01-08"), 102.0, None)
+
+
+def test_latest_snapshot_pruned_matches_full(spark):
+    """The scan-pruned snapshot (plans/relational.py) equals the
+    unpruned one whenever the trailing window covers each key's full
+    20-row frame; with the production 45-day default every returned
+    day sits inside the trailing window."""
+    from market_data_pipeline_databricks_spark.plans.relational import (
+        window_latest_snapshot_per_supplier,
+        window_latest_snapshot_pruned,
+    )
+    sf = "/root/testdata/sf0.001"
+    full = window_latest_snapshot_per_supplier(spark, sf)
+    wide = window_latest_snapshot_pruned(spark, sf, trailing_days=100_000)
+    as_rows = lambda df: sorted(tuple(map(str, r)) for r in df.collect())
+    assert as_rows(wide) == as_rows(full)
+
+    pruned = window_latest_snapshot_pruned(spark, sf)  # default 45 days
+    rows = pruned.collect()
+    assert rows, "pruned snapshot empty"
+    max_day = max(r["day"] for r in rows)
+    assert all((max_day - r["day"]).days < 45 for r in rows)
+    # pruned keys are a subset of the full snapshot's keys, and each
+    # pruned key's chosen latest day agrees with the full computation.
+    full_days = {r["suppkey"]: r["day"] for r in full.collect()}
+    for r in rows:
+        assert full_days[r["suppkey"]] == r["day"]
+
+
 def test_fetch_synthetic_feeds_pipeline(spark, tmp_path):
     import datetime as dt
     from market_data_pipeline_databricks_spark.config import PipelineConfig
