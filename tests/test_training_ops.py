@@ -206,6 +206,54 @@ def test_connected_components_chains(spark):
     assert comp[20] == comp[21] == comp[22] == 20
 
 
+def test_connected_components_long_path(spark):
+    """A path graph of diameter 60: plain min-label propagation needs 60
+    rounds (and used to abort at max_iter=30); large-star/small-star
+    doubling converges in O(log n) rounds."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    out = DD.connected_components(edges).collect()
+    comp = {r.node: r.component for r in out}
+    assert len(comp) == 61
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-ish sparse graph cross-checked against a driver-side
+    union-find ground truth."""
+    import random
+
+    rng = random.Random(7)
+    pairs = {(rng.randrange(200), rng.randrange(200)) for _ in range(150)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    nodes = {n for p in pairs for n in p}
+    for n in nodes:
+        want[n] = find(n)
+    # union-find roots are not necessarily component minima; normalize.
+    roots = {}
+    for n in sorted(nodes):
+        roots.setdefault(find(n), n)
+    want = {n: roots[find(n)] for n in nodes}
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.component for r in DD.connected_components(edges).collect()}
+    assert got == want
+
+
 def test_split_is_partitioning_invariant(spark, docs):
     from market_data_pipeline_databricks_spark.operators.sampling import (
         train_test_split,
