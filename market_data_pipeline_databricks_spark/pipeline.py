@@ -36,6 +36,9 @@ def run_bronze(
         spark, batch, cfg.warehouse_dir, cfg.bronze_table,
         key_cols=B.BRONZE_KEY,
         partition_cols=schemas.PARTITION_COLS[cfg.bronze_table],
+        # bronze partitions on symbol, which is part of the key: a key
+        # can never change partitions, so skip the prior-partition scan.
+        stable_partitions=True,
     )
     return read_table(spark, cfg.warehouse_dir, cfg.bronze_table)
 

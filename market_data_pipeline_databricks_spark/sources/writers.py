@@ -26,6 +26,7 @@ from __future__ import annotations
 import shutil
 import uuid
 from pathlib import Path
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,12 +63,23 @@ def upsert_by_key(
     table: str,
     key_cols: list[str],
     partition_cols: list[str] | None = None,
+    stable_partitions: bool = False,
 ) -> None:
     """Idempotent MERGE-style upsert on ``key_cols`` (S6).
 
     Matched rows are fully replaced by the update row (the reference's
     WHEN MATCHED UPDATE SET <all cols>); unmatched rows are inserted.
     Re-running the same batch is a no-op on the final state.
+
+    A key may arrive with a *different* partition value than the row it
+    replaces (e.g. a corrected trade date on a date-partitioned table).
+    By default the old partition is located with a key semi-join against
+    the existing table and rewritten too, so the stale row is removed —
+    one extra scan of the table's key/partition columns. When partition
+    columns are functionally determined by the key (symbol partitioning
+    keyed on symbol — every table this pipeline ships), pass
+    ``stable_partitions=True`` to skip that scan: the batch's own
+    partition values are then provably the only ones affected.
     """
     path = _table_path(warehouse_dir, table)
     partition_cols = partition_cols or []
@@ -83,11 +95,27 @@ def upsert_by_key(
         # of the table is untouched (scales: daily batch touches a few
         # symbols out of millions of partitions).
         touched = updates.select(*partition_cols).distinct()
+        if not stable_partitions:
+            # ...plus the partitions where updated keys CURRENTLY live,
+            # so a key that moved partitions doesn't leave a duplicate
+            # behind. Column-pruned scan: only key+partition columns.
+            prior = (
+                existing.join(
+                    F.broadcast(updates.select(*key_cols).distinct()),
+                    key_cols,
+                    "left_semi",
+                )
+                .select(*partition_cols)
+                .distinct()
+            )
+            touched = touched.unionByName(prior).distinct()
+        touched_tuples = {
+            tuple(str(row[c]) for c in partition_cols)
+            for row in touched.collect()  # one small row per partition
+        }
         affected = existing.join(F.broadcast(touched), partition_cols, "left_semi")
-        untouched_kept = False  # untouched partitions stay as files on disk
     else:
         affected = existing
-        untouched_kept = False
 
     kept = affected.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
     merged = kept.unionByName(updates.select(*existing.columns))
@@ -103,18 +131,27 @@ def upsert_by_key(
     # delete sibling second-level partitions that share a first-level value
     # but were not touched by this batch. The per-directory swap is not
     # atomic across partitions: a crash mid-loop leaves some partitions
-    # updated and some not (each individual partition is still consistent);
+    # updated and some not (each individual partition is still consistent,
+    # and re-running the same batch heals the table — asserted in tests);
     # on a cluster use Delta MERGE (below) or partitionOverwriteMode=dynamic
     # for transactional semantics.
     if partition_cols:
-        for leaf in _leaf_partition_dirs(staging, partition_cols):
+        staged = _leaf_partition_dirs(staging, partition_cols)
+        staged_rels = {leaf.relative_to(staging) for leaf in staged}
+        for leaf in staged:
             dest = path / leaf.relative_to(staging)
             if dest.exists():
                 shutil.rmtree(dest)
             dest.parent.mkdir(parents=True, exist_ok=True)
             shutil.move(str(leaf), str(dest))
         shutil.rmtree(staging, ignore_errors=True)
-        _ = untouched_kept
+        # A touched partition that ended up with zero rows (its only keys
+        # moved elsewhere) produces no staging dir — remove the stale one.
+        for leaf in _leaf_partition_dirs(path, partition_cols):
+            rel = leaf.relative_to(path)
+            vals = tuple(unquote(p.split("=", 1)[1]) for p in rel.parts)
+            if vals in touched_tuples and rel not in staged_rels:
+                shutil.rmtree(leaf)
     else:
         shutil.rmtree(path)
         shutil.move(str(staging), str(path))
