@@ -30,15 +30,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with a usable timestamp column.
+    """events with a usable timestamp column (ns→µs truncation, same as
+    DuckDB). Explicit LONG schema for the TIMESTAMP(NANOS) column — a
+    reader-scoped declaration, no session-conf side effect."""
+    from market_data_pipeline_databricks_spark.sources.tables import read_events
 
-    The testdata events parquet stores TIMESTAMP(NANOS), which the Spark
-    vectorized reader rejects; read nanos as long and truncate to
-    microsecond timestamps (identical to DuckDB's ns→µs truncation).
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return read_events(spark, sf_dir)
 
 
 def _dsum(col, scale: int = 4):

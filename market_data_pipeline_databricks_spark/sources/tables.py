@@ -5,6 +5,31 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+# parquet reader rejects under schema inference. Declaring ts as LONG
+# reads the raw INT64 nanos directly — per reader, no session-level
+# ``spark.sql.legacy.parquet.nanosAsLong`` mutation needed.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a usable microsecond timestamp column (ns DIV 1000 —
+    the same truncation DuckDB applies reading ns into µs)."""
+    df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
 
 TESTDATA_TABLES = (
     "region",
@@ -52,4 +77,7 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     for name in TESTDATA_TABLES:
         p = Path(sf_dir) / f"{name}.parquet"
         if p.exists():
-            spark.read.parquet(str(p)).createOrReplaceTempView(name)
+            if name == "events":
+                read_events(spark, sf_dir).createOrReplaceTempView(name)
+            else:
+                spark.read.parquet(str(p)).createOrReplaceTempView(name)

@@ -16,26 +16,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # Streaming schema for events.parquet: ts is TIMESTAMP(NANOS) in the
-# file; with spark.sql.legacy.parquet.nanosAsLong the reader surfaces
-# it as LongType nanoseconds (same truncation DuckDB applies at ns→µs).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
+# file; declaring it LONG reads the raw INT64 nanos (reader-scoped, no
+# session conf), then ns DIV 1000 truncates to µs exactly as DuckDB does.
+from market_data_pipeline_databricks_spark.sources.tables import (  # noqa: E402
+    EVENTS_RAW_SCHEMA,
 )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one parquet file —
-    pathGlobFilter selects it from the read-only testdata dir)."""
+    pathGlobFilter selects it from the read-only testdata dir).
+
+    Unlike the batch reader, the streaming parquet source validates the
+    file footer even under an explicit schema and rejects
+    TIMESTAMP(NANOS) (PARQUET_TYPE_ILLEGAL), so the legacy nanos conf is
+    required HERE — it is additive (only affects nanos columns, which are
+    unreadable without it) and idempotent; batch paths no longer rely on
+    session state."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)

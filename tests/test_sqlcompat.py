@@ -13,9 +13,10 @@ from tests.conftest import SF_SMALL
 
 @pytest.fixture(scope="module", autouse=True)
 def views(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for t in ("orders", "events"):
-        spark.read.parquet(f"{SF_SMALL}/{t}.parquet").createOrReplaceTempView(t)
+    from market_data_pipeline_databricks_spark.sources.tables import read_events
+
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").createOrReplaceTempView("orders")
+    read_events(spark, SF_SMALL).createOrReplaceTempView("events")
 
 
 def _rows(df):
