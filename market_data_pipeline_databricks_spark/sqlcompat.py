@@ -39,25 +39,32 @@ _TAIL_KEYWORDS = ("ORDER", "LIMIT")
 
 
 def _scan_top_level(text: str, word: str, start: int = 0) -> int:
-    """Index of ``word`` at paren-depth 0 outside string literals, or -1."""
+    """Index of ``word`` at paren-depth 0 outside string literals and
+    comments, or -1. Handles ``''``-escaped quotes inside literals (and
+    doubled quotes in quoted identifiers) and ``/* */`` block comments —
+    both previously desynchronized the keyword scan."""
     depth = 0
     i = start
     n = len(text)
     wlen = len(word)
     while i < n:
         c = text[i]
-        if c == "'":
-            i += 1
-            while i < n and text[i] != "'":
-                i += 1
-        elif c == '"' or c == "`":
+        if c == "'" or c == '"' or c == "`":
             quote = c
             i += 1
-            while i < n and text[i] != quote:
+            while i < n:
+                if text[i] == quote:
+                    if i + 1 < n and text[i + 1] == quote:
+                        i += 2  # '' (or "" / ``) is an escaped quote
+                        continue
+                    break
                 i += 1
         elif c == "-" and text[i : i + 2] == "--":
             while i < n and text[i] != "\n":
                 i += 1
+        elif c == "/" and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            i = n if j == -1 else j + 1  # land on '/', advanced below
         elif c == "(":
             depth += 1
         elif c == ")":
@@ -71,6 +78,24 @@ def _scan_top_level(text: str, word: str, start: int = 0) -> int:
                 return i
         i += 1
     return -1
+
+
+def _lstrip_comments_and_hints(text: str) -> str:
+    """Drop leading whitespace, ``--`` line comments, and ``/* */`` block
+    comments/hints so keyword checks see the first real token."""
+    i, n = 0, len(text)
+    while i < n:
+        if text[i].isspace():
+            i += 1
+        elif text.startswith("--", i):
+            j = text.find("\n", i)
+            i = n if j == -1 else j + 1
+        elif text.startswith("/*", i):
+            j = text.find("*/", i)
+            i = n if j == -1 else j + 2
+        else:
+            break
+    return text[i:]
 
 
 def rewrite_qualify(stmt: str) -> tuple[str, str | None, str]:
@@ -101,7 +126,12 @@ def rewrite_qualify(stmt: str) -> tuple[str, str | None, str]:
     # SELECT DISTINCT ... QUALIFY would silently change results: the
     # injected flag column widens the DISTINCT grain, so duplicates the
     # outer DISTINCT should have removed survive the post-filter drop.
-    if re.match(r"(?is)^\s*DISTINCT\b", head[sel + len("SELECT") :]):
+    # Look past hints (/*+ ... */) and comments so they can't smuggle a
+    # DISTINCT past the guard.
+    if re.match(
+        r"(?is)^DISTINCT\b",
+        _lstrip_comments_and_hints(head[sel + len("SELECT") :]),
+    ):
         raise ValueError(
             "SELECT DISTINCT with QUALIFY is not supported by the rewrite; "
             "wrap the QUALIFY query in a subquery and apply DISTINCT outside"

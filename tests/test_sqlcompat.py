@@ -85,3 +85,47 @@ def test_plain_sql_passthrough(spark):
     got = sql(spark, "SELECT COUNT(*) AS n FROM orders")
     assert got.collect()[0].n > 0
     assert rewrite_qualify("SELECT 1")[1] is None
+
+
+def test_escaped_quote_in_literal_does_not_desync_scanner(spark):
+    """A '' escape inside a string literal previously ended the literal
+    early, so keywords inside the rest of the string leaked into the
+    top-level scan."""
+    got = sql(
+        spark,
+        """
+        SELECT o_custkey, o_orderkey, 'don''t QUALIFY me' AS note
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+        """,
+    )
+    assert got.count() == got.select("o_custkey").distinct().count()
+    assert got.collect()[0].note == "don't QUALIFY me"
+
+
+def test_block_comment_containing_keyword_is_ignored(spark):
+    got = sql(
+        spark,
+        """
+        SELECT o_custkey, o_orderkey /* not a real QUALIFY or LIMIT */
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+        """,
+    )
+    assert got.count() == got.select("o_custkey").distinct().count()
+
+
+def test_distinct_guard_sees_past_hints_and_comments(spark):
+    import pytest as _pytest
+
+    for stmt in (
+        """SELECT /*+ REPARTITION(4) */ DISTINCT o_custkey FROM orders
+           QUALIFY ROW_NUMBER() OVER (ORDER BY o_custkey) = 1""",
+        """SELECT -- note
+           DISTINCT o_custkey FROM orders
+           QUALIFY ROW_NUMBER() OVER (ORDER BY o_custkey) = 1""",
+    ):
+        with _pytest.raises(ValueError, match="DISTINCT"):
+            rewrite_qualify(stmt)
