@@ -23,6 +23,7 @@ from market_data_pipeline_databricks_spark.streaming.stateful import (
     running_user_totals,
 )
 from market_data_pipeline_databricks_spark.streaming.windows import (
+    dedup_within_watermark,
     read_event_stream,
     session_window_counts,
     sliding_window_value_sum,
@@ -113,8 +114,22 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark-bounded state
+    (dropDuplicatesWithinWatermark): availableNow result equals batch
+    SELECT DISTINCT because every duplicate key arrives inside the
+    delay (see streaming/windows.py:dedup_within_watermark)."""
+    ev = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        dedup_within_watermark(ev),
+        f"dedup_wm_{_NONCE}",
+        output_mode="append",
+    )
+
+
 QUERIES = {
     "stream_stream_click_attribution": stream_stream_click_attribution,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_tumbling_daily_counts": stream_tumbling_daily_counts,
     "stream_sliding_window_counts": stream_sliding_window_counts,
     "stream_session_window_stats": stream_session_window_stats,
@@ -122,6 +137,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "stream_dedup_within_watermark": """
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type
+        FROM events
+    """,
     "stream_stream_click_attribution": """
         WITH c AS (
           SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts

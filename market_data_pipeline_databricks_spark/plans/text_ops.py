@@ -157,6 +157,89 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word 5-gram with the held-out eval set (GPT-3-style n-gram overlap
+    filtering, scaled to these short synthetic docs — production uses
+    8-13-grams). Eval membership is content-deterministic
+    (doc_id % 10 == 7) so both engines agree on the split.
+
+    Scale shape: the eval/benchmark set is small by construction, so its
+    distinct shingles BROADCAST to every executor — the 100-TB training
+    side is filtered by a broadcast hash join with no shuffle; the only
+    exchange is the final per-doc aggregation of matches. At 100 TB this
+    is the canonical decontamination plan (eval n-gram set ≪ memory)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.shingles(F.col("text"), k=5))).alias(
+            "shingle"
+        ),
+    )
+    is_eval = F.col("doc_id") % 10 == 7
+    ev = sh.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "shingle")
+    hits = sh.filter(~is_eval).join(F.broadcast(ev), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shared_shingles"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: distinct-token
+    ratio and the fraction held by the single most frequent token.
+
+    Computed with higher-order Column functions over the token array —
+    O(distinct × tokens) per row, zero shuffle, pipelines with the scan.
+    (The explode→groupBy formulation is exact too but shuffles one row
+    per TOKEN — at 100 TB that is a ~200× row blowup through the
+    exchange; the per-row HOF form never leaves the scan stage.)"""
+    c = F.col("text")
+    toks = TX.tokens(c)
+    n = F.size(toks).cast("double")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    ).cast("double")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("distinct_ratio"),
+        F.round(top_cnt / n, 6).alias("top_token_frac"),
+    )
+
+
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality proxy (CCNet-style filtering, unigram
+    stand-in for the KenLM score): mean negative log-probability of each
+    document's tokens under the corpus's own unigram distribution —
+    high values mark outlier/gibberish documents.
+
+    Two-pass plan: (1) one shuffle builds the unigram vocab with counts;
+    (2) the vocab (≪ corpus, ~10M rows at web scale) broadcasts back
+    onto the exploded token stream, then one shuffle aggregates per doc.
+    The 1-row corpus-total scalar rides the same broadcast — never a
+    real cartesian."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    logp = (
+        vocab.crossJoin(F.broadcast(total))
+        .select("token", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    )
+    return (
+        tok.join(F.broadcast(logp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.col("logp")), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-deterministic train/test assignment per document (salted
     md5 bucket): same row → same split on any engine, partitioning, or
@@ -198,6 +281,9 @@ QUERIES = {
     "dedup_winnow_overlap": dedup_winnow_overlap,
     "curate_training_corpus": curate_training_corpus,
     "dedup_components": dedup_components,
+    "text_decontaminate": text_decontaminate,
+    "text_repetition_score": text_repetition_score,
+    "text_unigram_logprob": text_unigram_logprob,
     "sample_train_test_split": sample_train_test_split,
     "sample_stratified_events": sample_stratified_events,
 }
@@ -230,6 +316,42 @@ docs AS (
 """
 
 ORACLE_SQL = {
+    "text_decontaminate": _NORM + r""",
+        docs5 AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks)-4, 1) + 1),
+                   i -> array_to_string(toks[i:least(i+4, len(toks))], ' ')
+                 )) AS shingleset
+          FROM tok
+        ),
+        sh5 AS (SELECT doc_id, unnest(shingleset) AS shingle FROM docs5),
+        ev AS (SELECT doc_id AS eval_id, shingle FROM sh5 WHERE doc_id % 10 = 7),
+        tr AS (SELECT doc_id, shingle FROM sh5 WHERE doc_id % 10 <> 7)
+        SELECT tr.doc_id,
+               COUNT(DISTINCT tr.shingle) AS n_shared_shingles,
+               COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+        FROM tr JOIN ev ON tr.shingle = ev.shingle
+        GROUP BY tr.doc_id
+    """,
+    "text_repetition_score": _NORM + r"""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+               ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                     d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+                     / len(toks), 6) AS top_token_frac
+        FROM tok
+    """,
+    "text_unigram_logprob": _NORM + r""",
+        tk AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+        vocab AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+        tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(-ln(cnt / total)), 6) AS avg_neg_logprob
+        FROM tk JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
     "sample_train_test_split": """
         SELECT doc_id,
                CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':r1'), 1, 8)) AS UBIGINT) % 10000 < 2000

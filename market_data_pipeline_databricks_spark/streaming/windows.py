@@ -91,6 +91,35 @@ def sliding_window_value_sum(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """Streaming exact dedup on (user_id, day, event_type) with BOUNDED
+    state: ``dropDuplicatesWithinWatermark`` evicts a seen-key entry
+    once the watermark passes it, so state holds only ~``watermark``'s
+    worth of keys no matter how long the stream runs — the production
+    answer to plain ``dropDuplicates``, whose state grows forever when
+    the dedup keys don't include the event-time column.
+
+    Semantics: duplicates are suppressed when they arrive within the
+    watermark delay of the first occurrence. Here every duplicate of a
+    (user, day, type) key carries a timestamp from that same calendar
+    day (< 24 h apart), inside the 2-day delay — so the availableNow
+    result equals batch ``SELECT DISTINCT``, which is the oracle.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+            "ts",
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "day", "event_type"])
+        .drop("ts")
+    )
+
+
 def session_window_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
 ) -> DataFrame:

@@ -266,3 +266,68 @@ def test_split_is_partitioning_invariant(spark, docs):
     assert len(ids(tr1)) + len(ids(te1)) == docs.count()  # total
     frac = len(ids(te1)) / docs.count()
     assert 0.1 < frac < 0.3              # ~20% within tolerance on 500 docs
+
+
+def test_repetition_score_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], "doc_id long, text string"
+    )
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        text_repetition_score,
+    )
+    import market_data_pipeline_databricks_spark.plans.text_ops as TO
+
+    orig = TO._docs
+    TO._docs = lambda s, d: df
+    try:
+        out = {r["doc_id"]: r for r in text_repetition_score(spark, "").collect()}
+    finally:
+        TO._docs = orig
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["distinct_ratio"] == 0.5
+    assert out[1]["top_token_frac"] == 0.75
+    assert out[2]["distinct_ratio"] == 1.0
+    assert out[2]["top_token_frac"] == 0.25
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    # doc 7 is eval (doc_id % 10 == 7); doc 1 copies a 5-gram from it,
+    # doc 2 shares nothing.
+    df = spark.createDataFrame(
+        [
+            (7, "alpha beta gamma delta epsilon zeta"),
+            (1, "intro words then alpha beta gamma delta epsilon tail"),
+            (2, "completely different tokens here okay fine"),
+        ],
+        "doc_id long, text string",
+    )
+    import market_data_pipeline_databricks_spark.plans.text_ops as TO
+
+    orig = TO._docs
+    TO._docs = lambda s, d: df
+    try:
+        out = {r["doc_id"]: r for r in TO.text_decontaminate(spark, "").collect()}
+    finally:
+        TO._docs = orig
+    assert 1 in out and 2 not in out and 7 not in out
+    # exactly one overlapping 5-gram: "alpha beta gamma delta epsilon"
+    assert out[1]["n_shared_shingles"] == 1
+    assert out[1]["n_eval_docs"] == 1
+
+
+def test_unigram_logprob_orders_common_vs_rare(spark):
+    # doc 1 repeats the corpus-dominant token; doc 2 is all rare tokens
+    # → doc 2 must score a higher (worse) avg negative logprob.
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "qq zz pp vv")],
+        "doc_id long, text string",
+    )
+    import market_data_pipeline_databricks_spark.plans.text_ops as TO
+
+    orig = TO._docs
+    TO._docs = lambda s, d: df
+    try:
+        out = {r["doc_id"]: r for r in TO.text_unigram_logprob(spark, "").collect()}
+    finally:
+        TO._docs = orig
+    assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
