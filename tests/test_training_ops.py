@@ -331,3 +331,59 @@ def test_unigram_logprob_orders_common_vs_rare(spark):
     finally:
         TO._docs = orig
     assert out[2]["avg_neg_logprob"] > out[1]["avg_neg_logprob"]
+
+
+def _wav_bytes(freq=1000.0, rate=8000, seconds=0.5, amp=0.5):
+    import math
+    import struct
+
+    n = int(rate * seconds)
+    samples = b"".join(
+        struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate)))
+        for i in range(n)
+    )
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(samples)) + samples
+
+
+def _bmp_bytes(w=4, h=2, rgb=(255, 0, 0)):
+    import struct
+
+    row = bytes(rgb[::-1]) * w  # BGR
+    row += b"\x00" * ((4 - len(row) % 4) % 4)
+    px = row * h
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    return hdr + info + px
+
+
+def test_real_wav_decode_features():
+    x, rate = MM.decode_wav(_wav_bytes())
+    assert rate == 8000 and len(x) == 4000
+    f = MM._audio_features(x, rate)
+    assert abs(f[0] - 0.5) < 1e-6            # duration
+    assert abs(f[1] - 0.5 / 2**0.5) < 0.01   # RMS of a 0.5-amp sine
+    assert abs(f[4] - 1000.0) < 20.0         # spectral centroid at tone freq
+
+
+def test_real_bmp_ppm_decode_features():
+    img = MM.decode_bmp(_bmp_bytes())
+    assert img.shape == (2, 4, 3)
+    f = MM._image_features(img)
+    assert (f[0], f[1]) == (4.0, 2.0)
+    assert abs(f[2] - 1.0) < 1e-6 and f[3] == 0.0 and f[4] == 0.0  # solid red
+    assert f[7] == 0.0 and f[8] == 0.0       # zero entropy, zero gradient
+    ppm = b"P6\n4 2\n255\n" + bytes((0, 255, 0)) * 8
+    img2 = MM.decode_ppm(ppm)
+    assert img2.shape == (2, 4, 3)
+    assert MM._image_features(img2)[3] == 1.0  # solid green
+
+
+def test_real_decode_end_to_end_spark(spark, tmp_path):
+    (tmp_path / "tone.wav").write_bytes(_wav_bytes(freq=500.0))
+    media = MM.read_media_dir(spark, str(tmp_path), glob="*.wav", mime="audio/wav")
+    out = MM.extract_features(media, fake=False).collect()
+    assert len(out) == 1 and out[0]["mime"] == "audio/wav"
+    feat = out[0]["feature"]
+    assert abs(feat[0] - 0.5) < 1e-6 and abs(feat[4] - 500.0) < 20.0
