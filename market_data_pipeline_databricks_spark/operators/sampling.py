@@ -13,7 +13,7 @@ is a filter that pushes down to the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 10_000
@@ -52,3 +52,47 @@ def stratified_sample(
     stratum with different seeds or thresholds."""
     cut = int(round(frac * N_BUCKETS))
     return df.filter(hash_bucket(F.col(id_col), seed) < cut)
+
+
+def weighted_sample_flag(
+    id_col: Column, rate_col: Column, seed: str = "mix"
+) -> Column:
+    """Keep-flag for per-stratum (domain-mixture) downsampling:
+    ``rate_col`` is the keep fraction in [0, 1] for this row's stratum
+    (typically a CASE/map over a domain column). Content-addressed like
+    every sampler here — pure Column algebra, pushes to the scan."""
+    return hash_bucket(id_col, seed) < F.round(rate_col * N_BUCKETS).cast("int")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM pretraining
+    step): documents are concatenated in ``id_col`` order within each
+    ``shard_col`` and cut into fixed ``budget``-token chunks; each doc
+    is assigned the chunk range [start_chunk, end_chunk] it occupies
+    (a doc may straddle a boundary).
+
+    Scale: the running total is a per-shard window cumsum — one shuffle
+    on the shard key, never a global sort. At 100 TB shards are file
+    groups / sources / split buckets, each bounded; a GLOBAL ordering
+    would serialize the whole corpus through one partition, which is
+    why the shard column is required rather than defaulted."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    start = cum - F.col(token_col)
+    return df.select(
+        shard_col,
+        id_col,
+        F.col(token_col),
+        F.floor(start / budget).cast("long").alias("start_chunk"),
+        F.floor((cum - 1) / budget).cast("long").alias("end_chunk"),
+    )

@@ -240,6 +240,47 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at a 128-token budget, sharded
+    by source (see operators/sampling.py:pack_sequences for the scale
+    rationale — per-shard cumsum, never a global sort)."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, id_col="doc_id", token_col="n_tokens", budget=128, shard_col="source"
+    )
+
+
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: each source keeps a deterministic
+    fraction (1 / 0.5 / 0.25 / 0.125 by source index mod 4 — the shape
+    of an upweight-code/downweight-web mixture recipe). One pass, no
+    filter-then-recount: per-source totals and kept counts in a single
+    aggregation."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        weighted_sample_flag,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(idx % 4 == 0, 1.0)
+        .when(idx % 4 == 1, 0.5)
+        .when(idx % 4 == 2, 0.25)
+        .otherwise(0.125)
+    )
+    kept = weighted_sample_flag(F.col("doc_id"), rate, seed="mix")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_sampled"),
+    )
+
+
 def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-deterministic train/test assignment per document (salted
     md5 bucket): same row → same split on any engine, partitioning, or
@@ -284,6 +325,8 @@ QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition_score": text_repetition_score,
     "text_unigram_logprob": text_unigram_logprob,
+    "pack_training_sequences": pack_training_sequences,
+    "sample_domain_mixture": sample_domain_mixture,
     "sample_train_test_split": sample_train_test_split,
     "sample_stratified_events": sample_stratified_events,
 }
@@ -351,6 +394,30 @@ ORACLE_SQL = {
                ROUND(AVG(-ln(cnt / total)), 6) AS avg_neg_logprob
         FROM tk JOIN vocab USING (token) CROSS JOIN tot
         GROUP BY doc_id
+    """,
+    "pack_training_sequences": _NORM + r"""
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST((cum - len(toks)) // 128 AS BIGINT) AS start_chunk,
+               CAST((cum - 1) // 128 AS BIGINT) AS end_chunk
+        FROM (
+          SELECT t.doc_id, d.source, t.toks,
+                 SUM(len(t.toks)) OVER (
+                   PARTITION BY d.source ORDER BY t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum
+          FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        )
+    """,
+    "sample_domain_mixture": """
+        SELECT source, COUNT(*) AS n_total,
+               SUM(CASE WHEN
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS UBIGINT) % 10000
+                 < (CASE CAST(substring(source, 4) AS INT) % 4
+                      WHEN 0 THEN 10000 WHEN 1 THEN 5000
+                      WHEN 2 THEN 2500 ELSE 1250 END)
+                 THEN 1 ELSE 0 END) AS n_sampled
+        FROM documents GROUP BY source
     """,
     "sample_train_test_split": """
         SELECT doc_id,

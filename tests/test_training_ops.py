@@ -387,3 +387,38 @@ def test_real_decode_end_to_end_spark(spark, tmp_path):
     assert len(out) == 1 and out[0]["mime"] == "audio/wav"
     feat = out[0]["feature"]
     assert abs(feat[0] - 0.5) < 1e-6 and abs(feat[4] - 500.0) < 20.0
+
+
+def test_pack_sequences_known_chunks(spark):
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", 50), (3, "s", 30), (10, "t", 300)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: (r["start_chunk"], r["end_chunk"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", 128, "source").collect()
+    }
+    # shard s: doc1 occupies tokens [0,100) -> chunk 0 only;
+    # doc2 [100,150) straddles the 128 boundary -> chunks 0-1;
+    # doc3 [150,180) -> chunk 1. shard t packs independently from 0.
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 1)
+    assert out[3] == (1, 1)
+    assert out[10] == (0, 2)  # 300 tokens spans chunks 0,1,2
+
+
+def test_weighted_sample_rate_zero_and_one(spark):
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        weighted_sample_flag,
+    )
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    all_kept = df.filter(weighted_sample_flag(F.col("doc_id"), F.lit(1.0))).count()
+    none_kept = df.filter(weighted_sample_flag(F.col("doc_id"), F.lit(0.0))).count()
+    half = df.filter(weighted_sample_flag(F.col("doc_id"), F.lit(0.5))).count()
+    assert all_kept == 1000 and none_kept == 0
+    assert 400 < half < 600
