@@ -220,15 +220,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two-pass plan: (1) one shuffle builds the unigram vocab with counts;
     (2) the vocab (≪ corpus, ~10M rows at web scale) broadcasts back
     onto the exploded token stream, then one shuffle aggregates per doc.
-    The 1-row corpus-total scalar rides the same broadcast — never a
-    real cartesian."""
+    The corpus total is an unpartitioned window over the VOCAB — bounded
+    by vocab size, not corpus size, and it keeps the plan to a single
+    scan of the exploded tokens (a separate total aggregate would
+    re-scan and re-aggregate the whole token stream)."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
-    logp = (
-        vocab.crossJoin(F.broadcast(total))
-        .select("token", F.log(F.col("cnt") / F.col("total")).alias("logp"))
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    logp = vocab.select(
+        "token",
+        F.log(F.col("cnt") / F.sum(F.col("cnt").cast("double")).over(wall)).alias(
+            "logp"
+        ),
     )
     return (
         tok.join(F.broadcast(logp), "token")
