@@ -64,9 +64,10 @@ def funcs_log_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def funcs_ewma_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive EWMA of close per supplier via applyInPandas
-    (functions/timeseries.py) — the grouped-map surface. No SQL
-    recursion in the oracle dialect → rows-only driver check; exact
-    recursion verified in tests/test_pipeline.py."""
+    (functions/timeseries.py) — the grouped-map surface. Oracle: a
+    DuckDB recursive CTE replays the identical per-key recursion
+    (value-exact, see ORACLE_SQL); the pandas recursion is additionally
+    pinned by tests/test_pipeline.py."""
     from market_data_pipeline_databricks_spark.functions.timeseries import ewma
 
     daily = _daily(spark, sf_dir)
@@ -112,5 +113,30 @@ ORACLE_SQL = {
                ROUND(CAST(SUM(CAST(log_ret AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*), 6) AS mean_log_ret,
                ROUND(STDDEV_SAMP(log_ret), 6) AS sd_log_ret
         FROM lr WHERE log_ret IS NOT NULL GROUP BY suppkey
+    """,
+    # Recursive CTE reproduces the applyInPandas recursion exactly:
+    # e[0] = x[0]; e[t] = 0.2*x[t] + 0.8*e[t-1]. Input close is NULL-free
+    # (MAX over a NOT NULL column) so the plain recursion is the whole
+    # contract; pandas ewm(adjust=False) evaluates the identical
+    # old_wt*prev + new_wt*cur expression, and ROUND(,6) absorbs any
+    # last-ulp divergence.
+    "funcs_ewma_close": """
+        WITH RECURSIVE daily AS (
+          SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+                 MAX(l_extendedprice) AS close
+          FROM lineitem GROUP BY 1, 2
+        ),
+        ord AS (
+          SELECT suppkey, day, close,
+                 ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY day) AS rn
+          FROM daily
+        ),
+        rec AS (
+          SELECT suppkey, day, close, rn, close AS ewma FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.suppkey, o.day, o.close, o.rn, 0.2 * o.close + 0.8 * r.ewma
+          FROM ord o JOIN rec r ON o.suppkey = r.suppkey AND o.rn = r.rn + 1
+        )
+        SELECT suppkey, day, close, ROUND(ewma, 6) AS ewma_close FROM rec
     """,
 }
