@@ -274,6 +274,99 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return bucketed.mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+def synthesize_wav_media(
+    docs: DataFrame, rate: int = 8000, samples_per_char: int = 8
+) -> DataFrame:
+    """Deterministic WAV synthesis from the documents table: each doc
+    becomes a real RIFF/PCM-16 file — a sine at a doc_id-derived
+    frequency, ``n_chars × samples_per_char`` samples. Gives the media
+    path genuine container bytes to parse without codec libraries or
+    binary fixtures in testdata; size/sample-count arithmetic is exact,
+    so the roundtrip is oracle-checkable."""
+    import math
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars) * samples_per_char
+                freq = 200.0 + (int(did) % 20) * 25.0
+                samples = b"".join(
+                    struct.pack(
+                        "<h",
+                        int(0.4 * 32767 * math.sin(2 * math.pi * freq * i / rate)),
+                    )
+                    for i in range(n)
+                )
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(samples))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(samples))
+                    + samples
+                )
+                out.append((int(did), wav))
+            yield pd.DataFrame(
+                {
+                    "media_id": [o[0] for o in out],
+                    "content": [o[1] for o in out],
+                    "meta": [
+                        {
+                            "mime": "audio/wav",
+                            "width": None,
+                            "height": None,
+                            "n_bytes": len(o[1]),
+                            "source_uri": f"synthetic://wav/{o[0]}",
+                        }
+                        for o in out
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+
+def wav_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL WAV parse over the binary column: chunk walk + PCM decode
+    (decode_wav), emitting exact integer facts — byte size, decoded
+    sample count, sample rate. Arrow-batched mapInPandas; bytes never
+    enter a shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, ns, sr = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                x, rate = decode_wav(bytes(content))
+                ids.append(int(mid))
+                nb.append(len(content))
+                ns.append(len(x))
+                sr.append(rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": nb,
+                    "n_samples": ns,
+                    "sample_rate": sr,
+                }
+            )
+
+    return media.mapInPandas(kernel, WAV_STATS_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Plumbing for video frame-sampling: emits one row per sampled
     frame index based on metadata only (no decode) — the downstream

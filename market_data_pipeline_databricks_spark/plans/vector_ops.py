@@ -94,8 +94,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, oracle-checked: synthesize a genuine RIFF/PCM
+    WAV per document (tone length n_chars × 8 samples), then parse it
+    back with the real chunk-walking PCM decoder — both sides
+    Arrow-batched mapInPandas (operators/multimodal.py). The decoded
+    sample count, byte size (44-byte header + 2 bytes/sample) and
+    duration are exact integer arithmetic, so DuckDB can verify that
+    the decoder recovered precisely what the container holds."""
+    from market_data_pipeline_databricks_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synthesize_wav_media(docs)
+    stats = MM.wav_sample_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_bytes",
+        "n_samples",
+        F.round(F.col("n_samples") / F.col("sample_rate"), 6).alias("duration_s"),
+    )
+
+
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
+    "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
     "vector_near_dup_pairs": vector_near_dup_pairs,
     "vector_ann_lsh_topk": vector_ann_lsh_topk,
     "vector_ann_near_dup_lsh": vector_ann_near_dup_lsh,
@@ -132,6 +154,13 @@ ORACLE_SQL = {
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE ROUND(list_dot_product(a.vec, b.vec)
               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.4
+    """,
+    "multimodal_wav_roundtrip": """
+        SELECT doc_id,
+               CAST(44 + 2 * (n_chars * 8) AS BIGINT) AS n_bytes,
+               CAST(n_chars * 8 AS BIGINT) AS n_samples,
+               ROUND((n_chars * 8) / 8000.0, 6) AS duration_s
+        FROM documents
     """,
     "multimodal_frame_sample": """
         WITH media AS (
