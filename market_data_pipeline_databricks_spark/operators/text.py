@@ -160,6 +160,43 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(toks).cast("long")
 
 
+# PII patterns kept deliberately explicit and conservative (emails,
+# international-ish phone numbers, IPv4) — JVM-side regexp_replace, no
+# Python in the path. Production pipelines extend this table; the
+# operator shape (ordered redaction passes + per-kind counts) is the
+# contract.
+PII_PATTERNS = {
+    # Order is load-bearing: the broad phone pattern (digits with
+    # separators) would swallow emails' digit runs and whole IPv4
+    # addresses, so the more specific kinds redact first and phone only
+    # sees what remains.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (regexp_count, JVM-side). Each
+    kind is counted on text with the MORE specific kinds already
+    redacted, matching what redact_pii would actually replace."""
+    out: dict[str, Column] = {}
+    cur = col
+    for kind, pat in PII_PATTERNS.items():
+        out[kind] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    return out
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace each PII kind with a typed placeholder ``[KIND]``,
+    in PII_PATTERNS order (specific → broad)."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
 def winnow_fingerprints(
     df: "DataFrame",
     id_col: str = "doc_id",

@@ -170,6 +170,73 @@ def _leaf_partition_dirs(root: Path, partition_cols: list[str]) -> list[Path]:
     return level
 
 
+def compact_table(
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every
+    long-running ingest needs: streaming/incremental writes accumulate
+    tiny parquet files until scan planning and footer reads dominate
+    query time. Rewrites each partition into ``ceil(bytes/target)``
+    files and swaps the result in. Returns the file count after.
+
+    Scale shape: current file sizes come from a driver-side listing —
+    one entry per PARTITION, not per row — and the rewrite is one
+    shuffle keyed on (partition cols, salt) where the salt width is
+    each partition's target bucket count, so a 10-TB partition fans out
+    to ~80 × 128 MB files while a 1-KB partition collapses to one, in
+    the same job. Row content is preserved exactly; only file layout
+    changes.
+    """
+    import math
+
+    path = _table_path(warehouse_dir, table)
+    df = spark.read.parquet(str(path))
+    partition_cols = partition_cols or []
+
+    def _dir_bytes(d: Path) -> int:
+        return sum(f.stat().st_size for f in d.rglob("*.parquet"))
+
+    staging = path.parent / f".compact_{table}_{uuid.uuid4().hex[:8]}"
+    if partition_cols:
+        buckets = [
+            (
+                *(unquote(p.split("=", 1)[1]) for p in leaf.relative_to(path).parts),
+                max(1, math.ceil(_dir_bytes(leaf) / target_file_bytes)),
+            )
+            for leaf in _leaf_partition_dirs(path, partition_cols)
+        ]
+        bmap = spark.createDataFrame(
+            buckets, [*partition_cols, "__n_buckets__"]
+        )
+        # partition cols parse as strings from dir names; align types
+        for c in partition_cols:
+            bmap = bmap.withColumn(c, F.col(c).cast(df.schema[c].dataType))
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        salted = (
+            df.join(F.broadcast(bmap), partition_cols)
+            .withColumn(
+                "__salt__",
+                F.pmod(F.xxhash64(*data_cols), F.col("__n_buckets__")),
+            )
+            .repartition(*partition_cols, "__salt__")
+            .drop("__n_buckets__", "__salt__")
+        )
+        salted.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            str(staging)
+        )
+    else:
+        n = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
+        df.repartition(n).write.mode("overwrite").parquet(str(staging))
+
+    shutil.rmtree(path)
+    shutil.move(str(staging), str(path))
+    return len(list(path.rglob("*.parquet")))
+
+
 def merge_into_delta(
     spark: SparkSession,
     updates: DataFrame,

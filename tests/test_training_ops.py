@@ -422,3 +422,28 @@ def test_weighted_sample_rate_zero_and_one(spark):
     half = df.filter(weighted_sample_flag(F.col("doc_id"), F.lit(0.5))).count()
     assert all_kept == 1000 and none_kept == 0
     assert 400 < half < 600
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@corp.example.org or +1 (415) 555-0199"),
+            (2, "server 10.0.42.7 went down, ping 192.168.0.1"),
+            (3, "no sensitive content here"),
+        ],
+        "doc_id long, text string",
+    )
+    counts = {k: v.alias(k) for k, v in TX.pii_counts(F.col("text")).items()}
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *counts.values(), TX.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert out[1]["email"] == 1 and out[1]["phone"] == 1
+    assert out[2]["ipv4"] == 2 and out[2]["email"] == 0
+    assert out[3]["email"] == out[3]["phone"] == out[3]["ipv4"] == 0
+    assert "[EMAIL]" in out[1]["red"] and "[PHONE]" in out[1]["red"]
+    assert "jane" not in out[1]["red"] and "415" not in out[1]["red"]
+    assert "[IPV4]" in out[2]["red"] and "10.0.42.7" not in out[2]["red"]
+    assert out[3]["red"] == "no sensitive content here"

@@ -177,3 +177,38 @@ def test_upsert_rerun_heals_partial_swap(spark, tmp_path):
         ("A", "us", str(D1), 9.0),
         ("C", "eu", str(D1), 8.0),
     ]
+
+
+def test_compact_unpartitioned_collapses_small_files(spark, tmp_path):
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        compact_table,
+    )
+
+    wh = str(tmp_path)
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    df.repartition(40).write.parquet(f"{wh}/t")
+    before = len(list(Path(wh).glob("t/*.parquet")))
+    assert before >= 40
+    n_after = compact_table(spark, wh, "t")  # huge target -> 1 file
+    assert n_after == 1
+    assert sorted(r["k"] for r in spark.read.parquet(f"{wh}/t").collect()) == list(
+        range(1000)
+    )
+
+
+def test_compact_partitioned_keeps_rows_and_bounds_files(spark, tmp_path):
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        compact_table,
+    )
+
+    wh = str(tmp_path)
+    base = _rows(
+        spark,
+        [("A", "us", D1, float(i)) for i in range(50)]
+        + [("B", "eu", D1, float(i)) for i in range(5)],
+    )
+    base.repartition(20).write.partitionBy("region").parquet(f"{wh}/t")
+    want = _read(spark, wh)
+    n_after = compact_table(spark, wh, "t", partition_cols=["region"])
+    assert n_after == 2  # one file per region at this size
+    assert _read(spark, wh) == want
