@@ -62,6 +62,56 @@ def read_price_csv_stream(
     return normalize_raw(raw, source=source)
 
 
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    stable_partitions: bool = False,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming MERGE: land a stream into a keyed table via
+    ``foreachBatch`` + the idempotent upsert sink — the production
+    pattern for incremental ingest (the reference's bronze MERGE,
+    01_ingest_bronze.py:93-107, driven by a stream instead of a job).
+
+    Semantics each micro-batch: matched keys fully replaced, new keys
+    inserted. foreachBatch + idempotent-upsert is exactly-once in
+    effect: a replayed micro-batch (failure before the checkpoint
+    commit) rewrites the same rows to the same values. Late duplicates
+    collapse because re-upserting a key is value-idempotent.
+
+    Scale: each micro-batch touches only the partitions its keys live
+    in (see upsert_by_key); state is the checkpointed file log, never
+    data."""
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        upsert_by_key,
+    )
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix=f"ckpt_upsert_{table}_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_by_key(
+            batch_df.sparkSession,
+            batch_df,
+            warehouse_dir,
+            table,
+            key_cols,
+            partition_cols,
+            stable_partitions=stable_partitions,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     df: DataFrame,
     query_name: str,

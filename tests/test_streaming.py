@@ -3,6 +3,8 @@ bronze, watermarked windows vs batch GROUP BY, stateful totals."""
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import functions as F
 
 from market_data_pipeline_databricks_spark.operators.bronze import normalize_raw
@@ -64,3 +66,56 @@ def test_stateful_totals_equal_batch_aggregate(spark):
     want = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     cols = ["user_id", "n_events"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_stream_upsert_foreachbatch_idempotent(spark, tmp_path):
+    """foreachBatch + upsert sink: streamed ingest lands the same table
+    as batch bronze, replaying the stream (fresh checkpoint, same
+    files) leaves the table unchanged, and a corrected file upserts in
+    place — the exactly-once-in-effect claim.
+
+    Input keys are unique per file drop: like Delta MERGE (which errors
+    on multiple source matches), the upsert sink requires the caller to
+    resolve intra-batch duplicate keys first (silver's latest-wins)."""
+    from market_data_pipeline_databricks_spark.streaming.ingest import (
+        read_price_csv_stream,
+        stream_upsert_to_table,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "SPY.csv").write_text(
+        "Date,Open,High,Low,Close,Volume\n"
+        "2025-10-01,100,101,99,100.5,1000\n"
+        "2025-10-02,100.5,102,100,101,1100\n"
+    )
+    wh = str(tmp_path / "wh")
+    cols = ["symbol", "date", "open", "high", "low", "close", "volume"]
+
+    def run(drop_dir, ckpt):
+        stream = read_price_csv_stream(spark, str(drop_dir), source="test")
+        stream_upsert_to_table(
+            stream, wh, "bronze_stream", key_cols=["symbol", "date"],
+            partition_cols=["symbol"], stable_partitions=True,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        return _rows(spark.read.parquet(f"{wh}/bronze_stream"), cols)
+
+    first = run(raw, "ckpt1")
+    batch = normalize_raw(read_prices_csv(spark, f"{raw}/*.csv"), source="test")
+    assert first == _rows(batch, cols)
+    # replay with a fresh checkpoint: value-idempotent, table unchanged
+    assert run(raw, "ckpt2") == first
+    # corrected re-drop lands in the next drop folder (symbol is the
+    # filename stem, so the fix file keeps the SPY.csv name)
+    raw2 = tmp_path / "raw2"
+    raw2.mkdir()
+    (raw2 / "SPY.csv").write_text(
+        "Date,Open,High,Low,Close,Volume\n"
+        "2025-10-02,100.5,103,100,102,1200\n"
+    )
+    third = run(raw2, "ckpt3")
+    by_key = {(r[0], r[1]): r for r in third}
+    assert len(third) == 2
+    assert by_key[("SPY", dt.date(2025, 10, 2))][5] == 102.0
+    assert by_key[("SPY", dt.date(2025, 10, 1))][5] == 100.5
