@@ -94,6 +94,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
 
 
+def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality curation capstone: text filters (language +
+    quality) on ``documents`` joined 1:1 with ``embeddings``, then
+    embedding-cosine near-dup removal (drop the higher id of any
+    surviving pair with cos ≥ 0.45). The text capstone
+    (curate_training_corpus) dedups by CONTENT; this one dedups by
+    REPRESENTATION — production pipelines run both.
+
+    Scale: the doc↔vector join is a plain equi-join on the id (co-
+    partitionable/bucketable); the near-dup pass here is the exact
+    brute-force baseline so DuckDB can verify the whole chain — the
+    LSH-bucketed variant (vector_ann_near_dup_lsh) is the 100-TB path
+    for the same decision."""
+    from market_data_pipeline_databricks_spark.operators import text as TX
+
+    c = F.col("text")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        TX.lang_id(c).alias("lang_pred"),
+        TX.quality_score(c).alias("quality"),
+        TX.token_count(c).alias("n_tokens"),
+    )
+    kept = docs.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    emb = _emb(spark, sf_dir)
+    enriched = kept.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    )
+    pairs = SIM.brute_force_near_duplicates(
+        enriched.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        threshold=0.45,
+    )
+    removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return enriched.join(removed, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "quality", F.col("label").cast("long").alias("label")
+    )
+
+
 def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode, oracle-checked: synthesize a genuine RIFF/PCM
     WAV per document (tone length n_chars × 8 samples), then parse it
@@ -117,6 +155,7 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
+    "curate_multimodal_corpus": curate_multimodal_corpus,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
     "vector_near_dup_pairs": vector_near_dup_pairs,
     "vector_ann_lsh_topk": vector_ann_lsh_topk,
@@ -154,6 +193,53 @@ ORACLE_SQL = {
         FROM v a JOIN v b ON a.vec_id < b.vec_id
         WHERE ROUND(list_dot_product(a.vec, b.vec)
               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.4
+    """,
+    "curate_multimodal_corpus": r"""
+        WITH norm AS (
+          SELECT doc_id, text,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[.,!?;:''"()\[\]{}\-]', '', 'g'), '\s+', ' ', 'g')) AS ntext
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, text, string_split(ntext, ' ') AS toks FROM norm
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ROUND(GREATEST(LEAST(
+                   (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
+                   * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+                      - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))),
+                   1.0), 0.0), 6) AS quality,
+                 CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) AND s_en >= 1 THEN 'en'
+                      WHEN s_de >= GREATEST(s_fr, s_es) AND s_de >= 1 THEN 'de'
+                      WHEN s_fr >= s_es AND s_fr >= 1 THEN 'fr'
+                      WHEN s_es >= 1 THEN 'es'
+                      ELSE 'und' END AS lang_pred
+          FROM (
+            SELECT *,
+                   len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS s_en,
+                   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+                   len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+                   len(list_filter(toks, t -> t IN ('el','la','los','y','es','un'))) AS s_es
+            FROM tok
+          )
+        ),
+        kv AS (
+          SELECT s.doc_id, s.n_tokens, s.quality,
+                 CAST(e.embedding AS DOUBLE[]) AS vec,
+                 CAST(e.label AS BIGINT) AS label
+          FROM scored s JOIN embeddings e ON e.vec_id = s.doc_id
+          WHERE s.lang_pred = 'en' AND s.quality >= 0.5
+        ),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM kv a JOIN kv b ON a.doc_id < b.doc_id
+          WHERE ROUND(list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.45
+        )
+        SELECT doc_id, n_tokens, quality, label FROM kv
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs)
     """,
     "multimodal_wav_roundtrip": """
         SELECT doc_id,
