@@ -128,16 +128,55 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full stats block — one narrow projection, no shuffle."""
+    """Attach the full stats block — two narrow projections, no shuffle.
+
+    The normalized text and token array are materialized behind their
+    own projection before the stats expressions consume them: the
+    stopword/language counters are higher-order ``filter`` calls, which
+    run interpreted (outside whole-stage codegen's subexpression
+    elimination), so inlining ``tokens(text)`` into each would
+    re-normalize and re-split the string once per counter (~1.4×
+    composite scan cost, measured). Same trap as MinHash signatures
+    (operators/dedup.py), smaller constant."""
     c = F.col(text_col)
+    pre = df.withColumn("__ntext__", normalize_text(c)).withColumn(
+        "__toks__", F.split(F.col("__ntext__"), " ")
+    )
+    toks = F.col("__toks__")
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, _membership(STOPWORDS["en"]))).cast("long")
+    n_chr = char_count(c)
+    n_punct = punct_count(c)
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    punct_ratio = n_punct.cast("double") / n_chr.cast("double")
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(0.0)
+    quality = F.round(
+        F.greatest(
+            F.least(len_ok * (0.5 + 0.5 * stop_ratio - punct_ratio), F.lit(1.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    s = {
+        lang: F.size(F.filter(toks, _membership(words))).cast("long")
+        for lang, words in STOPWORDS.items()
+    }
+    lang_pred = (
+        F.when((s["en"] >= F.greatest(s["de"], s["fr"], s["es"])) & (s["en"] >= 1), "en")
+        .when((s["de"] >= F.greatest(s["fr"], s["es"])) & (s["de"] >= 1), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= 1), "fr")
+        .when(s["es"] >= 1, "es")
+        .otherwise("und")
+    )
     return (
-        df.withColumn("n_chars_computed", char_count(c))
-        .withColumn("n_tokens", token_count(c))
-        .withColumn("n_punct", punct_count(c))
-        .withColumn("n_stopwords", stopword_count(c))
-        .withColumn("quality", quality_score(c))
-        .withColumn("lang_pred", lang_id(c))
-        .withColumn("fingerprint", fingerprint(c))
+        pre.withColumn("n_chars_computed", n_chr)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("quality", quality)
+        .withColumn("lang_pred", lang_pred)
+        .withColumn("fingerprint", F.md5(F.col("__ntext__")))
+        .drop("__ntext__", "__toks__")
     )
 
 
