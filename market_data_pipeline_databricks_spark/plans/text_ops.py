@@ -22,23 +22,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats block: chars, tokens, punctuation, stopwords,
-    quality score — all single-pass Column expressions."""
-    c = F.col("text")
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        TX.char_count(c).alias("n_chars_computed"),
-        TX.token_count(c).alias("n_tokens"),
-        TX.punct_count(c).alias("n_punct"),
-        TX.stopword_count(c).alias("n_stopwords"),
-        TX.quality_score(c).alias("quality"),
+    quality score — via the bulk projection that normalizes/tokenizes
+    once (operators/text.py:with_text_stats)."""
+    return TX.with_text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_computed", "n_tokens", "n_punct", "n_stopwords", "quality"
     )
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic stopword-vote language ID per document."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", TX.lang_id(F.col("text")).alias("lang_pred")
-    )
+    return TX.with_text_stats(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
 def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,14 +117,13 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle."""
     from pyspark.sql import Window
 
-    c = F.col("text")
-    enr = _docs(spark, sf_dir).select(
+    enr = TX.with_text_stats(_docs(spark, sf_dir)).select(
         "doc_id",
         "text",
-        TX.lang_id(c).alias("lang_pred"),
-        TX.quality_score(c).alias("quality"),
-        TX.fingerprint(c).alias("fp"),
-        TX.token_count(c).alias("n_tokens"),
+        "lang_pred",
+        "quality",
+        F.col("fingerprint").alias("fp"),
+        "n_tokens",
     )
     kept = enr.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
     w = Window.partitionBy("fp").orderBy("doc_id")

@@ -109,13 +109,9 @@ def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the same decision."""
     from market_data_pipeline_databricks_spark.operators import text as TX
 
-    c = F.col("text")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id",
-        TX.lang_id(c).alias("lang_pred"),
-        TX.quality_score(c).alias("quality"),
-        TX.token_count(c).alias("n_tokens"),
-    )
+    docs = TX.with_text_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "lang_pred", "quality", "n_tokens")
     kept = docs.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
     emb = _emb(spark, sf_dir)
     enriched = kept.join(
