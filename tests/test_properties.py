@@ -123,3 +123,54 @@ def test_fingerprint_invariant_to_whitespace(spark, texts):
     )
     b = [r[0] for r in mangled.select(fingerprint(F.col("text"))).collect()]
     assert a == b
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=30),
+    budget=st.integers(min_value=16, max_value=512),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_invariants(spark, tokens, budget):
+    """Concat-and-chunk packing: chunk ranges are contiguous across the
+    shard (each doc starts in the chunk the previous doc ended in, or
+    the next one) and the final chunk index equals the total token
+    count's chunk."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s", n) for i, n in enumerate(tokens)],
+        "doc_id long, source string, n_tokens long",
+    )
+    rows = sorted(
+        pack_sequences(df, "doc_id", "n_tokens", budget, "source").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    for r in rows:
+        assert r["start_chunk"] == cum // budget
+        cum += r["n_tokens"]
+        assert r["end_chunk"] == (cum - 1) // budget
+        assert r["start_chunk"] <= r["end_chunk"]
+    assert rows[-1]["end_chunk"] == (sum(tokens) - 1) // budget
+
+
+@given(
+    r1=st.floats(min_value=0.0, max_value=1.0),
+    r2=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_monotone_nested(spark, r1, r2):
+    """Keep-sets nest: every id kept at the lower rate is kept at the
+    higher rate (the property that makes mixture re-weighting stable
+    across runs — raising a domain's weight only ADDS documents)."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        weighted_sample_flag,
+    )
+
+    lo, hi = sorted([r1, r2])
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    kept_lo = {r[0] for r in df.filter(weighted_sample_flag(F.col("doc_id"), F.lit(lo))).collect()}
+    kept_hi = {r[0] for r in df.filter(weighted_sample_flag(F.col("doc_id"), F.lit(hi))).collect()}
+    assert kept_lo <= kept_hi
