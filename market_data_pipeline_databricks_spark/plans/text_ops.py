@@ -240,6 +240,20 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus dashboard: doc count, token volume, mean
+    quality, English share — the rollup a mixture designer reads before
+    setting domain weights (see sample_domain_mixture). One scan +
+    one aggregation on the source key."""
+    enr = TX.with_text_stats(_docs(spark, sf_dir))
+    return enr.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum((F.col("lang_pred") == "en").cast("long")).alias("n_en"),
+    )
+
+
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing at a 128-token budget, sharded
     by source (see operators/sampling.py:pack_sequences for the scale
@@ -327,6 +341,7 @@ QUERIES = {
     "text_unigram_logprob": text_unigram_logprob,
     "pack_training_sequences": pack_training_sequences,
     "sample_domain_mixture": sample_domain_mixture,
+    "text_corpus_report": text_corpus_report,
     "sample_train_test_split": sample_train_test_split,
     "sample_stratified_events": sample_stratified_events,
 }
@@ -394,6 +409,37 @@ ORACLE_SQL = {
                ROUND(AVG(-ln(cnt / total)), 6) AS avg_neg_logprob
         FROM tk JOIN vocab USING (token) CROSS JOIN tot
         GROUP BY doc_id
+    """,
+    "text_corpus_report": r"""
+        WITH tok AS (
+          SELECT doc_id, source, text,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                      '[.,!?;:''"()\[\]{}\-]', '', 'g'), '\s+', ' ', 'g')), ' ') AS toks
+          FROM documents
+        ),
+        scored AS (
+          SELECT source,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ROUND(GREATEST(LEAST(
+                   (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
+                   * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+                      - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))),
+                   1.0), 0.0), 6) AS quality,
+                 CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) AND s_en >= 1 THEN 1 ELSE 0 END AS is_en
+          FROM (
+            SELECT *,
+                   len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS s_en,
+                   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+                   len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+                   len(list_filter(toks, t -> t IN ('el','la','los','y','es','un'))) AS s_es
+            FROM tok
+          )
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               ROUND(AVG(quality), 6) AS avg_quality,
+               CAST(SUM(is_en) AS BIGINT) AS n_en
+        FROM scored GROUP BY source
     """,
     "pack_training_sequences": _NORM + r"""
         SELECT doc_id, source,
