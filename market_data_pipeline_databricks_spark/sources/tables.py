@@ -8,10 +8,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-# parquet reader rejects under schema inference. Declaring ts as LONG
-# reads the raw INT64 nanos directly — per reader, no session-level
-# ``spark.sql.legacy.parquet.nanosAsLong`` mutation needed.
+# The testdata generator has shipped events.ts under two different
+# parquet encodings across rounds: TIMESTAMP(NANOS) — which Spark's
+# vectorized reader rejects under schema inference, so it must be read
+# as raw INT64 and divided down — and TIMESTAMP(MICROS, NTZ). The
+# reader sniffs the footer (pyarrow, driver-side, metadata-only) and
+# normalizes either to session-zone TimestampType, matching what DuckDB
+# sees for the oracle compare.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -24,11 +27,26 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Time unit of events.ts in the parquet footer: 'ns' or 'us'."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
+    return getattr(t, "unit", "us")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with a usable microsecond timestamp column (ns DIV 1000 —
-    the same truncation DuckDB applies reading ns into µs)."""
-    df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    """events with a usable microsecond timestamp column, whichever
+    footer encoding the testdata carries (ns DIV 1000 is the same
+    truncation DuckDB applies reading ns into µs)."""
+    path = f"{sf_dir}/events.parquet"
+    if events_ts_unit(sf_dir) == "ns":
+        df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 TESTDATA_TABLES = (

@@ -17,11 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Streaming schema for events.parquet: ts is TIMESTAMP(NANOS) in the
-# file; declaring it LONG reads the raw INT64 nanos (reader-scoped, no
-# session conf), then ns DIV 1000 truncates to µs exactly as DuckDB does.
 from market_data_pipeline_databricks_spark.sources.tables import (  # noqa: E402
     EVENTS_RAW_SCHEMA,
+    events_ts_unit,
 )
 
 
@@ -29,19 +27,32 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one parquet file —
     pathGlobFilter selects it from the read-only testdata dir).
 
-    Unlike the batch reader, the streaming parquet source validates the
-    file footer even under an explicit schema and rejects
-    TIMESTAMP(NANOS) (PARQUET_TYPE_ILLEGAL), so the legacy nanos conf is
-    required HERE — it is additive (only affects nanos columns, which are
-    unreadable without it) and idempotent; batch paths no longer rely on
-    session state."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    The testdata's ts encoding has varied across rounds (footer sniff,
+    same as the batch reader — sources/tables.py:read_events):
+
+    - TIMESTAMP(NANOS): the streaming parquet source validates the file
+      footer even under an explicit schema and rejects it
+      (PARQUET_TYPE_ILLEGAL), so the legacy nanos conf is required in
+      that case — additive (only affects nanos columns, which are
+      unreadable without it) and idempotent.
+    - TIMESTAMP(MICROS, NTZ): inferred schema, cast to session-zone
+      timestamp; no session conf touched.
+    """
+    if events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_daily_counts(

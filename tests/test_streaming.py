@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from market_data_pipeline_databricks_spark.operators.bronze import normalize_raw
 from market_data_pipeline_databricks_spark.sources.csv_prices import read_prices_csv
+from market_data_pipeline_databricks_spark.sources.tables import read_events
 from market_data_pipeline_databricks_spark.streaming import (
     read_event_stream,
     read_price_csv_stream,
@@ -42,9 +43,7 @@ def test_stream_csv_ingest_matches_batch_bronze(spark, raw_dir):
 def test_stream_tumbling_equals_batch_groupby(spark):
     ev_stream = read_event_stream(spark, SF_SMALL)
     got = run_available_now(tumbling_daily_counts(ev_stream), "t_tumbling")
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    ev = read_events(spark, SF_SMALL)
     want = (
         ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -62,7 +61,7 @@ def test_stateful_totals_equal_batch_aggregate(spark):
         got.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev = read_events(spark, SF_SMALL)
     want = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     cols = ["user_id", "n_events"]
     assert _rows(final, cols) == _rows(want, cols)
