@@ -269,3 +269,45 @@ def winnow_fingerprints(
         .filter(F.col("n_in_frame") == window)  # full windows only
     )
     return full.select("id", "fp").distinct()
+
+
+def chunk_tokens(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> "DataFrame":
+    """Overlapping token-window chunking: split each document's
+    normalized whitespace tokens into chunks of ``chunk_size`` tokens
+    starting every ``stride`` tokens (overlap = chunk_size - stride) —
+    the standard way to cut long documents into context-length-bounded
+    training examples without losing cross-boundary n-grams.
+
+    Pure Column algebra: the token array materializes once per row, the
+    chunk starts explode from a ``sequence``, and each chunk is an
+    O(chunk_size) ``slice`` — no UDF, no shuffle; the op pipelines with
+    the scan at any scale and output size is n_tokens/stride rows per
+    doc. A tail window that adds no tokens beyond the previous chunk
+    (start - stride + chunk_size - 1 >= n_tokens) is suppressed, so
+    chunk sets are minimal and deterministic.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks__"),
+    )
+    n = F.size("__toks__")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    exploded = base.select(F.col(id_col), F.col("__toks__"), F.explode(starts).alias("start"))
+    keep = (F.col("start") == 1) | (
+        F.col("start") - stride + chunk_size - 1 < F.size("__toks__")
+    )
+    chunk = F.slice("__toks__", F.col("start"), F.lit(chunk_size))
+    return exploded.filter(keep).select(
+        F.col(id_col),
+        ((F.col("start") - F.lit(1)) / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.least(
+            F.lit(chunk_size), F.size("__toks__") - F.col("start") + F.lit(1)
+        ).cast("long").alias("n_chunk_tokens"),
+    )

@@ -324,6 +324,38 @@ def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks every 24
+    tokens): the context-length cutter for long documents. Zero-shuffle
+    explode + slice (operators/text.py:chunk_tokens)."""
+    return TX.chunk_tokens(_docs(spark, sf_dir), chunk_size=32, stride=24)
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: docs with doc_id % 5 == 0 arrive as
+    a new batch; the rest are the already-ingested corpus. Survivors =
+    min-id per fingerprint within the batch, anti-joined against the
+    corpus's fingerprint set — the daily-crawl-vs-historical-corpus
+    shape. One shuffle on the 16-byte md5 key for the batch-side group,
+    then a key-colocated left-anti join (both sides hash-partition on
+    fp; no broadcast needed, so the corpus side can be arbitrarily
+    large)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return (
+        batch.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_batch_dups"),
+        )
+        .join(corpus.select("fp").distinct(), "fp", "left_anti")
+        .select("doc_id", "fp", "n_batch_dups")
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -344,6 +376,8 @@ QUERIES = {
     "text_corpus_report": text_corpus_report,
     "sample_train_test_split": sample_train_test_split,
     "sample_stratified_events": sample_stratified_events,
+    "text_chunk_overlap": text_chunk_overlap,
+    "dedup_incremental_batch": dedup_incremental_batch,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -625,6 +659,31 @@ ORACLE_SQL = {
         JOIN docs db ON db.doc_id = id_b
         WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
               / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.1
+    """,
+    "text_chunk_overlap": _NORM + r""",
+        st AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
+          FROM tok
+        )
+        SELECT doc_id,
+               CAST((start - 1) / 24 AS BIGINT) AS chunk_id,
+               array_to_string(toks[start:least(start + 31, len(toks))], ' ') AS chunk_text,
+               CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_chunk_tokens
+        FROM st
+        WHERE start = 1 OR start - 24 + 31 < len(toks)
+    """,
+    "dedup_incremental_batch": _NORM + r""",
+        fp AS (SELECT doc_id, md5(ntext) AS fp FROM norm),
+        batch AS (
+          SELECT fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_dups
+          FROM fp WHERE doc_id % 5 = 0 GROUP BY fp
+        )
+        SELECT b.doc_id, b.fp, b.n_batch_dups
+        FROM batch b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM fp c WHERE c.doc_id % 5 <> 0 AND c.fp = b.fp
+        )
     """,
 }
 
