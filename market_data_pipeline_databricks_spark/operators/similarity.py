@@ -325,3 +325,109 @@ def ann_topk_ivf(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def label_centroid_components(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-(label, dimension) centroid components → (label, dim,
+    centroid, n_vecs), dim 0-based.
+
+    posexplode fans each vector into dim (pos, val) rows — a constant
+    dim× blowup that stays linear in corpus size — then one shuffle on
+    the (label, dim) pair with full map-side partial aggregation.
+    Component means are rounded to ``round_dp`` decimals so downstream
+    dot products are reproducible across engines and partitionings
+    (accumulation order shifts the raw mean at ~1e-15 relative; 1e-6 is
+    far above that noise floor).
+    """
+    d = df.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "val")
+    )
+    return d.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), round_dp).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    ).select(
+        "label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vecs"
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid as an assembled array<double> → (label,
+    centroid, n_vecs). Second aggregation is |labels| × dim rows
+    regardless of corpus size — negligible."""
+    comp = label_centroid_components(df, label_col=label_col, vec_col=vec_col)
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("pairs"),
+            F.max("n_vecs").alias("n_vecs"),
+        )
+        .select(
+            "label",
+            F.transform("pairs", lambda p: p["centroid"]).alias("centroid"),
+            "n_vecs",
+        )
+    )
+
+
+def label_noise_screen(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Label-noise screen: cosine of every vector against its own
+    label's centroid vs the best other-label centroid; rows where the
+    other label wins (on round-6 cosines, both engines) are mislabel
+    suspects — confident-learning-style screening reduced to Column
+    algebra.
+
+    Scale shape: the centroid set is |labels| rows, packed into ONE
+    broadcast row of (label, centroid) structs; the corpus never
+    shuffles and the comparison is a zero-shuffle per-row array fold —
+    |labels| × dim multiply-adds per vector, pipelined with the scan.
+    """
+    cents = label_centroids(df, label_col=label_col, vec_col=vec_col)
+    packed = cents.agg(
+        F.collect_list(F.struct("label", "centroid")).alias("__cents__")
+    )
+    e = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        _as_double(F.col(vec_col)).alias("__v__"),
+    )
+    sims = e.crossJoin(F.broadcast(packed)).select(
+        id_col,
+        "label",
+        F.transform(
+            "__cents__",
+            lambda s: F.struct(
+                s["label"].alias("c_label"),
+                F.round(cosine(F.col("__v__"), s["centroid"]), 6).alias("cos"),
+            ),
+        ).alias("__sims__"),
+    )
+    own = F.element_at(
+        F.filter("__sims__", lambda s: s["c_label"] == F.col("label")), 1
+    )["cos"]
+    other = F.array_max(
+        F.transform(
+            F.filter("__sims__", lambda s: s["c_label"] != F.col("label")),
+            lambda s: s["cos"],
+        )
+    )
+    return sims.select(
+        id_col,
+        "label",
+        own.alias("own_cos"),
+        other.alias("best_other_cos"),
+        (other > own).alias("is_suspect"),
+    )

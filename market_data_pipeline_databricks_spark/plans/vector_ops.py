@@ -149,6 +149,22 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) centroid components of the embedding
+    corpus — the k-means E-step statistic / class-prototype builder,
+    long format so every component is oracle-checked
+    (operators/similarity.py:label_centroid_components)."""
+    return SIM.label_centroid_components(_emb(spark, sf_dir))
+
+
+def vector_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel screen: each vector's cosine to its own label centroid
+    vs the best other-label centroid; is_suspect where the other label
+    wins. Centroids broadcast as one packed row — the corpus never
+    shuffles (operators/similarity.py:label_noise_screen)."""
+    return SIM.label_noise_screen(_emb(spark, sf_dir))
+
+
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
     "curate_multimodal_corpus": curate_multimodal_corpus,
@@ -159,6 +175,8 @@ QUERIES = {
     "vector_ann_ivf_topk": vector_ann_ivf_topk,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "vector_label_centroids": vector_label_centroids,
+    "vector_label_noise_screen": vector_label_noise_screen,
 }
 
 _V = """
@@ -252,5 +270,42 @@ ORACLE_SQL = {
         )
         SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
         FROM media
+    """,
+    "vector_label_centroids": """
+        WITH x AS (
+          SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS gs
+          FROM embeddings
+        )
+        SELECT label, CAST(gs - 1 AS BIGINT) AS dim,
+               ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid,
+               COUNT(*) AS n_vecs
+        FROM x GROUP BY label, gs
+    """,
+    "vector_label_noise_screen": """
+        WITH x AS (
+          SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS gs
+          FROM embeddings
+        ), cent AS (
+          SELECT label AS c_label, gs,
+                 ROUND(AVG(CAST(val AS DOUBLE)), 6) AS c
+          FROM x GROUP BY label, gs
+        ), cvec AS (
+          SELECT c_label, list(c ORDER BY gs) AS cv FROM cent GROUP BY c_label
+        ), e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cos AS (
+          SELECT e.vec_id, e.label, c.c_label,
+                 ROUND(list_dot_product(e.v, c.cv)
+                       / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+          FROM e CROSS JOIN cvec c
+        )
+        SELECT vec_id, label,
+               MAX(CASE WHEN c_label = label THEN cos END) AS own_cos,
+               MAX(CASE WHEN c_label <> label THEN cos END) AS best_other_cos,
+               MAX(CASE WHEN c_label <> label THEN cos END)
+                 > MAX(CASE WHEN c_label = label THEN cos END) AS is_suspect
+        FROM cos GROUP BY vec_id, label
     """,
 }

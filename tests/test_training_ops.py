@@ -447,3 +447,85 @@ def test_pii_redaction_and_counts(spark):
     assert "jane" not in out[1]["red"] and "415" not in out[1]["red"]
     assert "[IPV4]" in out[2]["red"] and "10.0.42.7" not in out[2]["red"]
     assert out[3]["red"] == "no sensitive content here"
+
+
+def test_chunk_tokens_windows(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(70))),  # 3 chunks
+            (2, "a b"),                                  # 1 short chunk
+            (3, ""),                                     # degenerate: [""]
+            (4, " ".join(f"u{i}" for i in range(49))),   # tail suppressed
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in TX.chunk_tokens(df, chunk_size=32, stride=24).collect()
+    }
+    # doc 1: starts 1, 25, 49 over 70 tokens → 32, 32, 22
+    assert out[(1, 0)][0] == 32 and out[(1, 0)][1].startswith("t0 t1 ")
+    assert out[(1, 1)][0] == 32 and out[(1, 1)][1].startswith("t24 ")
+    assert out[(1, 2)][0] == 22 and out[(1, 2)][1].endswith("t69")
+    # consecutive chunks overlap by size - stride = 8 tokens
+    assert out[(1, 0)][1].split()[24:] == out[(1, 1)][1].split()[:8]
+    # doc 2: one chunk, whole text
+    assert out[(2, 0)] == (2, "a b")
+    # doc 4: 49 tokens — start 25 covers through token 49, so the
+    # start-49 window (1 token, fully inside chunk 1) is suppressed
+    assert (4, 2) not in out and out[(4, 1)][0] == 25
+    assert {k for k in out if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta"),      # corpus
+            (2, "gamma delta"),     # corpus
+            (5, "alpha beta"),      # batch dup of corpus → dropped
+            (10, "epsilon zeta"),   # batch unique → kept
+            (15, "eta theta"),      # batch dup pair → min id kept
+            (20, "eta theta"),
+        ],
+        "doc_id: long, text: string",
+    )
+    fp = df.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    corpus = fp.filter(F.col("doc_id") % 5 != 0)
+    batch = fp.filter(F.col("doc_id") % 5 == 0)
+    out = (
+        batch.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n"))
+        .join(corpus.select("fp").distinct(), "fp", "left_anti")
+    )
+    got = {r.doc_id: r.n for r in out.collect()}
+    assert got == {10: 1, 15: 2}
+
+
+def test_label_centroids_match_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.select("vec_id", "label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    got = {r.label: (r.centroid, r.n_vecs) for r in SIM.label_centroids(emb).collect()}
+    assert set(got) == set(by_label)
+    for lbl, vecs in by_label.items():
+        want = np.round(np.mean(np.array(vecs, dtype="float64"), axis=0), 6)
+        cent, n = got[lbl]
+        assert n == len(vecs)
+        assert np.allclose(np.array(cent), want, atol=1e-9)
+
+
+def test_label_noise_screen_flags_planted_mislabel(spark):
+    # two tight clusters on orthogonal axes; vec 99 sits in cluster B
+    # but carries label 0 → the screen must flag exactly that row.
+    rows = [(i, 0, [1.0 + 0.01 * i, 0.0, 0.0, 0.0]) for i in range(5)]
+    rows += [(10 + i, 1, [0.0, 2.0 + 0.01 * i, 0.0, 0.0]) for i in range(5)]
+    rows.append((99, 0, [0.0, 5.0, 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id: long, label: int, embedding: array<float>"
+    )
+    out = {r.vec_id: r.is_suspect for r in SIM.label_noise_screen(df).collect()}
+    assert out[99] is True
+    assert sum(out.values()) == 1
