@@ -356,6 +356,61 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword extractor.
+
+    Shuffle discipline: tokens explode linearly off the scan; one
+    shuffle builds (doc, term) tf; document frequency comes from a
+    window COUNT over the same tf table (tf rows are distinct per
+    (doc, term), so the partition count IS df — no second scan of the
+    text); the corpus size joins in as a 1-row broadcast scalar; the
+    final top-3 is a ROW_NUMBER over doc_id. Scores round to 6 dp
+    BEFORE ranking so tie order (score desc, term asc) is identical on
+    every engine."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = scored.crossJoin(F.broadcast(n_docs)).withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+        ),
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap (keep ≤ 20 docs/source):
+    the domain-balancing primitive that stops one crawl source from
+    dominating the mixture. Order inside a source is content-addressed
+    (md5 of the doc id, then id) so the kept set is identical on any
+    engine, partitioning, or cluster — one shuffle on source."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -378,6 +433,8 @@ QUERIES = {
     "sample_stratified_events": sample_stratified_events,
     "text_chunk_overlap": text_chunk_overlap,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "sample_source_cap": sample_source_cap,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -684,6 +741,38 @@ ORACLE_SQL = {
         WHERE NOT EXISTS (
           SELECT 1 FROM fp c WHERE c.doc_id % 5 <> 0 AND c.fp = b.fp
         )
+    """,
+    "text_tfidf_top_terms": _NORM + r""",
+        t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM t WHERE term <> '' GROUP BY doc_id, term
+        ),
+        d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, d.df,
+                 ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+          FROM tf JOIN d USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+          ) AS rnk FROM scored
+        )
+        WHERE rnk <= 3
+    """,
+    "sample_source_cap": """
+        SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+        FROM (
+          SELECT doc_id, source, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          ) AS rn
+          FROM documents
+        )
+        WHERE rn <= 20
     """,
 }
 
