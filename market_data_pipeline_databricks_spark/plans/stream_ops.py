@@ -27,6 +27,7 @@ from market_data_pipeline_databricks_spark.streaming.windows import (
     read_event_stream,
     session_window_counts,
     sliding_window_value_sum,
+    static_enrich_nation_counts,
     tumbling_daily_counts,
 )
 
@@ -127,8 +128,21 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def stream_static_enrich_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (stateless join: no
+    watermark, no state store) of the event stream with the customer
+    dimension, then per-(nation, type) counts. Oracle: the identical
+    batch join + GROUP BY."""
+    ev = read_event_stream(spark, sf_dir)
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return run_available_now(
+        static_enrich_nation_counts(ev, customer), f"static_enrich_{_NONCE}"
+    )
+
+
 QUERIES = {
     "stream_stream_click_attribution": stream_stream_click_attribution,
+    "stream_static_enrich_nation": stream_static_enrich_nation,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_tumbling_daily_counts": stream_tumbling_daily_counts,
     "stream_sliding_window_counts": stream_sliding_window_counts,
@@ -137,6 +151,13 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "stream_static_enrich_nation": """
+        SELECT c.c_nationkey, e.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_nationkey, e.event_type
+    """,
     "stream_dedup_within_watermark": """
         SELECT DISTINCT user_id,
                CAST(date_trunc('day', ts) AS DATE) AS day,

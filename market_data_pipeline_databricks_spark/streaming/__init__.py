@@ -16,6 +16,7 @@ from market_data_pipeline_databricks_spark.streaming.windows import (
     read_event_stream,
     session_window_counts,
     sliding_window_value_sum,
+    static_enrich_nation_counts,
     tumbling_daily_counts,
 )
 
@@ -26,4 +27,5 @@ __all__ = [
     "tumbling_daily_counts",
     "sliding_window_value_sum",
     "session_window_counts",
+    "static_enrich_nation_counts",
 ]

@@ -154,3 +154,32 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def static_enrich_nation_counts(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (customer → nation) and count per (nation, event_type).
+
+    The static side is explicitly broadcast — a stream-static inner
+    join is STATELESS (no watermark, no state store): each micro-batch
+    hash-joins against the broadcast dimension exactly like a batch
+    map-side join, so the stream side never shuffles before the
+    aggregation. This is the standard streaming-enrichment shape for
+    dimension tables that fit in memory; bigger dims become a
+    shuffle-partitioned stream-static join with the same semantics.
+    """
+    dim = F.broadcast(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_nationkey", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
