@@ -95,15 +95,51 @@ def set_except_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
 
+def unpivot_part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): per-brand wide aggregates (min/avg/max retail
+    price) melted to (brand, metric, metric_value) long format — the
+    inverse of pivot_qty_by_status. ``stack`` is a Generate (row
+    multiplier) applied AFTER the aggregation, so the wide table it
+    melts is |brands| rows: no data-sized fan-out, one shuffle total."""
+    p = _t(spark, sf_dir, "part")
+    wide = p.groupBy("p_brand").agg(
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+    )
+    return wide.select(
+        "p_brand",
+        F.expr(
+            "stack(3, 'min_price', min_price, 'avg_price', avg_price,"
+            " 'max_price', max_price) AS (metric, metric_value)"
+        ),
+    )
+
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_q3_shipping_priority": join_q3_shipping_priority,
     "agg_rollup_revenue": agg_rollup_revenue,
     "agg_cube_order_stats": agg_cube_order_stats,
     "set_except_intersect_buyers": set_except_intersect_buyers,
+    "unpivot_part_price_bands": unpivot_part_price_bands,
 }
 
 ORACLE_SQL = {
+    "unpivot_part_price_bands": """
+        WITH wide AS (
+          SELECT p_brand,
+                 ROUND(MIN(p_retailprice), 2) AS min_price,
+                 ROUND(AVG(p_retailprice), 2) AS avg_price,
+                 ROUND(MAX(p_retailprice), 2) AS max_price
+          FROM part GROUP BY p_brand
+        )
+        SELECT p_brand, 'min_price' AS metric, min_price AS metric_value FROM wide
+        UNION ALL
+        SELECT p_brand, 'avg_price', avg_price FROM wide
+        UNION ALL
+        SELECT p_brand, 'max_price', max_price FROM wide
+    """,
     "set_except_intersect_buyers": """
         WITH early AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < DATE '1995-06-01'),
              late  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-06-01'),
