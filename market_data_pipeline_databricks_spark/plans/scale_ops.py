@@ -140,15 +140,40 @@ def join_range_binned_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("revenue") > 1.5 * F.col("avg_rev_60d"))
     )
 
+def scale_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (continuous, linear interpolation) — the
+    oracle-checkable twin of scale_approx_percentiles. Spark's
+    ``percentile`` aggregate buffers each group's values, so at 100 TB
+    the sketch path is the default and this is the per-group-bounded
+    verifier (|group| here is O(rows/3), fine at test scale; on a
+    cluster you run it on bounded groups or samples)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES = {
     "skew_salted_pricing_summary": skew_salted_pricing_summary,
     "skew_salted_join_orders": skew_salted_join_orders,
     "scale_approx_distinct": scale_approx_distinct,
     "scale_approx_percentiles": scale_approx_percentiles,
+    "scale_exact_percentiles": scale_exact_percentiles,
     "join_range_binned_volatility": join_range_binned_volatility,
 }
 
 ORACLE_SQL = {
+    "scale_exact_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "join_range_binned_volatility": """
         WITH daily AS (
           SELECT CAST(o_orderdate AS DATE) AS day,
