@@ -77,10 +77,42 @@ def funcs_ewma_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funcs_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier market beta + correlation — the statistical
+    aggregate family (regr_slope, corr): daily simple returns per
+    supplier regressed on the equal-weight cross-supplier mean return.
+
+    Shape: one suppkey window builds returns; the market series is
+    O(days) rows (decimal-summed mean: order-independent bits) and
+    broadcasts; the final aggregation shuffles once on suppkey.
+    """
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("suppkey").orderBy("day")
+    r = daily.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1
+    ).filter(F.col("ret").isNotNull())
+    mkt = r.groupBy("day").agg(
+        (
+            F.sum(F.col("ret").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mkt_ret")
+    )
+    return (
+        r.join(F.broadcast(mkt), "day")
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.expr("regr_slope(ret, mkt_ret)"), 6).alias("beta"),
+            F.round(F.corr("ret", "mkt_ret"), 6).alias("mkt_corr"),
+        )
+    )
+
+
 QUERIES = {
     "funcs_feature_panel": funcs_feature_panel,
     "funcs_log_return_stats": funcs_log_return_stats,
     "funcs_ewma_close": funcs_ewma_close,
+    "funcs_market_beta": funcs_market_beta,
 }
 
 _DAILY_CTE = """
@@ -92,6 +124,24 @@ WITH daily AS (
 """
 
 ORACLE_SQL = {
+    "funcs_market_beta": _DAILY_CTE + """
+        , r AS (
+          SELECT suppkey, day,
+                 close / LAG(close) OVER (PARTITION BY suppkey ORDER BY day) - 1 AS ret
+          FROM daily
+        ),
+        rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+        mkt AS (
+          SELECT day,
+                 CAST(SUM(CAST(ret AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mkt_ret
+          FROM rr GROUP BY day
+        )
+        SELECT suppkey, COUNT(*) AS n_days,
+               ROUND(regr_slope(ret, mkt_ret), 6) AS beta,
+               ROUND(corr(ret, mkt_ret), 6) AS mkt_corr
+        FROM rr JOIN mkt USING (day)
+        GROUP BY suppkey
+    """,
     "funcs_feature_panel": _DAILY_CTE + """
         SELECT suppkey, day, close,
                FLOOR(CAST(SUM(CAST(close * volume AS DECIMAL(27,6))) OVER f AS DOUBLE)
