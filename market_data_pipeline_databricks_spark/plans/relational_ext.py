@@ -116,6 +116,24 @@ def unpivot_part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((returnflag), (linestatus), ()) — asymmetric
+    multi-level aggregates in one pass, a shape ROLLUP/CUBE cannot
+    express (they would add the (flag, status) cell). Driven through
+    the SQL surface on a staged temp view (S4), Expand + single
+    exchange underneath."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gsets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_q3_shipping_priority": join_q3_shipping_priority,
@@ -123,9 +141,17 @@ QUERIES = {
     "agg_cube_order_stats": agg_cube_order_stats,
     "set_except_intersect_buyers": set_except_intersect_buyers,
     "unpivot_part_price_bands": unpivot_part_price_bands,
+    "agg_grouping_sets_revenue": agg_grouping_sets_revenue,
 }
 
 ORACLE_SQL = {
+    "agg_grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
     "unpivot_part_price_bands": """
         WITH wide AS (
           SELECT p_brand,
