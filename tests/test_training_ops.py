@@ -529,3 +529,29 @@ def test_label_noise_screen_flags_planted_mislabel(spark):
     out = {r.vec_id: r.is_suspect for r in SIM.label_noise_screen(df).collect()}
     assert out[99] is True
     assert sum(out.values()) == 1
+
+
+def test_chunk_tokens_no_overlap_reconstructs(spark, docs):
+    # With stride == chunk_size the chunks tile the token stream exactly:
+    # re-joining them in chunk order must reproduce the normalized text.
+    out = TX.chunk_tokens(docs, chunk_size=24, stride=24)
+    rec = (
+        out.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_id", "chunk_text"))
+            ).alias("pairs")
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform("pairs", lambda p: p["chunk_text"]), " "
+            ).alias("rebuilt"),
+        )
+    )
+    want = docs.select(
+        "doc_id", TX.normalize_text(F.col("text")).alias("norm")
+    )
+    joined = rec.join(want, "doc_id")
+    assert joined.filter(F.col("rebuilt") != F.col("norm")).count() == 0
+    assert joined.count() == docs.count()
