@@ -165,6 +165,38 @@ def vector_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.label_noise_screen(_emb(spark, sf_dir))
 
 
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus: per-dimension
+    min/max codebook (exact aggregates — bit-identical on any engine),
+    then code = floor((val - lo) / (hi - lo) * 255) clamped to [0,255]
+    — the memory-4x-compression step before ANN serving. The codebook
+    is |dims| rows and broadcasts; row-level oracle over every
+    (vec_id, dim) code. Constant-dimension guard (hi == lo → 0) keeps
+    NaN out of both engines' clamp semantics."""
+    d = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "val"
+        ),
+    )
+    rng = d.groupBy("dim").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    code = F.floor((F.col("val") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255)
+    return (
+        d.join(F.broadcast(rng), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.least(F.lit(255), F.greatest(F.lit(0), code)),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("code"),
+        )
+    )
+
+
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
     "curate_multimodal_corpus": curate_multimodal_corpus,
@@ -177,6 +209,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "vector_label_centroids": vector_label_centroids,
     "vector_label_noise_screen": vector_label_noise_screen,
+    "vector_quantize_int8": vector_quantize_int8,
 }
 
 _V = """
@@ -270,6 +303,20 @@ ORACLE_SQL = {
         )
         SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
         FROM media
+    """,
+    "vector_quantize_int8": """
+        WITH x AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                 generate_subscripts(embedding, 1) AS gs
+          FROM embeddings
+        ), rng AS (
+          SELECT gs, MIN(val) AS lo, MAX(val) AS hi FROM x GROUP BY gs
+        )
+        SELECT vec_id, CAST(x.gs - 1 AS BIGINT) AS dim,
+               CAST(CASE WHEN hi > lo
+                    THEN LEAST(255, GREATEST(0, FLOOR((val - lo) / (hi - lo) * 255)))
+                    ELSE 0 END AS BIGINT) AS code
+        FROM x JOIN rng USING (gs)
     """,
     "vector_label_centroids": """
         WITH x AS (
