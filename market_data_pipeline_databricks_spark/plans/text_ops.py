@@ -108,13 +108,12 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data curation, the capstone composition:
-    language filter (en) → quality filter (score ≥ 0.5) → exact dedup
-    (min doc_id per fingerprint) → near-dup removal (exact 3-gram
-    Jaccard ≥ 0.5, keep the lower id) → surviving corpus. Every stage
-    is an operator from this package; the whole chain has a full
-    DuckDB oracle."""
+def _curated_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared curation chain: language filter (en) → quality filter
+    (score ≥ 0.5) → exact dedup (min doc_id per fingerprint) →
+    near-dup removal (exact 3-gram Jaccard ≥ 0.5, keep the lower id).
+    Returns the surviving documents with text attached so downstream
+    capstones (chunking) can keep composing."""
     from pyspark.sql import Window
 
     enr = TX.with_text_stats(_docs(spark, sf_dir)).select(
@@ -134,8 +133,27 @@ def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = DD.ngram_jaccard_pairs(exact, threshold=0.5)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = exact.join(removed, "doc_id", "left_anti")
-    return survivors.select("doc_id", "n_tokens", "quality")
+    return exact.join(removed, "doc_id", "left_anti")
+
+
+def curate_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, the capstone composition:
+    language filter (en) → quality filter (score ≥ 0.5) → exact dedup
+    (min doc_id per fingerprint) → near-dup removal (exact 3-gram
+    Jaccard ≥ 0.5, keep the lower id) → surviving corpus. Every stage
+    is an operator from this package; the whole chain has a full
+    DuckDB oracle."""
+    return _curated_survivors(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+
+
+def curate_chunk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #3 — the full document-prep path a pretraining run
+    executes: curation survivors (language → quality → exact dedup →
+    near-dup removal) cut into overlapping 32-token context windows.
+    Row-level oracle over every produced chunk; the chunking stage
+    adds zero shuffle on top of the curation chain."""
+    surv = _curated_survivors(spark, sf_dir).select("doc_id", "text")
+    return TX.chunk_tokens(surv, chunk_size=32, stride=24)
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +453,7 @@ QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_source_cap": sample_source_cap,
+    "curate_chunk_corpus": curate_chunk_corpus,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -462,6 +481,62 @@ docs AS (
 ), sh AS (
   SELECT doc_id, unnest(shingleset) AS shingle FROM docs
 )
+"""
+
+# Shared curation CTE chain (through the near-dup pair set) — reused by
+# the curate_* capstone oracles.
+_CURATE_CTES = _NORM + f""",
+        enr AS (
+          SELECT doc_id, ntext, toks,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 md5(ntext) AS fp,
+                 ROUND(GREATEST(LEAST(
+                   (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
+                   * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> t IN {_STOP_EN})) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+                      - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))),
+                   1.0), 0.0), 6) AS quality,
+                 CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) AND s_en >= 1 THEN 'en'
+                      WHEN s_de >= GREATEST(s_fr, s_es) AND s_de >= 1 THEN 'de'
+                      WHEN s_fr >= s_es AND s_fr >= 1 THEN 'fr'
+                      WHEN s_es >= 1 THEN 'es'
+                      ELSE 'und' END AS lang_pred
+          FROM (
+            SELECT *,
+                   len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS s_en,
+                   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+                   len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+                   len(list_filter(toks, t -> t IN ('el','la','los','y','es','un'))) AS s_es
+            FROM tok
+          )
+        ),
+        kept AS (SELECT * FROM enr WHERE lang_pred = 'en' AND quality >= 0.5),
+        exact AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
+          ) WHERE rn = 1
+        ),
+        sdocs AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks)-2, 1) + 1),
+                   i -> array_to_string(toks[i:least(i+2, len(toks))], ' ')
+                 )) AS shingleset
+          FROM exact
+        ),
+        sh2 AS (SELECT doc_id, unnest(shingleset) AS shingle FROM sdocs),
+        rare2 AS (SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 10),
+        cand2 AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare2)
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM cand2
+          JOIN sdocs da ON da.doc_id = id_a
+          JOIN sdocs db ON db.doc_id = id_b
+          WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.5
+        )
 """
 
 ORACLE_SQL = {
@@ -593,60 +668,26 @@ ORACLE_SQL = {
                CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
         FROM reach GROUP BY u
     """,
-    "curate_training_corpus": _NORM + f""",
-        enr AS (
-          SELECT doc_id, ntext, toks,
-                 CAST(len(toks) AS BIGINT) AS n_tokens,
-                 md5(ntext) AS fp,
-                 ROUND(GREATEST(LEAST(
-                   (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
-                   * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> t IN {_STOP_EN})) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-                      - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))),
-                   1.0), 0.0), 6) AS quality,
-                 CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) AND s_en >= 1 THEN 'en'
-                      WHEN s_de >= GREATEST(s_fr, s_es) AND s_de >= 1 THEN 'de'
-                      WHEN s_fr >= s_es AND s_fr >= 1 THEN 'fr'
-                      WHEN s_es >= 1 THEN 'es'
-                      ELSE 'und' END AS lang_pred
-          FROM (
-            SELECT *,
-                   len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS s_en,
-                   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
-                   len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
-                   len(list_filter(toks, t -> t IN ('el','la','los','y','es','un'))) AS s_es
-            FROM tok
-          )
-        ),
-        kept AS (SELECT * FROM enr WHERE lang_pred = 'en' AND quality >= 0.5),
-        exact AS (
-          SELECT * FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
-          ) WHERE rn = 1
-        ),
-        sdocs AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   range(1, greatest(len(toks)-2, 1) + 1),
-                   i -> array_to_string(toks[i:least(i+2, len(toks))], ' ')
-                 )) AS shingleset
-          FROM exact
-        ),
-        sh2 AS (SELECT doc_id, unnest(shingleset) AS shingle FROM sdocs),
-        rare2 AS (SELECT shingle FROM sh2 GROUP BY shingle HAVING COUNT(*) <= 10),
-        cand2 AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          WHERE a.shingle IN (SELECT shingle FROM rare2)
-        ),
-        pairs AS (
-          SELECT id_a, id_b FROM cand2
-          JOIN sdocs da ON da.doc_id = id_a
-          JOIN sdocs db ON db.doc_id = id_b
-          WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
-                / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.5
-        )
+    "curate_training_corpus": _CURATE_CTES + """
         SELECT doc_id, n_tokens, quality FROM exact
         WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+    """,
+    "curate_chunk_corpus": _CURATE_CTES + """,
+        surv AS (
+          SELECT doc_id, toks FROM exact
+          WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+        ),
+        cst AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
+          FROM surv
+        )
+        SELECT doc_id,
+               CAST((start - 1) / 24 AS BIGINT) AS chunk_id,
+               array_to_string(toks[start:least(start + 31, len(toks))], ' ') AS chunk_text,
+               CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_chunk_tokens
+        FROM cst
+        WHERE start = 1 OR start - 24 + 31 < len(toks)
     """,
     "text_bpe_token_count": _NORM + r"""
         SELECT doc_id,
