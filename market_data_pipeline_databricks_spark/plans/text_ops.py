@@ -429,6 +429,78 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygiene check: near-duplicate pairs (exact 3-gram Jaccard,
+    rare-shingle blocking) that STRADDLE the train/test boundary —
+    contaminated evaluation data, the thing dedup-before-split exists
+    to prevent. The pair generation is the blocked equi-join from
+    dedup_ngram_jaccard; the split tag is the content-addressed md5
+    bucket, so the verdict is identical on any engine/partitioning."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        split_column,
+    )
+
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    sa = split_column(F.col("id_a"), 0.2, seed="r1")
+    sb = split_column(F.col("id_b"), 0.2, seed="r1")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        sa.alias("split_a"),
+        sb.alias("split_b"),
+    ).filter(F.col("split_a") != F.col("split_b"))
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time funnel view → click → purchase per user: first view,
+    first click at-or-after it, first purchase at-or-after that, and
+    the stage reached. Three pushed-down filtered scans, each partial-
+    aggregated per user before its shuffle; stage tables are |users|
+    rows joined on the same key."""
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return out.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        stage.cast("long").alias("stage_reached"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -454,6 +526,8 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_source_cap": sample_source_cap,
     "curate_chunk_corpus": curate_chunk_corpus,
+    "sample_split_leakage": sample_split_leakage,
+    "events_funnel": events_funnel,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -636,6 +710,65 @@ ORACLE_SQL = {
                CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':r1'), 1, 8)) AS UBIGINT) % 10000 < 2000
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """,
+    "sample_split_leakage": _SHINGLE_DOCS + """,
+        rare AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a
+          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare)
+        ),
+        pairs AS (
+          SELECT id_a, id_b,
+                 ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                       / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) AS jaccard
+          FROM cand
+          JOIN docs da ON da.doc_id = id_a
+          JOIN docs db ON db.doc_id = id_b
+          WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.1
+        ),
+        tagged AS (
+          SELECT id_a, id_b, jaccard,
+                 CASE WHEN CAST(('0x' || substring(md5(CAST(id_a AS VARCHAR) || ':r1'), 1, 8)) AS UBIGINT) % 10000 < 2000
+                      THEN 'test' ELSE 'train' END AS split_a,
+                 CASE WHEN CAST(('0x' || substring(md5(CAST(id_b AS VARCHAR) || ':r1'), 1, 8)) AS UBIGINT) % 10000 < 2000
+                      THEN 'test' ELSE 'train' END AS split_b
+          FROM pairs
+        )
+        SELECT id_a, id_b, jaccard, split_a, split_b
+        FROM tagged WHERE split_a <> split_b
+    """,
+    "events_funnel": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (
+          SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+               CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                         WHEN c.t_click IS NOT NULL THEN 2
+                         WHEN v.t_view IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS stage_reached
+        FROM u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
     """,
     "sample_stratified_events": """
         SELECT event_type, COUNT(*) AS n_sampled
