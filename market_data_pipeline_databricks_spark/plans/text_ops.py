@@ -501,6 +501,31 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: cohort = each user's first-event week;
+    a (cohort_week, week_offset) cell counts distinct users from that
+    cohort active offset weeks later. Two aggregations — first-week per
+    user (partial-agg'd), then distinct users per cell after a
+    broadcast-joinable |users|-row cohort table lands back on the
+    event stream."""
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.datediff(F.col("week"), F.col("cohort_week")) / 7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -528,6 +553,7 @@ QUERIES = {
     "curate_chunk_corpus": curate_chunk_corpus,
     "sample_split_leakage": sample_split_leakage,
     "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -741,6 +767,19 @@ ORACLE_SQL = {
         )
         SELECT id_a, id_b, jaccard, split_a, split_b
         FROM tagged WHERE split_a <> split_b
+    """,
+    "events_retention_cohorts": """
+        WITH e AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+          FROM events
+        ),
+        cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+        SELECT c.cohort_week,
+               CAST((e.week - c.cohort_week) / 7 AS BIGINT) AS week_offset,
+               COUNT(DISTINCT e.user_id) AS n_active_users
+        FROM e JOIN cohort c ON e.user_id = c.user_id
+        GROUP BY 1, 2
     """,
     "events_funnel": """
         WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -555,3 +555,36 @@ def test_chunk_tokens_no_overlap_reconstructs(spark, docs):
     joined = rec.join(want, "doc_id")
     assert joined.filter(F.col("rebuilt") != F.col("norm")).count() == 0
     assert joined.count() == docs.count()
+
+
+def test_events_funnel_orders_stages(spark, tmp_path):
+    # user 1: view < click < purchase  -> stage 3
+    # user 2: purchase BEFORE any view -> stage 1 (no click/purchase after)
+    # user 3: click only, no view      -> stage 0 path: no view => stage 0
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2025, 5, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0, "view"), (2, 1, t0 + dt.timedelta(hours=1), "click"),
+        (3, 1, t0 + dt.timedelta(hours=2), "purchase"),
+        (4, 2, t0, "purchase"), (5, 2, t0 + dt.timedelta(hours=1), "view"),
+        (6, 3, t0, "click"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(table, tmp_path / "events.parquet", version="2.6")
+
+    from market_data_pipeline_databricks_spark.plans.text_ops import events_funnel
+
+    got = {r.user_id: r.stage_reached for r in events_funnel(spark, str(tmp_path)).collect()}
+    assert got == {1: 3, 2: 1, 3: 0}
