@@ -588,3 +588,13 @@ def test_events_funnel_orders_stages(spark, tmp_path):
 
     got = {r.user_id: r.stage_reached for r in events_funnel(spark, str(tmp_path)).collect()}
     assert got == {1: 3, 2: 1, 3: 0}
+
+
+def test_new_ops_handle_empty_inputs(spark):
+    empty_docs = spark.createDataFrame([], "doc_id: long, text: string")
+    assert TX.chunk_tokens(empty_docs).count() == 0
+    empty_emb = spark.createDataFrame(
+        [], "vec_id: long, label: int, embedding: array<float>"
+    )
+    assert SIM.label_centroids(empty_emb).count() == 0
+    assert SIM.label_noise_screen(empty_emb).count() == 0
