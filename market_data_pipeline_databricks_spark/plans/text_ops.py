@@ -526,6 +526,32 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-200 adjacent token bigrams — the merge-candidate
+    inventory a BPE/WordPiece vocab induction starts from. Bigrams
+    build as a per-row array transform (no self-join), explode
+    linearly, and aggregate with map-side partial counts; the final
+    top-k is a TakeOrderedAndProject, not a global sort. Deterministic
+    tie-break on the bigram string."""
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(200)
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -554,6 +580,7 @@ QUERIES = {
     "sample_split_leakage": sample_split_leakage,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
+    "text_bigram_vocab": text_bigram_vocab,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -767,6 +794,18 @@ ORACLE_SQL = {
         )
         SELECT id_a, id_b, jaccard, split_a, split_b
         FROM tagged WHERE split_a <> split_b
+    """,
+    "text_bigram_vocab": _NORM + r""",
+        bg AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i + 1]
+                 )) AS bigram
+          FROM tok
+        )
+        SELECT bigram, COUNT(*) AS n_occurrences
+        FROM bg GROUP BY bigram
+        ORDER BY n_occurrences DESC, bigram ASC LIMIT 200
     """,
     "events_retention_cohorts": """
         WITH e AS (
