@@ -424,10 +424,14 @@ def label_noise_screen(
             lambda s: s["cos"],
         )
     )
+    # Single-label corpora have no other-label centroid: best_other_cos
+    # is NULL (documented — "no competing label existed"), and is_suspect
+    # coalesces to false so a three-valued NULL can't silently drop rows
+    # from `is_suspect = false` consumers (round-3 advice).
     return sims.select(
         id_col,
         "label",
         own.alias("own_cos"),
         other.alias("best_other_cos"),
-        (other > own).alias("is_suspect"),
+        F.coalesce(other > own, F.lit(False)).alias("is_suspect"),
     )

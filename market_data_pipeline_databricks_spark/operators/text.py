@@ -291,10 +291,19 @@ def chunk_tokens(
     doc. A tail window that adds no tokens beyond the previous chunk
     (start - stride + chunk_size - 1 >= n_tokens) is suppressed, so
     chunk sets are minimal and deterministic.
+
+    Blank/whitespace-only documents yield ZERO chunks: splitting a
+    normalized empty string would give [''] (one phantom token), so
+    such rows are filtered before chunking rather than emitting a
+    chunk with an overstated n_chunk_tokens=1 (round-3 advice).
     """
     base = df.select(
         F.col(id_col),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__toks__"),
+        normalize_text(F.col(text_col)).alias("__ntext__"),
+    ).filter(F.col("__ntext__") != "")
+    base = base.select(
+        F.col(id_col),
+        F.split(F.col("__ntext__"), " ").alias("__toks__"),
     )
     n = F.size("__toks__")
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))

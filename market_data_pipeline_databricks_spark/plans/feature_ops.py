@@ -85,6 +85,14 @@ def funcs_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one suppkey window builds returns; the market series is
     O(days) rows (decimal-summed mean: order-independent bits) and
     broadcasts; the final aggregation shuffles once on suppkey.
+
+    Slope/corr are derived from decimal-cast component sums (Σx, Σy,
+    Σxy, Σx², Σy²) instead of the native double-accumulating
+    regr_slope/corr aggregates: the component sums are order-exact, so
+    both engines compute the 6-dp values from identical bits and
+    parity cannot flake near a rounding boundary (round-3 advice).
+    NULL semantics match the native aggregates: zero x-variance →
+    NULL beta; zero variance on either axis → NULL corr.
     """
     daily = _daily(spark, sf_dir)
     w = Window.partitionBy("suppkey").orderBy("day")
@@ -97,14 +105,33 @@ def funcs_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mkt_ret")
     )
-    return (
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(27,12)")).cast("double")
+
+    comp = (
         r.join(F.broadcast(mkt), "day")
         .groupBy("suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.expr("regr_slope(ret, mkt_ret)"), 6).alias("beta"),
-            F.round(F.corr("ret", "mkt_ret"), 6).alias("mkt_corr"),
+            dsum(F.col("mkt_ret")).alias("sx"),
+            dsum(F.col("ret")).alias("sy"),
+            dsum(F.col("ret") * F.col("mkt_ret")).alias("sxy"),
+            dsum(F.col("mkt_ret") * F.col("mkt_ret")).alias("sxx"),
+            dsum(F.col("ret") * F.col("ret")).alias("syy"),
         )
+    )
+    n = F.col("n_days").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = F.when(varx != 0, cov / varx)
+    corr = F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary))
+    return comp.select(
+        "suppkey",
+        "n_days",
+        F.round(beta, 6).alias("beta"),
+        F.round(corr, 6).alias("mkt_corr"),
     )
 
 
@@ -136,11 +163,28 @@ ORACLE_SQL = {
                  CAST(SUM(CAST(ret AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mkt_ret
           FROM rr GROUP BY day
         )
-        SELECT suppkey, COUNT(*) AS n_days,
-               ROUND(regr_slope(ret, mkt_ret), 6) AS beta,
-               ROUND(corr(ret, mkt_ret), 6) AS mkt_corr
-        FROM rr JOIN mkt USING (day)
-        GROUP BY suppkey
+        , comp AS (
+          SELECT suppkey, COUNT(*) AS n_days,
+                 CAST(SUM(CAST(mkt_ret AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(ret AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ret * mkt_ret AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(mkt_ret * mkt_ret AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(ret * ret AS DECIMAL(27,12))) AS DOUBLE) AS syy
+          FROM rr JOIN mkt USING (day)
+          GROUP BY suppkey
+        )
+        SELECT suppkey, n_days,
+               ROUND(CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx <> 0
+                          THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                               / (CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                     END, 6) AS beta,
+               ROUND(CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx > 0
+                           AND CAST(n_days AS DOUBLE) * syy - sy * sy > 0
+                          THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                               / SQRT((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                                      * (CAST(n_days AS DOUBLE) * syy - sy * sy))
+                     END, 6) AS mkt_corr
+        FROM comp
     """,
     "funcs_feature_panel": _DAILY_CTE + """
         SELECT suppkey, day, close,

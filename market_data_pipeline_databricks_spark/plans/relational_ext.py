@@ -102,9 +102,18 @@ def unpivot_part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplier) applied AFTER the aggregation, so the wide table it
     melts is |brands| rows: no data-sized fan-out, one shuffle total."""
     p = _t(spark, sf_dir, "part")
+    # AVG numerator runs through an exact decimal sum (same discipline
+    # as sum_price in this file): a raw double SUM is partition-order
+    # dependent, so the rounded value would rely on ROUND(,2) absorbing
+    # accumulation noise instead of being order-independent by
+    # construction (round-3 advice).
     wide = p.groupBy("p_brand").agg(
         F.round(F.min("p_retailprice"), 2).alias("min_price"),
-        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.round(
+            F.sum(F.col("p_retailprice").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            2,
+        ).alias("avg_price"),
         F.round(F.max("p_retailprice"), 2).alias("max_price"),
     )
     return wide.select(
@@ -156,7 +165,8 @@ ORACLE_SQL = {
         WITH wide AS (
           SELECT p_brand,
                  ROUND(MIN(p_retailprice), 2) AS min_price,
-                 ROUND(AVG(p_retailprice), 2) AS avg_price,
+                 ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE)
+                       / COUNT(*), 2) AS avg_price,
                  ROUND(MAX(p_retailprice), 2) AS max_price
           FROM part GROUP BY p_brand
         )

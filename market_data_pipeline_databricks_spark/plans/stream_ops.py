@@ -24,6 +24,7 @@ from market_data_pipeline_databricks_spark.streaming.stateful import (
 )
 from market_data_pipeline_databricks_spark.streaming.windows import (
     dedup_within_watermark,
+    nanos_conf_scope,
     read_event_stream,
     session_window_counts,
     sliding_window_value_sum,
@@ -37,20 +38,22 @@ _NONCE = f"s{os.getpid()}"
 def stream_tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling 1-day window counts (streaming) — equals
     the batch daily GROUP BY."""
-    ev = read_event_stream(spark, sf_dir)
-    return run_available_now(
-        tumbling_daily_counts(ev), f"tumbling_daily_{_NONCE}"
-    )
+    with nanos_conf_scope(spark, sf_dir):
+        ev = read_event_stream(spark, sf_dir)
+        return run_available_now(
+            tumbling_daily_counts(ev), f"tumbling_daily_{_NONCE}"
+        )
 
 
 def stream_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 2-day/1-day windows (streaming): every event counted in
     exactly 2 windows. Oracle: union of the two covering windows per
     event, then GROUP BY."""
-    ev = read_event_stream(spark, sf_dir)
-    return run_available_now(
-        sliding_window_value_sum(ev), f"sliding_{_NONCE}"
-    )
+    with nanos_conf_scope(spark, sf_dir):
+        ev = read_event_stream(spark, sf_dir)
+        return run_available_now(
+            sliding_window_value_sum(ev), f"sliding_{_NONCE}"
+        )
 
 
 def stream_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,10 +61,11 @@ def stream_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     session/event counts batch-side. Oracle: LAG-gap formulation with
     >= boundary (session_window starts a new session at gap >= 30min).
     """
-    ev = read_event_stream(spark, sf_dir)
-    sessions = run_available_now(
-        session_window_counts(ev), f"sessions_{_NONCE}"
-    )
+    with nanos_conf_scope(spark, sf_dir):
+        ev = read_event_stream(spark, sf_dir)
+        sessions = run_available_now(
+            session_window_counts(ev), f"sessions_{_NONCE}"
+        )
     return sessions.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events"),
@@ -72,12 +76,13 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running totals; with availableNow over
     finite input the final update per user equals the batch aggregate.
     Oracle: per-user COUNT/SUM/MAX(ts). float sum → ROUND(, 6)."""
-    ev = read_event_stream(spark, sf_dir)
-    totals = run_available_now(
-        running_user_totals(ev),
-        f"user_totals_{_NONCE}",
-        output_mode="update",
-    )
+    with nanos_conf_scope(spark, sf_dir):
+        ev = read_event_stream(spark, sf_dir)
+        totals = run_available_now(
+            running_user_totals(ev),
+            f"user_totals_{_NONCE}",
+            output_mode="update",
+        )
     # update-mode memory sink may hold one row per micro-batch per key;
     # keep the final (largest n_events) row per user.
     from pyspark.sql import Window
@@ -103,12 +108,13 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         click_view_attribution,
     )
 
-    ev = read_event_stream(spark, sf_dir)
-    pairs = run_available_now(
-        click_view_attribution(ev),
-        f"clickview_{_NONCE}",
-        output_mode="append",
-    )
+    with nanos_conf_scope(spark, sf_dir):
+        ev = read_event_stream(spark, sf_dir)
+        pairs = run_available_now(
+            click_view_attribution(ev),
+            f"clickview_{_NONCE}",
+            output_mode="append",
+        )
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("click_id").alias("n_attributed_clicks"),
@@ -120,12 +126,13 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     (dropDuplicatesWithinWatermark): availableNow result equals batch
     SELECT DISTINCT because every duplicate key arrives inside the
     delay (see streaming/windows.py:dedup_within_watermark)."""
-    ev = read_event_stream(spark, sf_dir)
-    return run_available_now(
-        dedup_within_watermark(ev),
-        f"dedup_wm_{_NONCE}",
-        output_mode="append",
-    )
+    with nanos_conf_scope(spark, sf_dir):
+        ev = read_event_stream(spark, sf_dir)
+        return run_available_now(
+            dedup_within_watermark(ev),
+            f"dedup_wm_{_NONCE}",
+            output_mode="append",
+        )
 
 
 def stream_static_enrich_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,11 +140,12 @@ def stream_static_enrich_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark, no state store) of the event stream with the customer
     dimension, then per-(nation, type) counts. Oracle: the identical
     batch join + GROUP BY."""
-    ev = read_event_stream(spark, sf_dir)
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return run_available_now(
-        static_enrich_nation_counts(ev, customer), f"static_enrich_{_NONCE}"
-    )
+    with nanos_conf_scope(spark, sf_dir):
+        ev = read_event_stream(spark, sf_dir)
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return run_available_now(
+            static_enrich_nation_counts(ev, customer), f"static_enrich_{_NONCE}"
+        )
 
 
 QUERIES = {

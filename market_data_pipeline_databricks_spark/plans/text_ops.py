@@ -455,36 +455,50 @@ def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time funnel view → click → purchase per user: first view,
     first click at-or-after it, first purchase at-or-after that, and
-    the stage reached. Three pushed-down filtered scans, each partial-
-    aggregated per user before its shuffle; stage tables are |users|
-    rows joined on the same key."""
+    the stage reached.
+
+    Single-scan formulation: one FileScan of ``events`` and ONE shuffle
+    on ``user_id`` serve three stacked per-user window passes (same
+    partitioning, so WindowExec 2/3 reuse pass 1's exchange and sort)
+    plus the final per-user collapse, which also reuses the hash
+    partitioning. Each stage's "first event at-or-after the previous
+    stage" is a conditional MIN over the user's partition; a user with
+    no qualifying event yields NULL through the ``when`` guard, which
+    matches the old left-join semantics exactly. At 100 TB this reads
+    the fact table once instead of the previous formulation's four
+    pushed-down scans — the dominant cost at scan-bound scale."""
+    from pyspark.sql.window import Window
+
     from market_data_pipeline_databricks_spark.plans.relational import _events
 
-    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
-    users = ev.select("user_id").distinct()
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    out = (
-        users.join(v, "user_id", "left")
-        .join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+    w = Window.partitionBy("user_id")
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     stage = (
         F.when(F.col("t_purchase").isNotNull(), 3)
@@ -492,12 +506,20 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("t_view").isNotNull(), 1)
         .otherwise(0)
     )
-    return out.select(
-        "user_id",
-        "t_view",
-        "t_click",
-        "t_purchase",
-        stage.cast("long").alias("stage_reached"),
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            stage.cast("long").alias("stage_reached"),
+        )
     )
 
 
@@ -505,9 +527,16 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention matrix: cohort = each user's first-event week;
     a (cohort_week, week_offset) cell counts distinct users from that
     cohort active offset weeks later. Two aggregations — first-week per
-    user (partial-agg'd), then distinct users per cell after a
-    broadcast-joinable |users|-row cohort table lands back on the
-    event stream."""
+    user (partial-agg'd), then distinct users per cell.
+
+    The cohort table is deliberately NOT hint-broadcast: it has one row
+    per distinct user, an unbounded cardinality at 100 TB of events — a
+    forced ``F.broadcast`` would bypass AQE's size check and fail on
+    the broadcast limit (or OOM executors) instead of degrading. Left
+    unhinted, both sides of the join shuffle on ``user_id`` (the cohort
+    side is already partitioned that way by its groupBy, so it adds no
+    exchange), and AQE still picks a broadcast join at small scale when
+    the cohort table measures under the threshold."""
     from market_data_pipeline_databricks_spark.plans.relational import _events
 
     ev = _events(spark, sf_dir).select(
@@ -515,7 +544,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        ev.join(F.broadcast(cohort), "user_id")
+        ev.join(cohort, "user_id")
         .groupBy(
             "cohort_week",
             ((F.datediff(F.col("week"), F.col("cohort_week")) / 7))
@@ -973,7 +1002,7 @@ ORACLE_SQL = {
         st AS (
           SELECT doc_id, toks,
                  unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
-          FROM tok
+          FROM tok WHERE ntext <> ''
         )
         SELECT doc_id,
                CAST((start - 1) / 24 AS BIGINT) AS chunk_id,

@@ -351,8 +351,8 @@ ORACLE_SQL = {
         SELECT vec_id, label,
                MAX(CASE WHEN c_label = label THEN cos END) AS own_cos,
                MAX(CASE WHEN c_label <> label THEN cos END) AS best_other_cos,
-               MAX(CASE WHEN c_label <> label THEN cos END)
-                 > MAX(CASE WHEN c_label = label THEN cos END) AS is_suspect
+               COALESCE(MAX(CASE WHEN c_label <> label THEN cos END)
+                 > MAX(CASE WHEN c_label = label THEN cos END), FALSE) AS is_suspect
         FROM cos GROUP BY vec_id, label
     """,
 }

@@ -28,11 +28,23 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def events_ts_unit(sf_dir: str) -> str:
-    """Time unit of events.ts in the parquet footer: 'ns' or 'us'."""
+    """Time unit of events.ts in the parquet footer: 'ns' or 'us'.
+
+    Fails fast on a non-timestamp encoding (e.g. a plain INT64):
+    silently defaulting to 'us' would route ``read_events`` down the
+    inference path and surface raw longs as garbage timestamps
+    downstream (round-3 advice)."""
     import pyarrow.parquet as pq
 
     t = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field("ts").type
-    return getattr(t, "unit", "us")
+    unit = getattr(t, "unit", None)
+    if unit is None:
+        raise ValueError(
+            f"events.ts: expected a parquet timestamp column, got {t!r} — "
+            "a new testdata generator encoding needs explicit handling in "
+            "sources/tables.py"
+        )
+    return unit
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,6 +13,7 @@ from market_data_pipeline_databricks_spark.streaming.ingest import (
     run_available_now,
 )
 from market_data_pipeline_databricks_spark.streaming.windows import (
+    nanos_conf_scope,
     read_event_stream,
     session_window_counts,
     sliding_window_value_sum,
@@ -23,6 +24,7 @@ from market_data_pipeline_databricks_spark.streaming.windows import (
 __all__ = [
     "read_price_csv_stream",
     "run_available_now",
+    "nanos_conf_scope",
     "read_event_stream",
     "tumbling_daily_counts",
     "sliding_window_value_sum",
