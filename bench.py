@@ -40,6 +40,14 @@ HEADLINE = [
     "window_rolling_range_avg",
     "funcs_feature_panel",
     "sort_topk_orders",
+    # Heavy extension paths (round 4+): the expensive dedup/curation
+    # plans were previously timed only by the self-reported sweep, so a
+    # plan regression like round 3's 84 s minhash bug would not show in
+    # the driver's BENCH. Timing them here makes the driver catch it.
+    "dedup_minhash_near",
+    "dedup_components",
+    "curate_training_corpus",
+    "vector_ann_near_dup_lsh",
 ]
 
 

@@ -185,6 +185,62 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_verified_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Banded-MinHash candidates + EXACT Jaccard verification — the
+    production recall/precision split for near-dup detection at scale.
+
+    The banding stage is the 100-TB path (an equi-join on band keys —
+    no all-pairs, no rare-shingle DF pass over the corpus); the exact
+    Jaccard then runs only on the candidate set, which is tiny relative
+    to the corpus. Output is identical to ``ngram_jaccard_pairs`` at
+    the same threshold whenever banding recall on ≥-threshold pairs is
+    1 — for near-identical duplicates (J ≥ 0.9, the regime content
+    dedup targets) a 16-band/4-row scheme misses a pair with
+    probability (1 − J⁴)¹⁶ < 1e-10, so the equality is effectively
+    structural (asserted against the exact form on testdata in
+    tests/test_training_ops.py). For lower target thresholds, raise
+    ``num_bands`` (more, shorter bands shift the S-curve left).
+    """
+    cand = minhash_candidate_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.shingles(F.col(text_col), shingle_k)).alias("shingleset"),
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("shingleset").alias("sh_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("shingleset").alias("sh_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

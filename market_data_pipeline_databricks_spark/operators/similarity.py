@@ -178,6 +178,82 @@ def cosine_near_duplicates(
     )
 
 
+def cosine_near_duplicates_multitable(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 3,
+    n_tables: int = 24,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table sign-LSH candidates + EXACT cosine verification.
+
+    Standard multi-probe structure: ``n_tables`` independent
+    hyperplane sets; a pair is a candidate if it shares a bucket in ANY
+    table (recall 1 − (1 − p₁ⁿ)ᵀ with p₁ = 1 − θ/π), and every
+    candidate is then verified with the exact cosine, so precision is
+    1 by construction — the output differs from the brute-force form
+    only on banding misses.
+
+    Recall economics are threshold-dependent and worth stating
+    honestly: at production near-dup thresholds (cos ≥ 0.9, p₁ ≈ 0.86)
+    a few tables of 8+ planes give recall ≈ 1 while pruning candidate
+    volume by the bucket count. At thresholds near the bulk of the
+    pair-similarity distribution (like this testdata's 0.45, where
+    p₁ ≈ 0.65) NO hyperplane scheme prunes much — the LSH exponent
+    ρ → 1 — so the defaults here are sized for recall on that regime
+    (3 planes × 24 tables → per-pair miss < 5e-4 at cos 0.45), and the
+    value of the structure is that bucket joins replace the all-pairs
+    cross join, which is the part that cannot ship at 100 TB.
+    """
+    first = df.select(vec_col).first()
+    dim = len(first[0])
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    # One projection computes every table's bucket; the banded stream
+    # carries only (id, table, bucket) through the explode + self-join
+    # (same narrowing discipline as MinHash banding in operators/dedup).
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_id"),
+                lsh_bucket(
+                    F.col("vec"), random_planes(dim, n_planes, seed + t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = v.select("id", F.explode(buckets).alias("b")).select(
+        "id", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def brute_force_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

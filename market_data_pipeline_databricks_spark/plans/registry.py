@@ -26,49 +26,71 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never driver-checked before round 3 ------------------------------
-    "stream_tumbling_daily_counts",
-    "stream_sliding_window_counts",
-    "stream_session_window_stats",
-    "stream_stateful_user_totals",
-    "stream_stream_click_attribution",
-    "analyst_top_movers_today",
-    "analyst_volatility_regime",
-    "analyst_liquidity_screen",
+    # -- round-4 rotation: the 21 oracle-backed queries that have never
+    # held a driver-green row (landed after round 3's window was pinned;
+    # all pass tools/check_oracle.py locally). They lead the window so
+    # that by end of round 4 EVERY oracle-backed query in the repo has
+    # held a driver-green row at least once (round-3 verdict task 1).
+    "events_funnel",
+    "events_retention_cohorts",
+    "curate_chunk_corpus",
+    "sample_split_leakage",
+    "text_bigram_vocab",
+    "vector_label_centroids",
+    "vector_label_noise_screen",
+    "vector_quantize_int8",
+    "stream_static_enrich_nation",
+    "funcs_market_beta",
+    "scale_exact_percentiles",
+    "agg_grouping_sets_revenue",
+    "unpivot_part_price_bands",
+    "text_chunk_overlap",
+    "dedup_incremental_batch",
+    "text_tfidf_top_terms",
+    "sample_source_cap",
+    "text_corpus_report",
+    "sample_domain_mixture",
+    "text_repetition_score",
+    "text_unigram_logprob",
+    # -- displaced to make room (same standing rule as rounds 2-3: a
+    # never-checked query beats a twice-declared one; every displaced
+    # query held a driver-green row in r3 — see CORRECTNESS_r03.json —
+    # and its §2/extension IDs stay covered by an in-window anchor):
+    #   stream_{tumbling,sliding,session,stateful,click_attribution}
+    #     (streaming stays checked via stream_dedup_within_watermark +
+    #      stream_static_enrich_nation)
+    #   analyst_top_movers_today (J2 via filter_scalar_subquery_latest;
+    #     O via sort_topk_orders; math via analyst_threshold_alerts)
+    #   analyst_volatility_regime / analyst_liquidity_screen (W3/P9 via
+    #     window_supplier_daily_gold / analyst_threshold_alerts)
+    #   window_rolling_range_avg + join_range_binned_volatility (J1 via
+    #     join_range_volatility_expansion, still in-window)
+    #   quality_zscore_outliers (Q1-Q3 via analyst_threshold_alerts +
+    #     analyst_completeness)
+    #   funcs_log_return_stats / funcs_ewma_close (family via
+    #     funcs_feature_panel + funcs_market_beta)
+    #   skew_salted_{pricing_summary,join_orders} (A1/join semantics via
+    #     agg_pricing_summary / join_revenue_by_nation; salting is a
+    #     plan-level technique, result-identical by construction)
+    #   text_decontaminate / pack_training_sequences / text_bpe_token_count
+    #     (text family via text_stats + the six incoming text queries)
+    #   multimodal_wav_roundtrip (multimodal_frame_sample stays)
+    #   dedup_components / sample_train_test_split (dedup via
+    #     dedup_exact_survivors + dedup_incremental_batch + curate
+    #     capstones; sampling via the three incoming sample_* queries)
+    # -- round-3-new anchors kept in-window -------------------------------
+    "window_latest_snapshot_pruned",
+    "stream_dedup_within_watermark",
+    "curate_multimodal_corpus",
+    "multimodal_frame_sample",
+    "vector_near_dup_pairs",
     "analyst_single_key_recent",
     "analyst_threshold_alerts",
     "analyst_point_in_time",
     "analyst_completeness",
     "analyst_dq_triage_cte",
-    "window_rolling_range_avg",
-    "quality_zscore_outliers",
     "funcs_feature_panel",
-    "funcs_log_return_stats",
-    "skew_salted_pricing_summary",
-    "skew_salted_join_orders",
-    "join_range_binned_volatility",
-    "vector_near_dup_pairs",
-    "multimodal_frame_sample",
-    # -- new in round 3 ---------------------------------------------------
-    # Swapped IN over relational anchors whose SURVEY §2 IDs are covered
-    # by ANOTHER still-windowed driver-green query (the judge's standing
-    # rule: a checked query beats two declared ones). Displaced queries
-    # remain oracle-backed and verified via tools/check_oracle.py:
-    #   agg_coverage_report   (A1-A3 via agg_pricing_summary/dup_grain)
-    #   window_dedup_latest_wins (W1 rn=1 via window_latest_snapshot_* +
-    #                             silver pytest)
-    #   window_latest_event_per_user (same rn=1 shape)
-    #   text_lang_id          (lang gate inside curate_training_corpus)
-    #   dedup_ngram_jaccard   (jaccard thresholds inside curate + components)
-    #   agg_conditional_counts (conditional counts inside analyst_dq_triage)
-    "window_latest_snapshot_pruned",
-    "funcs_ewma_close",
-    "text_decontaminate",
-    "pack_training_sequences",
-    "multimodal_wav_roundtrip",
-    "stream_dedup_within_watermark",
-    "curate_multimodal_corpus",
-    # -- core coverage anchors (driver-green in r1+r2, kept in-window) ----
+    # -- core coverage anchors (driver-green in r1-r3, kept in-window) ----
     "agg_pricing_summary",
     "agg_dup_grain_detector",
     "filter_project_revenue",
@@ -84,11 +106,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_regexp_extract",
     "join_asof_orders_quotes",
     "text_stats",
-    "text_bpe_token_count",
     "dedup_exact_survivors",
     "curate_training_corpus",
-    "dedup_components",
-    "sample_train_test_split",
     "vector_cosine_topk",
 )
 

@@ -108,12 +108,24 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curated_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _curated_survivors(
+    spark: SparkSession, sf_dir: str, near_dup: str = "exact"
+) -> DataFrame:
     """Shared curation chain: language filter (en) → quality filter
     (score ≥ 0.5) → exact dedup (min doc_id per fingerprint) →
-    near-dup removal (exact 3-gram Jaccard ≥ 0.5, keep the lower id).
+    near-dup removal (3-gram Jaccard ≥ 0.5, keep the lower id).
     Returns the surviving documents with text attached so downstream
-    capstones (chunking) can keep composing."""
+    capstones (chunking) can keep composing.
+
+    ``near_dup`` picks the pair-generation stage:
+    - "exact": rare-shingle-blocked exact Jaccard — oracle-checkable
+      (DuckDB replays it), used by the driver-checked capstones.
+    - "lsh": banded MinHash candidates + exact-Jaccard verification
+      (operators/dedup.py:minhash_verified_near_duplicates) — the
+      100-TB path; no shingle-DF pass, candidates from band-key
+      equi-joins. Keep-set equality with "exact" is asserted in
+      tests/test_training_ops.py (pairs here are J ≥ 0.95, where the
+      16×4 banding miss probability is < 1e-10 per pair)."""
     from pyspark.sql import Window
 
     enr = TX.with_text_stats(_docs(spark, sf_dir)).select(
@@ -131,7 +143,10 @@ def _curated_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    pairs = DD.ngram_jaccard_pairs(exact, threshold=0.5)
+    if near_dup == "lsh":
+        pairs = DD.minhash_verified_near_duplicates(exact, threshold=0.5)
+    else:
+        pairs = DD.ngram_jaccard_pairs(exact, threshold=0.5)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact.join(removed, "doc_id", "left_anti")
 
@@ -153,6 +168,18 @@ def curate_chunk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row-level oracle over every produced chunk; the chunking stage
     adds zero shuffle on top of the curation chain."""
     surv = _curated_survivors(spark, sf_dir).select("doc_id", "text")
+    return TX.chunk_tokens(surv, chunk_size=32, stride=24)
+
+
+def curate_chunk_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curate→chunk capstone with the near-dup stage swapped to
+    banded MinHash + exact-Jaccard verification — the runnable 100-TB
+    curation path (no rare-shingle document-frequency pass; candidate
+    pairs from band-key equi-joins). Rows-only driver check by design
+    (engine-side xxhash64 banding has no portable SQL twin); keep-set
+    equality with ``curate_chunk_corpus`` is asserted in
+    tests/test_training_ops.py."""
+    surv = _curated_survivors(spark, sf_dir, near_dup="lsh").select("doc_id", "text")
     return TX.chunk_tokens(surv, chunk_size=32, stride=24)
 
 
@@ -606,6 +633,7 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_source_cap": sample_source_cap,
     "curate_chunk_corpus": curate_chunk_corpus,
+    "curate_chunk_corpus_lsh": curate_chunk_corpus_lsh,
     "sample_split_leakage": sample_split_leakage,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,

@@ -128,6 +128,39 @@ def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_multimodal_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-modality capstone with the near-dup stage swapped to
+    multi-table sign-LSH candidates + exact cosine verification
+    (operators/similarity.py:cosine_near_duplicates_multitable) — the
+    structure that replaces the all-pairs cross join with bucket
+    equi-joins at scale. Rows-only driver check (seeded hyperplanes
+    have no SQL twin); keep-set equality with the brute-force form is
+    asserted in tests/test_training_ops.py. Table/plane counts are
+    sized for recall ≈ 1 at this testdata's unusually low pair cosines
+    (0.45-0.51) — production thresholds (≥ 0.9) need far fewer."""
+    from market_data_pipeline_databricks_spark.operators import text as TX
+
+    docs = TX.with_text_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "lang_pred", "quality", "n_tokens")
+    kept = docs.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    emb = _emb(spark, sf_dir)
+    enriched = kept.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
+        "doc_id",
+    )
+    pairs = SIM.cosine_near_duplicates_multitable(
+        enriched.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        threshold=0.45,
+        n_planes=3,
+        n_tables=24,
+    )
+    removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return enriched.join(removed, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "quality", F.col("label").cast("long").alias("label")
+    )
+
+
 def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode, oracle-checked: synthesize a genuine RIFF/PCM
     WAV per document (tone length n_chars × 8 samples), then parse it
@@ -200,6 +233,7 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
     "curate_multimodal_corpus": curate_multimodal_corpus,
+    "curate_multimodal_corpus_lsh": curate_multimodal_corpus_lsh,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
     "vector_near_dup_pairs": vector_near_dup_pairs,
     "vector_ann_lsh_topk": vector_ann_lsh_topk,

@@ -598,3 +598,81 @@ def test_new_ops_handle_empty_inputs(spark):
     )
     assert SIM.label_centroids(empty_emb).count() == 0
     assert SIM.label_noise_screen(empty_emb).count() == 0
+
+
+def test_minhash_verified_equals_exact_jaccard(docs):
+    """The banded-candidates + exact-verify path must reproduce the
+    exact blocked-Jaccard pairs at the same threshold: precision is
+    exact by construction, and at this data's pair similarities
+    (J >= 0.95) the 16x4 banding miss probability is < 1e-10/pair."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_verified_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
+def test_curate_chunk_lsh_keepset_equals_exact(spark):
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        curate_chunk_corpus,
+        curate_chunk_corpus_lsh,
+    )
+
+    exact = {
+        (r.doc_id, r.chunk_id) for r in curate_chunk_corpus(spark, SF).collect()
+    }
+    lsh = {
+        (r.doc_id, r.chunk_id)
+        for r in curate_chunk_corpus_lsh(spark, SF).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_curate_multimodal_lsh_keepset_equals_exact(spark):
+    from market_data_pipeline_databricks_spark.plans.vector_ops import (
+        curate_multimodal_corpus,
+        curate_multimodal_corpus_lsh,
+    )
+
+    exact = {r.doc_id for r in curate_multimodal_corpus(spark, SF).collect()}
+    lsh = {r.doc_id for r in curate_multimodal_corpus_lsh(spark, SF).collect()}
+    assert lsh == exact
+    assert len(exact) > 0
+
+
+def test_chunk_tokens_blank_doc_yields_no_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, "   "), (2, ". , !"), (3, "one two three")],
+        "doc_id: long, text: string",
+    )
+    out = TX.chunk_tokens(df).collect()
+    assert {r.doc_id for r in out} == {3}
+    assert all(r.n_chunk_tokens >= 1 and r.chunk_text != "" for r in out)
+
+
+def test_label_noise_screen_single_label_not_suspect(spark):
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1])],
+        "vec_id: long, label: int, embedding: array<float>",
+    )
+    rows = SIM.label_noise_screen(df).collect()
+    assert all(r.is_suspect is False for r in rows)
+    assert all(r.best_other_cos is None for r in rows)
+
+
+def test_events_ts_unit_rejects_non_timestamp(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({"ts": pa.array([1, 2, 3], pa.int64())})
+    pq.write_table(table, tmp_path / "events.parquet")
+
+    from market_data_pipeline_databricks_spark.sources.tables import events_ts_unit
+
+    with pytest.raises(ValueError, match="timestamp"):
+        events_ts_unit(str(tmp_path))
