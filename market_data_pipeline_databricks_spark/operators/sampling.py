@@ -96,3 +96,30 @@ def pack_sequences(
         F.floor(start / budget).cast("long").alias("start_chunk"),
         F.floor((cum - 1) / budget).cast("long").alias("end_chunk"),
     )
+
+
+def training_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 8, seed: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global training shuffle without a global sort.
+
+    Pretraining wants examples in a pseudorandom order that is (a)
+    reproducible across clusters/partitionings and (b) cheap at 100 TB.
+    A global ORDER BY rand() is neither: it range-shuffles the whole
+    corpus and depends on partition layout. Instead: shard =
+    content-hash of the id (uniform, portable), position = rank of a
+    second salted hash WITHIN the shard. One shuffle on the shard key,
+    per-shard local sort — shards are independent output files a data
+    loader then reads round-robin. Same md5 discipline as the
+    splitters above, so the assignment is engine-portable and
+    oracle-checkable (the id breaks md5-collision ties
+    deterministically)."""
+    shard = (hash_bucket(F.col(id_col), seed) % n_shards).cast("int")
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(seed), F.lit(":k"))
+    )
+    tagged = df.withColumn("shard", shard).withColumn("__k__", key)
+    w = Window.partitionBy("shard").orderBy(F.col("__k__"), F.col(id_col))
+    return tagged.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("__k__")

@@ -143,6 +143,59 @@ def agg_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER JOIN — the classic
+    source-vs-target diff a data platform runs after a backfill: the
+    same customer revenue aggregate computed on two halves of the
+    order history, full-outer-joined on the key, each customer
+    classified new / churned / changed / stable.
+
+    Scale: both sides pre-aggregate to |customers| rows BEFORE the
+    join (partial aggs absorb the fact-table volume), and the join key
+    is the grouping key, so both inputs arrive already hash-partitioned
+    on o_custkey — the full outer join itself adds no exchange. Sums
+    run through decimals so the change classification compares exact
+    bits, not accumulation noise."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-06-01").cast("date")
+
+    def snap(pred):
+        return (
+            o.filter(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                _dsum(F.col("o_totalprice")).alias("revenue"),
+            )
+        )
+
+    early = snap(F.col("o_orderdate") < cutoff).select(
+        F.col("o_custkey"),
+        F.col("n_orders").alias("n_early"),
+        F.col("revenue").alias("rev_early"),
+    )
+    late = snap(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_custkey"),
+        F.col("n_orders").alias("n_late"),
+        F.col("revenue").alias("rev_late"),
+    )
+    j = early.join(late, "o_custkey", "full_outer")
+    status = (
+        F.when(F.col("n_early").isNull(), "new")
+        .when(F.col("n_late").isNull(), "churned")
+        .when(F.col("rev_late") > F.col("rev_early"), "grew")
+        .otherwise("shrank")
+    )
+    return j.select(
+        "o_custkey",
+        F.coalesce("n_early", F.lit(0)).cast("long").alias("n_early"),
+        F.coalesce("n_late", F.lit(0)).cast("long").alias("n_late"),
+        F.round(F.coalesce("rev_early", F.lit(0.0)), 2).alias("rev_early"),
+        F.round(F.coalesce("rev_late", F.lit(0.0)), 2).alias("rev_late"),
+        status.alias("status"),
+    )
+
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_q3_shipping_priority": join_q3_shipping_priority,
@@ -151,9 +204,32 @@ QUERIES = {
     "set_except_intersect_buyers": set_except_intersect_buyers,
     "unpivot_part_price_bands": unpivot_part_price_bands,
     "agg_grouping_sets_revenue": agg_grouping_sets_revenue,
+    "join_full_outer_reconcile": join_full_outer_reconcile,
 }
 
 ORACLE_SQL = {
+    "join_full_outer_reconcile": """
+        WITH early AS (
+          SELECT o_custkey, COUNT(*) AS n_early,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS rev_early
+          FROM orders WHERE o_orderdate < DATE '1995-06-01' GROUP BY o_custkey
+        ),
+        late AS (
+          SELECT o_custkey, COUNT(*) AS n_late,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS rev_late
+          FROM orders WHERE o_orderdate >= DATE '1995-06-01' GROUP BY o_custkey
+        )
+        SELECT COALESCE(e.o_custkey, l.o_custkey) AS o_custkey,
+               CAST(COALESCE(e.n_early, 0) AS BIGINT) AS n_early,
+               CAST(COALESCE(l.n_late, 0) AS BIGINT) AS n_late,
+               ROUND(COALESCE(e.rev_early, 0.0), 2) AS rev_early,
+               ROUND(COALESCE(l.rev_late, 0.0), 2) AS rev_late,
+               CASE WHEN e.n_early IS NULL THEN 'new'
+                    WHEN l.n_late IS NULL THEN 'churned'
+                    WHEN l.rev_late > e.rev_early THEN 'grew'
+                    ELSE 'shrank' END AS status
+        FROM early e FULL OUTER JOIN late l ON e.o_custkey = l.o_custkey
+    """,
     "agg_grouping_sets_revenue": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,

@@ -156,16 +156,72 @@ def scale_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scale_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group mean — robust stats for a fact column with
+    heavy tails: clamp each value into its group's [p01, p99] band,
+    then average. Two passes over the group: the percentile pass
+    reduces to O(groups) rows that broadcast back onto the fact scan
+    (bounded — same discipline as the other scalar broadcasts), and
+    the clamped mean runs through a decimal sum so both engines round
+    identical bits. Percentile bounds are rounded to 6 dp BEFORE the
+    clamp in both engines so the clamp boundary itself is bit-stable
+    (percentile interpolation is deterministic on the sorted multiset,
+    but the rounding pins any last-ulp divergence)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.01)"), 6).alias("p01"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+    clamped = li.join(F.broadcast(pct), "l_returnflag").withColumn(
+        "w", F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("l_extendedprice")))
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("raw_mean"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("winsorized_mean"),
+        F.max("p01").alias("p01"),
+        F.max("p99").alias("p99"),
+    )
+
+
 QUERIES = {
     "skew_salted_pricing_summary": skew_salted_pricing_summary,
     "skew_salted_join_orders": skew_salted_join_orders,
     "scale_approx_distinct": scale_approx_distinct,
     "scale_approx_percentiles": scale_approx_percentiles,
     "scale_exact_percentiles": scale_exact_percentiles,
+    "scale_winsorized_stats": scale_winsorized_stats,
     "join_range_binned_volatility": join_range_binned_volatility,
 }
 
 ORACLE_SQL = {
+    "scale_winsorized_stats": """
+        WITH pct AS (
+          SELECT l_returnflag,
+                 ROUND(quantile_cont(l_extendedprice, 0.01), 6) AS p01,
+                 ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               COUNT(*) AS n_rows,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                     / COUNT(*), 4) AS raw_mean,
+               ROUND(CAST(SUM(CAST(GREATEST(p.p01, LEAST(p.p99, l.l_extendedprice))
+                                   AS DECIMAL(27,6))) AS DOUBLE)
+                     / COUNT(*), 4) AS winsorized_mean,
+               MAX(p.p01) AS p01,
+               MAX(p.p99) AS p99
+        FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
+        GROUP BY l.l_returnflag
+    """,
     "scale_exact_percentiles": """
         SELECT l_returnflag,
                ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

@@ -608,6 +608,56 @@ def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle (8 shards): shard =
+    content-hash of doc_id, position = rank of a second salted hash
+    within the shard — reproducible pseudorandom order with ONE
+    shuffle and per-shard local sorts, never a global ORDER BY
+    (operators/sampling.py:training_shuffle)."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        training_shuffle,
+    )
+
+    return training_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_shards=8
+    ).select("doc_id", "shard", "pos")
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in power-of-2 bins + cumulative document
+    share — the packing-efficiency / context-budget planning view a
+    pretraining run consults before choosing sequence length.
+
+    bin = floor(log2(n_tokens)) computed integer-exactly as
+    len(bin(n)) - 1 (no float log that could straddle a power of 2);
+    the corpus aggregates to O(bins) rows, and the cumulative share is
+    a window over that bounded series (same bounded-global-window
+    pattern as window_rolling_range_avg)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(
+        TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    binned = docs.select(
+        (F.length(F.bin(F.col("n_tokens"))) - 1).cast("long").alias("len_bin"),
+        "n_tokens",
+    )
+    hist = binned.groupBy("len_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    w = Window.orderBy("len_bin").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    return hist.select(
+        "len_bin",
+        "n_docs",
+        "sum_tokens",
+        F.round(
+            F.sum("n_docs").over(w) / F.sum("n_docs").over(total), 6
+        ).alias("cum_doc_share"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_lang_id": text_lang_id,
@@ -638,6 +688,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "text_bigram_vocab": text_bigram_vocab,
+    "sample_training_shuffle": sample_training_shuffle,
+    "text_length_histogram": text_length_histogram,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -1082,6 +1134,32 @@ ORACLE_SQL = {
           FROM documents
         )
         WHERE rn <= 20
+    """,
+    "sample_training_shuffle": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 8)) AS UBIGINT)
+                      % 10000 % 8 AS INTEGER) AS shard,
+                 md5(CAST(doc_id AS VARCHAR) || ':shuffle:k') AS k
+          FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+        FROM t
+    """,
+    "text_length_histogram": _NORM + """
+        , lens AS (SELECT len(toks) AS n_tokens FROM tok),
+        hist AS (
+          SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS len_bin,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM lens GROUP BY 1
+        )
+        SELECT len_bin, n_docs, sum_tokens,
+               ROUND(CAST(SUM(n_docs) OVER (ORDER BY len_bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / SUM(n_docs) OVER (), 6) AS cum_doc_share
+        FROM hist
     """,
 }
 

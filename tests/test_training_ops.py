@@ -676,3 +676,64 @@ def test_events_ts_unit_rejects_non_timestamp(tmp_path):
 
     with pytest.raises(ValueError, match="timestamp"):
         events_ts_unit(str(tmp_path))
+
+
+def test_training_shuffle_partitioning_invariant(spark, docs):
+    """Shard and position are content-addressed: identical under any
+    input partitioning (the property df.sample cannot give)."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        training_shuffle,
+    )
+
+    base = docs.select("doc_id")
+    a = {(r.doc_id, r.shard, r.pos) for r in training_shuffle(base, "doc_id").collect()}
+    b = {
+        (r.doc_id, r.shard, r.pos)
+        for r in training_shuffle(base.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    # every shard's positions are dense 1..n
+    by_shard = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_length_histogram_covers_corpus(spark):
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        text_length_histogram,
+    )
+
+    rows = text_length_histogram(spark, SF).orderBy("len_bin").collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(rows[-1].cum_doc_share - 1.0) < 1e-9
+    assert all(r.len_bin >= 0 for r in rows)
+
+
+def test_full_outer_reconcile_statuses(spark):
+    from market_data_pipeline_databricks_spark.plans.relational_ext import (
+        join_full_outer_reconcile,
+    )
+
+    rows = join_full_outer_reconcile(spark, SF).collect()
+    assert {r.status for r in rows} <= {"new", "churned", "grew", "shrank"}
+    for r in rows:
+        if r.status == "new":
+            assert r.n_early == 0 and r.n_late > 0
+        elif r.status == "churned":
+            assert r.n_late == 0 and r.n_early > 0
+        else:
+            assert r.n_early > 0 and r.n_late > 0
+
+
+def test_winsorized_mean_bounded_by_raw_extremes(spark):
+    from market_data_pipeline_databricks_spark.plans.scale_ops import (
+        scale_winsorized_stats,
+    )
+
+    for r in scale_winsorized_stats(spark, SF).collect():
+        assert r.p01 <= r.winsorized_mean <= r.p99
+        # clamping can only pull the mean toward the center
+        assert r.winsorized_mean == pytest.approx(r.raw_mean, rel=0.2)
