@@ -52,6 +52,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sample_domain_mixture",
     "text_repetition_score",
     "text_unigram_logprob",
+    # -- new in round 4 (oracle-green via tools/check_oracle.py); they
+    # take the slots of three twice-green anchors whose §2 IDs remain
+    # covered in-window: window_latest_snapshot_pruned (P7/W1/W5 via
+    # window_latest_snapshot_per_supplier), vector_cosine_topk (vector
+    # family via vector_near_dup_pairs + the three vector_* newcomers),
+    # text_stats (text family via the six in-window text_* queries;
+    # the stats block also feeds the in-window curate capstones).
+    # text_length_histogram (also new) waits for the round-5 rotation.
+    "join_full_outer_reconcile",
+    "scale_winsorized_stats",
+    "sample_training_shuffle",
     # -- displaced to make room (same standing rule as rounds 2-3: a
     # never-checked query beats a twice-declared one; every displaced
     # query held a driver-green row in r3 — see CORRECTNESS_r03.json —
@@ -79,7 +90,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     dedup_exact_survivors + dedup_incremental_batch + curate
     #     capstones; sampling via the three incoming sample_* queries)
     # -- round-3-new anchors kept in-window -------------------------------
-    "window_latest_snapshot_pruned",
     "stream_dedup_within_watermark",
     "curate_multimodal_corpus",
     "multimodal_frame_sample",
@@ -105,10 +115,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "union_all_check_streams",
     "scalar_regexp_extract",
     "join_asof_orders_quotes",
-    "text_stats",
     "dedup_exact_survivors",
     "curate_training_corpus",
-    "vector_cosine_topk",
 )
 
 

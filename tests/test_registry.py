@@ -13,31 +13,38 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# Families that had no driver correctness row through round 2; they must
-# stay inside the window until the driver widens it.
+# Oracle-backed queries that had no driver correctness row through
+# round 3 (they landed after that round's window was pinned); the
+# round-4 rotation leads the window with them so every oracle-backed
+# query has held a driver-green row by end of round 4. Their round-3
+# predecessors (stream/analyst/funcs/scale/skew families) all hold
+# green rows in CORRECTNESS_r03.json.
 PREVIOUSLY_UNCHECKED = [
-    "stream_tumbling_daily_counts",
-    "stream_sliding_window_counts",
-    "stream_session_window_stats",
-    "stream_stateful_user_totals",
-    "stream_stream_click_attribution",
-    "analyst_top_movers_today",
-    "analyst_volatility_regime",
-    "analyst_liquidity_screen",
-    "analyst_single_key_recent",
-    "analyst_threshold_alerts",
-    "analyst_point_in_time",
-    "analyst_completeness",
-    "analyst_dq_triage_cte",
-    "window_rolling_range_avg",
-    "quality_zscore_outliers",
-    "funcs_feature_panel",
-    "funcs_log_return_stats",
-    "skew_salted_pricing_summary",
-    "skew_salted_join_orders",
-    "join_range_binned_volatility",
-    "vector_near_dup_pairs",
-    "multimodal_frame_sample",
+    "events_funnel",
+    "events_retention_cohorts",
+    "curate_chunk_corpus",
+    "sample_split_leakage",
+    "text_bigram_vocab",
+    "vector_label_centroids",
+    "vector_label_noise_screen",
+    "vector_quantize_int8",
+    "stream_static_enrich_nation",
+    "funcs_market_beta",
+    "scale_exact_percentiles",
+    "agg_grouping_sets_revenue",
+    "unpivot_part_price_bands",
+    "text_chunk_overlap",
+    "dedup_incremental_batch",
+    "text_tfidf_top_terms",
+    "sample_source_cap",
+    "text_corpus_report",
+    "sample_domain_mixture",
+    "text_repetition_score",
+    "text_unigram_logprob",
+    # round-4 newcomers rotated straight into the window:
+    "join_full_outer_reconcile",
+    "scale_winsorized_stats",
+    "sample_training_shuffle",
 ]
 
 
