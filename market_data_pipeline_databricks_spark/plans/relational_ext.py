@@ -196,6 +196,55 @@ def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a date window having at least one
+    RETURNED lineitem (correlated EXISTS; this testdata carries
+    l_returnflag, not commit/receipt dates — reference Q4 uses the
+    late-delivery predicate, same plan shape), counted by priority.
+    The EXISTS compiles to a left-semi join — the lineitem side never
+    materializes per-order, and both scans carry pushed-down
+    predicates."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("date"))
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def agg_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count —
+    LEFT OUTER join (customers with zero orders must appear at
+    c_count = 0) into an aggregate-of-aggregate. Two shuffles by
+    construction (per-customer count, then per-count histogram); the
+    second input is |customers| rows, so the expensive exchange is
+    only the first. The excluded-orders predicate (Q13 excludes
+    comment-matched orders; this testdata has no o_comment, so
+    low-priority orders stand in) lives on the join's right side —
+    exclusion must NOT drop zero-order customers, which is the whole
+    point of the left join."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_q3_shipping_priority": join_q3_shipping_priority,
@@ -205,9 +254,34 @@ QUERIES = {
     "unpivot_part_price_bands": unpivot_part_price_bands,
     "agg_grouping_sets_revenue": agg_grouping_sets_revenue,
     "join_full_outer_reconcile": join_full_outer_reconcile,
+    "join_q4_order_priority": join_q4_order_priority,
+    "agg_q13_customer_distribution": agg_q13_customer_distribution,
 }
 
 ORACLE_SQL = {
+    "join_q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+    """,
+    "agg_q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
     "join_full_outer_reconcile": """
         WITH early AS (
           SELECT o_custkey, COUNT(*) AS n_early,
