@@ -220,6 +220,46 @@ def quality_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust DQ twin of quality_zscore_outliers: flag days whose
+    return deviates from the key's MEDIAN by > 5× the median absolute
+    deviation. Unlike the z-score, one genuine fat-tail event cannot
+    inflate the threshold and mask a second one (mean/stddev are not
+    robust; median/MAD are).
+
+    Plan: two grouped exact-percentile passes — per-key median, then
+    per-key median of |x − median| — each reducing to O(keys) rows that
+    broadcast back (bounded, same discipline as the z-score stats
+    join). Medians round to 6 dp before the comparison and the ratio is
+    floor-truncated, so both engines compare identical bits."""
+    gold = _supplier_daily_gold(spark, sf_dir)
+    r = gold.filter(F.col("return_1d").isNotNull()).select(
+        "suppkey", "day", "return_1d"
+    )
+    med = r.groupBy("suppkey").agg(
+        F.round(F.expr("percentile(return_1d, 0.5)"), 6).alias("med")
+    )
+    dev = r.join(F.broadcast(med), "suppkey").withColumn(
+        "adev", F.abs(F.col("return_1d") - F.col("med"))
+    )
+    mad = dev.groupBy("suppkey").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    ratio = F.floor(F.col("adev") / F.col("mad") * 1e6) / 1e6
+    return (
+        dev.join(F.broadcast(mad), "suppkey")
+        .filter(F.col("mad") > 0)
+        .withColumn("mad_ratio", ratio)
+        .filter(F.col("mad_ratio") > 5.0)
+        .select(
+            "suppkey",
+            "day",
+            F.round("return_1d", 6).alias("return_1d"),
+            "mad_ratio",
+        )
+    )
+
+
 QUERIES = {
     "analyst_top_movers_today": analyst_top_movers_today,
     "analyst_volatility_regime": analyst_volatility_regime,
@@ -231,6 +271,7 @@ QUERIES = {
     "analyst_completeness": analyst_completeness,
     "analyst_dq_triage_cte": analyst_dq_triage_cte,
     "quality_zscore_outliers": quality_zscore_outliers,
+    "quality_mad_outliers": quality_mad_outliers,
 }
 
 _SNAPSHOT_CTE = _GOLD_CTE + """, snap AS (
@@ -242,6 +283,27 @@ _SNAPSHOT_CTE = _GOLD_CTE + """, snap AS (
 """
 
 ORACLE_SQL = {
+    "quality_mad_outliers": _GOLD_CTE + """,
+        r AS (SELECT suppkey, day, return_1d FROM feat WHERE return_1d IS NOT NULL),
+        med AS (
+          SELECT suppkey, ROUND(quantile_cont(return_1d, 0.5), 6) AS med
+          FROM r GROUP BY suppkey
+        ),
+        dev AS (
+          SELECT r.suppkey AS suppkey, r.day AS day, r.return_1d AS return_1d,
+                 ABS(r.return_1d - m.med) AS adev
+          FROM r JOIN med m ON r.suppkey = m.suppkey
+        ),
+        mad AS (
+          SELECT suppkey, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+          FROM dev GROUP BY suppkey
+        )
+        SELECT d.suppkey AS suppkey, d.day AS day,
+               ROUND(d.return_1d, 6) AS return_1d,
+               FLOOR(d.adev / m.mad * 1e6) / 1e6 AS mad_ratio
+        FROM dev d JOIN mad m ON d.suppkey = m.suppkey
+        WHERE m.mad > 0 AND FLOOR(d.adev / m.mad * 1e6) / 1e6 > 5.0
+    """,
     "quality_zscore_outliers": _GOLD_CTE + """,
         r AS (SELECT suppkey, day, return_1d FROM feat WHERE return_1d IS NOT NULL),
         stats AS (

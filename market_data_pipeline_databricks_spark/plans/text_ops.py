@@ -194,6 +194,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION the component pass exists for: one survivor
+    (the min id) per near-dup cluster, everything else dropped — pairs
+    → connected components → anti-join. Chain-safe where per-pair
+    keep-lower-id is not (A~B~C must yield exactly one survivor even
+    though A~C may be below threshold). Completes the pairs →
+    components → survivors story as a single runnable query."""
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.35)
+    comp = DD.connected_components(pairs)
+    removed = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(removed, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
     word 5-gram with the held-out eval set (GPT-3-style n-gram overlap
@@ -670,6 +689,7 @@ QUERIES = {
     "dedup_winnow_overlap": dedup_winnow_overlap,
     "curate_training_corpus": curate_training_corpus,
     "dedup_components": dedup_components,
+    "dedup_component_survivors": dedup_component_survivors,
     "text_decontaminate": text_decontaminate,
     "text_repetition_score": text_repetition_score,
     "text_unigram_logprob": text_unigram_logprob,
@@ -987,6 +1007,39 @@ ORACLE_SQL = {
         SELECT u AS doc_id,
                CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
         FROM reach GROUP BY u
+    """,
+    "dedup_component_survivors": _SHINGLE_DOCS.replace(
+        "WITH norm", "WITH RECURSIVE norm", 1
+    ) + """,
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare)
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM cand
+          JOIN docs da ON da.doc_id = id_a
+          JOIN docs db ON db.doc_id = id_b
+          WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.35
+        ),
+        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        ),
+        comp AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+          FROM reach GROUP BY u
+        )
+        SELECT d.doc_id, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT doc_id FROM comp WHERE doc_id <> component
+        )
     """,
     "curate_training_corpus": _CURATE_CTES + """
         SELECT doc_id, n_tokens, quality FROM exact
