@@ -59,7 +59,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # family via vector_near_dup_pairs + the three vector_* newcomers),
     # text_stats (text family via the six in-window text_* queries;
     # the stats block also feeds the in-window curate capstones).
-    # text_length_histogram (also new) waits for the round-5 rotation.
+    # The remaining round-4 newcomers (text_length_histogram,
+    # quality_mad_outliers, dedup_component_survivors,
+    # join_q4_order_priority, agg_q13_customer_distribution) are the
+    # round-5 rotation backlog — all oracle-green locally; they sort
+    # directly after the window (oracle-backed before rows-only).
     "join_full_outer_reconcile",
     "scale_winsorized_stats",
     "sample_training_shuffle",
