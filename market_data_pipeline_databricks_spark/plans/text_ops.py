@@ -601,6 +601,48 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU: distinct users per day and per trailing 7-day window —
+    the product-analytics rollup every event pipeline serves.
+
+    Rolling DISTINCT cannot ride a window frame (distinct is not
+    decomposable), so the standard exact formulation: dedupe to
+    (user, day) grain first — THE volume-collapsing step, |users|×|days|
+    rows max — then expand each active day to the ≤7 windows it counts
+    toward (bounded 7× fan-out of the already-collapsed grain, linear)
+    and count distinct per window day. Two shuffles total on day-grain
+    keys; at 100 TB the event volume only touches the first grain
+    collapse. The sketch alternative (approx_count_distinct per frame)
+    trades this exactness for one pass; both belong in the engine and
+    the exact one is the oracle-checkable form."""
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ud = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    win = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    )
+    days = ud.select(F.col("day").alias("win_day")).distinct()
+    wau = (
+        win.join(days, "win_day", "left_semi")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.win_day)
+        .select("day", "dau", "wau")
+    )
+
+
 def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-200 adjacent token bigrams — the merge-candidate
     inventory a BPE/WordPiece vocab induction starts from. Bigrams
@@ -710,6 +752,7 @@ QUERIES = {
     "text_bigram_vocab": text_bigram_vocab,
     "sample_training_shuffle": sample_training_shuffle,
     "text_length_histogram": text_length_histogram,
+    "events_rolling_active_users": events_rolling_active_users,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -948,6 +991,25 @@ ORACLE_SQL = {
                COUNT(DISTINCT e.user_id) AS n_active_users
         FROM e JOIN cohort c ON e.user_id = c.user_id
         GROUP BY 1, 2
+    """,
+    "events_rolling_active_users": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+          FROM events
+        ),
+        dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        win AS (
+          SELECT user_id, day + CAST(x AS INTEGER) AS win_day
+          FROM ud, (SELECT unnest(range(0, 7)) AS x)
+        ),
+        wau AS (
+          SELECT win_day, COUNT(DISTINCT user_id) AS wau
+          FROM win WHERE win_day IN (SELECT day FROM ud)
+          GROUP BY win_day
+        )
+        SELECT d.day AS day, d.dau AS dau, w.wau AS wau
+        FROM dau d JOIN wau w ON d.day = w.win_day
     """,
     "events_funnel": """
         WITH u AS (SELECT DISTINCT user_id FROM events),
