@@ -227,28 +227,31 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflate the threshold and mask a second one (mean/stddev are not
     robust; median/MAD are).
 
-    Plan: two grouped exact-percentile passes — per-key median, then
-    per-key median of |x − median| — each reducing to O(keys) rows that
-    broadcast back (bounded, same discipline as the z-score stats
-    join). Medians round to 6 dp before the comparison and the ratio is
-    floor-truncated, so both engines compare identical bits."""
+    Plan: the median and the MAD are stacked per-key WINDOW aggregates
+    (unbounded frame over the suppkey partition) — ONE scan of the
+    gold base and ONE exchange on suppkey serve both percentile passes
+    (the second WindowExec reuses the first's partitioning), instead
+    of the grouped-percentile + join-back formulation whose two
+    derived frames re-execute the gold lineage. Per-partition state is
+    O(days per key), bounded. Medians round to 6 dp before the
+    comparison and the ratio is floor-truncated, so both engines
+    compare identical bits."""
+    from pyspark.sql import Window
+
     gold = _supplier_daily_gold(spark, sf_dir)
-    r = gold.filter(F.col("return_1d").isNotNull()).select(
-        "suppkey", "day", "return_1d"
-    )
-    med = r.groupBy("suppkey").agg(
-        F.round(F.expr("percentile(return_1d, 0.5)"), 6).alias("med")
-    )
-    dev = r.join(F.broadcast(med), "suppkey").withColumn(
-        "adev", F.abs(F.col("return_1d") - F.col("med"))
-    )
-    mad = dev.groupBy("suppkey").agg(
-        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    w = Window.partitionBy("suppkey")
+    dev = (
+        gold.filter(F.col("return_1d").isNotNull())
+        .select("suppkey", "day", "return_1d")
+        .withColumn(
+            "med", F.round(F.expr("percentile(return_1d, 0.5)").over(w), 6)
+        )
+        .withColumn("adev", F.abs(F.col("return_1d") - F.col("med")))
+        .withColumn("mad", F.round(F.expr("percentile(adev, 0.5)").over(w), 6))
     )
     ratio = F.floor(F.col("adev") / F.col("mad") * 1e6) / 1e6
     return (
-        dev.join(F.broadcast(mad), "suppkey")
-        .filter(F.col("mad") > 0)
+        dev.filter(F.col("mad") > 0)
         .withColumn("mad_ratio", ratio)
         .filter(F.col("mad_ratio") > 5.0)
         .select(
