@@ -155,7 +155,14 @@ def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the grouping key, so both inputs arrive already hash-partitioned
     on o_custkey — the full outer join itself adds no exchange. Sums
     run through decimals so the change classification compares exact
-    bits, not accumulation noise."""
+    bits, not accumulation noise.
+
+    The two sides deliberately stay separate scans: the operator
+    models reconciling two DISTINCT snapshot tables (source vs target
+    after a backfill). Only this test fixture derives both from one
+    table — fusing them into one conditional-aggregate scan would
+    optimize the fixture, not the operator (the single-scan
+    conditional-count shape is covered by agg_conditional_counts)."""
     o = _t(spark, sf_dir, "orders")
     cutoff = F.lit("1995-06-01").cast("date")
 

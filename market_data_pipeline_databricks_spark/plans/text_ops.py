@@ -609,12 +609,18 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposable), so the standard exact formulation: dedupe to
     (user, day) grain first — THE volume-collapsing step, |users|×|days|
     rows max — then expand each active day to the ≤7 windows it counts
-    toward (bounded 7× fan-out of the already-collapsed grain, linear)
-    and count distinct per window day. Two shuffles total on day-grain
-    keys; at 100 TB the event volume only touches the first grain
-    collapse. The sketch alternative (approx_count_distinct per frame)
-    trades this exactness for one pass; both belong in the engine and
-    the exact one is the oracle-checkable form."""
+    toward (bounded 7× fan-out of the already-collapsed grain, linear).
+
+    ONE scan of events, two shuffles: both counts come from a single
+    groupBy over the expanded grain — dau is the conditional distinct
+    of offset-0 rows, wau the distinct over all offsets — and
+    "window day is an actual active day" falls out as ``dau > 0``
+    (a day with no offset-0 row had no events), replacing the
+    semi-join against a third branch of the lineage that would
+    re-execute the scan. The sketch alternative
+    (approx_count_distinct per frame) trades exactness for one
+    shuffle; both belong in the engine and the exact one is the
+    oracle-checkable form."""
     from market_data_pipeline_databricks_spark.plans.relational import _events
 
     ud = (
@@ -624,22 +630,23 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    win = ud.select(
+    expanded = ud.select(
         "user_id",
+        "day",
         F.explode(
             F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
         ).alias("win_day"),
     )
-    days = ud.select(F.col("day").alias("win_day")).distinct()
-    wau = (
-        win.join(days, "win_day", "left_semi")
-        .groupBy("win_day")
-        .agg(F.countDistinct("user_id").alias("wau"))
-    )
     return (
-        dau.join(wau, dau.day == wau.win_day)
-        .select("day", "dau", "wau")
+        expanded.groupBy("win_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("win_day") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .filter(F.col("dau") > 0)
+        .select(F.col("win_day").alias("day"), "dau", "wau")
     )
 
 
