@@ -650,6 +650,79 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_active_users_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch twin of events_rolling_active_users: HyperLogLog++
+    (approx_count_distinct, rsd 2%) over the same expanded grain — the
+    one-pass form a 100-TB deployment runs when ±2% on WAU is
+    acceptable. Engine-specific sketch → rows-only driver check; the
+    error bound vs the exact form is asserted in pytest."""
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ud = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .distinct()
+    )
+    expanded = ud.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    )
+    return (
+        expanded.groupBy("win_day")
+        .agg(
+            F.approx_count_distinct(
+                F.when(F.col("win_day") == F.col("day"), F.col("user_id")), 0.02
+            ).alias("dau_approx"),
+            F.approx_count_distinct("user_id", 0.02).alias("wau_approx"),
+        )
+        .filter(F.col("dau_approx") > 0)
+        .select(F.col("win_day").alias("day"), "dau_approx", "wau_approx")
+    )
+
+
+def dedup_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: Levenshtein distance on
+    the normalized text of rare-shingle-blocked candidate pairs,
+    keeping pairs whose relative edit distance is ≤ 20% of the longer
+    text. Catches small in-place edits (typo fixes, token swaps) that
+    set-based Jaccard treats the same as larger rewrites; the O(len²)
+    dynamic program runs ONLY on the blocked candidate set, never
+    all-pairs — the standard place edit distance is affordable at
+    scale. JVM levenshtein == DuckDB levenshtein, so fully
+    oracle-checked."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", TX.normalize_text(F.col("text")).alias("ntext")
+    )
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1).select(
+        "id_a", "id_b"
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("ntext").alias("t_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("ntext").alias("t_b"))
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_dist", F.levenshtein("t_a", "t_b").cast("long"))
+        .withColumn(
+            "rel_dist",
+            F.round(
+                F.col("edit_dist")
+                / F.greatest(F.length("t_a"), F.length("t_b")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return scored.filter(F.col("rel_dist") <= 0.2).select(
+        "id_a", "id_b", "edit_dist", "rel_dist"
+    )
+
+
 def text_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-200 adjacent token bigrams — the merge-candidate
     inventory a BPE/WordPiece vocab induction starts from. Bigrams
@@ -760,6 +833,8 @@ QUERIES = {
     "sample_training_shuffle": sample_training_shuffle,
     "text_length_histogram": text_length_histogram,
     "events_rolling_active_users": events_rolling_active_users,
+    "events_rolling_active_users_approx": events_rolling_active_users_approx,
+    "dedup_editdistance_verify": dedup_editdistance_verify,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -998,6 +1073,30 @@ ORACLE_SQL = {
                COUNT(DISTINCT e.user_id) AS n_active_users
         FROM e JOIN cohort c ON e.user_id = c.user_id
         GROUP BY 1, 2
+    """,
+    "dedup_editdistance_verify": _SHINGLE_DOCS + """,
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare)
+        ),
+        jpairs AS (
+          SELECT id_a, id_b FROM cand
+          JOIN docs da ON da.doc_id = id_a
+          JOIN docs db ON db.doc_id = id_b
+          WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.1
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(levenshtein(na.ntext, nb.ntext) AS BIGINT) AS edit_dist,
+               ROUND(levenshtein(na.ntext, nb.ntext)
+                     / CAST(GREATEST(length(na.ntext), length(nb.ntext)) AS DOUBLE), 6) AS rel_dist
+        FROM jpairs p
+        JOIN norm na ON na.doc_id = p.id_a
+        JOIN norm nb ON nb.doc_id = p.id_b
+        WHERE ROUND(levenshtein(na.ntext, nb.ntext)
+                    / CAST(GREATEST(length(na.ntext), length(nb.ntext)) AS DOUBLE), 6) <= 0.2
     """,
     "events_rolling_active_users": """
         WITH ud AS (

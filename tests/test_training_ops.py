@@ -737,3 +737,22 @@ def test_winsorized_mean_bounded_by_raw_extremes(spark):
         assert r.p01 <= r.winsorized_mean <= r.p99
         # clamping can only pull the mean toward the center
         assert r.winsorized_mean == pytest.approx(r.raw_mean, rel=0.2)
+
+
+def test_approx_active_users_within_error_bound(spark):
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_rolling_active_users,
+        events_rolling_active_users_approx,
+    )
+
+    exact = {r.day: (r.dau, r.wau) for r in events_rolling_active_users(spark, SF).collect()}
+    approx = {
+        r.day: (r.dau_approx, r.wau_approx)
+        for r in events_rolling_active_users_approx(spark, SF).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, (dau, wau) in exact.items():
+        da, wa = approx[day]
+        # rsd 2% → generous 10% assertion bound (HLL++ tail)
+        assert abs(da - dau) <= max(2, 0.1 * dau)
+        assert abs(wa - wau) <= max(2, 0.1 * wau)
