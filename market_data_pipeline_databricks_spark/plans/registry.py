@@ -62,9 +62,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # The remaining round-4 newcomers (text_length_histogram,
     # quality_mad_outliers, dedup_component_survivors,
     # join_q4_order_priority, agg_q13_customer_distribution,
-    # events_rolling_active_users) are the round-5 rotation backlog —
-    # all oracle-green locally; they sort directly after the window
-    # (oracle-backed before rows-only).
+    # events_rolling_active_users, dedup_editdistance_verify) are the
+    # round-5 rotation backlog — all oracle-green locally; they sort
+    # directly after the window (oracle-backed before rows-only).
     "join_full_outer_reconcile",
     "scale_winsorized_stats",
     "sample_training_shuffle",
