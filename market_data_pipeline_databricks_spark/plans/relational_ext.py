@@ -252,6 +252,100 @@ def agg_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def agg_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue and
+    of the global total — the share-of-total analytic every BI layer
+    ships. The base is the broadcast star join collapsed to |nations|
+    rows; both denominators are window sums OVER THAT AGGREGATE (25
+    rows), so the two extra window passes cost nothing at any scale —
+    the classic mistake this query exists to demonstrate against is
+    windowing the fact table instead of the aggregate."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # The per-nation revenue stays DECIMAL through the window sums so
+    # the denominators are order-exact too (a double window sum over
+    # the 25-row aggregate would re-introduce accumulation-order
+    # dependence in the last ulp of the share).
+    base = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).alias(
+                "rev_dec"
+            )
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wg = Window.partitionBy()
+    return base.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(wr).cast("double"),
+            6,
+        ).alias("region_share"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(wg).cast("double"),
+            6,
+        ).alias("global_share"),
+    )
+
+
+def window_gapfill_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification + forward fill: the sparse per-supplier
+    daily close series becomes a dense calendar (every day between the
+    supplier's first and last observation), gaps carrying the last
+    known close — the standard prep before any fixed-stride window
+    math on irregular series (the reference's staleness check is the
+    detection side of the same problem; this is the repair side).
+
+    Plan: the spine explodes from each supplier's (min, max) day pair —
+    O(days) rows per key from an O(keys) aggregate, never a cartesian
+    against a calendar table — and the carry-forward is
+    last_value(IGNORE NULLS) over one suppkey exchange. Restricted to
+    suppkey ≤ 5 to keep the driver-checked result compact; the plan is
+    key-count-independent."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(F.max("l_extendedprice").alias("close"))
+    spine = (
+        daily.groupBy("suppkey")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "suppkey",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["suppkey", "day"], "left")
+        .withColumn("filled_close", F.last("close", ignorenulls=True).over(w))
+        .select(
+            "suppkey",
+            "day",
+            F.col("close").isNotNull().alias("observed"),
+            F.round("filled_close", 6).alias("filled_close"),
+        )
+    )
+
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_q3_shipping_priority": join_q3_shipping_priority,
@@ -263,9 +357,46 @@ QUERIES = {
     "join_full_outer_reconcile": join_full_outer_reconcile,
     "join_q4_order_priority": join_q4_order_priority,
     "agg_q13_customer_distribution": agg_q13_customer_distribution,
+    "agg_revenue_share": agg_revenue_share,
+    "window_gapfill_daily_close": window_gapfill_daily_close,
 }
 
 ORACLE_SQL = {
+    "agg_revenue_share": """
+        WITH base AS (
+          SELECT r_name, n_name,
+                 SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS rev_dec
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name
+        )
+        SELECT r_name, n_name,
+               ROUND(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+               ROUND(CAST(rev_dec AS DOUBLE)
+                     / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share,
+               ROUND(CAST(rev_dec AS DOUBLE)
+                     / CAST(SUM(rev_dec) OVER () AS DOUBLE), 6) AS global_share
+        FROM base
+    """,
+    "window_gapfill_daily_close": """
+        WITH daily AS (
+          SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+                 MAX(l_extendedprice) AS close
+          FROM lineitem WHERE l_suppkey <= 5 GROUP BY 1, 2
+        ),
+        spine AS (
+          SELECT suppkey, CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+          FROM daily GROUP BY suppkey
+        )
+        SELECT s.suppkey, s.day,
+               d.close IS NOT NULL AS observed,
+               ROUND(LAST_VALUE(d.close IGNORE NULLS) OVER (
+                 PARTITION BY s.suppkey ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_close
+        FROM spine s LEFT JOIN daily d ON s.suppkey = d.suppkey AND s.day = d.day
+    """,
     "join_q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders o
