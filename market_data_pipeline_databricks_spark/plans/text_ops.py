@@ -359,6 +359,49 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling (T=2, √-scaling — the
+    standard multilingual/domain rebalancing recipe: target share of
+    source s ∝ n_s^(1/T), which upweights small sources relative to
+    their natural share without letting any source dominate).
+
+    Per-source keep rates derive from the O(sources) count table
+    (weights decimal-cast before the window sum so the normalizing
+    total is order-exact; max-rate normalization keeps the largest
+    rate at 1.0 so no source oversamples), then one content-addressed
+    hash filter over the corpus — same md5 discipline as every sampler
+    here, so the whole chain is engine-portable and oracle-checked."""
+    from pyspark.sql import Window
+
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        weighted_sample_flag,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    wg = Window.partitionBy()
+    shares = counts.withColumn(
+        "w_dec", F.sqrt(F.col("n_total").cast("double")).cast("decimal(27,12)")
+    ).withColumn(
+        "target_share",
+        F.col("w_dec").cast("double") / F.sum("w_dec").over(wg).cast("double"),
+    )
+    ratio = F.col("target_share") / F.col("n_total")
+    rates = shares.withColumn(
+        "rate", ratio / F.max(ratio).over(wg)
+    ).select("source", "n_total", "target_share", "rate")
+    flag = weighted_sample_flag(F.col("doc_id"), F.col("rate"), seed="temp")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.round(F.max("target_share"), 6).alias("target_share"),
+            F.sum(flag.cast("long")).alias("n_sampled"),
+        )
+    )
+
+
 def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-deterministic train/test assignment per document (salted
     md5 bucket): same row → same split on any engine, partitioning, or
@@ -835,6 +878,7 @@ QUERIES = {
     "events_rolling_active_users": events_rolling_active_users,
     "events_rolling_active_users_approx": events_rolling_active_users_approx,
     "dedup_editdistance_verify": dedup_editdistance_verify,
+    "sample_temperature_mixture": sample_temperature_mixture,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -1011,6 +1055,32 @@ ORACLE_SQL = {
                       WHEN 2 THEN 2500 ELSE 1250 END)
                  THEN 1 ELSE 0 END) AS n_sampled
         FROM documents GROUP BY source
+    """,
+    "sample_temperature_mixture": """
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+        ),
+        sh AS (
+          SELECT source, n_total,
+                 CAST(CAST(sqrt(CAST(n_total AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE)
+                 / CAST(SUM(CAST(sqrt(CAST(n_total AS DOUBLE)) AS DECIMAL(27,12))) OVER () AS DOUBLE)
+                 AS target_share
+          FROM counts
+        ),
+        rt AS (
+          SELECT source, n_total, target_share,
+                 (target_share / n_total) / MAX(target_share / n_total) OVER () AS rate
+          FROM sh
+        )
+        SELECT d.source,
+               MAX(r.n_total) AS n_total,
+               ROUND(MAX(r.target_share), 6) AS target_share,
+               SUM(CASE WHEN
+                 CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8)) AS UBIGINT) % 10000
+                 < CAST(ROUND(r.rate * 10000) AS INT)
+                 THEN 1 ELSE 0 END) AS n_sampled
+        FROM documents d JOIN rt r ON d.source = r.source
+        GROUP BY d.source
     """,
     "sample_train_test_split": """
         SELECT doc_id,
