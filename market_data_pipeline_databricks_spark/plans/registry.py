@@ -62,8 +62,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # The remaining round-4 newcomers (text_length_histogram,
     # quality_mad_outliers, dedup_component_survivors,
     # join_q4_order_priority, agg_q13_customer_distribution,
-    # events_rolling_active_users, dedup_editdistance_verify) are the
-    # round-5 rotation backlog — all oracle-green locally; they sort
+    # events_rolling_active_users, dedup_editdistance_verify,
+    # agg_revenue_share, window_gapfill_daily_close,
+    # sample_temperature_mixture) are the round-5 rotation backlog —
+    # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).
     "join_full_outer_reconcile",
     "scale_winsorized_stats",
