@@ -81,3 +81,53 @@ def asof_join(
         *lcols,
         *[F.col(f"__v__.{c}").alias(f"{prefix}{c}") for c in carried],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Forward as-of left join: the EARLIEST right row at-or-after each
+    left row's time (settlement/next-delivery direction; the mirror of
+    ``asof_join``).
+
+    Same union + one-window plan, reflected: left rows sort BEFORE
+    right rows at equal time (so an exactly-simultaneous right row is
+    inside the following frame), and ``first(ignorenulls=True)`` over
+    a current-row→unbounded-following frame pulls the next right
+    struct backward. One shuffle on the key, one sort — identical cost
+    envelope to the backward form.
+    """
+    lcols = left.columns
+    l = left.withColumn(_SIDE, F.lit(0)).withColumn("__t__", F.col(left_time))
+    r = right.select(
+        F.col(key),
+        F.col(right_time).alias("__t__"),
+        *[F.col(c) for c in value_cols],
+    ).withColumn(_SIDE, F.lit(1))
+
+    carried = [right_time] + value_cols
+    r = r.withColumn(
+        "__v__",
+        F.struct(
+            F.col("__t__").alias(right_time),
+            *[F.col(c).alias(c) for c in value_cols],
+        ),
+    ).drop(*value_cols)
+
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = Window.partitionBy(key).orderBy("__t__", _SIDE).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    unioned = unioned.withColumn(
+        "__v__", F.first("__v__", ignorenulls=True).over(w)
+    )
+    return unioned.filter(F.col(_SIDE) == 0).select(
+        *lcols,
+        *[F.col(f"__v__.{c}").alias(f"{prefix}{c}") for c in carried],
+    )

@@ -135,11 +135,35 @@ def funcs_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funcs_rolling_median_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day ROLLING MEDIAN of close per supplier — the robust price
+    filter a quant desk runs beside the rolling mean (one bad print
+    shifts a 20-day mean by 5%, the median not at all). The percentile
+    aggregate rides the same bounded ROWS frame as the reference's
+    rolling stddev/avg (`notebooks/gold/03_aggregate_gold.py:63-73`),
+    so per-row state is O(20) and one suppkey exchange serves it."""
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("day")
+        .rowsBetween(-19, 0)
+    )
+    return daily.select(
+        "suppkey",
+        "day",
+        "close",
+        F.round(F.expr("percentile(close, 0.5)").over(w), 6).alias(
+            "median_close_20d"
+        ),
+    )
+
+
 QUERIES = {
     "funcs_feature_panel": funcs_feature_panel,
     "funcs_log_return_stats": funcs_log_return_stats,
     "funcs_ewma_close": funcs_ewma_close,
     "funcs_market_beta": funcs_market_beta,
+    "funcs_rolling_median_close": funcs_rolling_median_close,
 }
 
 _DAILY_CTE = """
@@ -151,6 +175,13 @@ WITH daily AS (
 """
 
 ORACLE_SQL = {
+    "funcs_rolling_median_close": _DAILY_CTE + """
+        SELECT suppkey, day, close,
+               ROUND(quantile_cont(close, 0.5) OVER (
+                 PARTITION BY suppkey ORDER BY day
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS median_close_20d
+        FROM daily
+    """,
     "funcs_market_beta": _DAILY_CTE + """
         , r AS (
           SELECT suppkey, day,

@@ -64,7 +64,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # join_q4_order_priority, agg_q13_customer_distribution,
     # events_rolling_active_users, dedup_editdistance_verify,
     # agg_revenue_share, window_gapfill_daily_close,
-    # sample_temperature_mixture) are the round-5 rotation backlog —
+    # sample_temperature_mixture, join_asof_forward_quotes,
+    # funcs_rolling_median_close) are the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).
     "join_full_outer_reconcile",

@@ -756,3 +756,29 @@ def test_approx_active_users_within_error_bound(spark):
         # rsd 2% → generous 10% assertion bound (HLL++ tail)
         assert abs(da - dau) <= max(2, 0.1 * dau)
         assert abs(wa - wau) <= max(2, 0.1 * wau)
+
+
+def test_forward_asof_same_instant_and_direction(spark):
+    """Forward as-of picks the EARLIEST right row at-or-after the left
+    time, including an exactly-simultaneous one."""
+    from market_data_pipeline_databricks_spark.operators.asof import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 20), (2, 5)], "key: long, t: long"
+    )
+    right = spark.createDataFrame(
+        [(1, 4, "a"), (1, 10, "b"), (1, 15, "c")], "key: long, t: long, v: string"
+    )
+    out = {
+        (r.key, r.t): (r.asof_t, r.asof_v)
+        for r in asof_join_forward(
+            left, right, key="key", left_time="t", right_time="t",
+            value_cols=["v"],
+        ).collect()
+    }
+    assert out[(1, 5)] == (10, "b")      # strictly-after pick
+    assert out[(1, 10)] == (10, "b")     # same-instant included
+    assert out[(1, 20)] == (None, None)  # nothing after -> NULLs
+    assert out[(2, 5)] == (None, None)   # keyless left row survives
