@@ -65,7 +65,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_rolling_active_users, dedup_editdistance_verify,
     # agg_revenue_share, window_gapfill_daily_close,
     # sample_temperature_mixture, join_asof_forward_quotes,
-    # funcs_rolling_median_close) are the round-5 rotation backlog —
+    # funcs_rolling_median_close, text_ngram_novelty,
+    # events_power_users_pareto, events_longest_streak) are the
+    # round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).
     "join_full_outer_reconcile",

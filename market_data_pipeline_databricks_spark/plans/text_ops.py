@@ -402,6 +402,95 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's distinct 3-gram
+    shingles that appear in NO other document (corpus df = 1) — high
+    novelty marks original content, low novelty marks boilerplate /
+    template text; curation pipelines use it as the inverse of a
+    boilerplate detector. One shingle explode + one df aggregation,
+    then a per-doc ratio — the same shuffle skeleton as TF-IDF."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(TX.shingles(F.col("text"), 3)).alias("shingleset"),
+    )
+    sh = docs.select("doc_id", F.explode("shingleset").alias("shingle"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df_count") == 1).cast("long")).alias("n_unique"),
+            F.round(
+                F.sum((F.col("df_count") == 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto view of user activity: users ranked by event count, with
+    each rank's cumulative share of all events — the "do 20% of users
+    produce 80% of events" curve, the concentration diagnostic run
+    before trusting any per-user sampling strategy. The window passes
+    run over the |users|-row aggregate, never the event stream; ties
+    break on user_id so the cumulative share is deterministic."""
+    from pyspark.sql import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wo = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.row_number().over(wo).cast("long").alias("rank"),
+        F.round(
+            F.sum("n_events").over(wc) / F.sum("n_events").over(wg).cast("double"),
+            6,
+        ).alias("cum_event_share"),
+    )
+
+
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands shape: consecutive days share a constant
+    (day − row_number) anchor, so one date_sub turns runs into group
+    keys with no self-join. Two aggregations over the collapsed
+    (user, day) grain; at 100 TB only the grain collapse touches the
+    event volume (cf. events_rolling_active_users)."""
+    from pyspark.sql import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ud = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ud.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
 def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-deterministic train/test assignment per document (salted
     md5 bucket): same row → same split on any engine, partitioning, or
@@ -879,6 +968,9 @@ QUERIES = {
     "events_rolling_active_users_approx": events_rolling_active_users_approx,
     "dedup_editdistance_verify": dedup_editdistance_verify,
     "sample_temperature_mixture": sample_temperature_mixture,
+    "text_ngram_novelty": text_ngram_novelty,
+    "events_power_users_pareto": events_power_users_pareto,
+    "events_longest_streak": events_longest_streak,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -1081,6 +1173,47 @@ ORACLE_SQL = {
                  THEN 1 ELSE 0 END) AS n_sampled
         FROM documents d JOIN rt r ON d.source = r.source
         GROUP BY d.source
+    """,
+    "text_ngram_novelty": _SHINGLE_DOCS + """,
+        dfc AS (SELECT shingle, COUNT(*) AS df_count FROM sh GROUP BY shingle)
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN d.df_count = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               ROUND(SUM(CASE WHEN d.df_count = 1 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM sh s JOIN dfc d ON s.shingle = d.shingle
+        GROUP BY s.doc_id
+    """,
+    "events_power_users_pareto": """
+        WITH per_user AS (
+          SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+               ROUND(SUM(n_events) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS cum_event_share
+        FROM per_user
+        WINDOW w AS (ORDER BY n_events DESC, user_id ASC)
+    """,
+    "events_longest_streak": """
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+          FROM events
+        ),
+        islands AS (
+          SELECT user_id, day,
+                 day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+          FROM ud
+        ),
+        streaks AS (
+          SELECT user_id, anchor, COUNT(*) AS streak_days
+          FROM islands GROUP BY user_id, anchor
+        )
+        SELECT user_id,
+               CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM streaks GROUP BY user_id
     """,
     "sample_train_test_split": """
         SELECT doc_id,
