@@ -431,32 +431,40 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pareto view of user activity: users ranked by event count, with
-    each rank's cumulative share of all events — the "do 20% of users
-    produce 80% of events" curve, the concentration diagnostic run
-    before trusting any per-user sampling strategy. The window passes
-    run over the |users|-row aggregate, never the event stream; ties
-    break on user_id so the cumulative share is deterministic."""
+    """Pareto view of user activity: the TOP-100 users by event count
+    with each rank's cumulative share of ALL events — the "do the top
+    users produce most of the volume" diagnostic run before trusting
+    any per-user sampling strategy.
+
+    Scale discipline: the top-k lands via orderBy+limit — a distributed
+    TakeOrderedAndProject with per-partition truncation, NOT a global
+    window over the per-user aggregate (|users| is unbounded at 100 TB,
+    so an unpartitioned rank window would serialize every user through
+    one partition — the same class of mistake as hint-broadcasting a
+    per-user table). Only the 100 surviving rows ride the rank/cumsum
+    window (bounded by construction), and the global denominator is a
+    1-row scalar aggregate broadcast by the cross join."""
     from pyspark.sql import Window
 
     from market_data_pipeline_databricks_spark.plans.relational import _events
 
-    per_user = (
-        _events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.groupBy().agg(F.count(F.lit(1)).alias("total_events"))
+    topk = per_user.orderBy(F.desc("n_events"), F.asc("user_id")).limit(100)
     wo = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
-    wg = Window.partitionBy()
-    return per_user.select(
-        "user_id",
-        "n_events",
-        F.row_number().over(wo).cast("long").alias("rank"),
-        F.round(
-            F.sum("n_events").over(wc) / F.sum("n_events").over(wg).cast("double"),
-            6,
-        ).alias("cum_event_share"),
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            F.row_number().over(wo).cast("long").alias("rank"),
+            F.round(
+                F.sum("n_events").over(wc) / F.col("total_events").cast("double"),
+                6,
+            ).alias("cum_event_share"),
+        )
     )
 
 
@@ -891,8 +899,13 @@ def sample_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         training_shuffle,
     )
 
+    # 64 shards at test scale; in production the shard count scales
+    # with the corpus (shard ≈ one output file / data-loader stream,
+    # sized so each shard's local sort fits a task — with only a
+    # handful of shards the per-shard sorts would cap parallelism at
+    # the shard count).
     return training_shuffle(
-        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_shards=8
+        _docs(spark, sf_dir).select("doc_id"), "doc_id", n_shards=64
     ).select("doc_id", "shard", "pos")
 
 
@@ -1188,11 +1201,16 @@ ORACLE_SQL = {
         WITH per_user AS (
           SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
         )
+        , total AS (SELECT COUNT(*) AS total_events FROM events),
+        topk AS (
+          SELECT user_id, n_events FROM per_user
+          ORDER BY n_events DESC, user_id ASC LIMIT 100
+        )
         SELECT user_id, n_events,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
                ROUND(SUM(n_events) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS cum_event_share
-        FROM per_user
+                     / CAST((SELECT total_events FROM total) AS DOUBLE), 6) AS cum_event_share
+        FROM topk
         WINDOW w AS (ORDER BY n_events DESC, user_id ASC)
     """,
     "events_longest_streak": """
@@ -1563,7 +1581,7 @@ ORACLE_SQL = {
         WITH t AS (
           SELECT doc_id,
                  CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 8)) AS UBIGINT)
-                      % 10000 % 8 AS INTEGER) AS shard,
+                      % 10000 % 64 AS INTEGER) AS shard,
                  md5(CAST(doc_id AS VARCHAR) || ':shuffle:k') AS k
           FROM documents
         )
