@@ -161,7 +161,10 @@ def scale_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy tails: clamp each value into its group's [p01, p99] band,
     then average. Two passes over the group: the percentile pass
     reduces to O(groups) rows that broadcast back onto the fact scan
-    (bounded — same discipline as the other scalar broadcasts), and
+    (bounded — same discipline as the other scalar broadcasts; like
+    scale_exact_percentiles, the exact percentile buffers each group's
+    values, so at 100 TB the bounds come from the approx_percentile
+    sketch instead — the clamp-and-decimal-mean stage is unchanged), and
     the clamped mean runs through a decimal sum so both engines round
     identical bits. Percentile bounds are rounded to 6 dp BEFORE the
     clamp in both engines so the clamp boundary itself is bit-stable
