@@ -66,7 +66,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # agg_revenue_share, window_gapfill_daily_close,
     # sample_temperature_mixture, join_asof_forward_quotes,
     # funcs_rolling_median_close, text_ngram_novelty,
-    # events_power_users_pareto, events_longest_streak) are the
+    # events_power_users_pareto, events_longest_streak,
+    # events_burst_detection) are the
     # round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).

@@ -468,6 +468,36 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: events whose trailing 6-hour window (per
+    user, event-time RANGE frame on epoch seconds) holds ≥ 3 events —
+    the rate-limit/fraud primitive. A RANGE frame sized in TIME, not
+    rows: per-row state is bounded by the rate ceiling itself, and one
+    user_id exchange serves the whole pass. Ties at the same second
+    are all inside each other's frames (RANGE semantics), which is
+    what makes the count deterministic."""
+    from pyspark.sql import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_timestamp(F.col("ts")).alias("epoch_s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-21600, 0)
+    )
+    return (
+        ev.withColumn("n_burst", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("n_burst") >= 3)
+        .select("event_id", "user_id", "ts", "n_burst")
+    )
+
+
 def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-active-day streak per user — the classic
     gaps-and-islands shape: consecutive days share a constant
@@ -984,6 +1014,7 @@ QUERIES = {
     "text_ngram_novelty": text_ngram_novelty,
     "events_power_users_pareto": events_power_users_pareto,
     "events_longest_streak": events_longest_streak,
+    "events_burst_detection": events_burst_detection,
 }
 
 # Shared DuckDB normalization CTEs — mirrors operators.text.normalize_text.
@@ -1212,6 +1243,20 @@ ORACLE_SQL = {
                      / CAST((SELECT total_events FROM total) AS DOUBLE), 6) AS cum_event_share
         FROM topk
         WINDOW w AS (ORDER BY n_events DESC, user_id ASC)
+    """,
+    "events_burst_detection": """
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(n_burst AS BIGINT) AS n_burst
+        FROM (
+          SELECT event_id, user_id, ts,
+                 COUNT(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                   RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW
+                 ) AS n_burst
+          FROM events
+        )
+        WHERE n_burst >= 3
     """,
     "events_longest_streak": """
         WITH ud AS (
