@@ -782,3 +782,21 @@ def test_forward_asof_same_instant_and_direction(spark):
     assert out[(1, 10)] == (10, "b")     # same-instant included
     assert out[(1, 20)] == (None, None)  # nothing after -> NULLs
     assert out[(2, 5)] == (None, None)   # keyless left row survives
+
+
+def test_pareto_topk_is_distributed_take_ordered(spark):
+    """The top-100 must come from TakeOrderedAndProject (per-partition
+    truncation) BEFORE any unpartitioned window touches the data —
+    pins the round-4 scale fix (an unpartitioned rank window over the
+    per-user aggregate would single-partition every user)."""
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_power_users_pareto,
+    )
+
+    plan = (
+        events_power_users_pareto(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
