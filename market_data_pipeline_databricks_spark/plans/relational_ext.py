@@ -346,6 +346,243 @@ def window_gapfill_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — lineitem bridged to a supplier nation on one side and
+    a customer nation (through orders) on the other, keeping only the
+    two directed pairs.
+
+    Scale: only `nation` (25 rows, bounded) carries a broadcast hint.
+    Supplier and customer grow linearly with SF, so their nation
+    filter (2/25 of rows) is applied early but the join strategy is
+    left to AQE — at test scale it broadcasts, at 100 TB it degrades
+    to shuffle joins on suppkey/custkey without replanning the query.
+    The pair predicate is two equi-joins plus one inequality filter,
+    never an OR-join (which would defeat hash join selection)."""
+    pair = ("NATION_1", "NATION_2")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(*pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(*pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold
+    into one region, by order year — a conditional-aggregate ratio
+    over a five-table star.
+
+    Scale: the share is numerator/denominator of two decimal-exact
+    sums computed in ONE aggregation pass (a conditional sum, not a
+    second scan or a self-join). Nation/region hints are bounded
+    (25/5 rows); part, supplier, customer joins are AQE-chosen since
+    all three scale with SF. The p_type filter pushes into the part
+    scan and prunes the lineitem join early."""
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dsum(
+                F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("nation_volume"),
+            _dsum(vol, 6).alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def join_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, joined back to orders + customer, top-100 by price.
+
+    Scale: the HAVING aggregate is the only full-fact shuffle (one
+    pass on l_orderkey, map-side partial sums); the surviving key set
+    is tiny, so AQE broadcasts it into the orders join rather than
+    shuffling the orders table — the classic agg-then-semi-join-back
+    pattern. Top-k via TakeOrderedAndProject with a unique
+    (totalprice, orderdate, orderkey) sort key — no global sort, and
+    the LIMIT is deterministic under ties."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+def join_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE returned-flag
+    supplier on a finished multi-supplier order (this testdata carries
+    l_returnflag, not commit/receipt dates — 'R' stands in for the
+    late-delivery predicate, same correlated EXISTS / NOT EXISTS plan
+    problem).
+
+    Scale: the reference formulation is EXISTS(other supplier) AND
+    NOT EXISTS(other supplier with R) — two extra correlated scans of
+    lineitem. Here both quantifiers collapse into ONE auxiliary
+    per-order aggregate: n_supp = COUNT(DISTINCT l_suppkey) and
+    n_supp_r = COUNT(DISTINCT l_suppkey WHERE R); for an R-row of
+    supplier s, EXISTS-other ⇔ n_supp ≥ 2 and NOT-EXISTS-other-R ⇔
+    n_supp_r = 1. Lineitem is scanned twice total (R rows + the
+    aggregate) instead of four times, and both sides shuffle once on
+    l_orderkey. The oracle SQL keeps the literal EXISTS/NOT EXISTS
+    form, so the gate also proves the rewrite's equivalence."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").join(
+        f_orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_supp_r") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def join_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no recent orders (the schema has no c_phone, so 'no orders
+    since 2000-01-01' stands in for the no-orders-at-all predicate —
+    same scalar-subquery + anti-join plan problem), rolled up by
+    market segment.
+
+    Scale: the average is a 1-row decimal-exact aggregate broadcast by
+    a cross join (bounded by construction); the NOT EXISTS is a
+    left-anti join on custkey against the date-filtered orders scan —
+    filter pushed down, one shuffle, no correlated re-scan. The
+    threshold is computed once as exact-decimal sum / count so both
+    engines derive the same double bits (order-independent)."""
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        pos.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, pos.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "join_q3_shipping_priority": join_q3_shipping_priority,
@@ -359,6 +596,11 @@ QUERIES = {
     "agg_q13_customer_distribution": agg_q13_customer_distribution,
     "agg_revenue_share": agg_revenue_share,
     "window_gapfill_daily_close": window_gapfill_daily_close,
+    "join_q7_volume_shipping": join_q7_volume_shipping,
+    "join_q8_market_share": join_q8_market_share,
+    "join_q18_large_volume": join_q18_large_volume,
+    "join_q21_waiting_suppliers": join_q21_waiting_suppliers,
+    "join_q22_idle_balance": join_q22_idle_balance,
 }
 
 ORACLE_SQL = {
@@ -501,5 +743,100 @@ ORACLE_SQL = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
                COUNT(*) AS n
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "join_q7_volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(volume AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "join_q8_market_share": """
+        SELECT o_year,
+               nation_volume, total_volume,
+               ROUND(nation_volume / total_volume, 6) AS mkt_share
+        FROM (
+          SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                 CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_1'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE)
+                   AS nation_volume,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(27,6))) AS DOUBLE) AS total_volume
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          JOIN region ON n2.n_regionkey = r_regionkey
+          WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+          GROUP BY 1
+        )
+    """,
+    "join_q18_large_volume": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM (
+          SELECT l_orderkey AS big_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY 1
+        ) big
+        JOIN orders ON o_orderkey = big.big_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        WHERE sum_qty > 300
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "join_q21_waiting_suppliers": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
+    """,
+    "join_q22_idle_balance": """
+        WITH t AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS totacctbal
+        FROM customer, t
+        WHERE c_acctbal > 0
+          AND c_acctbal > t.avg_bal
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= DATE '2000-01-01'
+          )
+        GROUP BY 1
     """,
 }
