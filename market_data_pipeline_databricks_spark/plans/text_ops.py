@@ -974,8 +974,80 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style multi-rule quality screen (Rae et al. 2021,
+    Appendix A — public paper): each document is scored against six
+    independent heuristic rules (length bounds, mean word length,
+    stopword presence, symbol ratio, single-token repetition); any
+    firing rule rejects the document and ALL firing rule names are
+    routed to ``reject_reasons`` — the reference's silver
+    reject-routing discipline (notebooks/silver/02_transform_silver.py
+    reject_reason precedence) applied to the documents corpus instead
+    of OHLC rows, except that Gopher screens report every violated
+    rule, not just the first.
+
+    Scale: every rule is a single-pass Column expression over one
+    shared normalization projection — zero shuffles, zero UDFs, fully
+    codegen'd. ``top_unigram_share`` is O(u·n) per row in the
+    distinct-token count u (array_distinct × filter), bounded by
+    document length; for book-length documents swap in an
+    explode→count→max formulation (one shuffle on doc_id) instead.
+    Rule thresholds compare the ROUNDED diagnostics so the boolean
+    flags are reproducible on any engine (no 1-ulp boundary flakes).
+    """
+    t = F.col("text")
+    ntext = TX.normalize_text(t)
+    toks = TX.tokens(t)
+    n_tok = F.size(toks).cast("long")
+    n_tok_d = n_tok.cast("double")
+    mean_wl = (
+        F.length(F.regexp_replace(ntext, " ", "")).cast("double") / n_tok_d
+    )
+    symbol_frac = (
+        TX.punct_count(t).cast("double") / TX.char_count(t).cast("double")
+    )
+    top_share = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda u: F.size(F.filter(toks, lambda x: x == u)),
+            )
+        ).cast("double")
+        / n_tok_d
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        TX.stopword_count(t).alias("n_stopwords"),
+        F.round(symbol_frac, 6).alias("symbol_frac"),
+        F.round(top_share, 6).alias("top_unigram_share"),
+    )
+    r_short = F.col("n_tokens") < 15
+    r_long = F.col("n_tokens") > 100000
+    r_wl = (F.col("mean_word_len") < 2.0) | (F.col("mean_word_len") > 10.0)
+    r_stop = F.col("n_stopwords") < 2
+    r_sym = F.col("symbol_frac") > 0.1
+    r_rep = F.col("top_unigram_share") > 0.2
+    reasons = F.concat_ws(
+        ",",
+        F.when(r_short, F.lit("too_short")),
+        F.when(r_long, F.lit("too_long")),
+        F.when(r_wl, F.lit("word_len")),
+        F.when(r_stop, F.lit("low_stopword")),
+        F.when(r_sym, F.lit("symbol_ratio")),
+        F.when(r_rep, F.lit("repetition")),
+    )
+    return base.select(
+        "*",
+        (~(r_short | r_long | r_wl | r_stop | r_sym | r_rep)).alias("keep"),
+        reasons.alias("reject_reasons"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_gopher_rules": text_gopher_rules,
     "text_lang_id": text_lang_id,
     "text_fingerprint_groups": text_fingerprint_groups,
     "text_bpe_token_count": text_bpe_token_count,
@@ -1100,7 +1172,39 @@ _CURATE_CTES = _NORM + f""",
         )
 """
 
+_GOPHER_ORACLE = _NORM + r""",
+base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords,
+         ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}\-]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE), 6) AS symbol_frac,
+         ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                 u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) AS top_unigram_share
+  FROM tok
+)
+SELECT doc_id, n_tokens, mean_word_len, n_stopwords, symbol_frac,
+       top_unigram_share,
+       NOT (n_tokens < 15 OR n_tokens > 100000
+            OR mean_word_len < 2.0 OR mean_word_len > 10.0
+            OR n_stopwords < 2 OR symbol_frac > 0.1
+            OR top_unigram_share > 0.2) AS keep,
+       concat_ws(',',
+         CASE WHEN n_tokens < 15 THEN 'too_short' END,
+         CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+         CASE WHEN mean_word_len < 2.0 OR mean_word_len > 10.0 THEN 'word_len' END,
+         CASE WHEN n_stopwords < 2 THEN 'low_stopword' END,
+         CASE WHEN symbol_frac > 0.1 THEN 'symbol_ratio' END,
+         CASE WHEN top_unigram_share > 0.2 THEN 'repetition' END
+       ) AS reject_reasons
+FROM base
+"""
+
 ORACLE_SQL = {
+    "text_gopher_rules": _GOPHER_ORACLE,
     "text_decontaminate": _NORM + r""",
         docs5 AS (
           SELECT doc_id,

@@ -916,3 +916,51 @@ def test_q22_idle_balance_predicates(spark):
         for r in join_q22_idle_balance(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_gopher_rules_fire_on_crafted_docs(spark):
+    """Each Gopher rule fires on a document crafted to violate exactly
+    that rule, and a healthy document passes all six."""
+    from market_data_pipeline_databricks_spark.plans import text_ops
+
+    healthy = (
+        "the quick brown fox jumps over a lazy dog and then the fox "
+        "runs off to sleep in its den for the rest of the day is good"
+    )
+    rows = [
+        (1, healthy, "en", "web", len(healthy)),
+        (2, "tiny doc", "en", "web", 8),                      # too_short
+        (3, " ".join(["the"] * 5 + ["internationalization"] * 25),
+         "en", "web", 99),                                    # word_len + repetition
+        (4, " ".join(f"tok{i}" for i in range(30)), "en", "web", 99),  # low_stopword
+        (5, "the of and " + "!?;:.,!?;:" * 30, "en", "web", 99),       # symbol_ratio
+        (6, " ".join(["the"] * 40), "en", "web", 99),         # repetition
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in text_ops.text_gopher_rules(spark, d).collect()
+        }
+    assert out[1].keep and out[1].reject_reasons == ""
+    assert "too_short" in out[2].reject_reasons
+    assert "word_len" in out[3].reject_reasons
+    assert "low_stopword" in out[4].reject_reasons
+    assert "symbol_ratio" in out[5].reject_reasons
+    assert "repetition" in out[6].reject_reasons and not out[6].keep
+
+
+def test_gopher_rules_discriminate_on_corpus(spark):
+    """On the synthetic corpus the screen must neither pass nor reject
+    everything, and reasons must be non-empty exactly when keep=false."""
+    from market_data_pipeline_databricks_spark.plans import text_ops
+
+    rows = text_ops.text_gopher_rules(spark, SF).collect()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert r.keep == (r.reject_reasons == "")
