@@ -514,7 +514,13 @@ def join_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier s, EXISTS-other ⇔ n_supp ≥ 2 and NOT-EXISTS-other-R ⇔
     n_supp_r = 1. Lineitem is scanned twice total (R rows + the
     aggregate) instead of four times, and both sides shuffle once on
-    l_orderkey. The oracle SQL keeps the literal EXISTS/NOT EXISTS
+    l_orderkey. The two distinct counts are written as a CASCADED
+    aggregate (collapse to (order, supplier, has_r) rows first, then
+    count per order) rather than two countDistinct calls — a double
+    countDistinct compiles to an Expand that duplicates every lineitem
+    row before the shuffle, while the cascade's first level
+    partial-aggregates down to distinct (order, supplier) pairs
+    map-side. The oracle SQL keeps the literal EXISTS/NOT EXISTS
     form, so the gate also proves the rewrite's equivalence."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
@@ -524,11 +530,17 @@ def join_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_supp_r"),
+    per_supp = li.groupBy(
+        F.col("l_orderkey").alias("agg_orderkey"),
+        F.col("l_suppkey").alias("agg_suppkey"),
+    ).agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "has_r"
+        )
+    )
+    per_order = per_supp.groupBy("agg_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_supp_r"),
     )
     l1 = li.filter(F.col("l_returnflag") == "R").join(
         f_orders, F.col("l_orderkey") == F.col("o_orderkey")
