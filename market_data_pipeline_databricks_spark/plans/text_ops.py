@@ -1045,9 +1045,45 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction as an oracle-backed query. The corpus
+    carries no real PII (by construction), so the query synthesizes a
+    deterministic contact blob per document from doc_id arithmetic —
+    an email, an IPv4 and a phone number — appends it to a text
+    prefix, then runs the REAL ``operators/text.py`` pii_counts /
+    redact_pii chain (ordered JVM regex passes: email → ipv4 → phone,
+    each kind counted on text with the more specific kinds already
+    redacted). The DuckDB twin re-derives the same blob and chain, so
+    the gate proves regex-semantics parity (Java vs RE2) for every
+    pattern on every row, not just the crafted unit-test strings.
+
+    Scale: pure per-row Column expressions — zero shuffles, zero UDFs;
+    regex passes are JVM-side and pipeline into one codegen span."""
+    did = F.col("doc_id").cast("string")
+    blob = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach u"), did,
+        F.lit("@mail-"), did, F.lit(".example.org or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" tel +1 555 000 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    base = _docs(spark, sf_dir).select("doc_id", blob.alias("blob"))
+    counts = TX.pii_counts(F.col("blob"))
+    return base.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        TX.redact_pii(F.col("blob")).alias("redacted"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_gopher_rules": text_gopher_rules,
+    "text_pii_redaction": text_pii_redaction,
     "text_lang_id": text_lang_id,
     "text_fingerprint_groups": text_fingerprint_groups,
     "text_bpe_token_count": text_bpe_token_count,
@@ -1203,8 +1239,45 @@ SELECT doc_id, n_tokens, mean_word_len, n_stopwords, symbol_frac,
 FROM base
 """
 
+_PII_ORACLE = r"""
+WITH blob AS (
+  SELECT doc_id,
+         concat(substr(text, 1, 40),
+                ' reach u', CAST(doc_id AS VARCHAR),
+                '@mail-', CAST(doc_id AS VARCHAR), '.example.org or 10.0.',
+                CAST(doc_id % 256 AS VARCHAR), '.',
+                CAST((doc_id * 7) % 256 AS VARCHAR),
+                ' tel +1 555 000 ',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t0,
+         CAST(len(regexp_extract_all(t0,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         regexp_replace(t0,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM blob
+), s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t1,
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+         regexp_replace(t1,
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         CAST(len(regexp_extract_all(t2,
+           '\+?\d[\d\s().-]{7,}\d')) AS BIGINT) AS n_phone,
+         regexp_replace(t2,
+           '\+?\d[\d\s().-]{7,}\d', '[PHONE]', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, t3 AS redacted FROM s3
+"""
+
 ORACLE_SQL = {
     "text_gopher_rules": _GOPHER_ORACLE,
+    "text_pii_redaction": _PII_ORACLE,
     "text_decontaminate": _NORM + r""",
         docs5 AS (
           SELECT doc_id,
