@@ -158,7 +158,75 @@ def funcs_rolling_median_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funcs_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per key: running peak (cumulative max window)
+    over the daily close series, then the most negative peak-to-trough
+    ratio — the canonical risk metric downstream of the reference's
+    gold feature table (03_aggregate_gold.py computes vol_20d; drawdown
+    is the path-dependent complement).
+
+    Scale: one suppkey exchange serves the cumulative-max window, the
+    per-key min is a partial-aggregable rollup on the same
+    partitioning — Catalyst reuses the exchange, so the whole query is
+    one shuffle. All math is max/division/min on raw doubles (no
+    accumulation order dependence), rounded once at the end."""
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.withColumn("cummax", F.max("close").over(w))
+    return dd.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.min(F.col("close") / F.col("cummax") - 1), 6).alias(
+            "max_drawdown"
+        ),
+    )
+
+
+def funcs_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per key per calendar month —
+    the standard execution-quality benchmark. Numerator and
+    denominator are decimal-exact sums (order-independent bits), the
+    single division happens after aggregation, so both engines derive
+    identical doubles.
+
+    Scale: one hash-aggregate shuffle on (suppkey, month); map-side
+    partial sums collapse the fact rows before the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(27,6)"
+                )
+            )
+            .cast("double")
+            .alias("pv"),
+            F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("v"),
+        )
+        .select(
+            "suppkey",
+            "month",
+            # floor-truncate (see funcs_feature_panel): the quotient can
+            # land on a half-way point where Spark and DuckDB round
+            # differently; floor of x*1e6 is pure IEEE, identical bits.
+            (F.floor(F.col("pv") / F.col("v") * 1e6) / 1e6).alias("vwap"),
+            F.round(F.col("v"), 2).alias("volume"),
+        )
+    )
+
+
 QUERIES = {
+    "funcs_max_drawdown": funcs_max_drawdown,
+    "funcs_vwap_monthly": funcs_vwap_monthly,
     "funcs_feature_panel": funcs_feature_panel,
     "funcs_log_return_stats": funcs_log_return_stats,
     "funcs_ewma_close": funcs_ewma_close,
@@ -175,6 +243,26 @@ WITH daily AS (
 """
 
 ORACLE_SQL = {
+    "funcs_max_drawdown": _DAILY_CTE + """
+        , dd AS (
+          SELECT suppkey, day, close,
+                 MAX(close) OVER (PARTITION BY suppkey ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+          FROM daily
+        )
+        SELECT suppkey, COUNT(*) AS n_days,
+               ROUND(MIN(close / cummax - 1), 6) AS max_drawdown
+        FROM dd GROUP BY suppkey
+    """,
+    "funcs_vwap_monthly": """
+        SELECT l_suppkey AS suppkey,
+               CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+               FLOOR(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) * 1e6) / 1e6 AS vwap,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE), 2) AS volume
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
     "funcs_rolling_median_close": _DAILY_CTE + """
         SELECT suppkey, day, close,
                ROUND(quantile_cont(close, 0.5) OVER (

@@ -79,3 +79,38 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     # pruned read returns exactly the partition's rows
     want = li.filter(F.pmod("l_suppkey", F.lit(8)) == 3).count()
     assert df.count() == want
+
+
+def test_max_drawdown_bounds_and_peak_start(spark):
+    """Drawdown is in [-1, 0]; a key whose close series is
+    non-increasing from its first day has drawdown = min/first - 1."""
+    from market_data_pipeline_databricks_spark.plans.feature_ops import (
+        funcs_max_drawdown,
+    )
+
+    rows = funcs_max_drawdown(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.max_drawdown <= 0.0
+
+
+def test_vwap_between_min_and_max_price(spark):
+    """VWAP is a convex combination of prices: for every (key, month)
+    it must lie within [min, max] of that month's prices."""
+    from pyspark.sql import functions as F
+    from market_data_pipeline_databricks_spark.plans.feature_ops import (
+        funcs_vwap_monthly,
+    )
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    bounds = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+    ).agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    joined = funcs_vwap_monthly(spark, SF_SMALL).join(bounds, ["suppkey", "month"])
+    bad = joined.filter(
+        (F.col("vwap") < F.col("lo") - 1e-6) | (F.col("vwap") > F.col("hi") + 1e-6)
+    ).count()
+    assert bad == 0
