@@ -165,11 +165,14 @@ def funcs_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold feature table (03_aggregate_gold.py computes vol_20d; drawdown
     is the path-dependent complement).
 
-    Scale: one suppkey exchange serves the cumulative-max window, the
-    per-key min is a partial-aggregable rollup on the same
-    partitioning — Catalyst reuses the exchange, so the whole query is
-    one shuffle. All math is max/division/min on raw doubles (no
-    accumulation order dependence), rounded once at the end."""
+    Scale: beyond the daily-grain collapse every feature query shares,
+    ONE suppkey exchange serves both the cumulative-max window and the
+    final per-key min — the aggregate's required partitioning is
+    satisfied by the window's, so Catalyst inserts no third exchange
+    (verified: 2 total Exchange nodes in the executed plan, the same
+    count as the bare daily base + window). All math is
+    max/division/min on raw doubles (no accumulation order
+    dependence), rounded once at the end."""
     daily = _daily(spark, sf_dir)
     w = (
         Window.partitionBy("suppkey")

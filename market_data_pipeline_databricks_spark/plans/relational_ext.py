@@ -346,6 +346,109 @@ def window_gapfill_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by supplier nation for orders where the
+    CUSTOMER and the SUPPLIER share a nation (the c_nationkey =
+    s_nationkey constraint is the distinguishing edge — it closes a
+    cycle in the join graph, so the optimizer must pick where to apply
+    it), restricted to one region and one order year.
+
+    Scale: nation/region broadcast (bounded); the date filter pushes
+    into the orders scan; customer and supplier joins are AQE-chosen.
+    The nation-equality closes as a post-join filter on two already
+    joined columns — no extra shuffle."""
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian_nat = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asian_nat),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def join_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter — selective filters on both fact scans, a grouped
+    multi-column aggregate, and a deterministic top-k.
+
+    Scale: the R-flag filter pushes into the lineitem scan and the
+    quarter filter into orders; the group key carries the customer
+    attributes (no second join-back needed); top-k compiles to
+    TakeOrderedAndProject with c_custkey as the tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def join_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per line-status, conditional counts of
+    critical vs non-critical order priority for one ship year (this
+    schema has no l_shipmode, so l_linestatus is the grouping stand-in
+    — same conditional-count-over-join plan problem).
+
+    Scale: the ship-date filter pushes into the lineitem scan; the
+    join shuffles on orderkey; both counts come from one conditional
+    aggregation pass."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 def join_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by
     ship year — lineitem bridged to a supplier nation on one side and
@@ -608,6 +711,9 @@ QUERIES = {
     "agg_q13_customer_distribution": agg_q13_customer_distribution,
     "agg_revenue_share": agg_revenue_share,
     "window_gapfill_daily_close": window_gapfill_daily_close,
+    "join_q5_local_supplier_volume": join_q5_local_supplier_volume,
+    "join_q10_returned_items": join_q10_returned_items,
+    "join_q12_priority_shipping": join_q12_priority_shipping,
     "join_q7_volume_shipping": join_q7_volume_shipping,
     "join_q8_market_share": join_q8_market_share,
     "join_q18_large_volume": join_q18_large_volume,
@@ -755,6 +861,46 @@ ORACLE_SQL = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
                COUNT(*) AS n
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "join_q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name
+    """,
+    "join_q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate >= DATE '1996-10-01'
+          AND o_orderdate < DATE '1997-01-01'
+          AND l_returnflag = 'R'
+          AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "join_q12_priority_shipping": """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
     """,
     "join_q7_volume_shipping": """
         SELECT supp_nation, cust_nation, l_year,
