@@ -346,6 +346,181 @@ def window_gapfill_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: global scalar aggregate under a triple range
+    predicate (date year, discount band, quantity cap) — the purest
+    scan-bound query in the suite; everything must reach the parquet
+    scan as pushed filters and the aggregate is a one-row map-side
+    collapse (no meaningful shuffle at any scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias(
+                "forecast_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def agg_q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — a
+    conditional-aggregate percentage over the lineitem ⋈ part join,
+    computed in ONE pass (no second scan for the denominator).
+
+    Scale: the month filter pushes into lineitem; part is the build
+    side AQE picks (it scales with SF, so no forced hint); the ratio
+    divides two decimal-exact doubles and floor-truncates (half-way
+    rounding is engine-divergent)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = li.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
+        _dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), 6)
+        .alias("promo_revenue"),
+        _dsum(rev, 6).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.floor(
+                F.lit(100.0)
+                * F.col("promo_revenue")
+                / F.col("total_revenue")
+                * 1e6
+            )
+            / 1e6
+        ).alias("promo_pct"),
+    )
+
+
+def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the maximum quarterly revenue — the revenue 'view' is aggregated
+    once and reused for both the ranking and the scalar max (Q15's
+    CREATE VIEW discipline as a shared DataFrame, not a re-scan).
+
+    Scale: one orderkey-free aggregate on l_suppkey (single fact
+    shuffle); the 1-row max broadcasts by cross join; supplier join is
+    AQE-chosen. Returning ALL argmax suppliers (not LIMIT 1) keeps the
+    result deterministic under revenue ties by construction."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
+    )
+
+
+def join_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders of less than 20% of a
+    part's average order quantity, for one brand — the classic
+    correlated scalar aggregate (AVG per part) decorrelated into an
+    aggregate-then-join-back.
+
+    Scale: the per-part average is computed over ONLY the brand's
+    lineitems (the correlation's domain), so the join-back side is
+    tiny and AQE broadcasts it; lineitem shuffles once on partkey for
+    the aggregate. The weekly-average divisor (7.0) keeps the
+    reference query's units."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = brand_li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        brand_li.join(avg_qty, F.col("l_partkey") == F.col("agg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+                    .cast("double")
+                    / 7.0
+                    * 1e6
+                )
+                / 1e6
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def join_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size
+    band, quantity band) conjunctions — the disjunctive-predicate
+    join. The OR cannot become a join key, but each disjunct's part
+    side is independently prunable; Spark evaluates the disjunction
+    post-join while pushing the union of part-side bounds into the
+    part scan.
+
+    Scale: one partkey join (AQE-chosen build side); the predicate is
+    pure codegen — no UDF, no explode."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    d1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(d1 | d2 | d3).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def join_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by supplier nation for orders where the
     CUSTOMER and the SUPPLIER share a nation (the c_nationkey =
@@ -711,6 +886,11 @@ QUERIES = {
     "agg_q13_customer_distribution": agg_q13_customer_distribution,
     "agg_revenue_share": agg_revenue_share,
     "window_gapfill_daily_close": window_gapfill_daily_close,
+    "agg_q6_forecast_revenue": agg_q6_forecast_revenue,
+    "agg_q14_promo_revenue_pct": agg_q14_promo_revenue_pct,
+    "join_q15_top_supplier": join_q15_top_supplier,
+    "join_q17_small_quantity_revenue": join_q17_small_quantity_revenue,
+    "join_q19_disjunctive_revenue": join_q19_disjunctive_revenue,
     "join_q5_local_supplier_volume": join_q5_local_supplier_volume,
     "join_q10_returned_items": join_q10_returned_items,
     "join_q12_priority_shipping": join_q12_priority_shipping,
@@ -861,6 +1041,68 @@ ORACLE_SQL = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
                COUNT(*) AS n
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "agg_q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS forecast_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "agg_q14_promo_revenue_pct": """
+        SELECT promo_revenue, total_revenue,
+               FLOOR(100.0 * promo_revenue / total_revenue * 1e6) / 1e6 AS promo_pct
+        FROM (
+          SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE) AS promo_revenue,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        )
+    """,
+    "join_q15_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, s_acctbal, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "join_q17_small_quantity_revenue": """
+        WITH brand_li AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#12'
+        ),
+        avg_qty AS (
+          SELECT l_partkey AS agg_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM brand_li GROUP BY 1
+        )
+        SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0 * 1e6) / 1e6 AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM brand_li JOIN avg_qty ON l_partkey = agg_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "join_q19_disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """,
     "join_q5_local_supplier_volume": """
         SELECT n_name,
