@@ -67,10 +67,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sample_temperature_mixture, join_asof_forward_quotes,
     # funcs_rolling_median_close, text_ngram_novelty,
     # events_power_users_pareto, events_longest_streak,
-    # events_burst_detection, plus the TPC-H breadth set
-    # join_q7_volume_shipping, join_q8_market_share,
-    # join_q18_large_volume, join_q21_waiting_suppliers,
-    # join_q22_idle_balance) are the
+    # events_burst_detection, the TPC-H completion set
+    # (join_q5/q7/q8/q10/q12/q15/q17/q18/q19/q21/q22, agg_q6, agg_q14
+    # — 17 of 22 TPC-H shapes now oracle-checked), the corpus screens
+    # text_gopher_rules + text_pii_redaction, and the risk features
+    # funcs_max_drawdown + funcs_vwap_monthly) are the
     # round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).
