@@ -346,6 +346,83 @@ def window_gapfill_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table expectation suite — the reference's append-only
+    data_quality_checks audit table (04_data_quality_checks.py DQ rows:
+    one row per check per run, PASS/FAIL + violation count) widened
+    from single-table OHLC rules to warehouse-level contracts:
+
+    - referential integrity: lineitem.l_orderkey → orders,
+      orders.o_custkey → customer (anti-join counts);
+    - domain ranges: non-positive prices/quantities, discount outside
+      [0, 1], OHLC-style l_extendedprice sanity;
+    - nullability: keys that must never be NULL.
+
+    Scale: each referential check is a left-anti join on the foreign
+    key (one shuffle each, AQE-broadcast at small scale); the range
+    and null checks are conditional counts fused into ONE aggregation
+    pass per table. All check streams union into the audit schema
+    (check_name, n_violations, status)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def check_row(df: DataFrame, name: str) -> DataFrame:
+        n = df.agg(F.count(F.lit(1)).alias("n_violations"))
+        return n.select(
+            F.lit(name).alias("check_name"),
+            "n_violations",
+            F.when(F.col("n_violations") == 0, "PASS")
+            .otherwise("FAIL")
+            .alias("status"),
+        )
+
+    orphan_lines = li.join(
+        o.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    orphan_orders = o.join(
+        c.select("c_custkey"),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    li_rules = li.agg(
+        F.sum(
+            F.when((F.col("l_extendedprice") <= 0), 1).otherwise(0)
+        ).alias("bad_price"),
+        F.sum(F.when((F.col("l_quantity") <= 0), 1).otherwise(0)).alias(
+            "bad_qty"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("bad_discount"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_orderkey"
+        ),
+    )
+
+    def unpivot_rule(colname: str, check: str) -> DataFrame:
+        return li_rules.select(
+            F.lit(check).alias("check_name"),
+            F.col(colname).alias("n_violations"),
+            F.when(F.col(colname) == 0, "PASS").otherwise("FAIL").alias(
+                "status"
+            ),
+        )
+
+    return (
+        check_row(orphan_lines, "ri_lineitem_orders")
+        .unionByName(check_row(orphan_orders, "ri_orders_customer"))
+        .unionByName(unpivot_rule("bad_price", "range_positive_price"))
+        .unionByName(unpivot_rule("bad_qty", "range_positive_qty"))
+        .unionByName(unpivot_rule("bad_discount", "range_discount_unit"))
+        .unionByName(unpivot_rule("null_orderkey", "notnull_l_orderkey"))
+    )
+
+
 def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: global scalar aggregate under a triple range
     predicate (date year, discount band, quantity cap) — the purest
@@ -886,6 +963,7 @@ QUERIES = {
     "agg_q13_customer_distribution": agg_q13_customer_distribution,
     "agg_revenue_share": agg_revenue_share,
     "window_gapfill_daily_close": window_gapfill_daily_close,
+    "quality_expectation_suite": quality_expectation_suite,
     "agg_q6_forecast_revenue": agg_q6_forecast_revenue,
     "agg_q14_promo_revenue_pct": agg_q14_promo_revenue_pct,
     "join_q15_top_supplier": join_q15_top_supplier,
@@ -1041,6 +1119,32 @@ ORACLE_SQL = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
                COUNT(*) AS n
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "quality_expectation_suite": """
+        WITH checks AS (
+          SELECT 'ri_lineitem_orders' AS check_name,
+                 (SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+          UNION ALL
+          SELECT 'ri_orders_customer',
+                 (SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+          UNION ALL
+          SELECT 'range_positive_price',
+                 (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0)
+          UNION ALL
+          SELECT 'range_positive_qty',
+                 (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+          UNION ALL
+          SELECT 'range_discount_unit',
+                 (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+          UNION ALL
+          SELECT 'notnull_l_orderkey',
+                 (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+        )
+        SELECT check_name, n_violations,
+               CASE WHEN n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+        FROM checks
     """,
     "agg_q6_forecast_revenue": """
         SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS forecast_revenue,
