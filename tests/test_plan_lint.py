@@ -1,0 +1,60 @@
+"""Registry-wide plan lint — the scale guards as executable assertions.
+
+For every registered batch query, build the physical plan (no
+execution) and assert the invariants the 100 TB design relies on:
+
+- no CartesianProduct anywhere (scalar broadcasts compile to
+  BroadcastNestedLoopJoin with a 1-row build side, which is allowed);
+- no BatchEvalPython (row-at-a-time Python UDF) anywhere;
+- Arrow-based Python nodes (pandas UDF / grouped map / mapInPandas)
+  only in the queries that declare them.
+
+Queries that execute work at construction time (availableNow streams,
+iterative components, IVF centroid training) are skipped here — their
+plan discipline is asserted by their own tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# construction runs jobs (streams, iterative fixpoints, centroid
+# training) — linted in their own tests instead
+EAGER = {"dedup_components", "dedup_component_survivors", "vector_ann_ivf_topk"}
+
+# Arrow-batched Python is the sanctioned slow path for exactly these
+PANDAS_OK = {
+    "funcs_ewma_close",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "multimodal_wav_roundtrip",
+}
+
+# The documented exact all-pairs oracle baselines: their near-dup
+# stage is a deliberate brute-force cross join so DuckDB can verify
+# the full chain; the 100 TB path is the _lsh twin of each (keep-set
+# equality asserted in test_training_ops). Nothing else may cartesian.
+CARTESIAN_OK = {"curate_multimodal_corpus"}
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_queries():
+    return [
+        (name, fn)
+        for name, fn in entrymod.queries().items()
+        if not name.startswith("stream_") and name not in EAGER
+    ]
+
+
+@pytest.mark.parametrize("name,fn", _batch_queries(), ids=lambda p: p if isinstance(p, str) else "")
+def test_plan_invariants(spark, name, fn):
+    plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in PANDAS_OK:
+        for node in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, f"{name}: unexpected Python node {node}"
