@@ -1080,10 +1080,87 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's ordered
+    event stream: P(next event type | current event type) — the
+    behavioral-model substrate (and a drift detector when compared
+    week over week).
+
+    Scale: consecutive pairs come from ONE user_id window (LEAD), the
+    transition counts partial-aggregate map-side onto an O(types²)
+    grid, and the row-normalizing denominator is a window over that
+    tiny aggregate — never over the fact table. Probabilities are
+    exact-integer-derived doubles, floor-truncated (half-way rounding
+    is engine-divergent)."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    trans = pairs.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double")
+                / F.sum("n").over(wrow).cast("double")
+                * 1e6
+            )
+            / 1e6
+        ).alias("p"),
+    )
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths (event-type trigrams over
+    each user's time-ordered stream) — the sequence-mining staple
+    behind "how do users actually reach purchase".
+
+    Scale: two LEADs on one user_id window (no collect_list, no
+    per-user array materialization), then a count on O(types³)
+    distinct paths with map-side partial aggregation; top-k via
+    TakeOrderedAndProject with the path string as tiebreak."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_id", "ts", "event_type")
+        .withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    )
+    return (
+        ev.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_gopher_rules": text_gopher_rules,
     "text_pii_redaction": text_pii_redaction,
+    "events_markov_transitions": events_markov_transitions,
+    "events_top_paths": events_top_paths,
     "text_lang_id": text_lang_id,
     "text_fingerprint_groups": text_fingerprint_groups,
     "text_bpe_token_count": text_bpe_token_count,
@@ -1278,6 +1355,38 @@ SELECT doc_id, n_email, n_ipv4, n_phone, t3 AS redacted FROM s3
 ORACLE_SQL = {
     "text_gopher_rules": _GOPHER_ORACLE,
     "text_pii_redaction": _PII_ORACLE,
+    "events_markov_transitions": """
+        WITH pairs AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events
+        ),
+        trans AS (
+          SELECT from_type, to_type, COUNT(*) AS n
+          FROM pairs WHERE to_type IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               FLOOR(CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                     * 1e6) / 1e6 AS p
+        FROM trans
+    """,
+    "events_top_paths": """
+        WITH seq AS (
+          SELECT event_type,
+                 LEAD(event_type, 1) OVER w AS t1,
+                 LEAD(event_type, 2) OVER w AS t2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT concat_ws('>', event_type, t1, t2) AS path,
+               COUNT(*) AS n_paths
+        FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n_paths DESC, path ASC
+        LIMIT 20
+    """,
     "text_decontaminate": _NORM + r""",
         docs5 AS (
           SELECT doc_id,

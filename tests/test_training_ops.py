@@ -964,3 +964,45 @@ def test_gopher_rules_discriminate_on_corpus(spark):
     assert 0 < kept < len(rows)
     for r in rows:
         assert r.keep == (r.reject_reasons == "")
+
+
+def test_markov_transition_rows_sum_to_one(spark):
+    """Each from_type's outgoing probabilities must sum to ~1 (floor
+    truncation loses at most 1e-6 per cell)."""
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_markov_transitions,
+    )
+
+    rows = events_markov_transitions(spark, SF).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.p)
+    assert by_from
+    for ft, ps in by_from.items():
+        assert 1.0 - len(ps) * 1e-6 <= sum(ps) <= 1.0 + 1e-9, ft
+
+
+def test_top_paths_counts_match_manual_trigrams(spark):
+    """Re-derive the trigram counts with a pandas groupwalk and compare
+    the top-20 (path, count) set."""
+    import pandas as pd
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+    from market_data_pipeline_databricks_spark.plans.text_ops import events_top_paths
+
+    pdf = (
+        _events(spark, SF)
+        .select("user_id", "event_id", "ts", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    counts = {}
+    for _, g in pdf.groupby("user_id"):
+        ets = g["event_type"].tolist()
+        for i in range(len(ets) - 2):
+            p = ">".join(ets[i : i + 3])
+            counts[p] = counts.get(p, 0) + 1
+    expect = set(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    )
+    got = {(r.path, r.n_paths) for r in events_top_paths(spark, SF).collect()}
+    assert got == expect
