@@ -227,9 +227,37 @@ def funcs_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funcs_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the daily series to weekly OHLC bars per key — the
+    canonical downsampling every charting/backtest layer needs
+    (reference grain is daily, `docs/sql_contracts.md`; this is the
+    aggregation that coarsens it without a window function).
+
+    Scale: open/close are argmin/argmax aggregates (min_by/max_by on
+    the day column — day is unique per key, so they are deterministic);
+    high/low/volume are plain aggregates. Everything partial-aggregates
+    map-side into one (suppkey, week) shuffle — no window, no sort."""
+    daily = _daily(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("day")).cast("date").alias("week")
+    return (
+        daily.groupBy(F.col("suppkey"), wk)
+        .agg(
+            F.min_by("close", "day").alias("open"),
+            F.max("close").alias("high"),
+            F.min("close").alias("low"),
+            F.max_by("close", "day").alias("close"),
+            F.sum(F.col("volume").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
 QUERIES = {
     "funcs_max_drawdown": funcs_max_drawdown,
     "funcs_vwap_monthly": funcs_vwap_monthly,
+    "funcs_weekly_ohlc": funcs_weekly_ohlc,
     "funcs_feature_panel": funcs_feature_panel,
     "funcs_log_return_stats": funcs_log_return_stats,
     "funcs_ewma_close": funcs_ewma_close,
@@ -256,6 +284,18 @@ ORACLE_SQL = {
         SELECT suppkey, COUNT(*) AS n_days,
                ROUND(MIN(close / cummax - 1), 6) AS max_drawdown
         FROM dd GROUP BY suppkey
+    """,
+    "funcs_weekly_ohlc": _DAILY_CTE + """
+        SELECT suppkey,
+               CAST(date_trunc('week', day) AS DATE) AS week,
+               arg_min(close, day) AS open,
+               MAX(close) AS high,
+               MIN(close) AS low,
+               arg_max(close, day) AS close,
+               CAST(SUM(CAST(volume AS DECIMAL(27,2))) AS DOUBLE) AS volume,
+               COUNT(*) AS n_days
+        FROM daily
+        GROUP BY 1, 2
     """,
     "funcs_vwap_monthly": """
         SELECT l_suppkey AS suppkey,

