@@ -1155,12 +1155,75 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    value band (fixed thresholds, not quantiles — deterministic by
+    construction): observed vs expected contingency counts and the
+    per-cell chi-square contribution, plus the total statistic on
+    every row — the screening test a feature-store runs before
+    trusting a categorical feature.
+
+    Scale: ONE aggregation pass builds the O(types × bands) observed
+    grid; marginals and the total are windows over that tiny grid
+    (never the fact table). Expected counts are exact-integer-derived
+    doubles; contributions are floor-truncated (engine-stable)."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    band = (
+        F.when(F.col("value") < 10, "lo")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("hi")
+    )
+    obs = (
+        _events(spark, sf_dir)
+        .select("event_type", band.alias("value_band"))
+        .groupBy("event_type", "value_band")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("value_band")
+    w_all = Window.partitionBy()
+    expected = (
+        F.sum("n_obs").over(w_row).cast("double")
+        * F.sum("n_obs").over(w_col).cast("double")
+        / F.sum("n_obs").over(w_all).cast("double")
+    )
+    cell = obs.select(
+        "event_type",
+        "value_band",
+        "n_obs",
+        (F.floor(expected * 1e6) / 1e6).alias("n_expected"),
+        (
+            F.floor(
+                (F.col("n_obs").cast("double") - expected)
+                * (F.col("n_obs").cast("double") - expected)
+                / expected
+                * 1e6
+            )
+            / 1e6
+        ).alias("chi2_cell"),
+    )
+    # the 6-dp truncated cells are exactly representable in
+    # decimal(27,6), so summing through decimal keeps the total
+    # order-independent (a double window sum would re-introduce
+    # accumulation-order noise in the last bits)
+    return cell.withColumn(
+        "chi2_total",
+        F.sum(F.col("chi2_cell").cast("decimal(27,6)"))
+        .over(Window.partitionBy())
+        .cast("double"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_gopher_rules": text_gopher_rules,
     "text_pii_redaction": text_pii_redaction,
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,
+    "events_chi2_independence": events_chi2_independence,
     "text_lang_id": text_lang_id,
     "text_fingerprint_groups": text_fingerprint_groups,
     "text_bpe_token_count": text_bpe_token_count,
@@ -1371,6 +1434,40 @@ ORACLE_SQL = {
                      / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
                      * 1e6) / 1e6 AS p
         FROM trans
+    """,
+    "events_chi2_independence": """
+        WITH obs AS (
+          SELECT event_type,
+                 CASE WHEN value < 10 THEN 'lo'
+                      WHEN value < 100 THEN 'mid'
+                      ELSE 'hi' END AS value_band,
+                 COUNT(*) AS n_obs
+          FROM events
+          GROUP BY 1, 2
+        ),
+        cell AS (
+          SELECT event_type, value_band, n_obs,
+                 FLOOR(CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS DOUBLE)
+                       * CAST(SUM(n_obs) OVER (PARTITION BY value_band) AS DOUBLE)
+                       / CAST(SUM(n_obs) OVER () AS DOUBLE) * 1e6) / 1e6 AS n_expected,
+                 FLOOR(
+                   (CAST(n_obs AS DOUBLE)
+                    - CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS DOUBLE)
+                      * CAST(SUM(n_obs) OVER (PARTITION BY value_band) AS DOUBLE)
+                      / CAST(SUM(n_obs) OVER () AS DOUBLE))
+                   * (CAST(n_obs AS DOUBLE)
+                    - CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS DOUBLE)
+                      * CAST(SUM(n_obs) OVER (PARTITION BY value_band) AS DOUBLE)
+                      / CAST(SUM(n_obs) OVER () AS DOUBLE))
+                   / (CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS DOUBLE)
+                      * CAST(SUM(n_obs) OVER (PARTITION BY value_band) AS DOUBLE)
+                      / CAST(SUM(n_obs) OVER () AS DOUBLE))
+                   * 1e6) / 1e6 AS chi2_cell
+          FROM obs
+        )
+        SELECT event_type, value_band, n_obs, n_expected, chi2_cell,
+               CAST(SUM(CAST(chi2_cell AS DECIMAL(27,6))) OVER () AS DOUBLE) AS chi2_total
+        FROM cell
     """,
     "events_top_paths": """
         WITH seq AS (

@@ -1006,3 +1006,21 @@ def test_top_paths_counts_match_manual_trigrams(spark):
     )
     got = {(r.path, r.n_paths) for r in events_top_paths(spark, SF).collect()}
     assert got == expect
+
+
+def test_chi2_cells_and_marginals(spark):
+    """Observed cell counts must sum to the event count; expected
+    counts preserve marginals (within truncation); chi2_total equals
+    the sum of cells."""
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_chi2_independence,
+    )
+
+    rows = events_chi2_independence(spark, SF).collect()
+    n_events = _events(spark, SF).count()
+    assert sum(r.n_obs for r in rows) == n_events
+    assert abs(sum(r.n_expected for r in rows) - n_events) < 1e-3 * len(rows) + 1e-6 * len(rows) + 1
+    total = rows[0].chi2_total
+    assert all(abs(r.chi2_total - total) < 1e-9 for r in rows)
+    assert abs(sum(r.chi2_cell for r in rows) - total) < 1e-6
