@@ -126,10 +126,21 @@ def minhash_candidate_pairs(
     """
     rows_per_band = num_hashes // num_bands
     # Shingle array materialized behind its own projection (see
-    # minhash_signature PERF note), signature computed once per doc.
-    sigs = df.select(
-        F.col(id_col).alias("id"), TX.shingles(F.col(text_col), shingle_k).alias("sh")
-    ).select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    # minhash_signature PERF note), signature computed once per doc —
+    # and PERSISTED: sigs feeds the banding, the bucket-size skew
+    # guard, both self-join sides and both verification joins; without
+    # persistence each consumer re-executes the 64-hash signature
+    # (same fix class as the blocked-Jaccard shingleset persist).
+    from pyspark import StorageLevel
+
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            TX.shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # The banded stream stays NARROW (id, band key) — the 64-long
     # signature arrays never ride through the explode, the bucket-size
     # aggregation, or the self-join; they re-join only onto the (tiny
