@@ -408,12 +408,19 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty marks original content, low novelty marks boilerplate /
     template text; curation pipelines use it as the inverse of a
     boilerplate detector. One shingle explode + one df aggregation,
-    then a per-doc ratio — the same shuffle skeleton as TF-IDF."""
+    then a per-doc ratio — the same shuffle skeleton as TF-IDF. The
+    exploded shingle stream has two consumers (the df aggregate and
+    the per-doc join), so it persists to avoid re-running the shingle
+    HOF chain (same fix class as the dedup persists)."""
+    from pyspark import StorageLevel
+
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.array_distinct(TX.shingles(F.col("text"), 3)).alias("shingleset"),
     )
-    sh = docs.select("doc_id", F.explode("shingleset").alias("shingle"))
+    sh = docs.select(
+        "doc_id", F.explode("shingleset").alias("shingle")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
     return (
         sh.join(df_counts, "shingle")
