@@ -1010,8 +1010,12 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_wl = (
         F.length(F.regexp_replace(ntext, " ", "")).cast("double") / n_tok_d
     )
-    symbol_frac = (
-        TX.punct_count(t).cast("double") / TX.char_count(t).cast("double")
+    # ANSI mode raises DIVIDE_BY_ZERO even for doubles: guard the
+    # zero-length document (symbol_frac NULL, rule coalesces to false —
+    # such a doc is rejected by the length rule regardless)
+    n_chars = TX.char_count(t)
+    symbol_frac = F.when(
+        n_chars > 0, TX.punct_count(t).cast("double") / n_chars.cast("double")
     )
     top_share = (
         F.array_max(
@@ -1034,7 +1038,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_long = F.col("n_tokens") > 100000
     r_wl = (F.col("mean_word_len") < 2.0) | (F.col("mean_word_len") > 10.0)
     r_stop = F.col("n_stopwords") < 2
-    r_sym = F.col("symbol_frac") > 0.1
+    r_sym = F.coalesce(F.col("symbol_frac") > 0.1, F.lit(False))
     r_rep = F.col("top_unigram_share") > 0.2
     reasons = F.concat_ws(
         ",",
@@ -1444,8 +1448,9 @@ base AS (
          ROUND(CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
                / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
          CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords,
-         ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}\-]', '', 'g')) AS DOUBLE)
-               / CAST(length(text) AS DOUBLE), 6) AS symbol_frac,
+         CASE WHEN length(text) > 0 THEN
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}\-]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) END AS symbol_frac,
          ROUND(CAST(list_max(list_transform(list_distinct(toks),
                  u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
                / CAST(len(toks) AS DOUBLE), 6) AS top_unigram_share
@@ -1455,7 +1460,7 @@ SELECT doc_id, n_tokens, mean_word_len, n_stopwords, symbol_frac,
        top_unigram_share,
        NOT (n_tokens < 15 OR n_tokens > 100000
             OR mean_word_len < 2.0 OR mean_word_len > 10.0
-            OR n_stopwords < 2 OR symbol_frac > 0.1
+            OR n_stopwords < 2 OR COALESCE(symbol_frac > 0.1, FALSE)
             OR top_unigram_share > 0.2) AS keep,
        concat_ws(',',
          CASE WHEN n_tokens < 15 THEN 'too_short' END,

@@ -174,3 +174,76 @@ def test_weighted_sample_monotone_nested(spark, r1, r2):
     kept_lo = {r[0] for r in df.filter(weighted_sample_flag(F.col("doc_id"), F.lit(lo))).collect()}
     kept_hi = {r[0] for r in df.filter(weighted_sample_flag(F.col("doc_id"), F.lit(hi))).collect()}
     assert kept_lo <= kept_hi
+
+
+_words = st.sampled_from(
+    ["the", "a", "of", "and", "fox", "table", "internationalization",
+     "x", "!!", "data,", "query.", "spark;"]
+)
+_doc_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=60).map(" ".join),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=_doc_texts)
+@settings(**SETTINGS)
+def test_gopher_rules_match_python_reference(spark, texts):
+    """The six Gopher rules re-implemented in plain Python over the
+    same normalization must agree with the Spark column algebra on
+    arbitrary word-soup documents (including empty and repetitive)."""
+    import math
+    import re
+
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        text_gopher_rules,
+    )
+
+    import os
+    import tempfile
+
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in text_gopher_rules(spark, d).collect()}
+
+    punct = r"[.,!?;:'\"()\[\]{}\-]"
+    stop = {"the", "a", "of", "and", "in", "to", "is"}
+    for i, t in enumerate(texts):
+        ntext = re.sub(r"\s+", " ", re.sub(punct, "", t.lower())).strip()
+        toks = ntext.split(" ")
+        n_tok = len(toks)
+        mean_wl = round(len(ntext.replace(" ", "")) / n_tok, 6)
+        n_stop = sum(1 for x in toks if x in stop)
+        n_punct = len(re.findall(punct, t))
+        symbol_frac = (
+            round(n_punct / len(t), 6) if len(t) else float("nan")
+        )
+        top_share = round(
+            max(toks.count(u) for u in set(toks)) / n_tok, 6
+        )
+        r = got[i]
+        assert r.n_tokens == n_tok
+        assert math.isclose(r.mean_word_len, mean_wl, abs_tol=5e-7)
+        assert r.n_stopwords == n_stop
+        assert r.top_unigram_share == pytest_approx(top_share)
+        fired = (
+            n_tok < 15
+            or n_tok > 100000
+            or r.mean_word_len < 2.0
+            or r.mean_word_len > 10.0
+            or n_stop < 2
+            or (not math.isnan(symbol_frac) and r.symbol_frac > 0.1)
+            or r.top_unigram_share > 0.2
+        )
+        assert r.keep == (not fired), (i, t, r)
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, abs=5e-7)
