@@ -76,7 +76,9 @@ def quality_score(col: Column) -> Column:
     n_punct = punct_count(col).cast("double")
     n_stop = stopword_count(col).cast("double")
     stop_ratio = n_stop / n_tok
-    punct_ratio = n_punct / n_chr
+    # ANSI mode raises DIVIDE_BY_ZERO even on doubles: a zero-length
+    # text gets punct_ratio 0 (its quality is already 0 via len_ok)
+    punct_ratio = F.when(n_chr > 0, n_punct / n_chr).otherwise(F.lit(0.0))
     len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(0.0)
     score = len_ok * (0.5 + 0.5 * stop_ratio - punct_ratio)
     return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
@@ -148,7 +150,10 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chr = char_count(c)
     n_punct = punct_count(c)
     stop_ratio = n_stop.cast("double") / n_tok.cast("double")
-    punct_ratio = n_punct.cast("double") / n_chr.cast("double")
+    # zero-length guard: see quality_score
+    punct_ratio = F.when(
+        n_chr > 0, n_punct.cast("double") / n_chr.cast("double")
+    ).otherwise(F.lit(0.0))
     len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(0.0)
     quality = F.round(
         F.greatest(

@@ -1395,7 +1395,7 @@ _CURATE_CTES = _NORM + f""",
                  ROUND(GREATEST(LEAST(
                    (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
                    * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> t IN {_STOP_EN})) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-                      - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))),
+                      - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)),
                    1.0), 0.0), 6) AS quality,
                  CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) AND s_en >= 1 THEN 'en'
                       WHEN s_de >= GREATEST(s_fr, s_es) AND s_de >= 1 THEN 'de'
@@ -1664,7 +1664,7 @@ ORACLE_SQL = {
                  ROUND(GREATEST(LEAST(
                    (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
                    * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-                      - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))),
+                      - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)),
                    1.0), 0.0), 6) AS quality,
                  CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) AND s_en >= 1 THEN 1 ELSE 0 END AS is_en
           FROM (
@@ -2028,7 +2028,7 @@ ORACLE_SQL = {
                ROUND(GREATEST(LEAST(
                  (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END)
                  * (0.5 + 0.5 * (CAST(len(list_filter(toks, t -> t IN {_STOP_EN})) AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-                    - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))),
+                    - (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}\\-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)),
                  1.0), 0.0), 6) AS quality
         FROM tok
     """,

@@ -247,3 +247,21 @@ def pytest_approx(x):
     import pytest
 
     return pytest.approx(x, abs=5e-7)
+
+
+def test_text_stats_handles_empty_and_whitespace_docs(spark):
+    """Zero-length and whitespace-only texts must flow through the
+    stats block without ANSI division errors, scoring quality 0."""
+    from market_data_pipeline_databricks_spark.operators.text import (
+        with_text_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "!!!"), (4, "the fox and the dog in a den")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_text_stats(df).collect()}
+    assert rows[1].quality == 0.0 and rows[1].lang_pred == "und"
+    assert rows[2].quality == 0.0
+    assert rows[3].quality == 0.0  # punctuation soup, no tokens survive
+    assert rows[4].quality > 0.0
