@@ -71,6 +71,9 @@ def drawdown(close: Column, w: WindowSpec) -> Column:
 
 def zscore(col: Column, w: WindowSpec, n: int = 20) -> Column:
     """(x - rolling mean) / rolling stddev over an n-row frame; NULL
-    while the frame has <2 rows (stddev undefined)."""
+    while the frame has <2 rows (stddev undefined) AND for a constant
+    frame (stddev 0 — a halted instrument; ANSI mode would otherwise
+    raise DIVIDE_BY_ZERO instead of flagging nothing)."""
     f = _frame(w, n)
-    return (col - F.avg(col).over(f)) / F.stddev_samp(col).over(f)
+    sd = F.stddev_samp(col).over(f)
+    return F.when(sd > 0, (col - F.avg(col).over(f)) / sd)

@@ -353,7 +353,9 @@ ORACLE_SQL = {
                FLOOR(CAST(SUM(CAST(close * volume AS DECIMAL(27,6))) OVER f AS DOUBLE)
                      / CAST(SUM(CAST(volume AS DECIMAL(27,6))) OVER f AS DOUBLE) * 1e6) / 1e6 AS vwap_20d,
                ROUND(close / MAX(close) OVER cum - 1, 6) AS drawdown,
-               ROUND((close - AVG(close) OVER f) / STDDEV_SAMP(close) OVER f, 6) AS zscore_20d,
+               ROUND(CASE WHEN STDDEV_SAMP(close) OVER f > 0
+                          THEN (close - AVG(close) OVER f) / STDDEV_SAMP(close) OVER f
+                     END, 6) AS zscore_20d,
                ROUND(close / LAG(close, 5) OVER w - 1, 6) AS momentum_5d
         FROM daily
         WINDOW w AS (PARTITION BY suppkey ORDER BY day),
