@@ -49,6 +49,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two non-zero vectors. CONTRACT: inputs must
+    have non-zero norm — a zero vector has no defined direction, and
+    under ANSI mode the division raises DIVIDE_BY_ZERO rather than
+    silently returning NaN. The embeddings source guarantees non-zero
+    vectors; screen any external corpus with ``norm(v) > 0`` first.
+    Left unguarded deliberately so the DuckDB oracle twins (which
+    divide identically) stay bit-for-bit equivalent."""
     return dot(a, b) / (norm(a) * norm(b))
 
 
