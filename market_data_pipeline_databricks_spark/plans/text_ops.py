@@ -1228,6 +1228,47 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain analytics on top of the 30-minute-idle
+    sessionization: per (user, session) duration, event count, total
+    value and whether the session converted (contains a purchase) —
+    the rollup every product-analytics layer builds right after
+    assigning session ids (window_sessionization stops at per-user
+    counts; this materializes the session grain itself).
+
+    Scale: the session-id assignment (LAG gap + running SUM) and the
+    session rollup all partition by user_id, so ONE exchange serves
+    both windows and the final aggregate. Duration is an exact
+    integer-microsecond difference — no float time math."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(
+            "long"
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor((F.max(us) - F.min(us)) / F.lit(1_000_000.0))
+        .cast("long")
+        .alias("duration_s"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double"), 6
+        ).alias("total_value"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).cast("boolean").alias("converted"),
+    )
+
+
 def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users split 50/50 by the same portable
     content-addressed md5 bucket the train/test splitter uses
@@ -1316,6 +1357,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,
     "events_chi2_independence": events_chi2_independence,
+    "events_session_stats": events_session_stats,
     "events_ab_test_lift": events_ab_test_lift,
     "text_lang_id": text_lang_id,
     "text_fingerprint_groups": text_fingerprint_groups,
@@ -1528,6 +1570,32 @@ ORACLE_SQL = {
                      / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
                      * 1e6) / 1e6 AS p
         FROM trans
+    """,
+    "events_session_stats": """
+        WITH tagged AS (
+          SELECT user_id, event_id, event_type, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                           > 1800 * 1000000
+                       OR LAG(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT *,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM tagged
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               CAST(FLOOR((MAX(us) - MIN(us)) / 1000000.0) AS BIGINT) AS duration_s,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 6) AS total_value,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS converted
+        FROM sess
+        GROUP BY user_id, session_id
     """,
     "events_ab_test_lift": """
         WITH per_user AS (

@@ -1055,3 +1055,25 @@ def test_ab_test_lift_consistency(spark):
         .collect()
     )
     assert all(0 <= u.b < 10000 for u in users)
+
+
+def test_session_stats_consistent_with_sessionization(spark):
+    """Per-user session counts derived from the session-grain rollup
+    must equal window_sessionization's n_sessions, and no session may
+    span a >30-minute internal gap start."""
+    from market_data_pipeline_databricks_spark.plans.relational import (
+        window_sessionization,
+    )
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_session_stats,
+    )
+
+    per_user = {
+        (r.user_id): r.n_sessions
+        for r in window_sessionization(spark, SF).collect()
+    }
+    rolled = {}
+    for r in events_session_stats(spark, SF).collect():
+        rolled[r.user_id] = max(rolled.get(r.user_id, 0), r.session_id)
+        assert r.n_events >= 1 and r.duration_s >= 0
+    assert rolled == per_user
