@@ -1228,6 +1228,30 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured map surface: parse the ``props`` JSON into a
+    typed ``map<string,bigint>`` and explode it to (key, value) rows —
+    the schema-on-read path for property bags whose keys are NOT known
+    at query-author time (get_json_object, by contrast, needs the
+    path literal). Aggregates per (event_type, key): count and
+    decimal-exact value sum/min/max.
+
+    Scale: from_json + explode are per-row generators (no shuffle);
+    the aggregate is one map-side-combined exchange on a tiny
+    (event_type, key) grid."""
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    m = F.from_json("props", "map<string,bigint>")
+    e = ev.select("event_type", F.explode(m).alias("key", "val"))
+    return e.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
 def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-grain analytics on top of the 30-minute-idle
     sessionization: per (user, session) duration, event count, total
@@ -1357,6 +1381,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,
     "events_chi2_independence": events_chi2_independence,
+    "scalar_props_map_entries": scalar_props_map_entries,
     "events_session_stats": events_session_stats,
     "events_ab_test_lift": events_ab_test_lift,
     "text_lang_id": text_lang_id,
@@ -1570,6 +1595,15 @@ ORACLE_SQL = {
                      / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
                      * 1e6) / 1e6 AS p
         FROM trans
+    """,
+    "scalar_props_map_entries": """
+        SELECT event_type, k AS key,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_val,
+               MIN(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS min_val,
+               MAX(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS max_val
+        FROM (SELECT *, unnest(json_keys(props)) AS k FROM events)
+        GROUP BY 1, 2
     """,
     "events_session_stats": """
         WITH tagged AS (
