@@ -169,6 +169,41 @@ def sql(spark: SparkSession, text: str) -> DataFrame:
     return df
 
 
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        import delta  # type: ignore  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def ddl(spark: SparkSession, text: str) -> DataFrame:
+    """Execute a Databricks-dialect DDL statement on OSS Spark.
+
+    The reference's table DDL is Delta-native
+    (``CREATE TABLE ... USING DELTA PARTITIONED BY (symbol)``,
+    notebooks/bronze/01_ingest_bronze.py:72-87 and the silver/gold/DQ
+    notebooks). On OSS Spark without the delta-spark extension that
+    format is unknown, so this shim rewrites the top-level
+    ``USING DELTA`` clause to ``USING PARQUET`` — identical columnar
+    layout and partitioning; transactional upserts then route through
+    ``sources/writers.upsert_by_key``'s exact partition-swap fallback.
+    When delta-spark IS importable the statement passes through
+    unchanged. The scan respects string literals / quoted identifiers
+    / comments (same scanner as the QUALIFY rewrite), so a table or
+    column spelled 'using delta' is never corrupted."""
+    stmt = text.strip().rstrip(";")
+    if _delta_available(spark):
+        return spark.sql(stmt)
+    i = _scan_top_level(stmt, "USING")
+    if i >= 0:
+        m = re.match(r"(?is)USING\s+DELTA\b", stmt[i:])
+        if m:
+            stmt = stmt[:i] + "USING PARQUET" + stmt[i + m.end():]
+    return spark.sql(stmt)
+
+
 def _order_exprs(order_clause: str):
     from pyspark.sql import functions as F
 

@@ -129,3 +129,55 @@ def test_distinct_guard_sees_past_hints_and_comments(spark):
     ):
         with _pytest.raises(ValueError, match="DISTINCT"):
             rewrite_qualify(stmt)
+
+
+def test_ddl_rewrites_using_delta_to_parquet(spark, tmp_path):
+    """The reference's verbatim Delta DDL (01_ingest_bronze.py:72-87
+    shape) must execute on OSS Spark without delta-spark: USING DELTA
+    becomes USING PARQUET, partitioning and inserts work, and quoted
+    occurrences of the words are left alone."""
+    from market_data_pipeline_databricks_spark.sqlcompat import ddl
+
+    loc = tmp_path / "bronze_prices"
+    ddl(
+        spark,
+        f"""
+        CREATE TABLE IF NOT EXISTS bronze_prices_compat (
+          symbol STRING,
+          date DATE,
+          close DOUBLE,
+          source STRING COMMENT 'feed USING DELTA upstream'
+        )
+        USING DELTA
+        PARTITIONED BY (symbol)
+        LOCATION '{loc}'
+        """,
+    )
+    try:
+        # Hive-style DDL reorders partition columns to the end, so
+        # positional VALUES would misalign — name the columns.
+        spark.sql(
+            "INSERT INTO bronze_prices_compat (symbol, date, close, source)"
+            " VALUES ('AAA', DATE'2025-01-02', 10.5, 'csv'),"
+            " ('BBB', DATE'2025-01-02', 20.0, 'csv')"
+        )
+        rows = spark.sql(
+            "SELECT symbol, close FROM bronze_prices_compat ORDER BY symbol"
+        ).collect()
+        assert [(r.symbol, r.close) for r in rows] == [
+            ("AAA", 10.5),
+            ("BBB", 20.0),
+        ]
+        # physical layout is partitioned by symbol
+        assert (loc / "symbol=AAA").exists()
+        # the quoted comment survived verbatim
+        comment = [
+            c
+            for c in spark.sql(
+                "DESCRIBE TABLE bronze_prices_compat"
+            ).collect()
+            if c.col_name == "source"
+        ][0].comment
+        assert comment == "feed USING DELTA upstream"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bronze_prices_compat")
