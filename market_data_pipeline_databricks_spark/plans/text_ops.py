@@ -2267,3 +2267,31 @@ ORACLE_SQL = {
 }
 
 
+
+
+def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster diagnostics over the near-dup graph: how many
+    components of each size — the first thing to look at before
+    trusting a dedup pass (a giant component means the blocking
+    threshold is too loose; all-size-2 means near-dups are pairwise
+    only and transitive closure was unnecessary).
+
+    Scale: piggybacks on the O(log n) contraction output; both
+    follow-on aggregations are on |components| rows."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+
+
+QUERIES["dedup_component_size_histogram"] = dedup_component_size_histogram
+ORACLE_SQL["dedup_component_size_histogram"] = f"""
+    SELECT size, COUNT(*) AS n_components
+    FROM (
+      SELECT component, COUNT(*) AS size
+      FROM ({ORACLE_SQL["dedup_components"]})
+      GROUP BY component
+    )
+    GROUP BY size
+"""

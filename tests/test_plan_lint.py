@@ -22,7 +22,12 @@ import __spark_entry__ as entrymod
 
 # construction runs jobs (streams, iterative fixpoints, centroid
 # training) — linted in their own tests instead
-EAGER = {"dedup_components", "dedup_component_survivors", "vector_ann_ivf_topk"}
+EAGER = {
+    "dedup_components",
+    "dedup_component_survivors",
+    "dedup_component_size_histogram",
+    "vector_ann_ivf_topk",
+}
 
 # Arrow-batched Python is the sanctioned slow path for exactly these
 PANDAS_OK = {
