@@ -1077,3 +1077,45 @@ def test_session_stats_consistent_with_sessionization(spark):
         rolled[r.user_id] = max(rolled.get(r.user_id, 0), r.session_id)
         assert r.n_events >= 1 and r.duration_s >= 0
     assert rolled == per_user
+
+
+def test_sessionization_boundary_exactly_30_minutes(spark):
+    """The session break fires only for gaps STRICTLY greater than 30
+    minutes: an exactly-1800 s gap keeps one session, 1800.000001 s
+    starts a new one — pinned at the microsecond threshold both
+    engines compare at."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_session_stats,
+    )
+
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    rows = [
+        # user 1: exact 1800 s gaps -> a single session
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1800), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=3600), 1, "purchase", 1.0, "{}"),
+        # user 2: one microsecond past the threshold -> two sessions
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=1800, microseconds=1), 2, "view", 1.0, "{}"),
+    ]
+    import pandas as pd
+
+    # the events reader probes a single-file parquet footer (matching
+    # the driver testdata layout), so write one file via pandas
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        out = events_session_stats(spark, d).collect()
+    sess = {}
+    for r in out:
+        sess.setdefault(r.user_id, []).append(r)
+    assert len(sess[1]) == 1 and sess[1][0].n_events == 3
+    assert sess[1][0].duration_s == 3600 and sess[1][0].converted
+    assert len(sess[2]) == 2 and all(not r.converted for r in sess[2])
