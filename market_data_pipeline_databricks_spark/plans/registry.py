@@ -70,9 +70,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_burst_detection, the TPC-H completion set
     # (join_q5/q7/q8/q10/q12/q15/q17/q18/q19/q21/q22, agg_q6, agg_q14
     # — 17 of 22 TPC-H shapes now oracle-checked), the corpus screens
-    # text_gopher_rules + text_pii_redaction, and the risk features
-    # funcs_max_drawdown + funcs_vwap_monthly) are the
-    # round-5 rotation backlog —
+    # text_gopher_rules + text_pii_redaction, the warehouse
+    # quality_expectation_suite, the risk features funcs_max_drawdown
+    # + funcs_vwap_monthly + funcs_weekly_ohlc, the behavioral suite
+    # events_markov_transitions / events_top_paths /
+    # events_chi2_independence / events_ab_test_lift /
+    # events_session_stats, the map surface scalar_props_map_entries,
+    # and the cluster diagnostic dedup_component_size_histogram) are
+    # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).
     "join_full_outer_reconcile",
