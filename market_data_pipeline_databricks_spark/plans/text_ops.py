@@ -138,10 +138,18 @@ def _curated_survivors(
     )
     kept = enr.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
     w = Window.partitionBy("fp").orderBy("doc_id")
+    # persisted at the fan-out: `exact` feeds BOTH the near-dup pair
+    # generation (whose own persisted shingle/signature frame builds on
+    # it) and the final anti-join — without persistence the
+    # stats-block+window chain re-executes per consumer (same
+    # multi-consumer pattern as the dedup operators; see PLANS.md)
+    from pyspark import StorageLevel
+
     exact = (
         kept.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if near_dup == "lsh":
         pairs = DD.minhash_verified_near_duplicates(exact, threshold=0.5)
