@@ -346,6 +346,30 @@ def window_gapfill_daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_segment_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-value quantiles per market segment — the
+    percentile-over-a-join shape (scale_exact_percentiles runs on a
+    bare fact column; this one first routes orders through the
+    customer dimension). Median and p90 with linear interpolation,
+    identical formula on both engines.
+
+    Scale: customer is the AQE-chosen build side; the percentile
+    buffers one segment's order values per group — bounded at 5
+    segments here; on unbounded group counts the sketch twin
+    (scale_approx_percentiles) is the default path."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def quality_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table expectation suite — the reference's append-only
     data_quality_checks audit table (04_data_quality_checks.py DQ rows:
@@ -963,6 +987,7 @@ QUERIES = {
     "agg_q13_customer_distribution": agg_q13_customer_distribution,
     "agg_revenue_share": agg_revenue_share,
     "window_gapfill_daily_close": window_gapfill_daily_close,
+    "agg_segment_value_quantiles": agg_segment_value_quantiles,
     "quality_expectation_suite": quality_expectation_suite,
     "agg_q6_forecast_revenue": agg_q6_forecast_revenue,
     "agg_q14_promo_revenue_pct": agg_q14_promo_revenue_pct,
@@ -1119,6 +1144,14 @@ ORACLE_SQL = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
                COUNT(*) AS n
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "agg_segment_value_quantiles": """
+        SELECT c_mktsegment AS segment,
+               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
     """,
     "quality_expectation_suite": """
         WITH checks AS (
