@@ -130,3 +130,17 @@ def test_weekly_ohlc_invariants(spark):
         assert r.low <= r.close <= r.high
         assert r.week.weekday() == 0
         assert r.n_days >= 1
+
+
+def test_segment_quantiles_ordering_and_coverage(spark):
+    """p50 <= p90 per segment and the per-segment order counts cover
+    every order exactly once (inner join on a total dimension)."""
+    from market_data_pipeline_databricks_spark.plans.relational_ext import (
+        agg_segment_value_quantiles,
+    )
+
+    rows = agg_segment_value_quantiles(spark, SF_SMALL).collect()
+    n_orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert r.p50 <= r.p90
