@@ -265,3 +265,51 @@ def test_text_stats_handles_empty_and_whitespace_docs(spark):
     assert rows[2].quality == 0.0
     assert rows[3].quality == 0.0  # punctuation soup, no tokens survive
     assert rows[4].quality > 0.0
+
+
+_streams = st.lists(
+    st.tuples(
+        st.integers(1, 4),                      # user_id
+        st.integers(0, 100000),                 # seconds offset
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@given(events=_streams)
+@settings(**SETTINGS)
+def test_markov_transitions_match_python_reference(spark, events):
+    """Transition counts over arbitrary event streams (including
+    duplicate timestamps, where event_id breaks the tie) must equal a
+    plain-Python walk over the same ordering."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_markov_transitions,
+    )
+
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=sec), uid, et, 1.0, "{}")
+        for i, (uid, sec, et) in enumerate(events)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.from_type, r.to_type): r.n
+            for r in events_markov_transitions(spark, d).collect()
+        }
+    expect: dict = {}
+    bykey = sorted(rows, key=lambda r: (r[2], r[1], r[0]))
+    for a, b in zip(bykey, bykey[1:]):
+        if a[2] == b[2]:
+            expect[(a[3], b[3])] = expect.get((a[3], b[3]), 0) + 1
+    assert got == expect
