@@ -249,6 +249,45 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_exact_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination, the strict companion to the
+    5-gram-overlap screen: flag training documents whose normalized
+    text CONTAINS an eval document's leading 8-token phrase verbatim
+    (the "did the benchmark leak in whole?" check; n-gram overlap
+    additionally catches paraphrase-level leaks). Same deterministic
+    eval split (doc_id % 10 == 7).
+
+    Scale: the phrase set is |eval docs| rows and broadcasts; the
+    contains() probe compiles to a BroadcastNestedLoopJoin — O(train ×
+    eval_phrases) substring tests with NO shuffle of the training
+    side, acceptable exactly because the eval set is small and the
+    probe is a cheap JVM substring search. (A shuffle-free broadcast
+    scan beats building a suffix index until the phrase set stops
+    fitting in memory.)"""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", TX.normalize_text(F.col("text")).alias("ntext")
+    )
+    is_eval = F.col("doc_id") % 10 == 7
+    toks = F.split(F.col("ntext"), " ")
+    ev = (
+        base.filter(is_eval)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 8)).alias("phrase"),
+            F.size(toks).alias("n_toks"),
+        )
+        .filter(F.col("n_toks") >= 8)
+        .drop("n_toks")
+    )
+    hits = base.filter(~is_eval).join(
+        F.broadcast(ev), F.expr("contains(ntext, phrase)")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_eval_phrases"),
+        F.min("eval_id").alias("first_eval_id"),
+    )
+
+
 def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition signals: distinct-token
     ratio and the fraction held by the single most frequent token.
@@ -1389,6 +1428,7 @@ QUERIES = {
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,
     "events_chi2_independence": events_chi2_independence,
+    "text_exact_decontaminate": text_exact_decontaminate,
     "scalar_props_map_entries": scalar_props_map_entries,
     "events_session_stats": events_session_stats,
     "events_ab_test_lift": events_ab_test_lift,
@@ -1603,6 +1643,20 @@ ORACLE_SQL = {
                      / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
                      * 1e6) / 1e6 AS p
         FROM trans
+    """,
+    "text_exact_decontaminate": _NORM + """,
+        ev AS (
+          SELECT doc_id AS eval_id,
+                 array_to_string((string_split(ntext, ' '))[1:8], ' ') AS phrase
+          FROM tok
+          WHERE doc_id % 10 = 7 AND len(string_split(ntext, ' ')) >= 8
+        )
+        SELECT t.doc_id AS doc_id,
+               COUNT(*) AS n_eval_phrases,
+               MIN(ev.eval_id) AS first_eval_id
+        FROM tok t, ev
+        WHERE t.doc_id % 10 <> 7 AND strpos(t.ntext, ev.phrase) > 0
+        GROUP BY t.doc_id
     """,
     "scalar_props_map_entries": """
         SELECT event_type, k AS key,
