@@ -313,3 +313,40 @@ def test_markov_transitions_match_python_reference(spark, events):
         if a[2] == b[2]:
             expect[(a[3], b[3])] = expect.get((a[3], b[3]), 0) + 1
     assert got == expect
+
+
+@given(events=_streams)
+@settings(**SETTINGS)
+def test_chi2_observed_grid_matches_python_reference(spark, events):
+    """Observed contingency counts and the decimal-summed total over
+    arbitrary event streams must match a plain-Python tabulation."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_chi2_independence,
+    )
+
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=sec), uid, et, float((i * 37) % 150), "{}")
+        for i, (uid, sec, et) in enumerate(events)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.event_type, r.value_band): r
+            for r in events_chi2_independence(spark, d).collect()
+        }
+    expect: dict = {}
+    for _, _, _, et, v, _ in rows:
+        band = "lo" if v < 10 else ("mid" if v < 100 else "hi")
+        expect[(et, band)] = expect.get((et, band), 0) + 1
+    assert {k: r.n_obs for k, r in got.items()} == expect
+    total = round(sum(r.chi2_cell for r in got.values()), 6)
+    assert all(abs(r.chi2_total - total) < 1e-6 for r in got.values())
