@@ -1138,6 +1138,30 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule screen composed into the dedup decision: keep
+    documents passing all six rules, then one survivor per exact
+    fingerprint (min doc_id) — the screen-then-dedup head of a
+    curation pipeline, with the rule screen standing in for the
+    quality-score filter the main capstone uses.
+
+    Scale: the screen is zero-shuffle (see text_gopher_rules); the
+    fingerprint dedup adds the one md5-key exchange."""
+    from pyspark.sql.window import Window
+
+    rules = text_gopher_rules(spark, sf_dir).select("doc_id", "n_tokens", "keep")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    kept = rules.filter(F.col("keep")).join(docs, "doc_id")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's ordered
     event stream: P(next event type | current event type) — the
@@ -1429,6 +1453,7 @@ QUERIES = {
     "events_top_paths": events_top_paths,
     "events_chi2_independence": events_chi2_independence,
     "text_exact_decontaminate": text_exact_decontaminate,
+    "text_gopher_survivors": text_gopher_survivors,
     "scalar_props_map_entries": scalar_props_map_entries,
     "events_session_stats": events_session_stats,
     "events_ab_test_lift": events_ab_test_lift,
@@ -1644,6 +1669,35 @@ ORACLE_SQL = {
                      * 1e6) / 1e6 AS p
         FROM trans
     """,
+    "text_gopher_survivors": _NORM + r""",
+base AS (
+  SELECT doc_id, ntext,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         ROUND(CAST(length(replace(ntext, ' ', '')) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stopwords,
+         CASE WHEN length(text) > 0 THEN
+           ROUND(CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\[\]{}\-]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) END AS symbol_frac,
+         ROUND(CAST(list_max(list_transform(list_distinct(toks),
+                 u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE), 6) AS top_unigram_share
+  FROM tok
+),
+kept AS (
+  SELECT doc_id, n_tokens, md5(ntext) AS fp
+  FROM base
+  WHERE NOT (n_tokens < 15 OR n_tokens > 100000
+             OR mean_word_len < 2.0 OR mean_word_len > 10.0
+             OR n_stopwords < 2 OR COALESCE(symbol_frac > 0.1, FALSE)
+             OR top_unigram_share > 0.2)
+)
+SELECT doc_id, n_tokens FROM (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM kept
+) WHERE rn = 1
+""",
     "text_exact_decontaminate": _NORM + """,
         ev AS (
           SELECT doc_id AS eval_id,
