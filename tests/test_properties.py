@@ -350,3 +350,44 @@ def test_chi2_observed_grid_matches_python_reference(spark, events):
     assert {k: r.n_obs for k, r in got.items()} == expect
     total = round(sum(r.chi2_cell for r in got.values()), 6)
     assert all(abs(r.chi2_total - total) < 1e-6 for r in got.values())
+
+
+@given(events=_streams)
+@settings(**SETTINGS)
+def test_top_paths_match_python_reference_on_random_streams(spark, events):
+    """Trigram path counts over arbitrary streams (duplicate
+    timestamps included) equal the Python walk; the top-20 cut obeys
+    (count desc, path asc)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_top_paths,
+    )
+
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=sec), uid, et, 1.0, "{}")
+        for i, (uid, sec, et) in enumerate(events)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.path, r.n_paths)
+            for r in events_top_paths(spark, d).collect()
+        }
+    counts: dict = {}
+    bykey = sorted(rows, key=lambda r: (r[2], r[1], r[0]))
+    for a, b, c in zip(bykey, bykey[1:], bykey[2:]):
+        if a[2] == b[2] == c[2]:
+            p = f"{a[3]}>{b[3]}>{c[3]}"
+            counts[p] = counts.get(p, 0) + 1
+    expect = set(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    )
+    assert got == expect
