@@ -391,3 +391,60 @@ def test_top_paths_match_python_reference_on_random_streams(spark, events):
         sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     )
     assert got == expect
+
+
+@given(events=_streams)
+@settings(**SETTINGS)
+def test_session_stats_match_python_reference(spark, events):
+    """Session assignment, duration, and conversion over random
+    streams equal a Python replay of the 30-minute-idle rule."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        events_session_stats,
+    )
+
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=sec), uid, et, 1.0, "{}")
+        for i, (uid, sec, et) in enumerate(events)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.user_id, r.session_id): (r.n_events, r.duration_s, r.converted)
+            for r in events_session_stats(spark, d).collect()
+        }
+    expect: dict = {}
+    bykey = sorted(rows, key=lambda r: (r[2], r[1], r[0]))
+    prev_user, prev_ts, sid = None, None, 0
+    cur: list = []
+
+    def flush():
+        if cur:
+            us = [int(x[1].timestamp() * 1_000_000) for x in cur]
+            expect[(cur[0][2], sid)] = (
+                len(cur),
+                (max(us) - min(us)) // 1_000_000,
+                any(x[3] == "purchase" for x in cur),
+            )
+
+    for r in bykey:
+        if r[2] != prev_user:
+            flush()
+            prev_user, sid, cur = r[2], 1, [r]
+        elif (r[1] - prev_ts).total_seconds() > 1800:
+            flush()
+            sid += 1
+            cur = [r]
+        else:
+            cur.append(r)
+        prev_ts = r[1]
+    flush()
+    assert got == expect
