@@ -144,3 +144,42 @@ def test_segment_quantiles_ordering_and_coverage(spark):
     assert sum(r.n_orders for r in rows) == n_orders
     for r in rows:
         assert r.p50 <= r.p90
+
+
+def test_weekly_ohlc_matches_pandas_replay(spark):
+    """Weekly bars re-derived in pandas (Monday-start weeks, argmin/
+    argmax open/close over the daily series) must match exactly."""
+    import pandas as pd
+
+    from market_data_pipeline_databricks_spark.plans.feature_ops import (
+        funcs_weekly_ohlc,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_suppkey", "l_shipdate", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    li["day"] = li["l_shipdate"].dt.date
+    daily = (
+        li.groupby(["l_suppkey", "day"])
+        .agg(close=("l_extendedprice", "max"), volume=("l_quantity", "sum"))
+        .reset_index()
+    )
+    daily["week"] = daily["day"].map(lambda d: d - pd.Timedelta(days=d.weekday()))
+    expect = {}
+    for (k, wk), g in daily.groupby(["l_suppkey", "week"]):
+        g = g.sort_values("day")
+        expect[(k, wk.date() if hasattr(wk, "date") else wk)] = (
+            g.close.iloc[0],
+            g.close.max(),
+            g.close.min(),
+            g.close.iloc[-1],
+            round(float(g.volume.sum()), 2),
+            len(g),
+        )
+    got = {
+        (r.suppkey, r.week): (r.open, r.high, r.low, r.close, r.volume, r.n_days)
+        for r in funcs_weekly_ohlc(spark, SF_SMALL).collect()
+    }
+    assert got == expect
