@@ -183,3 +183,35 @@ def test_weekly_ohlc_matches_pandas_replay(spark):
         for r in funcs_weekly_ohlc(spark, SF_SMALL).collect()
     }
     assert got == expect
+
+
+def test_max_drawdown_matches_pandas_replay(spark):
+    """Drawdown re-derived as a pandas cummax walk over each key's
+    daily closes must agree to the rounding grain."""
+    import pandas as pd
+
+    from market_data_pipeline_databricks_spark.plans.feature_ops import (
+        funcs_max_drawdown,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_suppkey", "l_shipdate", "l_extendedprice")
+        .toPandas()
+    )
+    li["day"] = li["l_shipdate"].dt.date
+    daily = (
+        li.groupby(["l_suppkey", "day"])
+        .agg(close=("l_extendedprice", "max"))
+        .reset_index()
+        .sort_values(["l_suppkey", "day"])
+    )
+    expect = {}
+    for k, g in daily.groupby("l_suppkey"):
+        dd = g.close / g.close.cummax() - 1
+        expect[k] = (len(g), round(float(dd.min()), 6))
+    got = {
+        r.suppkey: (r.n_days, r.max_drawdown)
+        for r in funcs_max_drawdown(spark, SF_SMALL).collect()
+    }
+    assert got == expect
