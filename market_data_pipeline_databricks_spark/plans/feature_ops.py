@@ -254,6 +254,170 @@ def funcs_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funcs_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per key in scale-free form: 20-day moving
+    average, relative bandwidth 4σ/MA, and %B (where in the band the
+    close sits) — the mean-reversion companion to the reference's
+    vol_20d (`notebooks/gold/03_aggregate_gold.py:63-73`, same ROWS 19
+    frame). Absolute edges are client arithmetic:
+    upper/lower = MA·(1 ± bandwidth/2).
+
+    Column discipline (the funcs_feature_panel rule): the MA numerator
+    is a decimal-exact frame sum — bit-identical on both engines at any
+    magnitude — while every stddev-derived column is emitted as an O(1)
+    RATIO. A raw ``MA ± 2σ`` band at price magnitude ~1e5 carries
+    ~1e-11 accumulation-order noise, the same order as ROUND(,6)'s
+    grid, and flakes (observed once in 53k rows at sf0.1); the ratios'
+    noise sits ~9 orders below the grid. %B and bandwidth are NULL
+    until the band has width (σ > 0, also NULL for the 1-row warmup
+    frame) — matching on both engines. One suppkey exchange serves
+    every column."""
+    daily = _daily(spark, sf_dir)
+    f = Window.partitionBy("suppkey").orderBy("day").rowsBetween(-19, 0)
+    # Stage the two frame aggregates as named columns FIRST: inlining
+    # ma/sd into every output expression makes WindowExec evaluate 11
+    # window aggregates (5 duplicate stddevs) — Catalyst collapses
+    # window OPERATORS but does not CSE duplicate window EXPRESSIONS.
+    # Two projections keep it at one sum + one count + one stddev.
+    staged = daily.select(
+        "suppkey",
+        "day",
+        "close",
+        (
+            F.sum(F.col("close").cast("decimal(27,6)")).over(f).cast("double")
+            / F.count(F.lit(1)).over(f)
+        ).alias("_ma"),
+        F.stddev_samp("close").over(f).alias("_sd"),
+    )
+    ma, sd = F.col("_ma"), F.col("_sd")
+    return staged.select(
+        "suppkey",
+        "day",
+        "close",
+        F.round(ma, 6).alias("ma_20d"),
+        F.round(F.when(sd > 0, 4 * sd / ma), 6).alias("bandwidth"),
+        F.round(
+            F.when(sd > 0, (F.col("close") - (ma - 2 * sd)) / (4 * sd)), 6
+        ).alias("pct_b"),
+    )
+
+
+def funcs_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (Cutler's SMA form) per key: average gain vs average
+    loss over the trailing 14 observed daily changes, RSI = 100 −
+    100/(1 + AG/AL); an all-gain frame pins RSI at 100. Cutler's SMA
+    variant is window-expressible (Wilder's smoothing is the EWMA
+    recursion — that surface is funcs_ewma_close / funcs_macd).
+
+    Gains and losses are decimal-exact frame sums, so AG/AL and the
+    final ratio derive from identical bits on both engines. RSI is
+    emitted only for full 14-change frames (NULL during warmup — a
+    14-day average over 3 points is not the indicator). One suppkey
+    exchange: the change LAG and the frame sums share the window
+    partitioning."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("suppkey").orderBy("day")
+    chg = daily.withColumn(
+        "chg", F.col("close") - F.lag("close").over(w)
+    ).filter(F.col("chg").isNotNull())
+    f = Window.partitionBy("suppkey").orderBy("day").rowsBetween(-13, 0)
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(27,6)")).over(f).cast("double")
+
+    # stage each frame aggregate once (see funcs_bollinger_bands: no
+    # CSE across duplicate window expressions)
+    staged = chg.select(
+        "suppkey",
+        "day",
+        "close",
+        (dsum(F.greatest(F.col("chg"), F.lit(0.0))) / 14).alias("_ag"),
+        (dsum(F.greatest(-F.col("chg"), F.lit(0.0))) / 14).alias("_al"),
+        F.count(F.lit(1)).over(f).alias("_n"),
+    )
+    ag, al = F.col("_ag"), F.col("_al")
+    rsi = F.when(
+        F.col("_n") == 14,
+        F.when(al > 0, 100 - 100 / (1 + ag / al)).otherwise(100.0),
+    )
+    return staged.select(
+        "suppkey", "day", "close", F.round(rsi, 6).alias("rsi_14")
+    )
+
+
+def funcs_cross_sectional_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum deciles: each day, rank every supplier
+    by 5-day momentum and bucket into NTILE(10) deciles, then report
+    per-(day, decile) breadth and mean momentum — the long/short factor
+    construction that reads ACROSS keys at a point in time, where every
+    other feature query reads along one key through time.
+
+    Two exchanges by construction: the momentum LAG partitions on
+    suppkey, the decile ranking on day. The final aggregation adds no
+    third — hash partitioning on ``day`` already co-locates every
+    (day, decile) group. Momentum is pure IEEE arithmetic from
+    identical inputs (bit-identical across engines) and NTILE is SQL
+    standard with a suppkey tie-break, so the bucketing is
+    deterministic; the decile mean runs through a decimal sum."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("suppkey").orderBy("day")
+    mom = daily.withColumn(
+        "mom", F.col("close") / F.lag("close", 5).over(w) - 1
+    ).filter(F.col("mom").isNotNull())
+    d = Window.partitionBy("day").orderBy(F.desc("mom"), F.asc("suppkey"))
+    return (
+        mom.withColumn("decile", F.ntile(10).over(d))
+        .groupBy("day", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(
+                F.sum(F.col("mom").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_mom"),
+            F.round(F.min("mom"), 6).alias("worst_mom"),
+            F.round(F.max("mom"), 6).alias("best_mom"),
+        )
+        .select(
+            "day",
+            F.col("decile").cast("long").alias("decile"),
+            "n_suppliers",
+            "mean_mom",
+            "worst_mom",
+            "best_mom",
+        )
+    )
+
+
+def funcs_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) per key — three chained EWMA recursions
+    (functions/timeseries.py:macd) in ONE applyInPandas pass, so the
+    whole indicator costs a single suppkey shuffle. The grouped-map
+    surface beyond a lone EWMA: recursions composed on a derived
+    series (signal = EMA₉ of the fast−slow spread), which no window
+    frame expresses. Oracle: DuckDB replays all three recursions as
+    recursive CTEs with the identical alpha arithmetic
+    (2/(span+1), old_wt = 1 − alpha as evaluated doubles), so the
+    6-dp values derive from matching bits (funcs_ewma_close
+    precedent)."""
+    from market_data_pipeline_databricks_spark.functions.timeseries import (
+        macd as _macd,
+    )
+
+    daily = _daily(spark, sf_dir).select("suppkey", "day", "close")
+    out = _macd(daily, ["suppkey"], "day", "close", fast=12, slow=26, signal=9)
+    return out.select(
+        "suppkey",
+        "day",
+        "close",
+        F.round("ema_fast", 6).alias("ema12"),
+        F.round("ema_slow", 6).alias("ema26"),
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("macd_signal"),
+        F.round("hist", 6).alias("macd_hist"),
+    )
+
+
 QUERIES = {
     "funcs_max_drawdown": funcs_max_drawdown,
     "funcs_vwap_monthly": funcs_vwap_monthly,
@@ -263,6 +427,10 @@ QUERIES = {
     "funcs_ewma_close": funcs_ewma_close,
     "funcs_market_beta": funcs_market_beta,
     "funcs_rolling_median_close": funcs_rolling_median_close,
+    "funcs_bollinger_bands": funcs_bollinger_bands,
+    "funcs_rsi": funcs_rsi,
+    "funcs_cross_sectional_momentum": funcs_cross_sectional_momentum,
+    "funcs_macd": funcs_macd,
 }
 
 _DAILY_CTE = """
@@ -378,6 +546,100 @@ ORACLE_SQL = {
     # contract; pandas ewm(adjust=False) evaluates the identical
     # old_wt*prev + new_wt*cur expression, and ROUND(,6) absorbs any
     # last-ulp divergence.
+    "funcs_bollinger_bands": _DAILY_CTE + """
+        SELECT suppkey, day, close,
+               ROUND(CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER f AS DOUBLE)
+                     / COUNT(*) OVER f, 6) AS ma_20d,
+               ROUND(CASE WHEN STDDEV_SAMP(close) OVER f > 0
+                          THEN 4 * STDDEV_SAMP(close) OVER f
+                               / (CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER f AS DOUBLE)
+                                  / COUNT(*) OVER f)
+                     END, 6) AS bandwidth,
+               ROUND(CASE WHEN STDDEV_SAMP(close) OVER f > 0
+                          THEN (close - (CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER f AS DOUBLE)
+                                         / COUNT(*) OVER f - 2 * STDDEV_SAMP(close) OVER f))
+                               / (4 * STDDEV_SAMP(close) OVER f)
+                     END, 6) AS pct_b
+        FROM daily
+        WINDOW f AS (PARTITION BY suppkey ORDER BY day
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    "funcs_rsi": _DAILY_CTE + """
+        , chg AS (
+          SELECT suppkey, day, close,
+                 close - LAG(close) OVER (PARTITION BY suppkey ORDER BY day) AS chg
+          FROM daily
+        ), c AS (SELECT * FROM chg WHERE chg IS NOT NULL)
+        SELECT suppkey, day, close,
+               ROUND(CASE WHEN COUNT(*) OVER f = 14 THEN
+                 CASE WHEN CAST(SUM(CAST(GREATEST(-chg, 0.0) AS DECIMAL(27,6))) OVER f AS DOUBLE) / 14 > 0
+                      THEN 100 - 100 / (1 + (CAST(SUM(CAST(GREATEST(chg, 0.0) AS DECIMAL(27,6))) OVER f AS DOUBLE) / 14)
+                                            / (CAST(SUM(CAST(GREATEST(-chg, 0.0) AS DECIMAL(27,6))) OVER f AS DOUBLE) / 14))
+                      ELSE 100.0 END
+               END, 6) AS rsi_14
+        FROM c
+        WINDOW f AS (PARTITION BY suppkey ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+    "funcs_cross_sectional_momentum": _DAILY_CTE + """
+        , m AS (
+          SELECT suppkey, day,
+                 close / LAG(close, 5) OVER (PARTITION BY suppkey ORDER BY day) - 1 AS mom
+          FROM daily
+        ), mm AS (SELECT * FROM m WHERE mom IS NOT NULL),
+        d AS (
+          SELECT day, mom,
+                 NTILE(10) OVER (PARTITION BY day ORDER BY mom DESC, suppkey ASC) AS decile
+          FROM mm
+        )
+        SELECT day, CAST(decile AS BIGINT) AS decile,
+               COUNT(*) AS n_suppliers,
+               ROUND(CAST(SUM(CAST(mom AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS mean_mom,
+               ROUND(MIN(mom), 6) AS worst_mom,
+               ROUND(MAX(mom), 6) AS best_mom
+        FROM d GROUP BY day, decile
+    """,
+    # ONE recursion carries all three EWMA states (e12, e26, sig) per
+    # step — chained recursive CTEs re-evaluate their inputs per
+    # iteration in DuckDB (quadratic blowup); advancing the full state
+    # vector on the shared rn is linear and replays
+    # functions/timeseries.py:macd exactly: alpha = 2/(span+1) and
+    # old_wt = 1 - alpha as evaluated doubles, macd = e12 − e26 at each
+    # step, sig recursing on that spread (sig[0] = macd[0]). Every
+    # term's bits match pandas and ROUND(,6) absorbs last-ulp
+    # divergence (funcs_ewma_close precedent).
+    "funcs_macd": """
+        WITH RECURSIVE daily AS (
+          SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+                 MAX(l_extendedprice) AS close
+          FROM lineitem GROUP BY 1, 2
+        ),
+        ord AS (
+          SELECT suppkey, day, close,
+                 ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY day) AS rn
+          FROM daily
+        ),
+        rec AS (
+          SELECT suppkey, day, close, rn,
+                 close AS e12, close AS e26, close - close AS sig
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.suppkey, o.day, o.close, o.rn,
+                 (2.0/13.0) * o.close + (1 - 2.0/13.0) * r.e12,
+                 (2.0/27.0) * o.close + (1 - 2.0/27.0) * r.e26,
+                 (2.0/10.0) * ((2.0/13.0) * o.close + (1 - 2.0/13.0) * r.e12
+                               - ((2.0/27.0) * o.close + (1 - 2.0/27.0) * r.e26))
+                 + (1 - 2.0/10.0) * r.sig
+          FROM ord o JOIN rec r ON o.suppkey = r.suppkey AND o.rn = r.rn + 1
+        )
+        SELECT suppkey, day, close,
+               ROUND(e12, 6) AS ema12,
+               ROUND(e26, 6) AS ema26,
+               ROUND(e12 - e26, 6) AS macd,
+               ROUND(sig, 6) AS macd_signal,
+               ROUND(e12 - e26 - sig, 6) AS macd_hist
+        FROM rec
+    """,
     "funcs_ewma_close": """
         WITH RECURSIVE daily AS (
           SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,

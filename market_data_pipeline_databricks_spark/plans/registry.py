@@ -76,7 +76,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_markov_transitions / events_top_paths /
     # events_chi2_independence / events_ab_test_lift /
     # events_session_stats, the map surface scalar_props_map_entries,
-    # and the cluster diagnostic dedup_component_size_histogram) are
+    # the cluster diagnostic dedup_component_size_histogram, and the
+    # round-4 continuation batch: the technical-indicator family
+    # funcs_bollinger_bands / funcs_rsi / funcs_cross_sectional_momentum
+    # / funcs_macd (chained-EWMA grouped map), the value analytics
+    # events_user_value_deciles + events_interarrival_quantiles, the
+    # bigram LM text_bigram_logprob, the warehouse
+    # agg_customer_rfm_segments, and the embedding-health pair
+    # vector_dim_stats + vector_label_cohesion) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).

@@ -974,8 +974,60 @@ def join_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency (days since last order,
+    anchored at the corpus's own max order date), Frequency (order
+    count) and Monetary (decimal-exact total spend), bucketed by fixed
+    business thresholds into named segments, then rolled up per
+    segment — the classic warehouse customer-value report.
+
+    Fixed-threshold buckets (not quantile buckets) keep the assignment
+    scale-free and embarrassingly parallel: the only global state is
+    the 1-row max-date anchor, which broadcasts; the per-customer
+    grain shuffles once on o_custkey and the segment rollup is
+    |segments| rows. Monetary means run through decimal sums."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_d", F.datediff(F.col("anchor"), F.col("last_order")))
+    )
+    seg = (
+        F.when((F.col("recency_d") <= 90) & (F.col("frequency") >= 8), "champion")
+        .when(F.col("recency_d") <= 90, "recent")
+        .when(F.col("frequency") >= 8, "loyal_lapsing")
+        .when(F.col("recency_d") <= 365, "warm")
+        .otherwise("hibernating")
+    )
+    return (
+        per_cust.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("recency_d").cast("decimal(27,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_recency_d"),
+            F.round(
+                F.sum(F.col("frequency").cast("decimal(27,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_frequency"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+    )
+
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
+    "agg_customer_rfm_segments": agg_customer_rfm_segments,
     "join_q3_shipping_priority": join_q3_shipping_priority,
     "agg_rollup_revenue": agg_rollup_revenue,
     "agg_cube_order_stats": agg_cube_order_stats,
@@ -1005,6 +1057,38 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "agg_customer_rfm_segments": """
+        WITH anchor AS (
+          SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders
+        ),
+        per_cust AS (
+          SELECT o_custkey,
+                 MAX(CAST(o_orderdate AS DATE)) AS last_order,
+                 COUNT(*) AS frequency,
+                 SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS monetary
+          FROM orders GROUP BY o_custkey
+        ),
+        tagged AS (
+          SELECT p.*, date_diff('day', last_order, anchor) AS recency_d
+          FROM per_cust p CROSS JOIN anchor
+        ),
+        seg AS (
+          SELECT *,
+                 CASE WHEN recency_d <= 90 AND frequency >= 8 THEN 'champion'
+                      WHEN recency_d <= 90 THEN 'recent'
+                      WHEN frequency >= 8 THEN 'loyal_lapsing'
+                      WHEN recency_d <= 365 THEN 'warm'
+                      ELSE 'hibernating' END AS segment
+          FROM tagged
+        )
+        SELECT segment, COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(CAST(recency_d AS DECIMAL(27,0))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_recency_d,
+               ROUND(CAST(SUM(CAST(frequency AS DECIMAL(27,0))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_frequency,
+               CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+        FROM seg GROUP BY segment
+    """,
     "agg_revenue_share": """
         WITH base AS (
           SELECT r_name, n_name,

@@ -1445,6 +1445,188 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV decile report: per-user lifetime value (decimal-exact event
+    value sum), bucketed into deciles by EXACT interpolated quantile
+    boundaries, then per-decile breadth and value stats — the
+    customer-value segmentation every growth team builds.
+
+    The scale-safe NTILE: a global ``NTILE(10)`` would sort the entire
+    per-user table in ONE partition (|users| can be 10⁹ at 100 TB).
+    Instead the 9 exact decile boundaries come from one distributed
+    percentile aggregate, broadcast as a single row, and each user's
+    decile is a branch-free comparison count — per-user grain never
+    leaves its user_id partitioning. Boundary determinism: interpolated
+    cut points either equal a data value exactly (bit-identical on
+    both engines) or lie strictly between two totals, so the strict
+    ``>`` bucketing cannot flip on last-ulp differences."""
+    from pyspark import StorageLevel
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    # the collapsed per-user grain feeds BOTH the boundary aggregate
+    # and the bucketing join — persisted so the events fact table is
+    # scanned/aggregated ONCE, not once per consumer (the
+    # multi-consumer persist pattern, docs/PLANS.md)
+    pu = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bounds = pu.agg(
+        F.expr(
+            "percentile(total_value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bounds")
+    )
+    return (
+        pu.crossJoin(F.broadcast(bounds))
+        .select(
+            "total_value",
+            (
+                1
+                + F.size(
+                    F.filter(
+                        F.col("bounds"), lambda b: F.col("total_value") > b
+                    )
+                )
+            )
+            .cast("long")
+            .alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum(F.col("total_value").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_ltv"),
+            F.round(F.min("total_value"), 6).alias("min_ltv"),
+            F.round(F.max("total_value"), 6).alias("max_ltv"),
+        )
+    )
+
+
+def events_interarrival_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: p50/p90/p99 and
+    mean of the gap between consecutive events of the same type for the
+    same user — the latency-shape diagnostic behind session-timeout and
+    burst-threshold choices (the 30-minute idle rule in
+    events_session_stats and the 6-hour frame in events_burst_detection
+    are read off exactly this distribution).
+
+    Gaps are exact integer microseconds (unix_micros − LAG, tie-broken
+    on event_id); the percentile interpolation runs on those integers
+    and divides by 1e6 once at the end — identical doubles on both
+    engines. One (user_id, event_type) exchange serves the LAG; the
+    final rollup is |event types| rows."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6).alias("p90_s"),
+        F.round(F.expr("percentile(gap_us, 0.99)") / 1e6, 6).alias("p99_s"),
+        F.round(
+            F.sum(F.col("gap_us").cast("decimal(27,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("mean_s"),
+    )
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per document — the KenLM-shaped
+    quality signal one order up from text_unigram_logprob: mean
+    negative log of P(w₂|w₁) = 0.9·c(w₁w₂)/c(w₁·) + 0.1·c(w₂)/N over
+    each document's adjacent token pairs (context counts c(w₁·) are
+    bigram-start counts, so the conditional rows sum to 1; the 0.1
+    unigram back-off floors unseen continuations without smoothing
+    hyperparameters).
+
+    Scale: bigrams build as a per-row array transform (no self-join)
+    and explode linearly; the three count tables are vocab-sized
+    (≪ corpus) and join back onto the pair stream — left to AQE, which
+    broadcasts them at test scale and degrades to shuffle joins when a
+    web-scale bigram vocab outgrows the limit. The corpus total is a
+    window over the VOCAB, not the corpus (text_unigram_logprob's
+    trick). Documents with fewer than 2 tokens have no bigrams and are
+    absent by contract."""
+    from pyspark.sql.window import Window
+
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    big = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    from pyspark import StorageLevel
+
+    docs = _docs(spark, sf_dir)
+    # three consumers (context counts, bigram counts, the scoring
+    # join) — persisted so the normalize→tokenize→pair HOF chain runs
+    # once, not three times (the multi-consumer persist pattern)
+    pairs = (
+        docs.select("doc_id", F.explode(big).alias("bg"))
+        .select(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    uni = uni.select(
+        "token",
+        (F.col("ucnt").cast("double") / F.sum(F.col("ucnt").cast("double")).over(wall)).alias(
+            "p_uni"
+        ),
+    )
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    bigc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    p = (
+        0.9 * (F.col("cb").cast("double") / F.col("cw1").cast("double"))
+        + 0.1 * F.col("p_uni")
+    )
+    return (
+        pairs.join(bigc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni.withColumnRenamed("token", "w2"), "w2")
+        .select("doc_id", (-F.log(p)).alias("neg_logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("neg_logp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_gopher_rules": text_gopher_rules,
@@ -1457,6 +1639,9 @@ QUERIES = {
     "scalar_props_map_entries": scalar_props_map_entries,
     "events_session_stats": events_session_stats,
     "events_ab_test_lift": events_ab_test_lift,
+    "events_user_value_deciles": events_user_value_deciles,
+    "events_interarrival_quantiles": events_interarrival_quantiles,
+    "text_bigram_logprob": text_bigram_logprob,
     "text_lang_id": text_lang_id,
     "text_fingerprint_groups": text_fingerprint_groups,
     "text_bpe_token_count": text_bpe_token_count,
@@ -1720,6 +1905,72 @@ SELECT doc_id, n_tokens FROM (
                MAX(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS max_val
         FROM (SELECT *, unnest(json_keys(props)) AS k FROM events)
         GROUP BY 1, 2
+    """,
+    "events_user_value_deciles": """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+          FROM events GROUP BY user_id
+        ), b AS (
+          SELECT quantile_cont(total_value,
+                   [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds
+          FROM pu
+        ), d AS (
+          SELECT total_value,
+                 CAST(1 + len(list_filter(b.bounds, x -> pu.total_value > x)) AS BIGINT) AS decile
+          FROM pu CROSS JOIN b
+        )
+        SELECT decile, COUNT(*) AS n_users,
+               ROUND(CAST(SUM(CAST(total_value AS DECIMAL(27,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_ltv,
+               ROUND(MIN(total_value), 6) AS min_ltv,
+               ROUND(MAX(total_value), 6) AS max_ltv
+        FROM d GROUP BY decile
+    """,
+    "events_interarrival_quantiles": """
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ), g AS (
+          SELECT event_type,
+                 us - LAG(us) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY us, event_id) AS gap_us
+          FROM e
+        ), gg AS (SELECT * FROM g WHERE gap_us IS NOT NULL)
+        SELECT event_type, COUNT(*) AS n_gaps,
+               ROUND(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_s,
+               ROUND(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s,
+               ROUND(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_s,
+               ROUND(CAST(SUM(CAST(gap_us AS DECIMAL(27,0))) AS DOUBLE)
+                     / COUNT(*) / 1e6, 6) AS mean_s
+        FROM gg GROUP BY event_type
+    """,
+    "text_bigram_logprob": _NORM + """,
+        ts AS (
+          SELECT doc_id, unnest(toks) AS tokn,
+                 generate_subscripts(toks, 1) AS pos
+          FROM tok
+        ),
+        pairs AS (
+          SELECT a.doc_id, a.tokn AS w1, b.tokn AS w2
+          FROM ts a JOIN ts b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        uni AS (
+          SELECT tokn, CAST(COUNT(*) AS DOUBLE)
+                       / SUM(CAST(COUNT(*) AS DOUBLE)) OVER () AS p_uni
+          FROM ts GROUP BY tokn
+        ),
+        ctx AS (SELECT w1, COUNT(*) AS cw1 FROM pairs GROUP BY w1),
+        bigc AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(-LN(0.9 * (CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE))
+                              + 0.1 * p_uni)), 6) AS avg_neg_logprob
+        FROM pairs
+        JOIN bigc USING (w1, w2)
+        JOIN ctx USING (w1)
+        JOIN uni ON uni.tokn = pairs.w2
+        GROUP BY doc_id
     """,
     "events_session_stats": """
         WITH tagged AS (

@@ -235,8 +235,97 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health report of the embedding corpus: mean,
+    sample stddev, min/max and a collapsed-dimension flag — the QA pass
+    that catches dead or saturated dimensions before they poison
+    cosine similarity (a near-constant dimension contributes pure bias
+    to every dot product).
+
+    Scale: posexplode is linear, the aggregation shuffles once on the
+    dim key (cardinality = embedding width, so the reduce side is
+    trivially small however large the corpus); the mean runs through a
+    decimal-exact sum. The 1e-6 collapse threshold sits far from any
+    real variance, so the boolean cannot flake on accumulation-order
+    noise in the stddev."""
+    d = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "val"
+        ),
+    )
+    return (
+        d.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.round(
+                F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_val"),
+            F.round(F.stddev_samp("val"), 6).alias("sd_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+            (F.coalesce(F.stddev_samp("val"), F.lit(0.0)) < 1e-6).alias(
+                "near_constant"
+            ),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n_vals",
+            "mean_val",
+            "sd_val",
+            "min_val",
+            "max_val",
+            "near_constant",
+        )
+    )
+
+
+def vector_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine matrix (upper triangle incl. diagonal):
+    how separable the label clusters are in embedding space — the
+    companion diagnostic to vector_label_noise_screen (that query asks
+    "is this VECTOR near the wrong centroid"; this one asks "are these
+    LABELS near each other at all" — a pair of high-cosine centroids
+    means the noise screen between them is structurally blind).
+
+    Scale: centroids reduce the corpus to n_labels×dim rows (one
+    (label, dim) shuffle — label_centroid_components); the matrix
+    itself is n_labels² rows of array arithmetic on a frame small
+    enough to cross-join outright. Centroid components are rounded to
+    6 dp BEFORE the cosine (same pinning as the noise screen), so both
+    engines fold identical bits."""
+    cents = SIM.label_centroid_components(_emb(spark, sf_dir))
+    vecs = (
+        cents.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("s")
+        )
+        .select(
+            "label", F.transform("s", lambda x: x["centroid"]).alias("cv")
+        )
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    # n_labels rows — a provably bounded broadcast (same argument as
+    # the packed-centroid broadcast in label_noise_screen), which also
+    # keeps the pair build a BroadcastNestedLoopJoin, never a cartesian
+    pair = a.crossJoin(F.broadcast(b)).filter(
+        F.col("a.label") <= F.col("b.label")
+    )
+    return pair.select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.round(
+            SIM.cosine(F.col("a.cv"), F.col("b.cv")), 6
+        ).alias("centroid_cosine"),
+    )
+
+
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
+    "vector_dim_stats": vector_dim_stats,
+    "vector_label_cohesion": vector_label_cohesion,
     "curate_multimodal_corpus": curate_multimodal_corpus,
     "curate_multimodal_corpus_lsh": curate_multimodal_corpus_lsh,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
@@ -258,6 +347,39 @@ WITH v AS (
 """
 
 ORACLE_SQL = {
+    "vector_dim_stats": """
+        WITH x AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+                 generate_subscripts(embedding, 1) AS gs
+          FROM embeddings
+        )
+        SELECT CAST(gs - 1 AS BIGINT) AS dim,
+               COUNT(*) AS n_vals,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_val,
+               ROUND(STDDEV_SAMP(val), 6) AS sd_val,
+               ROUND(MIN(val), 6) AS min_val,
+               ROUND(MAX(val), 6) AS max_val,
+               COALESCE(STDDEV_SAMP(val), 0.0) < 1e-6 AS near_constant
+        FROM x GROUP BY gs
+    """,
+    "vector_label_cohesion": """
+        WITH x AS (
+          SELECT label, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) AS gs
+          FROM embeddings
+        ), cent AS (
+          SELECT label, gs, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS c
+          FROM x GROUP BY label, gs
+        ), cvec AS (
+          SELECT label, list(c ORDER BY gs) AS cv FROM cent GROUP BY label
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               ROUND(list_dot_product(a.cv, b.cv)
+                     / (sqrt(list_dot_product(a.cv, a.cv))
+                        * sqrt(list_dot_product(b.cv, b.cv))), 6) AS centroid_cosine
+        FROM cvec a JOIN cvec b ON a.label <= b.label
+    """,
     "vector_cosine_topk": _V + """,
         q AS (SELECT * FROM v WHERE vec_id % 40 = 0),
         scored AS (

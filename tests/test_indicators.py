@@ -1,0 +1,210 @@
+"""Round-4 extension ops: technical indicators (Bollinger, RSI,
+cross-sectional momentum, MACD), events value analytics (LTV deciles,
+inter-arrival quantiles), bigram LM scoring, RFM segmentation and the
+embedding-health queries.
+
+Each test checks SEMANTICS independently of the DuckDB oracle gate —
+pandas replays for the recursive/windowed math, closed-form invariants
+for the rest — so a bug that slipped into both the Spark query and its
+oracle SQL would still be caught.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from market_data_pipeline_databricks_spark.plans import (
+    feature_ops,
+    relational_ext,
+    text_ops,
+    vector_ops,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- feature
+
+
+def _daily_pd(spark):
+    return (
+        feature_ops._daily(spark, SF)
+        .toPandas()
+        .sort_values(["suppkey", "day"])
+        .reset_index(drop=True)
+    )
+
+
+def test_bollinger_matches_pandas_replay(spark):
+    out = feature_ops.funcs_bollinger_bands(spark, SF).toPandas()
+    daily = _daily_pd(spark)
+    sup = daily["suppkey"].iloc[0]
+    g = daily[daily["suppkey"] == sup]
+    got = (
+        out[out["suppkey"] == sup].sort_values("day").reset_index(drop=True)
+    )
+    ma = g["close"].rolling(20, min_periods=1).mean().reset_index(drop=True)
+    sd = g["close"].rolling(20, min_periods=1).std(ddof=1).reset_index(drop=True)
+    for i in range(len(g)):
+        assert abs(got["ma_20d"][i] - ma[i]) < 1e-4
+        if pd.isna(sd[i]) or sd[i] == 0:
+            assert pd.isna(got["bandwidth"][i]) and pd.isna(got["pct_b"][i])
+        else:
+            assert abs(got["bandwidth"][i] - 4 * sd[i] / ma[i]) < 1e-4
+            close = g["close"].iloc[i]
+            want = (close - (ma[i] - 2 * sd[i])) / (4 * sd[i])
+            assert abs(got["pct_b"][i] - want) < 1e-4
+
+
+def test_rsi_bounds_and_warmup(spark):
+    out = feature_ops.funcs_rsi(spark, SF).toPandas()
+    filled = out[out["rsi_14"].notna()]
+    assert len(filled) > 0
+    assert (filled["rsi_14"] >= 0).all() and (filled["rsi_14"] <= 100).all()
+    # warmup: the first 13 change-rows of every key carry NULL RSI
+    first = out.sort_values(["suppkey", "day"]).groupby("suppkey").head(13)
+    assert first["rsi_14"].isna().all()
+
+
+def test_rsi_matches_pandas_replay(spark):
+    out = feature_ops.funcs_rsi(spark, SF).toPandas()
+    daily = _daily_pd(spark)
+    sup = daily["suppkey"].iloc[0]
+    g = daily[daily["suppkey"] == sup].reset_index(drop=True)
+    chg = g["close"].diff().dropna().reset_index(drop=True)
+    gain = chg.clip(lower=0).rolling(14).mean()
+    loss = (-chg).clip(lower=0).rolling(14).mean()
+    got = (
+        out[out["suppkey"] == sup].sort_values("day").reset_index(drop=True)
+    )
+    for i in range(len(chg)):
+        if pd.isna(gain[i]):
+            assert pd.isna(got["rsi_14"][i])
+        elif loss[i] == 0:
+            assert got["rsi_14"][i] == 100.0
+        else:
+            want = 100 - 100 / (1 + gain[i] / loss[i])
+            assert abs(got["rsi_14"][i] - want) < 1e-4
+
+
+def test_cross_sectional_momentum_ntile_shape(spark):
+    out = feature_ops.funcs_cross_sectional_momentum(spark, SF).toPandas()
+    assert out["decile"].between(1, 10).all()
+    # NTILE balance: per day, bucket sizes differ by at most 1
+    for _, g in out.groupby("day"):
+        sizes = g["n_suppliers"]
+        assert sizes.max() - sizes.min() <= 1
+    # decile 1 holds the best momentum: means decrease with decile
+    # on days with a full spread
+    wide = out[out.groupby("day")["decile"].transform("size") == 10]
+    for _, g in wide.groupby("day"):
+        g = g.sort_values("decile")
+        assert (g["mean_mom"].diff().dropna() <= 1e-9).all()
+
+
+def test_macd_matches_pandas_replay(spark):
+    out = feature_ops.funcs_macd(spark, SF).toPandas()
+    daily = _daily_pd(spark)
+    sup = daily["suppkey"].iloc[0]
+    x = daily[daily["suppkey"] == sup]["close"].reset_index(drop=True)
+    e12 = x.ewm(alpha=2 / 13, adjust=False).mean()
+    e26 = x.ewm(alpha=2 / 27, adjust=False).mean()
+    macd = e12 - e26
+    sig = macd.ewm(alpha=2 / 10, adjust=False).mean()
+    got = (
+        out[out["suppkey"] == sup].sort_values("day").reset_index(drop=True)
+    )
+    for i in range(len(x)):
+        assert abs(got["macd"][i] - macd[i]) < 1e-6
+        assert abs(got["macd_signal"][i] - sig[i]) < 1e-6
+        assert abs(got["macd_hist"][i] - (macd[i] - sig[i])) < 1e-4
+
+
+# ----------------------------------------------------------------- events
+
+
+def test_ltv_deciles_partition_users(spark):
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    out = text_ops.events_user_value_deciles(spark, SF).toPandas()
+    n_users = _events(spark, SF).select("user_id").distinct().count()
+    assert out["n_users"].sum() == n_users
+    assert out["decile"].between(1, 10).all()
+    # deciles order by value: min of decile k+1 >= max of decile k... the
+    # strict-> bucketing makes ranges non-overlapping in this direction
+    g = out.sort_values("decile")
+    assert (g["min_ltv"] <= g["max_ltv"]).all()
+    assert (
+        g["max_ltv"].iloc[:-1].values <= g["min_ltv"].iloc[1:].values + 1e-9
+    ).all()
+
+
+def test_interarrival_quantiles_ordered(spark):
+    out = text_ops.events_interarrival_quantiles(spark, SF).toPandas()
+    assert len(out) > 0
+    assert (out["p50_s"] <= out["p90_s"]).all()
+    assert (out["p90_s"] <= out["p99_s"]).all()
+    assert (out["p50_s"] > 0).all()
+
+
+# ------------------------------------------------------------------- text
+
+
+def test_bigram_logprob_positive_and_complete(spark):
+    out = text_ops.text_bigram_logprob(spark, SF).toPandas()
+    docs = text_ops._docs(spark, SF).count()
+    # every doc with >= 2 tokens appears; the corpus has no sub-2-token
+    # docs, so coverage is total
+    assert len(out) == docs
+    assert (out["avg_neg_logprob"] > 0).all()
+    assert (out["n_bigrams"] >= 1).all()
+
+
+def test_bigram_logprob_bounded_by_backoff_floor(spark):
+    # P >= 0.1 * p_uni(w2) > 0 and P <= 1, so 0 < -log P <= -log(0.1 * min p_uni)
+    out = text_ops.text_bigram_logprob(spark, SF).toPandas()
+    assert (out["avg_neg_logprob"] <= -math.log(0.1 * 1e-9)).all()
+
+
+# -------------------------------------------------------------- warehouse
+
+
+def test_rfm_segments_partition_customers(spark):
+    from market_data_pipeline_databricks_spark.plans.relational import _t
+
+    out = relational_ext.agg_customer_rfm_segments(spark, SF).toPandas()
+    n_cust = _t(spark, SF, "orders").select("o_custkey").distinct().count()
+    assert out["n_customers"].sum() == n_cust
+    assert set(out["segment"]).issubset(
+        {"champion", "recent", "loyal_lapsing", "warm", "hibernating"}
+    )
+    assert (out["avg_recency_d"] >= 0).all()
+    assert (out["avg_frequency"] >= 1).all()
+
+
+# ---------------------------------------------------------------- vectors
+
+
+def test_dim_stats_shape_and_flags(spark):
+    out = vector_ops.vector_dim_stats(spark, SF).toPandas()
+    n_vecs = vector_ops._emb(spark, SF).count()
+    assert (out["n_vals"] == n_vecs).all()
+    assert (out["min_val"] <= out["mean_val"]).all()
+    assert (out["mean_val"] <= out["max_val"]).all()
+    # real embeddings: no collapsed dimensions in the testdata
+    assert (~out["near_constant"]).all()
+
+
+def test_label_cohesion_diagonal_is_one(spark):
+    out = vector_ops.vector_label_cohesion(spark, SF).toPandas()
+    diag = out[out["label_a"] == out["label_b"]]
+    labels = vector_ops._emb(spark, SF).select("label").distinct().count()
+    assert len(diag) == labels
+    assert (diag["centroid_cosine"] - 1.0).abs().max() < 1e-6
+    off = out[out["label_a"] != out["label_b"]]
+    assert len(out) == labels * (labels + 1) // 2
+    # distinct labels are separable: off-diagonal strictly below 1
+    assert (off["centroid_cosine"] < 1.0).all()

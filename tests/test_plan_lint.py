@@ -32,6 +32,7 @@ EAGER = {
 # Arrow-batched Python is the sanctioned slow path for exactly these
 PANDAS_OK = {
     "funcs_ewma_close",
+    "funcs_macd",
     "multimodal_frame_sample",
     "multimodal_feature_extract",
     "multimodal_wav_roundtrip",
