@@ -23,6 +23,7 @@ from market_data_pipeline_databricks_spark.streaming.stateful import (
     running_user_totals,
 )
 from market_data_pipeline_databricks_spark.streaming.windows import (
+    daily_unique_users,
     dedup_within_watermark,
     nanos_conf_scope,
     read_event_stream,
@@ -148,8 +149,25 @@ def stream_static_enrich_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def stream_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators (dedup → tumbling agg) in one
+    streaming query: exact distinct users per day. APPEND mode
+    (required for chained state) emits only watermark-closed windows,
+    so the trailing ~watermark+1d of days is deliberately absent; the
+    oracle applies the identical cutoff
+    (streaming/windows.py:daily_unique_users)."""
+    with nanos_conf_scope(spark, sf_dir):
+        ev = read_event_stream(spark, sf_dir)
+        return run_available_now(
+            daily_unique_users(ev),
+            f"daily_uu_{_NONCE}",
+            output_mode="append",
+        )
+
+
 QUERIES = {
     "stream_stream_click_attribution": stream_stream_click_attribution,
+    "stream_daily_unique_users": stream_daily_unique_users,
     "stream_static_enrich_nation": stream_static_enrich_nation,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_tumbling_daily_counts": stream_tumbling_daily_counts,
@@ -159,6 +177,26 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # append-mode cutoff: a window emits when the final watermark
+    # (max event time − 2-day delay) passes its END; the trailing days
+    # stay open and are absent by contract (verified empirically:
+    # sf0.001 max ts 2024-01-30T23:26 → last emitted day 2024-01-27).
+    # The boundary could only flip on exact-midnight max timestamps,
+    # which the microsecond-grain testdata never produces.
+    "stream_daily_unique_users": """
+        WITH mx AS (
+          SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events
+        ),
+        d AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('day', ts) AS DATE) AS day
+          FROM events
+        )
+        SELECT day, COUNT(*) AS n_unique_users
+        FROM d CROSS JOIN mx
+        WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mx - INTERVAL 2 DAY
+        GROUP BY day
+    """,
     "stream_static_enrich_nation": """
         SELECT c.c_nationkey, e.event_type,
                COUNT(*) AS n_events,

@@ -13,6 +13,7 @@ from market_data_pipeline_databricks_spark.streaming.ingest import (
     run_available_now,
 )
 from market_data_pipeline_databricks_spark.streaming.windows import (
+    daily_unique_users,
     nanos_conf_scope,
     read_event_stream,
     session_window_counts,
@@ -22,6 +23,7 @@ from market_data_pipeline_databricks_spark.streaming.windows import (
 )
 
 __all__ = [
+    "daily_unique_users",
     "read_price_csv_stream",
     "run_available_now",
     "nanos_conf_scope",

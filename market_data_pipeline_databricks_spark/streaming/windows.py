@@ -221,3 +221,38 @@ def static_enrich_nation_counts(
             ),
         )
     )
+
+
+def daily_unique_users(
+    events: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """Exact distinct users per day in a SINGLE streaming query via
+    chained stateful operators: watermark-bounded dedup on
+    (user_id, day) feeding a tumbling 1-day count — the standard
+    streaming answer to COUNT(DISTINCT), which no streaming
+    aggregation supports directly (distinct is not incrementally
+    mergeable; deduplicate-then-count is).
+
+    Both operators' state is watermark-bounded: the dedup holds
+    ~watermark's worth of (user, day) keys, the aggregation holds open
+    windows only. Chaining stateful operators requires APPEND output —
+    a window is emitted exactly once, when the watermark passes its
+    end — so the trailing ~watermark+1d of windows are still open when
+    an availableNow run stops and are deliberately absent from the
+    result (they would emit on the next incremental run; the oracle
+    applies the same cutoff). ``ts`` is carried through the dedup
+    (every duplicate key's ts lies on the same calendar day, so
+    whichever survives assigns the same window).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id", F.col("ts").cast("date").alias("day"), "ts"
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "day"])
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .select(
+            F.col("win.start").cast("date").alias("day"), "n_unique_users"
+        )
+    )

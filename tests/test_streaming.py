@@ -161,3 +161,39 @@ def test_nanos_stream_path_scoped_conf(spark, tmp_path):
     assert spark.conf.get(key, "false") != "true", (
         "conf must be restored after the scope"
     )
+
+
+def test_chained_dedup_then_agg_equals_cutoff_distinct(spark):
+    """Chained stateful operators (dropDuplicatesWithinWatermark →
+    tumbling agg) in append mode: result equals the batch per-day
+    COUNT(DISTINCT user_id) restricted to watermark-closed windows
+    (window end <= max ts − 2-day delay)."""
+    from market_data_pipeline_databricks_spark.streaming import (
+        daily_unique_users,
+    )
+
+    ev_stream = read_event_stream(spark, SF_SMALL)
+    got = run_available_now(
+        daily_unique_users(ev_stream), "t_daily_uu", output_mode="append"
+    )
+    ev = read_events(spark, SF_SMALL)
+    mx = ev.agg(F.max("ts").alias("mx"))
+    want = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+            <= F.col("mx") - F.expr("INTERVAL 2 DAY")
+        )
+        .drop("mx")
+    )
+    cols = ["day", "n_unique_users"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # the cutoff is real: the batch-distinct result has MORE days
+    full_days = (
+        ev.select(F.col("ts").cast("date").alias("day")).distinct().count()
+    )
+    assert got.count() < full_days
