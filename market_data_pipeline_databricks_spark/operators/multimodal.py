@@ -409,3 +409,91 @@ def read_media_dir(
             F.col("path").alias("source_uri"),
         ).alias("meta"),
     )
+
+
+def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic P6/PPM synthesis from the documents table: each
+    doc becomes a real binary-PPM image (gray RGB, pixel(x, y) =
+    (doc_id·31 + y·w + x) mod 256) with dimensions derived from the
+    doc — w = 8 + (doc_id mod 5)·4, h = 8 + (n_chars mod 7)·4. Same
+    rationale as synthesize_wav_media: genuine container bytes for the
+    codec-free decode path, with pixel values that are pure integer
+    arithmetic so downstream kernels are oracle-checkable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, metas = [], [], []
+            for did, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, n_chars = int(did), int(n_chars)
+                w = 8 + (did % 5) * 4
+                h = 8 + (n_chars % 7) * 4
+                y, x = np.mgrid[0:h, 0:w]
+                gray = ((did * 31 + y * w + x) % 256).astype(np.uint8)
+                rgb = np.repeat(gray[:, :, None], 3, axis=2)
+                blob = f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+                ids.append(did)
+                blobs.append(blob)
+                metas.append(
+                    {
+                        "mime": "image/x-portable-pixmap",
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(blob),
+                        "source_uri": f"synthetic://ppm/{did}",
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "content": blobs, "meta": metas}
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orig_w", T.LongType(), True),
+        T.StructField("orig_h", T.LongType(), True),
+        T.StructField("resized_sum", T.LongType(), True),
+    ]
+)
+
+
+def image_resize_stats(media: DataFrame, size: int = 16) -> DataFrame:
+    """REAL image decode + nearest-neighbor resize over the binary
+    column: parse each PPM (decode_ppm — header walk + raw RGB), pick
+    source pixel (⌊i·h/size⌋, ⌊j·w/size⌋) for each target cell — the
+    standard nearest-neighbor downsample — and emit exact integer
+    facts: original dims and the resized single-channel pixel sum.
+    Arrow-batched mapInPandas, one decode per row, no codec libs.
+
+    The floor-index formula is integer arithmetic end-to-end, so a SQL
+    oracle can recompute the identical resized grid from the synthesis
+    parameters — the decode→transform step itself is what's being
+    cross-checked."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                img = decode_ppm(bytes(blob))
+                h, w = img.shape[:2]
+                rows = (np.arange(size) * h) // size
+                cols = (np.arange(size) * w) // size
+                resized = img[rows][:, cols]
+                ids.append(int(mid))
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(resized[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "orig_w": ws,
+                    "orig_h": hs,
+                    "resized_sum": sums,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, RESIZE_STATS_SCHEMA
+    )

@@ -518,3 +518,116 @@ def label_noise_screen(
         other.alias("best_other_cos"),
         F.coalesce(other > own, F.lit(False)).alias("is_suspect"),
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray, list[float]]:
+    """Fully DISTRIBUTED Lloyd's k-means over the whole corpus — the
+    complement of train_ivf_centroids (which samples to the driver,
+    FAISS-style). Here only the k×dim centroid matrix ever sits on the
+    driver; both halves of every iteration are corpus-scale Spark jobs:
+
+    - E-step: Arrow-batched pandas UDF assigns each vector to its
+      nearest centroid (one matrix multiply per batch; centroids ride
+      along as a closure broadcast of KBs).
+    - M-step: posexplode → (cluster, dim) partial-aggregated sums — a
+      single shuffle whose reduce side is k×dim rows, independent of
+      corpus size — collected and normalized on the driver.
+
+    Initialization is deterministic (the k lowest-id vectors), so
+    results are reproducible across runs and partitionings. Returns
+    (assignments DataFrame [id, cluster, sq_dist], final centroids,
+    per-iteration inertia) — inertia is monotonically non-increasing,
+    which the tests assert.
+
+    Scale note: ``iters`` Spark jobs re-scan the input; callers persist
+    ``df`` (the queries() wrapper does) so iterations hit cached
+    vectors, the standard MLlib-style loop shape.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    init = (
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    cent = np.array([r["v"] for r in init], dtype=np.float64)
+    inertia: list[float] = []
+
+    def assigner(c: np.ndarray):
+        sq = (c * c).sum(axis=1)
+
+        @pandas_udf(
+            StructType(
+                [
+                    StructField("cluster", IntegerType()),
+                    StructField("sq_dist", DoubleType()),
+                ]
+            )
+        )
+        def assign(vecs: pd.Series) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
+            d = (X * X).sum(axis=1, keepdims=True) - 2 * (X @ c.T) + sq
+            best = np.argmin(d, axis=1)
+            return pd.DataFrame(
+                {
+                    "cluster": best.astype("int32"),
+                    "sq_dist": np.maximum(d[np.arange(len(X)), best], 0.0),
+                }
+            )
+
+        return assign
+
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            assigner(cent)(F.col(vec_col)).alias("a"),
+        ).select("id", "v", F.col("a.cluster").alias("cluster"), F.col("a.sq_dist").alias("sq_dist"))
+        stats = (
+            assigned.select(
+                "cluster", "sq_dist", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                # decimal-exact sums: the M-step is order-independent
+                # bit-for-bit, so the whole loop is deterministic
+                # across partitionings and runs
+                F.sum(F.col("val").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("sq_dist").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("sd"),
+            )
+            .collect()
+        )
+        n_per = {}
+        sums = np.zeros_like(cent)
+        total_sd = 0.0
+        for r in stats:
+            sums[r["cluster"], r["dim"]] = r["s"]
+            n_per[r["cluster"]] = r["n"]
+            if r["dim"] == 0:
+                total_sd += r["sd"]
+        inertia.append(total_sd)
+        for c in range(len(cent)):
+            if n_per.get(c):
+                cent[c] = sums[c] / n_per[c]
+    final = df.select(
+        F.col(id_col).alias("id"),
+        assigner(cent)(F.col(vec_col)).alias("a"),
+    ).select(
+        "id",
+        F.col("a.cluster").cast("long").alias("cluster"),
+        F.col("a.sq_dist").alias("sq_dist"),
+    )
+    return final, cent, inertia

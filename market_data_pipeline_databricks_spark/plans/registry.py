@@ -82,8 +82,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # / funcs_macd (chained-EWMA grouped map), the value analytics
     # events_user_value_deciles + events_interarrival_quantiles, the
     # bigram LM text_bigram_logprob, the warehouse
-    # agg_customer_rfm_segments, and the embedding-health pair
-    # vector_dim_stats + vector_label_cohesion) are
+    # agg_customer_rfm_segments, the embedding-health pair
+    # vector_dim_stats + vector_label_cohesion, the chained-stateful
+    # streaming stream_daily_unique_users, and the oracle-checked
+    # image kernel multimodal_image_resize) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).

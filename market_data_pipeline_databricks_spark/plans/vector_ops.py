@@ -322,10 +322,59 @@ def vector_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode + nearest-neighbor resize, oracle-checked:
+    synthesize a genuine binary PPM per document (deterministic pixel
+    arithmetic), parse it back with the real P6 decoder and downsample
+    to 16×16 (operators/multimodal.py:image_resize_stats). The resized
+    pixel sum is pure integer arithmetic from the synthesis
+    parameters, so DuckDB recomputes the identical grid — verifying
+    the decode→resize kernel end-to-end, the image twin of
+    multimodal_wav_roundtrip."""
+    from market_data_pipeline_databricks_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synthesize_ppm_media(docs)
+    return MM.image_resize_stats(media, size=16).select(
+        F.col("media_id").alias("doc_id"), "orig_w", "orig_h", "resized_sum"
+    )
+
+
+def vector_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 5 iterations) over the full
+    embedding corpus, rolled up per cluster — the whole-corpus
+    clustering op beside the sampled IVF trainer
+    (operators/similarity.py:kmeans_lloyd: Arrow-batched E-step,
+    (cluster, dim)-shuffled decimal-exact M-step; only the k×dim
+    centroid matrix touches the driver). Deterministic init (k lowest
+    ids) + order-independent sums → reproducible on any partitioning.
+    Rows-only driver check (iterative, no SQL twin); inertia
+    monotonicity and nearest-centroid consistency are pytest-asserted
+    (tests/test_kmeans.py)."""
+    from pyspark import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned, _cent, _inertia = SIM.kmeans_lloyd(emb, k=8, iters=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("sq_dist").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "vector_cosine_topk": vector_cosine_topk,
     "vector_dim_stats": vector_dim_stats,
     "vector_label_cohesion": vector_label_cohesion,
+    "vector_kmeans_clusters": vector_kmeans_clusters,
+    "multimodal_image_resize": multimodal_image_resize,
     "curate_multimodal_corpus": curate_multimodal_corpus,
     "curate_multimodal_corpus_lsh": curate_multimodal_corpus_lsh,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
@@ -379,6 +428,29 @@ ORACLE_SQL = {
                      / (sqrt(list_dot_product(a.cv, a.cv))
                         * sqrt(list_dot_product(b.cv, b.cv))), 6) AS centroid_cosine
         FROM cvec a JOIN cvec b ON a.label <= b.label
+    """,
+    # recompute the decode→nearest-neighbor-resize kernel from the
+    # synthesis parameters: pixel(x, y) = (doc_id·31 + y·w + x) mod 256,
+    # resized cell (i, j) reads pixel (⌊i·h/16⌋, ⌊j·w/16⌋) — all
+    # integer arithmetic, so equality proves the binary decode path
+    "multimodal_image_resize": """
+        WITH dims AS (
+          SELECT doc_id,
+                 8 + (doc_id % 5) * 4 AS w,
+                 8 + (n_chars % 7) * 4 AS h
+          FROM documents
+        ),
+        grid AS (
+          SELECT i.range AS i, j.range AS j
+          FROM range(16) i, range(16) j
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS orig_w,
+               CAST(h AS BIGINT) AS orig_h,
+               CAST(SUM((doc_id * 31 + ((i * h) // 16) * w + ((j * w) // 16)) % 256)
+                    AS BIGINT) AS resized_sum
+        FROM dims CROSS JOIN grid
+        GROUP BY doc_id, w, h
     """,
     "vector_cosine_topk": _V + """,
         q AS (SELECT * FROM v WHERE vec_id % 40 = 0),

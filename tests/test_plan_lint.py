@@ -24,6 +24,7 @@ import __spark_entry__ as entrymod
 # training) — linted in their own tests instead
 EAGER = {
     "dedup_components",
+    "vector_kmeans_clusters",
     "dedup_component_survivors",
     "dedup_component_size_histogram",
     "vector_ann_ivf_topk",
@@ -36,6 +37,7 @@ PANDAS_OK = {
     "multimodal_frame_sample",
     "multimodal_feature_extract",
     "multimodal_wav_roundtrip",
+    "multimodal_image_resize",
 }
 
 # The documented exact all-pairs oracle baselines: their near-dup
