@@ -94,12 +94,119 @@ def join_asof_forward_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_nearest_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each order gets whichever quote is CLOSER in
+    time — the prevailing (backward) or the next (forward) — with ties
+    resolved backward, the market-data convention (pandas
+    merge_asof(direction='nearest') semantics). Composed from the two
+    directional as-of passes joined on the order key; a one-sided miss
+    falls back to the other side, a two-sided miss yields NULLs.
+
+    Scale: both directional passes are the union+window composition
+    (one key exchange each); the final combine is an equi-join on the
+    order key. Nearest genuinely needs both passes — no single sorted
+    scan resolves it — so 2× the cost of one direction is the honest
+    price at any scale."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    quotes = _daily_quotes(spark, sf_dir)
+    b = asof_join(
+        o, quotes, key="key", left_time="odate", right_time="day",
+        value_cols=["quote", "quote_id"],
+    ).select(
+        "o_orderkey", "key", "odate",
+        F.col("asof_day").alias("b_day"),
+        F.col("asof_quote").alias("b_quote"),
+        F.col("asof_quote_id").alias("b_qid"),
+    )
+    f = asof_join_forward(
+        o, quotes, key="key", left_time="odate", right_time="day",
+        value_cols=["quote", "quote_id"],
+    ).select(
+        "o_orderkey",
+        F.col("asof_day").alias("f_day"),
+        F.col("asof_quote").alias("f_quote"),
+        F.col("asof_quote_id").alias("f_qid"),
+    )
+    j = b.join(f, "o_orderkey")
+    use_b = F.col("f_day").isNull() | (
+        F.col("b_day").isNotNull()
+        & (
+            F.datediff(F.col("odate"), F.col("b_day"))
+            <= F.datediff(F.col("f_day"), F.col("odate"))
+        )
+    )
+    pick = lambda bc, fc: F.when(use_b, F.col(bc)).otherwise(F.col(fc))  # noqa: E731
+    return j.select(
+        "o_orderkey",
+        F.col("key").alias("custkey"),
+        "odate",
+        pick("b_day", "f_day").alias("quote_day"),
+        pick("b_quote", "f_quote").alias("quote"),
+        pick("b_qid", "f_qid").cast("long").alias("quote_id"),
+        F.when(F.col("b_day").isNull() & F.col("f_day").isNull(), F.lit(None).cast("string"))
+        .when(use_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
 QUERIES = {
     "join_asof_orders_quotes": join_asof_orders_quotes,
     "join_asof_forward_quotes": join_asof_forward_quotes,
+    "join_asof_nearest_quotes": join_asof_nearest_quotes,
 }
 
 ORACLE_SQL = {
+    # two native ASOF passes (backward + forward) combined with the
+    # tie-goes-backward nearest rule — the same composition the Spark
+    # side runs, each half individually pinned by the directional
+    # oracles above/below
+    "join_asof_nearest_quotes": """
+        WITH quotes AS (
+          SELECT user_id AS key, day, quote, quote_id FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day, value AS quote,
+                   event_id AS quote_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+          ) WHERE rn = 1
+        ),
+        o AS (
+          SELECT o_orderkey, o_custkey AS key,
+                 CAST(o_orderdate AS DATE) AS odate
+          FROM orders
+        ),
+        b AS (
+          SELECT o.o_orderkey, o.key, o.odate,
+                 q.day AS b_day, q.quote AS b_quote, q.quote_id AS b_qid
+          FROM o ASOF LEFT JOIN quotes q
+            ON o.key = q.key AND q.day <= o.odate
+        ),
+        f AS (
+          SELECT o.o_orderkey,
+                 q.day AS f_day, q.quote AS f_quote, q.quote_id AS f_qid
+          FROM o ASOF LEFT JOIN quotes q
+            ON o.key = q.key AND q.day >= o.odate
+        ),
+        j AS (
+          SELECT b.*, f.f_day, f.f_quote, f.f_qid,
+                 (f_day IS NULL OR (b_day IS NOT NULL
+                   AND date_diff('day', b_day, odate)
+                       <= date_diff('day', odate, f_day))) AS use_b
+          FROM b JOIN f USING (o_orderkey)
+        )
+        SELECT o_orderkey, key AS custkey, odate,
+               CASE WHEN use_b THEN b_day ELSE f_day END AS quote_day,
+               CASE WHEN use_b THEN b_quote ELSE f_quote END AS quote,
+               CAST(CASE WHEN use_b THEN b_qid ELSE f_qid END AS BIGINT) AS quote_id,
+               CASE WHEN b_day IS NULL AND f_day IS NULL THEN NULL
+                    WHEN use_b THEN 'backward' ELSE 'forward' END AS direction
+        FROM j
+    """,
     "join_asof_orders_quotes": """
         WITH quotes AS (
           SELECT user_id AS key, day, quote, quote_id FROM (

@@ -84,8 +84,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # bigram LM text_bigram_logprob, the warehouse
     # agg_customer_rfm_segments, the embedding-health pair
     # vector_dim_stats + vector_label_cohesion, the chained-stateful
-    # streaming stream_daily_unique_users, and the oracle-checked
-    # image kernel multimodal_image_resize) are
+    # streaming stream_daily_unique_users, the oracle-checked
+    # image kernel multimodal_image_resize, and the nearest-direction
+    # as-of join_asof_nearest_quotes) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).

@@ -208,3 +208,38 @@ def test_label_cohesion_diagonal_is_one(spark):
     assert len(out) == labels * (labels + 1) // 2
     # distinct labels are separable: off-diagonal strictly below 1
     assert (off["centroid_cosine"] < 1.0).all()
+
+
+# ------------------------------------------------------------ as-of nearest
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    from market_data_pipeline_databricks_spark.plans import asof_ops
+
+    near = asof_ops.join_asof_nearest_quotes(spark, SF).toPandas()
+    back = (
+        asof_ops.join_asof_orders_quotes(spark, SF)
+        .toPandas()
+        .set_index("o_orderkey")
+    )
+    fwd = (
+        asof_ops.join_asof_forward_quotes(spark, SF)
+        .toPandas()
+        .set_index("o_orderkey")
+    )
+    assert len(near) == len(back) == len(fwd)
+    for _, r in near.head(300).iterrows():
+        b_day = back.loc[r["o_orderkey"], "quote_day"]
+        f_day = fwd.loc[r["o_orderkey"], "quote_day"]
+        if pd.isna(b_day) and pd.isna(f_day):
+            assert pd.isna(r["quote_day"]) and r["direction"] is None
+        elif pd.isna(f_day):
+            assert r["direction"] == "backward" and r["quote_day"] == b_day
+        elif pd.isna(b_day):
+            assert r["direction"] == "forward" and r["quote_day"] == f_day
+        else:
+            db = (r["odate"] - b_day).days
+            df_ = (f_day - r["odate"]).days
+            want = "backward" if db <= df_ else "forward"
+            assert r["direction"] == want
+            assert r["quote_day"] == (b_day if want == "backward" else f_day)
