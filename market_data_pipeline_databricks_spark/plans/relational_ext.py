@@ -1025,9 +1025,33 @@ def agg_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each
+    customer's top-3 orders by value — the SQL-standard lateral form of
+    top-N-per-group, accepted verbatim by Spark 4 (and by DuckDB, so
+    the oracle runs the IDENTICAL text modulo the table reference).
+    Catalyst decorrelates it into a window/rank plan — the same
+    physical shape as the QUALIFY/rn<=k formulation — so the lateral
+    surface costs nothing over the hand-written window. Inline
+    ``parquet.`path``` table syntax keeps the query self-contained (no
+    session-global temp views)."""
+    return spark.sql(f"""
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM parquet.`{sf_dir}/customer.parquet` c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM parquet.`{sf_dir}/orders.parquet` o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 3
+        ) t
+    """)
+
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "agg_customer_rfm_segments": agg_customer_rfm_segments,
+    "join_lateral_top_orders": join_lateral_top_orders,
     "join_q3_shipping_priority": join_q3_shipping_priority,
     "agg_rollup_revenue": agg_rollup_revenue,
     "agg_cube_order_stats": agg_cube_order_stats,
@@ -1088,6 +1112,17 @@ ORACLE_SQL = {
                      / COUNT(*), 6) AS avg_frequency,
                CAST(SUM(monetary) AS DOUBLE) AS total_monetary
         FROM seg GROUP BY segment
+    """,
+    "join_lateral_top_orders": """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 3
+        ) t
     """,
     "agg_revenue_share": """
         WITH base AS (
