@@ -418,6 +418,86 @@ def funcs_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funcs_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios per key from daily log
+    returns — the two headline risk-adjusted-return numbers a desk
+    reads next to max_drawdown. Sharpe = mean/σ·√252; Sortino divides
+    by DOWNSIDE deviation (√ of the mean squared negative return), the
+    semideviation form.
+
+    Mean and downside-sum run through decimal-exact sums; σ is the
+    plain sample stddev (O(1) ratio outputs, the funcs_feature_panel
+    discipline). Zero deviation → NULL ratio on both engines. One
+    suppkey exchange: the return LAG and the final aggregate share the
+    partitioning."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("suppkey").orderBy("day")
+    lr = daily.withColumn("log_ret", M.log_return(F.col("close"), w)).filter(
+        F.col("log_ret").isNotNull()
+    )
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(27,12)")).cast("double")
+
+    comp = lr.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum(F.col("log_ret")).alias("s"),
+        dsum(
+            F.when(F.col("log_ret") < 0, F.col("log_ret") * F.col("log_ret"))
+            .otherwise(0.0)
+        ).alias("dsq"),
+        F.stddev_samp("log_ret").alias("sd"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("s") / n
+    downside = F.sqrt(F.col("dsq") / n)
+    ann = F.sqrt(F.lit(252.0))
+    return comp.select(
+        "suppkey",
+        "n_days",
+        F.round(F.when(F.col("sd") > 0, mean / F.col("sd") * ann), 6).alias(
+            "sharpe"
+        ),
+        F.round(F.when(downside > 0, mean / downside * ann), 6).alias(
+            "sortino"
+        ),
+    )
+
+
+def funcs_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week return seasonality across the whole market: mean
+    daily return, breadth and positive share per weekday — the
+    calendar-anomaly diagnostic (is there a 'Monday effect' in this
+    corpus). Cross-key aggregation over the per-key return series;
+    dow is 0=Sunday..6=Saturday (Spark ``dayofweek``−1 = DuckDB
+    ``dayofweek``, pinned explicitly since the two engines' native
+    conventions differ by one).
+
+    One suppkey exchange for the LAG, one 7-key aggregate — partial
+    aggregation collapses everything map-side."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("suppkey").orderBy("day")
+    r = daily.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1
+    ).filter(F.col("ret").isNotNull())
+    return (
+        r.groupBy((F.dayofweek("day") - 1).cast("long").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(
+                F.sum(F.col("ret").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_ret"),
+            F.round(
+                F.sum((F.col("ret") > 0).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pos_share"),
+        )
+    )
+
+
 QUERIES = {
     "funcs_max_drawdown": funcs_max_drawdown,
     "funcs_vwap_monthly": funcs_vwap_monthly,
@@ -431,6 +511,8 @@ QUERIES = {
     "funcs_rsi": funcs_rsi,
     "funcs_cross_sectional_momentum": funcs_cross_sectional_momentum,
     "funcs_macd": funcs_macd,
+    "funcs_sharpe_sortino": funcs_sharpe_sortino,
+    "funcs_dow_seasonality": funcs_dow_seasonality,
 }
 
 _DAILY_CTE = """
@@ -529,6 +611,44 @@ ORACLE_SQL = {
         WINDOW w AS (PARTITION BY suppkey ORDER BY day),
                f AS (PARTITION BY suppkey ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
                cum AS (PARTITION BY suppkey ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "funcs_sharpe_sortino": _DAILY_CTE + """
+        , lr AS (
+          SELECT suppkey,
+                 LN(close / LAG(close) OVER (PARTITION BY suppkey ORDER BY day)) AS log_ret
+          FROM daily
+        ), l AS (SELECT * FROM lr WHERE log_ret IS NOT NULL),
+        comp AS (
+          SELECT suppkey, COUNT(*) AS n_days,
+                 CAST(SUM(CAST(log_ret AS DECIMAL(27,12))) AS DOUBLE) AS s,
+                 CAST(SUM(CAST(CASE WHEN log_ret < 0 THEN log_ret * log_ret
+                                    ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS dsq,
+                 STDDEV_SAMP(log_ret) AS sd
+          FROM l GROUP BY suppkey
+        )
+        SELECT suppkey, n_days,
+               ROUND(CASE WHEN sd > 0
+                          THEN (s / CAST(n_days AS DOUBLE)) / sd * SQRT(252.0)
+                     END, 6) AS sharpe,
+               ROUND(CASE WHEN SQRT(dsq / CAST(n_days AS DOUBLE)) > 0
+                          THEN (s / CAST(n_days AS DOUBLE))
+                               / SQRT(dsq / CAST(n_days AS DOUBLE)) * SQRT(252.0)
+                     END, 6) AS sortino
+        FROM comp
+    """,
+    "funcs_dow_seasonality": _DAILY_CTE + """
+        , r AS (
+          SELECT suppkey, day,
+                 close / LAG(close) OVER (PARTITION BY suppkey ORDER BY day) - 1 AS ret
+          FROM daily
+        ), rr AS (SELECT * FROM r WHERE ret IS NOT NULL)
+        SELECT CAST(dayofweek(day) AS BIGINT) AS dow,
+               COUNT(*) AS n_obs,
+               ROUND(CAST(SUM(CAST(ret AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_ret,
+               ROUND(CAST(SUM(CASE WHEN ret > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS pos_share
+        FROM rr GROUP BY 1
     """,
     "funcs_log_return_stats": _DAILY_CTE + """
         , lr AS (

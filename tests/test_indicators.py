@@ -243,3 +243,27 @@ def test_asof_nearest_picks_closer_side(spark):
             want = "backward" if db <= df_ else "forward"
             assert r["direction"] == want
             assert r["quote_day"] == (b_day if want == "backward" else f_day)
+
+
+def test_sharpe_sortino_replay(spark):
+    import numpy as np
+
+    out = feature_ops.funcs_sharpe_sortino(spark, SF).toPandas()
+    daily = _daily_pd(spark)
+    sup = daily["suppkey"].iloc[0]
+    x = daily[daily["suppkey"] == sup]["close"].reset_index(drop=True)
+    lr = np.log(x / x.shift(1)).dropna()
+    mean, sd = lr.mean(), lr.std(ddof=1)
+    downside = float(np.sqrt((np.minimum(lr, 0) ** 2).mean()))
+    got = out[out["suppkey"] == sup].iloc[0]
+    assert abs(got["sharpe"] - mean / sd * math.sqrt(252)) < 1e-4
+    assert abs(got["sortino"] - mean / downside * math.sqrt(252)) < 1e-4
+
+
+def test_dow_seasonality_shape(spark):
+    out = feature_ops.funcs_dow_seasonality(spark, SF).toPandas()
+    assert sorted(out["dow"]) == list(range(7))
+    assert (out["pos_share"] >= 0).all() and (out["pos_share"] <= 1).all()
+    daily = _daily_pd(spark)
+    n_rets = len(daily) - daily["suppkey"].nunique()
+    assert out["n_obs"].sum() == n_rets
