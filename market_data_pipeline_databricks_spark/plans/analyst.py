@@ -263,7 +263,103 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    classic fabricated-numbers DQ check: observed share per leading
+    digit vs the log₁₀(1+1/d) expectation, plus the corpus-level χ²
+    statistic repeated on each row (bounded 9-row window).
+
+    First digit = ⌊x / 10^⌊log₁₀x⌋⌋ — log₁₀ of a positive
+    cent-quantized price can only straddle an integer at exact powers
+    of 10, where every libm returns the exact value, so the digit
+    extraction cannot diverge between engines. Counts are exact
+    integers; every derived double (share, expectation, χ²) comes from
+    identical bits. One scan + one 9-key aggregate."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    total = F.sum("n_orders").over(wall).cast("double")
+    expected = F.log10(1 + 1 / F.col("digit").cast("double"))
+    chi_term = (
+        (F.col("n_orders") / total - expected)
+        * (F.col("n_orders") / total - expected)
+        / expected
+        * total
+    )
+    return g.select(
+        "digit",
+        "n_orders",
+        F.round(F.col("n_orders") / total, 6).alias("obs_share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(F.sum(chi_term).over(wall), 6).alias("chi2_stat"),
+    )
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the token distribution: OLS slope
+    of ln(freq) on ln(rank) across the top-200 tokens — the corpus
+    health number (natural language sits near −1; a synthetic or
+    templated corpus drifts off it). Single row out.
+
+    Rank is deterministic (count desc, token asc tie-break); both lns
+    act on exact integers, and the OLS slope/intercept derive from
+    decimal-exact component sums (the funcs_market_beta discipline),
+    so the fit is bit-stable on both engines. Top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(200)
+    )
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(27,12)")).cast("double")
+
+    comp = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return comp.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
 QUERIES = {
+    "quality_benford_screen": quality_benford_screen,
+    "text_zipf_fit": text_zipf_fit,
     "analyst_top_movers_today": analyst_top_movers_today,
     "analyst_volatility_regime": analyst_volatility_regime,
     "analyst_liquidity_screen": analyst_liquidity_screen,
@@ -286,6 +382,66 @@ _SNAPSHOT_CTE = _GOLD_CTE + """, snap AS (
 """
 
 ORACLE_SQL = {
+    "quality_benford_screen": """
+        WITH g AS (
+          SELECT CAST(FLOOR(o_totalprice
+                   / POWER(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS digit,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1
+        ),
+        t AS (SELECT SUM(n_orders) AS tot FROM g),
+        s AS (
+          SELECT digit, n_orders,
+                 CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+                 LOG10(1 + 1 / CAST(digit AS DOUBLE)) AS expected,
+                 CAST(tot AS DOUBLE) AS tot
+          FROM g CROSS JOIN t
+        )
+        SELECT digit, n_orders,
+               ROUND(share, 6) AS obs_share,
+               ROUND(expected, 6) AS benford_share,
+               ROUND(SUM((share - expected) * (share - expected) / expected * tot)
+                     OVER (), 6) AS chi2_stat
+        FROM s
+    """,
+    "text_zipf_fit": r"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                      '[.,!?;:''"()\[\]{}\-]', '', 'g'), '\s+', ' ', 'g')) AS ntext
+          FROM documents
+        ),
+        tokc AS (
+          SELECT tokn, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split(ntext, ' ')) AS tokn FROM norm
+          ) GROUP BY tokn
+        ),
+        top AS (
+          SELECT tokn, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, tokn ASC) AS rank
+          FROM tokc
+          ORDER BY cnt DESC, tokn ASC LIMIT 200
+        ),
+        xy AS (
+          SELECT LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(cnt AS DOUBLE)) AS y
+          FROM top
+        ),
+        comp AS (
+          SELECT COUNT(*) AS n_terms,
+                 CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx
+          FROM xy
+        )
+        SELECT n_terms,
+               ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+               ROUND((sy - (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                          / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) * sx)
+                     / CAST(n_terms AS DOUBLE), 6) AS zipf_intercept
+        FROM comp
+    """,
     "quality_mad_outliers": _GOLD_CTE + """,
         r AS (SELECT suppkey, day, return_1d FROM feat WHERE return_1d IS NOT NULL),
         med AS (

@@ -267,3 +267,25 @@ def test_dow_seasonality_shape(spark):
     daily = _daily_pd(spark)
     n_rets = len(daily) - daily["suppkey"].nunique()
     assert out["n_obs"].sum() == n_rets
+
+
+def test_benford_screen_consistency(spark):
+    from market_data_pipeline_databricks_spark.plans import analyst
+
+    out = analyst.quality_benford_screen(spark, SF).toPandas()
+    assert sorted(out["digit"]) == list(range(1, 10))
+    assert abs(out["obs_share"].sum() - 1.0) < 1e-4
+    assert abs(out["benford_share"].sum() - 1.0) < 1e-4
+    assert out["chi2_stat"].nunique() == 1 and (out["chi2_stat"] >= 0).all()
+
+
+def test_zipf_fit_slope_negative(spark):
+    from market_data_pipeline_databricks_spark.plans import analyst
+
+    out = analyst.text_zipf_fit(spark, SF).toPandas()
+    assert len(out) == 1
+    # the synthetic corpus vocab is ~31 tokens at sf0.001; the query
+    # caps at 200 so n_terms = min(vocab, 200)
+    assert out["n_terms"][0] > 20
+    assert out["zipf_slope"][0] < 0          # frequency falls with rank
+    assert out["zipf_intercept"][0] > 0      # top-rank frequency > 1
