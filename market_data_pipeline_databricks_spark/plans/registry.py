@@ -85,8 +85,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # agg_customer_rfm_segments, the embedding-health pair
     # vector_dim_stats + vector_label_cohesion, the chained-stateful
     # streaming stream_daily_unique_users, the oracle-checked
-    # image kernel multimodal_image_resize, and the nearest-direction
-    # as-of join_asof_nearest_quotes) are
+    # image kernel multimodal_image_resize, the nearest-direction
+    # as-of join_asof_nearest_quotes, the LATERAL surface
+    # join_lateral_top_orders, the risk ratios funcs_sharpe_sortino +
+    # funcs_dow_seasonality, and the corpus screens
+    # quality_benford_screen + text_zipf_fit) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).
