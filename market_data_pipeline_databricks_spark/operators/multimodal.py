@@ -292,13 +292,15 @@ def synthesize_wav_media(
             for did, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 n = int(n_chars) * samples_per_char
                 freq = 200.0 + (int(did) % 20) * 25.0
-                samples = b"".join(
-                    struct.pack(
-                        "<h",
-                        int(0.4 * 32767 * math.sin(2 * math.pi * freq * i / rate)),
-                    )
-                    for i in range(n)
-                )
+                # vectorized synthesis: int(x) truncates toward zero =
+                # np.trunc; '<i2' matches struct.pack('<h') bytes
+                # exactly (was a per-sample Python loop — ~5x the
+                # whole query's wall time at sf0.1)
+                i = np.arange(n, dtype=np.float64)
+                vals = np.trunc(
+                    0.4 * 32767 * np.sin(2 * math.pi * freq * i / rate)
+                ).astype("<i2")
+                samples = vals.tobytes()
                 wav = (
                     b"RIFF"
                     + struct.pack("<I", 36 + len(samples))
