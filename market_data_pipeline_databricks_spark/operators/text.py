@@ -119,14 +119,30 @@ def lang_id(col: Column) -> Column:
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-gram shingles of the normalized text (MinHash substrate).
     Documents shorter than k tokens yield their full token join as one
-    shingle so no document silently disappears from dedup."""
+    shingle so no document silently disappears from dedup.
+
+    The token array is BOUND ONCE via a single-element outer
+    ``transform`` before the per-shingle lambda consumes it: a lambda
+    body that references a complex expression (normalize+split here)
+    re-evaluates it per element — interpreted HOFs get no
+    subexpression elimination (the round-3/4 MinHash/winnowing lesson)
+    — so inlining ``tokens(col)`` into the slice lambda costs
+    O(n_tokens) normalizations per document instead of one. The outer
+    ``transform(array(toks), t -> ...)`` evaluates ``toks`` exactly
+    once; the inner lambda sees ``t``, a cheap bound variable. Works
+    as a pure Column function, so every call site (MinHash, blocked
+    Jaccard, novelty, curation) gets the fix without staging its own
+    projection."""
     toks = tokens(col)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return grams
+
+    def per_doc(t: Column) -> Column:
+        n = F.size(t)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+
+    return F.element_at(F.transform(F.array(toks), per_doc), 1)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -262,10 +278,20 @@ def winnow_fingerprints(
     lambdas defeat subexpression elimination: O(len²) hashing. Measured
     >100× slower; don't go back.)
     """
-    t = normalize_text(F.col(text_col))
+    # Materialize the normalized text BEFORE the higher-order lambda:
+    # a lambda that references a complex expression re-evaluates it per
+    # element (no CSE inside interpreted HOFs — the round-3 MinHash
+    # lesson, dedup.py), which here meant the lower→regex→regex→trim
+    # normalization ran once per k-gram: ~500× per doc, 20.8 s → 1.7 s
+    # for the whole chain at sf0.1. A plain column reference inside
+    # the lambda just reads the row value.
+    norm = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__nt__")
+    )
+    t = F.col("__nt__")
     n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
     grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(k)))
-    g = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram"))
+    g = norm.select("id", F.posexplode(grams).alias("pos", "gram"))
     g = g.withColumn("h", F.xxhash64("gram"))
     w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     full = (

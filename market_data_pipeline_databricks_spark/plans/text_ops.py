@@ -84,8 +84,16 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     plagiarism/copy that whole-doc hashing misses. xxhash64-seeded →
     rows-only driver check; behavior verified in tests against
     controlled mutations."""
+    from pyspark import StorageLevel
+
     docs = _docs(spark, sf_dir)
-    fp = TX.winnow_fingerprints(docs, id_col="doc_id", text_col="text", k=12, window=25)
+    # three consumers (per-doc counts + both sides of the self-join)
+    # — persisted so the normalize→k-gram-explode→hash→window chain
+    # runs once, not three times (the multi-consumer persist pattern;
+    # the distinct (id, fp) frame is tiny next to the exploded stream)
+    fp = TX.winnow_fingerprints(
+        docs, id_col="doc_id", text_col="text", k=12, window=25
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
     shared = (
