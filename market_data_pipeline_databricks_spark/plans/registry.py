@@ -88,8 +88,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # image kernel multimodal_image_resize, the nearest-direction
     # as-of join_asof_nearest_quotes, the LATERAL surface
     # join_lateral_top_orders, the risk ratios funcs_sharpe_sortino +
-    # funcs_dow_seasonality, and the corpus screens
-    # quality_benford_screen + text_zipf_fit) are
+    # funcs_dow_seasonality, the corpus screens
+    # quality_benford_screen + text_zipf_fit, and the TPC-H closers
+    # join_q2_min_cost_supplier / join_q9_product_type_profit /
+    # agg_q11_important_stock / agg_q16_supplier_part_counts /
+    # join_q20_excess_shipments — all 22 TPC-H shapes now
+    # oracle-checked) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).

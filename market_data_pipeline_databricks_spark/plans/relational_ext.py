@@ -1048,6 +1048,268 @@ def join_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region offering it at the MINIMUM cost — the classic correlated
+    MIN scalar subquery whose correlation domain (region suppliers ×
+    part) is itself a join. This testdata has no ``partsupp``, so the
+    supply relation derives from ``lineitem``: a (partkey, suppkey)
+    pair supplies a part at unit cost MIN(l_extendedprice /
+    l_quantity) — same plan problem, schema-adapted like Q21's
+    returnflag stand-in (reference shape: TPC-H Q2).
+
+    Scale: the derived supply table aggregates lineitem ONCE on
+    (partkey, suppkey) — one shuffle; the region-supplier dimension
+    (supplier ⋈ nation ⋈ region) is bounded and broadcasts; the
+    correlated MIN decorrelates into a per-part aggregate joined back
+    on (partkey, cost). Cost equality across engines is safe: each
+    unit cost is a single IEEE division and MIN *selects* one of those
+    exact values (no accumulation), so the equality join is bit-exact
+    by construction.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supply = li.filter(F.col("l_quantity") > 0).groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.join(reg, nat.n_regionkey == reg.r_regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    region_supply = supply.join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    min_cost = region_supply.groupBy(
+        F.col("p_partkey").alias("mc_partkey")
+    ).agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        region_supply.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("unit_cost"), 6).alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"),
+            F.asc("n_name"),
+            F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+def join_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for
+    parts matching a name substring — the widest TPC-H join tree
+    (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders) with a computed
+    per-line measure. No ``partsupp`` here, so supply cost is proxied
+    as 60% of p_retailprice per unit (reference shape: TPC-H Q9).
+
+    Scale: the part filter (substring containment) prunes the probe
+    side before the join; part/supplier/nation broadcast; lineitem
+    shuffles only for the orderkey join with orders, and the final
+    (nation, year) rollup is partial-agg friendly. The profit sum
+    runs through decimal so accumulation order cannot move the
+    rounded result.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(profit, 6).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+def agg_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through ONE nation's
+    suppliers exceeds a fixed fraction of that nation's total — the
+    group-HAVING-against-global-scalar-subquery plan. Value is the
+    lineitem revenue routed through the nation's suppliers (the
+    partsupp value proxy; reference shape: TPC-H Q11).
+
+    Scale: the nation's supplier list is bounded and broadcasts, so
+    lineitem is filtered before its single shuffle on partkey; the
+    global total is a second aggregate over the SAME filtered frame
+    (Spark reuses the exchange under AQE), broadcast as one row.
+    Decimal sums make the threshold comparison order-independent.
+    """
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    routed = li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    value = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(27,6)"
+        )
+    )
+    per_part = routed.groupBy("l_partkey").agg(value.alias("value_dec"))
+    total = routed.agg((value * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+def agg_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers can provide parts
+    of each (brand, type, size) combination, excluding one brand, one
+    type, sizes outside a fixed IN-list, and a NOT-IN supplier
+    blacklist (negative account balance stands in for the 'complaints'
+    comment scan; the part-supplier bridge derives from lineitem —
+    reference shape: TPC-H Q16).
+
+    Scale: lineitem first collapses to distinct (partkey, suppkey)
+    pairs — a map-side-combinable dedup that is the only full-fact
+    shuffle; the blacklist anti-join and the part-attribute join both
+    broadcast. The single COUNT(DISTINCT) plans as a two-phase
+    aggregate (no Expand, unlike a multi-distinct).
+    """
+    bridge = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    blacklist = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+    )
+    return (
+        bridge.join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+def join_q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who moved an outsized
+    share of a filtered part family — the nested semi-join chain
+    (supplier ⋉ (shipments ⋉ name-filtered parts) under a correlated
+    threshold). The original's ps_availqty > ½·shipped test becomes
+    'this supplier's 1996 shipped quantity of the part exceeds 1.5×
+    the per-part average across suppliers' — the same
+    correlated-aggregate-threshold semi-join (reference shape:
+    TPC-H Q20).
+
+    Scale: the part-name filter broadcasts; shipments aggregate once
+    on (suppkey, partkey); the per-part average joins back on partkey
+    (bounded, AQE-broadcast); the final supplier qualification is a
+    left-semi join, so multi-part qualification cannot duplicate
+    supplier rows. Decimal quantity sums keep the threshold exact.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("supp_qty")
+        )
+    )
+    part_avg = shipped.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.sum("supp_qty").cast("double") / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    qualifying = (
+        shipped.join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("supp_qty").cast("double") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"))
+        .orderBy(F.asc("s_name"))
+    )
+
+
 QUERIES = {
     "join_semi_customers_with_orders": join_semi_customers_with_orders,
     "agg_customer_rfm_segments": agg_customer_rfm_segments,
@@ -1078,6 +1340,11 @@ QUERIES = {
     "join_q18_large_volume": join_q18_large_volume,
     "join_q21_waiting_suppliers": join_q21_waiting_suppliers,
     "join_q22_idle_balance": join_q22_idle_balance,
+    "join_q2_min_cost_supplier": join_q2_min_cost_supplier,
+    "join_q9_product_type_profit": join_q9_product_type_profit,
+    "agg_q11_important_stock": agg_q11_important_stock,
+    "agg_q16_supplier_part_counts": agg_q16_supplier_part_counts,
+    "join_q20_excess_shipments": join_q20_excess_shipments,
 }
 
 ORACLE_SQL = {
@@ -1494,5 +1761,107 @@ ORACLE_SQL = {
               AND o_orderdate >= DATE '2000-01-01'
           )
         GROUP BY 1
+    """,
+    "join_q2_min_cost_supplier": """
+        WITH supply AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem WHERE l_quantity > 0
+          GROUP BY 1, 2
+        ),
+        region_supply AS (
+          SELECT sp.l_partkey, sp.unit_cost,
+                 s.s_acctbal, s.s_name, n.n_name,
+                 p.p_partkey, p.p_name
+          FROM supply sp
+          JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          JOIN part p ON sp.l_partkey = p.p_partkey
+          WHERE r.r_name = 'EUROPE'
+            AND p.p_size <= 15 AND p.p_type = 'LARGE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               ROUND(unit_cost, 6) AS supply_cost
+        FROM region_supply rs
+        WHERE unit_cost = (
+          SELECT MIN(unit_cost) FROM region_supply rs2
+          WHERE rs2.p_partkey = rs.p_partkey
+        )
+        ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        LIMIT 100
+    """,
+    "join_q9_product_type_profit": """
+        SELECT n_name AS nation,
+               EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity
+                             AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2
+        ORDER BY nation ASC, o_year DESC
+    """,
+    "agg_q11_important_stock": """
+        WITH routed AS (
+          SELECT l_partkey,
+                 CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(27,6)) AS v
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+        )
+        SELECT l_partkey AS p_partkey,
+               CAST(SUM(v) AS DOUBLE) AS part_value
+        FROM routed
+        GROUP BY 1
+        HAVING SUM(v) > (SELECT SUM(v) * 0.001 FROM routed)
+        ORDER BY part_value DESC, p_partkey ASC
+    """,
+    "agg_q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) bridge
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#12'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+    "join_q20_excess_shipments": """
+        WITH shipped AS (
+          SELECT l_suppkey, l_partkey,
+                 SUM(CAST(l_quantity AS DECIMAL(27,2))) AS supp_qty
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1, 2
+        ),
+        part_avg AS (
+          SELECT l_partkey AS pa_partkey,
+                 CAST(SUM(supp_qty) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM shipped GROUP BY 1
+        )
+        SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM shipped
+            JOIN part_avg ON l_partkey = pa_partkey
+            WHERE CAST(supp_qty AS DOUBLE) > 1.5 * avg_qty
+          )
+        ORDER BY s_name ASC
     """,
 }
