@@ -6,7 +6,7 @@ own corpus. All fully oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_data_pipeline_databricks_spark.plans.relational import _dsum, _t
@@ -1095,15 +1095,16 @@ def join_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region_supply = supply.join(
         F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
     ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-    min_cost = region_supply.groupBy(
-        F.col("p_partkey").alias("mc_partkey")
-    ).agg(F.min("unit_cost").alias("min_cost"))
+    # Decorrelate the MIN as a WINDOW over partkey rather than an
+    # aggregate-join-back: the join-back form consumes region_supply
+    # twice, which re-derives the whole lineitem aggregation chain —
+    # 2× fact scans at 100 TB. The window form reads lineitem ONCE
+    # and adds only a partkey exchange over the already-aggregated
+    # (small) supply frame.
+    w = Window.partitionBy("p_partkey")
     return (
-        region_supply.join(
-            min_cost,
-            (F.col("p_partkey") == F.col("mc_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        region_supply.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
@@ -1288,13 +1289,18 @@ def join_q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("supp_qty")
         )
     )
-    part_avg = shipped.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (
-            F.sum("supp_qty").cast("double") / F.count(F.lit(1))
-        ).alias("avg_qty")
-    )
+    # Per-part average as a WINDOW over the aggregated shipped frame:
+    # the aggregate-join-back form consumes `shipped` twice and
+    # re-scans lineitem for each consumer — 2× fact scans at 100 TB.
+    # The window reads lineitem once; the extra partkey exchange runs
+    # over the already-aggregated (suppkey, partkey) frame only.
+    w = Window.partitionBy("l_partkey")
     qualifying = (
-        shipped.join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
+        shipped.withColumn(
+            "avg_qty",
+            F.sum("supp_qty").over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+        )
         .filter(F.col("supp_qty").cast("double") > 1.5 * F.col("avg_qty"))
         .select("l_suppkey")
     )
