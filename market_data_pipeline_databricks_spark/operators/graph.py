@@ -1,0 +1,129 @@
+"""Distributed graph algorithms over DataFrames: co-occurrence edge
+extraction and PageRank by iterative join/aggregate rounds.
+
+Complements the connected-components operator in ``operators/dedup.py``
+(large-star/small-star contraction): PageRank is the centrality
+counterpart — useful for picking *representative* members of near-dup
+clusters and for ranking entities (parts, documents, users) by
+structural importance at corpus scale.
+
+Design for 100 TB:
+- Edge extraction is a per-key self-join (orderkey here), so fan-out is
+  bounded by the largest group (order line count), never by the corpus.
+- Each PageRank round is one join (edges ⋈ ranks, both pre-partitioned
+  on the join key) plus one groupBy — two shuffles per round, k rounds.
+  ``localCheckpoint`` truncates the growing lineage each round, the
+  same discipline as the components loop.
+- The dangling-mass term and node count are 1-row/driver scalars.
+- All cross-row accumulation runs through ``DECIMAL(27,12)`` so both
+  the result and any external oracle derive the same bits regardless
+  of partition order (the repo-wide decimal discipline; a scale coarser
+  than 18 keeps Spark's shortest-repr double→decimal conversion in
+  agreement with exact-expansion engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Literal teleport constants. Written as independent literals (NOT
+# derived as 1 - d at runtime): 1 - 0.85 is 0.15000000000000002 in
+# IEEE double, while the literal 0.15 is a different double — an
+# oracle writing `0.15` would diverge on bit-exactness.
+DAMPING = 0.85
+TELEPORT = 0.15
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Weighted co-occurrence edges: (src, dst, w) where w counts the
+    groups in which both items appear. Symmetric by construction (both
+    directions emitted). Distinct-per-group first, so multiplicity
+    inside one group cannot inflate weights, and the self-join fan-out
+    is bounded by the largest group's distinct item count."""
+    pairs = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """PageRank with uniform teleport and dangling-mass redistribution.
+
+    ``nodes``: one column ``node`` (complete vertex set — nodes absent
+    from ``edges`` still receive teleport + dangling mass).
+    ``edges``: columns ``src, dst, w`` (weighted, directed; pass a
+    symmetric edge set for undirected graphs).
+
+    Rank mass is conserved: sum(rank) == 1 after every round (teleport
+    + in-link mass + dangling redistribution partition the unit).
+    Fixed iteration count (not convergence-tested) keeps the plan
+    finite and the result expressible as an unrolled SQL oracle.
+    """
+    n = nodes.count()  # driver-side scalar: O(1) result, distributed count
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # transition probability; long/long division is double in both
+    # Spark and ANSI engines, identical bits per-row
+    trans = edges.join(out_w, "src").select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.col("out_w").cast("double")).alias(
+            "p"
+        ),
+    )
+    src_nodes = trans.select("src").distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = trans.join(
+            ranks, trans.src == ranks.node
+        ).select("dst", (F.col("rank") * F.col("p")).alias("c"))
+        in_sum = contrib.groupBy("dst").agg(
+            F.sum(F.col("c").cast("decimal(27,12)"))
+            .cast("double")
+            .alias("in_sum")
+        )
+        dangling = ranks.join(
+            src_nodes, ranks.node == src_nodes.src, "left_anti"
+        ).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast("decimal(27,12)")).cast("double"),
+                F.lit(0.0),
+            ).alias("d_mass")
+        )
+        ranks = (
+            nodes.join(in_sum, nodes.node == in_sum.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(TELEPORT) / n
+                    + F.lit(DAMPING)
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("d_mass") / n
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks

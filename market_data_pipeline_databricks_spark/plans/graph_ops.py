@@ -1,0 +1,119 @@
+"""Graph analytics queries: PageRank centrality over the co-purchase
+graph. Exercises ``operators/graph.py`` end-to-end with a fully
+oracle-checkable formulation (fixed iteration count, decimal-protected
+accumulation), unlike most iterative algorithms.
+
+Reference analogue: ranking entities by structural importance is the
+centrality counterpart of the near-dup clustering the reference's
+curation flow needs; no reference file implements it (pure extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.operators.graph import (
+    cooccurrence_edges,
+    pagerank,
+)
+from market_data_pipeline_databricks_spark.plans.relational import _t
+
+
+def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 parts by PageRank over the co-purchase graph (parts
+    linked when they appear in the same order), 3 iterations, damping
+    0.85, dangling mass redistributed uniformly.
+
+    Scale: edge extraction is an orderkey self-join with fan-out
+    bounded by order line count (never corpus size); each of the 3
+    rank rounds is one edges-ranks join + one dst aggregation — two
+    bounded shuffles per round with ``localCheckpoint`` lineage
+    truncation. The dangling term is a 1-row broadcast. All sums run
+    through DECIMAL(27,12), so the DuckDB oracle (the same recurrence
+    unrolled as nested CTEs) derives bit-identical doubles.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    nodes = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node")
+    )
+    ranks = pagerank(nodes, edges, iterations=3)
+    return (
+        ranks.select(
+            F.col("node").alias("p_partkey"),
+            F.round(F.col("rank"), 9).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
+def _iter_cte(prev: str, cur: str) -> str:
+    """One unrolled PageRank round as SQL text (oracle twin of the
+    loop body in ``operators/graph.py:pagerank``)."""
+    return f"""
+        {cur}_in AS (
+          SELECT dst,
+                 CAST(SUM(CAST({prev}.rank * en.p AS DECIMAL(27,12)))
+                      AS DOUBLE) AS in_sum
+          FROM en JOIN {prev} ON en.src = {prev}.node
+          GROUP BY dst
+        ),
+        {cur}_d AS (
+          SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(27,12)))
+                               AS DOUBLE), 0.0) AS d_mass
+          FROM {prev}
+          WHERE node NOT IN (SELECT DISTINCT src FROM en)
+        ),
+        {cur} AS (
+          SELECT nodes.node,
+                 CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                 + CAST(0.85 AS DOUBLE)
+                   * (COALESCE(i.in_sum, 0.0)
+                      + (SELECT d_mass FROM {cur}_d)
+                        / (SELECT n FROM nn)) AS rank
+          FROM nodes LEFT JOIN {cur}_in i ON nodes.node = i.dst
+        )"""
+
+
+GRAPH_PAGERANK_ORACLE = (
+    """
+        WITH lp AS (
+          SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        ),
+        edges AS (
+          SELECT a.item AS src, b.item AS dst, COUNT(*) AS w
+          FROM lp a JOIN lp b
+            ON a.g = b.g AND a.item <> b.item
+          GROUP BY 1, 2
+        ),
+        outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY 1),
+        en AS (
+          SELECT e.src, e.dst,
+                 CAST(e.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p
+          FROM edges e JOIN outw o ON e.src = o.src
+        ),
+        nodes AS (SELECT p_partkey AS node FROM part),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+          SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+          FROM nodes
+        ),"""
+    + ",".join(_iter_cte(f"r{i}", f"r{i + 1}") for i in range(3))
+    + """
+        SELECT node AS p_partkey, ROUND(rank, 9) AS pagerank
+        FROM r3
+        ORDER BY pagerank DESC, p_partkey ASC
+        LIMIT 50
+    """
+)
+
+
+QUERIES = {
+    "graph_part_pagerank": graph_part_pagerank,
+}
+
+ORACLE_SQL = {
+    "graph_part_pagerank": GRAPH_PAGERANK_ORACLE,
+}

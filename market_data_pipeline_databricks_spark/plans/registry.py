@@ -200,6 +200,7 @@ def _extension_modules():
         "stream_ops",
         "feature_ops",
         "scale_ops",
+        "graph_ops",
     ):
         try:
             mods.append(
