@@ -1,0 +1,84 @@
+"""Z-order layout: content preservation, and the actual data-skipping
+payoff — per-file min/max ranges on BOTH z-ordered columns must be
+dramatically tighter than an unclustered write of the same data."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.sources.layout import (
+    zorder_values,
+    zorder_write,
+)
+
+from tests.conftest import SF_SMALL
+
+
+def _avg_file_range_fraction(path: str, col: str) -> float:
+    """Mean over files of (file max-min) / (global max-min) — the
+    expected fraction of files a uniform point filter cannot prune."""
+    spans = []
+    lo, hi = None, None
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index(col)
+        fmin = min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        fmax = max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        spans.append((fmin, fmax))
+        lo = fmin if lo is None else min(lo, fmin)
+        hi = fmax if hi is None else max(hi, fmax)
+    width = hi - lo
+    return sum((b - a) / width for a, b in spans) / len(spans)
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    cols = ["l_partkey", "l_suppkey"]
+    zorder_write(li, zpath, cols, n_files=16, bits=8)
+    # baseline: same file count, hash-scattered layout
+    li.repartition(16).write.parquet(rpath)
+
+    # content preserved exactly
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    got = back.agg(
+        F.sum("l_orderkey").alias("a"), F.sum("l_partkey").alias("b")
+    ).collect()[0]
+    want = li.agg(
+        F.sum("l_orderkey").alias("a"), F.sum("l_partkey").alias("b")
+    ).collect()[0]
+    assert (got.a, got.b) == (want.a, want.b)
+
+    # data-skipping payoff: on BOTH dimensions the mean per-file range
+    # shrinks by >2x vs the scattered baseline (a 1-D sort would give
+    # ~1/n_files on one column but ~1.0 on the other)
+    for c in cols:
+        z_frac = _avg_file_range_fraction(zpath, c)
+        r_frac = _avg_file_range_fraction(rpath, c)
+        assert z_frac < r_frac / 2, (c, z_frac, r_frac)
+
+
+def test_zorder_values_no_shuffle_and_bounded(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    zdf = zorder_values(li, ["l_partkey", "l_suppkey"], bits=4)
+    plan = zdf._jdf.queryExecution().executedPlan().toString()
+    # bucket assignment + interleave are pure projections
+    assert "Exchange" not in plan
+    rows = zdf.agg(
+        F.min("_zorder").alias("lo"), F.max("_zorder").alias("hi")
+    ).collect()[0]
+    assert rows.lo >= 0
+    assert rows.hi < 1 << (4 * 2)
