@@ -93,8 +93,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # join_q2_min_cost_supplier / join_q9_product_type_profit /
     # agg_q11_important_stock / agg_q16_supplier_part_counts /
     # join_q20_excess_shipments — all 22 TPC-H shapes now
-    # oracle-checked — and the decimal-exact iterative
-    # graph_part_pagerank) are
+    # oracle-checked — the decimal-exact iterative graph_part_pagerank,
+    # and the shuffle-key report scale_skew_diagnostics) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).

@@ -195,6 +195,48 @@ def scale_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scale_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report for a prospective shuffle key — the measurement
+    you run BEFORE choosing between a plain shuffle, AQE skew-join, or
+    explicit salting (`operators/skew.py`). Per key-column: distinct
+    key count, heaviest key's row count, mean rows/key, the p99 of the
+    per-key distribution, and the skew ratio (max/mean) that decides
+    the strategy.
+
+    Scale: one count-aggregate per key column (map-side combinable —
+    the per-key frame is O(distinct keys), not O(rows)); the second
+    stage aggregates that bounded frame to ONE row per column. The
+    exact percentile buffers only the per-key counts (O(keys)), not
+    fact rows. Mean runs through a decimal sum."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _report(key: str) -> DataFrame:
+        per_key = li.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        return per_key.agg(
+            F.lit(key).alias("key_col"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            F.round(
+                F.sum(F.col("cnt").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cnt"),
+            F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_cnt"),
+            F.round(
+                F.max("cnt")
+                / (
+                    F.sum(F.col("cnt").cast("decimal(27,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("skew_ratio"),
+        )
+
+    return _report("l_partkey").unionByName(_report("l_suppkey")).unionByName(
+        _report("l_orderkey")
+    )
+
+
 QUERIES = {
     "skew_salted_pricing_summary": skew_salted_pricing_summary,
     "skew_salted_join_orders": skew_salted_join_orders,
@@ -203,9 +245,27 @@ QUERIES = {
     "scale_exact_percentiles": scale_exact_percentiles,
     "scale_winsorized_stats": scale_winsorized_stats,
     "join_range_binned_volatility": join_range_binned_volatility,
+    "scale_skew_diagnostics": scale_skew_diagnostics,
 }
 
+_SKEW_DIAG_ONE = """
+        SELECT '{key}' AS key_col,
+               COUNT(*) AS n_keys,
+               MAX(cnt) AS max_cnt,
+               ROUND(CAST(SUM(CAST(cnt AS DECIMAL(27,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_cnt,
+               ROUND(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+               ROUND(MAX(cnt)
+                     / (CAST(SUM(CAST(cnt AS DECIMAL(27,6))) AS DOUBLE)
+                        / COUNT(*)), 6) AS skew_ratio
+        FROM (SELECT {key}, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+"""
+
 ORACLE_SQL = {
+    "scale_skew_diagnostics": " UNION ALL ".join(
+        _SKEW_DIAG_ONE.format(key=k)
+        for k in ("l_partkey", "l_suppkey", "l_orderkey")
+    ),
     "scale_winsorized_stats": """
         WITH pct AS (
           SELECT l_returnflag,
