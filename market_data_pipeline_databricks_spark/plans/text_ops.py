@@ -9,7 +9,7 @@ portable SQL equivalent → rows-only checks (no ORACLE_SQL entry).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from market_data_pipeline_databricks_spark.operators import dedup as DD
@@ -220,6 +220,51 @@ def dedup_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.35)
     comp = DD.connected_components(pairs)
     removed = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(removed, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
+def dedup_representative_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-based survivor selection: per near-dup cluster keep
+    the doc with the most within-threshold neighbors (degree
+    centrality; ties → min id) instead of the arbitrary min id — the
+    curation rule that keeps the most CANONICAL variant of a
+    duplicated document (the hub the others are near-copies of),
+    which matters when near-dup variants differ in truncation or
+    boilerplate. Singleton docs survive untouched.
+
+    Scale: degree is one count-aggregate over the symmetric pair list
+    (O(pairs)); the per-component argmax is a size-2 window over
+    O(duplicated docs) rows. Nothing touches the full corpus except
+    the final survivor anti-join. PageRank (operators/graph.py) is the
+    richer centrality when clusters are large enough for degree ties —
+    swap it in for the window's ordering key; degree keeps this query
+    recursive-CTE-oracle-checkable end-to-end."""
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.35)
+    sym = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    degree = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    comp = DD.connected_components(pairs)
+    w = Window.partitionBy("component").orderBy(
+        F.desc("deg"), F.asc("node")
+    )
+    rep = (
+        comp.join(degree, comp.node == degree.u)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    removed = comp.join(
+        rep.select(F.col("node").alias("rep_node"), "component"),
+        "component",
+    ).filter(F.col("node") != F.col("rep_node")).select(
         F.col("node").alias("doc_id")
     )
     return (
@@ -1661,6 +1706,7 @@ QUERIES = {
     "curate_training_corpus": curate_training_corpus,
     "dedup_components": dedup_components,
     "dedup_component_survivors": dedup_component_survivors,
+    "dedup_representative_survivors": dedup_representative_survivors,
     "text_decontaminate": text_decontaminate,
     "text_repetition_score": text_repetition_score,
     "text_unigram_logprob": text_unigram_logprob,
@@ -2464,6 +2510,49 @@ SELECT doc_id, n_tokens FROM (
         FROM documents d
         WHERE d.doc_id NOT IN (
           SELECT doc_id FROM comp WHERE doc_id <> component
+        )
+    """,
+    "dedup_representative_survivors": _SHINGLE_DOCS.replace(
+        "WITH norm", "WITH RECURSIVE norm", 1
+    ) + """,
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare)
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM cand
+          JOIN docs da ON da.doc_id = id_a
+          JOIN docs db ON db.doc_id = id_b
+          WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.35
+        ),
+        sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        ),
+        comp AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+          FROM reach GROUP BY u
+        ),
+        deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+        rep AS (
+          SELECT component, c.doc_id AS rep_node,
+                 ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY deg DESC, c.doc_id ASC) AS rn
+          FROM comp c JOIN deg ON c.doc_id = deg.u
+        )
+        SELECT d.doc_id, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT c.doc_id
+          FROM comp c
+          JOIN rep r ON c.component = r.component AND r.rn = 1
+          WHERE c.doc_id <> r.rep_node
         )
     """,
     "curate_training_corpus": _CURATE_CTES + """

@@ -26,6 +26,8 @@ EAGER = {
     "dedup_components",
     "vector_kmeans_clusters",
     "dedup_component_survivors",
+    "dedup_representative_survivors",
+    "graph_part_pagerank",
     "dedup_component_size_histogram",
     "vector_ann_ivf_topk",
 }
