@@ -125,16 +125,25 @@ def upsert_by_key(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(str(staging))
+    _swap_staged(staging, path, partition_cols, touched_tuples if partition_cols else None)
 
-    # Swap partition dirs at the full partition-tuple granularity (or the
-    # whole table when unpartitioned). Swapping only the top level would
-    # delete sibling second-level partitions that share a first-level value
-    # but were not touched by this batch. The per-directory swap is not
-    # atomic across partitions: a crash mid-loop leaves some partitions
-    # updated and some not (each individual partition is still consistent,
-    # and re-running the same batch heals the table — asserted in tests);
-    # on a cluster use Delta MERGE (below) or partitionOverwriteMode=dynamic
-    # for transactional semantics.
+
+def _swap_staged(
+    staging: Path,
+    path: Path,
+    partition_cols: list[str],
+    touched_tuples: set[tuple[str, ...]] | None,
+) -> None:
+    """Swap staged partition dirs into the live table at the full
+    partition-tuple granularity (or the whole table when
+    unpartitioned). Swapping only the top level would delete sibling
+    second-level partitions that share a first-level value but were not
+    touched by this batch. The per-directory swap is not atomic across
+    partitions: a crash mid-loop leaves some partitions updated and
+    some not (each individual partition is still consistent, and
+    re-running the same batch heals the table — asserted in tests); on
+    a cluster use Delta MERGE (below) or partitionOverwriteMode=dynamic
+    for transactional semantics."""
     if partition_cols:
         staged = _leaf_partition_dirs(staging, partition_cols)
         staged_rels = {leaf.relative_to(staging) for leaf in staged}
@@ -146,15 +155,77 @@ def upsert_by_key(
             shutil.move(str(leaf), str(dest))
         shutil.rmtree(staging, ignore_errors=True)
         # A touched partition that ended up with zero rows (its only keys
-        # moved elsewhere) produces no staging dir — remove the stale one.
+        # moved elsewhere or were erased) produces no staging dir —
+        # remove the stale one.
         for leaf in _leaf_partition_dirs(path, partition_cols):
             rel = leaf.relative_to(path)
             vals = tuple(unquote(p.split("=", 1)[1]) for p in rel.parts)
-            if vals in touched_tuples and rel not in staged_rels:
+            if vals in (touched_tuples or set()) and rel not in staged_rels:
                 shutil.rmtree(leaf)
     else:
         shutil.rmtree(path)
         shutil.move(str(staging), str(path))
+
+
+def erase_keys(
+    spark: SparkSession,
+    warehouse_dir: str,
+    table: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Targeted hard delete (right-to-erasure / bad-record purge):
+    remove every row whose ``key_cols`` match ``keys``, rewriting ONLY
+    the partitions where those keys currently live. Returns the number
+    of rows removed. Idempotent: erasing the same keys again removes 0
+    rows and rewrites nothing.
+
+    Scale shape: the key set broadcasts (an erasure batch is small by
+    nature); locating affected partitions is one column-pruned semi-join
+    over (key, partition) columns; the rewrite is bounded by the
+    affected partitions' size, never the table's. The audit trail (how
+    many rows were erased) comes from partition-local counts of the
+    same frames the rewrite uses — no extra full scan.
+    """
+    path = _table_path(warehouse_dir, table)
+    partition_cols = partition_cols or []
+    if not path.exists():
+        return 0
+    existing = spark.read.parquet(str(path))
+    key_set = keys.select(*key_cols).distinct()
+
+    if partition_cols:
+        prior = (
+            existing.join(F.broadcast(key_set), key_cols, "left_semi")
+            .select(*partition_cols)
+            .distinct()
+        )
+        touched_tuples = {
+            tuple(str(row[c]) for c in partition_cols)
+            for row in prior.collect()
+        }
+        if not touched_tuples:
+            return 0
+        affected = existing.join(
+            F.broadcast(prior), partition_cols, "left_semi"
+        )
+    else:
+        touched_tuples = None
+        affected = existing
+
+    kept = affected.join(F.broadcast(key_set), key_cols, "left_anti")
+    removed = affected.count() - kept.count()
+    if removed == 0:
+        return 0
+
+    staging = path.parent / f".erase_{table}_{uuid.uuid4().hex[:8]}"
+    writer = kept.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(str(staging))
+    _swap_staged(staging, path, partition_cols, touched_tuples)
+    return removed
 
 
 def _leaf_partition_dirs(root: Path, partition_cols: list[str]) -> list[Path]:

@@ -1,0 +1,87 @@
+"""Targeted key erasure: rows removed exactly, untouched partitions'
+files not rewritten (bounded-rewrite proof via inode stability),
+idempotence, and partition-dir removal when an erasure empties one."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.sources.writers import (
+    erase_keys,
+    overwrite_table,
+)
+
+
+def _files(root):
+    out = {}
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(dirpath, n)
+                out[os.path.relpath(p, root)] = os.stat(p).st_ino
+    return out
+
+
+def _table(spark):
+    rows = [
+        # user_id, symbol (partition), v
+        (1, "AAA", 10),
+        (2, "AAA", 20),
+        (1, "BBB", 30),
+        (3, "BBB", 40),
+        (4, "CCC", 50),
+        (5, "DDD", 60),  # partition that only holds an erased user
+    ]
+    return spark.createDataFrame(rows, "user_id long, symbol string, v long")
+
+
+def test_erase_keys_bounded_rewrite(spark, tmp_path):
+    wh = str(tmp_path)
+    overwrite_table(_table(spark), wh, "t", ["symbol"])
+    before = _files(f"{wh}/t")
+
+    keys = spark.createDataFrame([(1,), (5,)], "user_id long")
+    removed = erase_keys(spark, wh, "t", keys, ["user_id"], ["symbol"])
+    assert removed == 3  # user 1 in AAA+BBB, user 5 in DDD
+
+    back = spark.read.parquet(f"{wh}/t")
+    assert back.filter(F.col("user_id").isin(1, 5)).count() == 0
+    assert back.count() == 3  # users 2, 3, 4 intact
+    # DDD held only the erased user: its partition dir is gone
+    assert not os.path.exists(f"{wh}/t/symbol=DDD")
+
+    after = _files(f"{wh}/t")
+    # CCC was untouched: same file, same inode — never rewritten
+    ccc_before = {k: v for k, v in before.items() if "symbol=CCC" in k}
+    ccc_after = {k: v for k, v in after.items() if "symbol=CCC" in k}
+    assert ccc_before and ccc_before == ccc_after
+    # AAA and BBB were rewritten (erased keys lived there)
+    assert {k for k in after if "symbol=AAA" in k} != {
+        k for k in before if "symbol=AAA" in k
+    }
+
+
+def test_erase_keys_idempotent_and_missing_keys_noop(spark, tmp_path):
+    wh = str(tmp_path)
+    overwrite_table(_table(spark), wh, "t", ["symbol"])
+    keys = spark.createDataFrame([(1,)], "user_id long")
+    assert erase_keys(spark, wh, "t", keys, ["user_id"], ["symbol"]) == 2
+    snapshot = _files(f"{wh}/t")
+    # same keys again: nothing removed, nothing rewritten
+    assert erase_keys(spark, wh, "t", keys, ["user_id"], ["symbol"]) == 0
+    assert _files(f"{wh}/t") == snapshot
+    # unknown key: clean no-op too
+    ghost = spark.createDataFrame([(99,)], "user_id long")
+    assert erase_keys(spark, wh, "t", ghost, ["user_id"], ["symbol"]) == 0
+    assert _files(f"{wh}/t") == snapshot
+
+
+def test_erase_keys_unpartitioned(spark, tmp_path):
+    wh = str(tmp_path)
+    overwrite_table(_table(spark), wh, "t", [])
+    keys = spark.createDataFrame([(3,), (4,)], "user_id long")
+    assert erase_keys(spark, wh, "t", keys, ["user_id"]) == 2
+    back = spark.read.parquet(f"{wh}/t")
+    assert sorted(r.user_id for r in back.collect()) == [1, 1, 2, 5]
