@@ -167,6 +167,32 @@ def _swap_staged(
         shutil.move(str(staging), str(path))
 
 
+def cleanup_staging(warehouse_dir: str, older_than_s: float = 86400.0) -> list[str]:
+    """Remove orphaned staging directories left by a crash mid-swap
+    (``.staging_*`` / ``.erase_*`` / ``.compact_*``). Dot-prefixed dirs
+    are invisible to Spark reads (hidden-path filter), so orphans never
+    corrupt results — they only leak disk — which is why this runs as
+    periodic maintenance rather than on the write path. Only dirs older
+    than ``older_than_s`` are removed, so an in-flight writer's staging
+    area is never yanked. Returns the removed paths."""
+    import time
+
+    root = Path(warehouse_dir)
+    removed: list[str] = []
+    if not root.exists():
+        return removed
+    cutoff = time.time() - older_than_s
+    for d in root.iterdir():
+        if not d.is_dir():
+            continue
+        if not d.name.startswith((".staging_", ".erase_", ".compact_")):
+            continue
+        if d.stat().st_mtime < cutoff:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(str(d))
+    return removed
+
+
 def erase_keys(
     spark: SparkSession,
     warehouse_dir: str,

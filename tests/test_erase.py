@@ -85,3 +85,29 @@ def test_erase_keys_unpartitioned(spark, tmp_path):
     assert erase_keys(spark, wh, "t", keys, ["user_id"]) == 2
     back = spark.read.parquet(f"{wh}/t")
     assert sorted(r.user_id for r in back.collect()) == [1, 1, 2, 5]
+
+
+def test_cleanup_staging_removes_only_stale_orphans(spark, tmp_path):
+    import os
+    import time
+
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        cleanup_staging,
+    )
+
+    wh = str(tmp_path)
+    overwrite_table(_table(spark), wh, "t", ["symbol"])
+    stale = tmp_path / ".staging_t_deadbeef"
+    fresh = tmp_path / ".erase_t_cafebabe"
+    stale.mkdir()
+    fresh.mkdir()
+    old = time.time() - 100_000
+    os.utime(stale, (old, old))
+
+    removed = cleanup_staging(wh, older_than_s=86400)
+    assert removed == [str(stale)]
+    assert not stale.exists() and fresh.exists()
+    # the live table is untouched
+    assert spark.read.parquet(f"{wh}/t").count() == 6
+    # Spark never saw the orphan dirs in the first place (hidden paths)
+    assert "symbol" in spark.read.parquet(f"{wh}/t").columns
