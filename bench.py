@@ -48,6 +48,12 @@ HEADLINE = [
     "dedup_components",
     "curate_training_corpus",
     "vector_ann_near_dup_lsh",
+    # round-4 continuation: the iterative PageRank and the
+    # centrality-survivor chain both depend on multi-consumer
+    # checkpoints (trans matrix / pair list) — timing them here makes
+    # the driver catch a lost checkpoint (28 s / 25 s regressions)
+    "graph_part_pagerank",
+    "dedup_representative_survivors",
 ]
 
 
