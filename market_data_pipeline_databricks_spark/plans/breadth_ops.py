@@ -66,6 +66,36 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: ``parse_json`` the props bag once into
+    an open semi-structured value, then extract typed fields with
+    ``try_variant_get`` — the third schema-on-read path beside the
+    typed ``from_json`` (scalar_json_extract) and the map explode
+    (scalar_props_map_entries). VARIANT is the 100 TB answer when the
+    bag's shape varies per row: one binary-encoded parse, lazy typed
+    access per path, no up-front schema, and missing paths are NULL
+    (not errors) under the try_ form.
+
+    Scale: parse + extraction are per-row expressions (no shuffle);
+    the rollup is one map-side-combined exchange on the event_type
+    grid. Sum runs through decimal."""
+    ev = _events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.does_not_exist", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("missing"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k").alias("n_with_k"),
+            F.sum(F.col("k").cast("decimal(27,0)")).cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("missing").alias("n_missing_path"),
+        )
+    )
+
+
 def scalar_string_kitchen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function surface: case, substring, padding, translate,
     length, levenshtein distance to a fixed probe."""
@@ -102,6 +132,7 @@ QUERIES = {
     "window_lead_gap_to_next": window_lead_gap_to_next,
     "window_rank_family": window_rank_family,
     "scalar_json_extract": scalar_json_extract,
+    "scalar_props_variant": scalar_props_variant,
     "scalar_string_kitchen": scalar_string_kitchen,
     "agg_monthly_revenue": agg_monthly_revenue,
 }
@@ -127,6 +158,18 @@ ORACLE_SQL = {
           WINDOW w AS (PARTITION BY o_orderpriority
                        ORDER BY o_totalprice DESC, o_orderkey ASC)
         ) WHERE rnk <= 50
+    """,
+    "scalar_props_variant": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+               CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                             AS DECIMAL(27,0))) AS BIGINT) AS sum_k,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+               COUNT(CAST(json_extract(props, '$.does_not_exist') AS BIGINT))
+                 AS n_missing_path
+        FROM events
+        GROUP BY event_type
     """,
     "scalar_json_extract": """
         SELECT event_type,
