@@ -122,6 +122,36 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def stream_stream_left_outer_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks with no view in the
+    preceding hour emit NULL-extended once the view-side watermark
+    passes their latest possible match time (state expiry licenses the
+    null). Per-user rollup counts matched pairs and expired unmatched
+    clicks. Oracle: batch inner join UNION the anti-joined clicks with
+    c_ts < max(ts) − 1 day (the final-watermark cutoff — same contract
+    as stream_daily_unique_users' closed-window rule)."""
+    from market_data_pipeline_databricks_spark.streaming.joins import (
+        click_view_attribution_outer,
+    )
+
+    with nanos_conf_scope(spark, sf_dir):
+        ev = read_event_stream(spark, sf_dir)
+        rows = run_available_now(
+            click_view_attribution_outer(ev),
+            f"clickview_outer_{_NONCE}",
+            output_mode="append",
+        )
+    return rows.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("view_id").alias("n_matched_pairs"),
+        F.sum(
+            F.when(F.col("view_id").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_expired_unmatched"),
+    )
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with watermark-bounded state
     (dropDuplicatesWithinWatermark): availableNow result equals batch
@@ -167,6 +197,7 @@ def stream_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_stream_click_attribution": stream_stream_click_attribution,
+    "stream_stream_left_outer_attribution": stream_stream_left_outer_attribution,
     "stream_daily_unique_users": stream_daily_unique_users,
     "stream_static_enrich_nation": stream_static_enrich_nation,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
@@ -209,6 +240,45 @@ ORACLE_SQL = {
                CAST(date_trunc('day', ts) AS DATE) AS day,
                event_type
         FROM events
+    """,
+    "stream_stream_left_outer_attribution": """
+        WITH c AS (
+          SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+          FROM events WHERE event_type = 'click'
+        ), v AS (
+          SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS v_ts
+          FROM events WHERE event_type = 'view'
+        ), wm AS (
+          -- the global watermark is the MIN across both sides' nodes
+          -- (clicks and views each carry their own max event time),
+          -- minus the shared 1-day delay — NOT the overall events max
+          SELECT LEAST((SELECT MAX(c_ts) FROM c),
+                       (SELECT MAX(v_ts) FROM v)) - INTERVAL 1 DAY AS w
+        ), matched AS (
+          SELECT c.user_id, c.click_id, v.view_id
+          FROM c JOIN v ON c.user_id = v.user_id
+            AND v.v_ts >= c.c_ts - INTERVAL 1 HOUR AND v.v_ts <= c.c_ts
+        ), expired_unmatched AS (
+          SELECT c.user_id, c.click_id, NULL AS view_id
+          FROM c, wm
+          -- null-extension happens when no future view can match:
+          -- c_ts < W (boundary verified empirically at microsecond
+          -- precision: last emitted 23:33:10 < W=23:38:14 < first
+          -- held-back 23:40:42 at sf0.01)
+          WHERE c.c_ts < wm.w
+            AND NOT EXISTS (
+              SELECT 1 FROM v
+              WHERE v.user_id = c.user_id
+                AND v.v_ts >= c.c_ts - INTERVAL 1 HOUR AND v.v_ts <= c.c_ts
+            )
+        ), unioned AS (
+          SELECT * FROM matched UNION ALL SELECT * FROM expired_unmatched
+        )
+        SELECT user_id, COUNT(*) AS n_rows,
+               COUNT(view_id) AS n_matched_pairs,
+               CAST(SUM(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_expired_unmatched
+        FROM unioned GROUP BY user_id
     """,
     "stream_stream_click_attribution": """
         WITH c AS (
