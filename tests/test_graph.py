@@ -81,3 +81,25 @@ def test_cooccurrence_edges_symmetric_and_bounded(spark):
     }
     for (s, d), w in edges.items():
         assert w <= min(orders_per_part[s], orders_per_part[d])
+
+
+def test_pagerank_directed_graph_with_dangling_sink(spark):
+    """Asymmetric edges + a pure sink: the sink accumulates rank it
+    can only return through the dangling redistribution."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (1, 3, 1), (4, 1, 1)],
+        "src long, dst long, w long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    got = {r.node: r.rank for r in pagerank(nodes, edges, iterations=4).collect()}
+    want = _replay(
+        [1, 2, 3, 4, 5], [(1, 2, 1), (2, 3, 2), (1, 3, 1), (4, 1, 1)], 4
+    )
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # node 3 is the sink of all paths: it must outrank every other node
+    assert got[3] == max(got.values())
+    # isolated node 5 holds more than the bare teleport floor (it gets
+    # a share of the dangling mass from 3 and 5 themselves)
+    assert got[5] > TELEPORT / 5
