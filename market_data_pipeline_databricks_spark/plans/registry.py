@@ -94,7 +94,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # agg_q11_important_stock / agg_q16_supplier_part_counts /
     # join_q20_excess_shipments — all 22 TPC-H shapes now
     # oracle-checked — the decimal-exact iterative graph_part_pagerank,
-    # and the shuffle-key report scale_skew_diagnostics) are
+    # the shuffle-key report scale_skew_diagnostics, the
+    # centrality-survivor dedup_representative_survivors, the Spark 4
+    # VARIANT surface scalar_props_variant, and the expiry-pinned
+    # stream_stream_left_outer_attribution) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).
