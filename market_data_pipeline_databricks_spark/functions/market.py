@@ -77,3 +77,33 @@ def zscore(col: Column, w: WindowSpec, n: int = 20) -> Column:
     f = _frame(w, n)
     sd = F.stddev_samp(col).over(f)
     return F.when(sd > 0, (col - F.avg(col).over(f)) / sd)
+
+
+def true_range(high: Column, low: Column, prev_close: Column) -> Column:
+    """Wilder's true range: the day's span extended to cover any gap
+    from the prior close — GREATEST(high−low, |high−prev_close|,
+    |low−prev_close|). First row (no prior close) falls back to
+    high−low."""
+    return F.coalesce(
+        F.greatest(
+            high - low, F.abs(high - prev_close), F.abs(low - prev_close)
+        ),
+        high - low,
+    )
+
+
+def atr(high: Column, low: Column, close: Column, w: WindowSpec, n: int = 14) -> Column:
+    """Average true range over an n-row frame (simple-mean variant; the
+    classic Wilder smoothing is a recursion — use functions.timeseries
+    ewma with alpha=1/n for that form)."""
+    prev_close = F.lag(close).over(w)
+    return F.avg(true_range(high, low, prev_close)).over(_frame(w, n))
+
+
+def parkinson_vol(high: Column, low: Column, w: WindowSpec, n: int = 20) -> Column:
+    """Parkinson range volatility: sqrt(mean(ln(high/low)²) / (4·ln 2))
+    over an n-row frame — a high/low-based estimator ~5x more efficient
+    than close-to-close stddev on the same sample. NULL until the frame
+    has a row; 0 for flat bars (high == low)."""
+    sq = F.pow(F.log(high / low), F.lit(2))
+    return F.sqrt(F.avg(sq).over(_frame(w, n)) / (4 * 0.6931471805599453))

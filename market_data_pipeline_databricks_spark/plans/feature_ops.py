@@ -498,7 +498,56 @@ def funcs_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funcs_atr_parkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based risk features: 14-row average true range (Wilder's
+    TR extended over the prior-close gap) and 20-row Parkinson
+    volatility (ln(high/low)² estimator) over the per-supplier daily
+    OHLC bars. Close is the decimal-exact daily mean so it sits
+    strictly inside [low, high] and differs from both (max/min/avg are
+    all order-independent, so the derived bars are engine-identical).
+
+    Scale: one (suppkey, day) aggregate off the fact scan, then a
+    single suppkey exchange serves the LAG and both rolling frames in
+    one WindowExec — the same one-shuffle-many-features discipline as
+    funcs_feature_panel."""
+    li = _t(spark, sf_dir, "lineitem")
+    bars = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(
+        F.max("l_extendedprice").alias("high"),
+        F.min("l_extendedprice").alias("low"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("close"),
+    )
+    w = Window.partitionBy("suppkey").orderBy("day")
+    # floor-truncate, not ROUND: rolling means of doubles can land on
+    # exact half-way points where the engines' tie rules differ (the
+    # same discipline as funcs_feature_panel's vwap)
+    return bars.select(
+        "suppkey",
+        "day",
+        (
+            F.floor(
+                M.atr(F.col("high"), F.col("low"), F.col("close"), w, 14)
+                * 1e6
+            )
+            / 1e6
+        ).alias("atr_14"),
+        (
+            F.floor(M.parkinson_vol(F.col("high"), F.col("low"), w, 20) * 1e6)
+            / 1e6
+        ).alias("parkinson_20"),
+    )
+
+
 QUERIES = {
+    "funcs_atr_parkinson": funcs_atr_parkinson,
     "funcs_max_drawdown": funcs_max_drawdown,
     "funcs_vwap_monthly": funcs_vwap_monthly,
     "funcs_weekly_ohlc": funcs_weekly_ohlc,
@@ -524,6 +573,33 @@ WITH daily AS (
 """
 
 ORACLE_SQL = {
+    "funcs_atr_parkinson": """
+        WITH bars AS (
+          SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+                 MAX(l_extendedprice) AS high,
+                 MIN(l_extendedprice) AS low,
+                 ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)))
+                            AS DOUBLE) / COUNT(*), 6) AS close
+          FROM lineitem GROUP BY 1, 2
+        ), tr AS (
+          SELECT suppkey, day, high, low,
+                 COALESCE(GREATEST(high - low,
+                                   ABS(high - LAG(close) OVER w),
+                                   ABS(low - LAG(close) OVER w)),
+                          high - low) AS true_range
+          FROM bars
+          WINDOW w AS (PARTITION BY suppkey ORDER BY day)
+        )
+        SELECT suppkey, day,
+               FLOOR(AVG(true_range) OVER (PARTITION BY suppkey ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) * 1e6) / 1e6
+                 AS atr_14,
+               FLOOR(SQRT(AVG(POW(LN(high / low), 2))
+                          OVER (PARTITION BY suppkey ORDER BY day
+                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                          / (4 * LN(2))) * 1e6) / 1e6 AS parkinson_20
+        FROM tr
+    """,
     "funcs_max_drawdown": _DAILY_CTE + """
         , dd AS (
           SELECT suppkey, day, close,
