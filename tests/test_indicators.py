@@ -289,3 +289,48 @@ def test_zipf_fit_slope_negative(spark):
     assert out["n_terms"][0] > 20
     assert out["zipf_slope"][0] < 0          # frequency falls with rank
     assert out["zipf_intercept"][0] > 0      # top-rank frequency > 1
+
+
+def test_atr_parkinson_matches_pandas_replay(spark):
+    """ATR/Parkinson vs a pandas walk on one supplier's bars: TR
+    first-row fallback (high-low), gap extension over prior close, and
+    the 4ln2 normalization; flat bars contribute 0 to Parkinson."""
+    out = feature_ops.funcs_atr_parkinson(spark, SF).toPandas()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    li["day"] = li["l_shipdate"].dt.date
+    one = li[li["l_suppkey"] == li["l_suppkey"].iloc[0]]
+    key = one["l_suppkey"].iloc[0]
+    bars = (
+        one.groupby("day")["l_extendedprice"]
+        .agg(high="max", low="min", close="mean")
+        .reset_index()
+        .sort_values("day")
+    )
+    bars["close"] = bars["close"].round(6)
+    prev = bars["close"].shift(1)
+    tr = pd.concat(
+        [
+            bars["high"] - bars["low"],
+            (bars["high"] - prev).abs(),
+            (bars["low"] - prev).abs(),
+        ],
+        axis=1,
+    ).max(axis=1, skipna=True)
+    atr = tr.rolling(14, min_periods=1).mean()
+    park = (
+        ((bars["high"] / bars["low"]).apply(math.log) ** 2)
+        .rolling(20, min_periods=1)
+        .mean()
+        / (4 * math.log(2))
+    ) ** 0.5
+    got = out[out["suppkey"] == key].sort_values("day")
+    assert len(got) == len(bars)
+    # tolerance is one truncation quantum: pandas' rolling-mean
+    # accumulation order differs from Spark's window sum at the ulp
+    # level, and floor() amplifies an ulp into a full 1e-6 step when
+    # the true value sits on a boundary
+    for g_atr, w_atr, g_pk, w_pk in zip(
+        got["atr_14"], atr, got["parkinson_20"], park
+    ):
+        assert abs(g_atr - math.floor(w_atr * 1e6) / 1e6) <= 1.0001e-6
+        assert abs(g_pk - math.floor(w_pk * 1e6) / 1e6) <= 1.0001e-6
