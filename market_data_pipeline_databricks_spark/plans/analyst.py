@@ -357,7 +357,41 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen over quasi-identifiers: for QI =
+    (c_mktsegment, c_nationkey), report every equivalence class of
+    size < k (k=10) — the re-identification risk audit that pairs with
+    the PII redaction (operators/text.py:redact_pii) and the erasure
+    sink (sources/writers.py:erase_keys): redaction strips direct
+    identifiers, this catches the INDIRECT ones (classes small enough
+    to single a person out). Adds the corpus-level k_min every privacy
+    review asks for first.
+
+    Scale: one map-side-combinable aggregate on the QI tuple
+    (O(classes) output), plus a 1-row bounded window for k_min."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    classes = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        classes.withColumn("k_min", F.min("class_size").over(wall))
+        .filter(F.col("class_size") < 10)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "class_size",
+            "k_min",
+        )
+    )
+
+
 QUERIES = {
+    "quality_k_anonymity": quality_k_anonymity,
     "quality_benford_screen": quality_benford_screen,
     "text_zipf_fit": text_zipf_fit,
     "analyst_top_movers_today": analyst_top_movers_today,
@@ -382,6 +416,17 @@ _SNAPSHOT_CTE = _GOLD_CTE + """, snap AS (
 """
 
 ORACLE_SQL = {
+    "quality_k_anonymity": """
+        WITH classes AS (
+          SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                 COUNT(*) AS class_size
+          FROM customer GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, c_nationkey, class_size,
+               (SELECT MIN(class_size) FROM classes) AS k_min
+        FROM classes
+        WHERE class_size < 10
+    """,
     "quality_benford_screen": """
         WITH g AS (
           SELECT CAST(FLOOR(o_totalprice
