@@ -148,11 +148,13 @@ def curate_multimodal_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = kept.join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding", "label"),
         "doc_id",
-    ).localCheckpoint()  # two consumers (pair stage + final anti-join);
+    ).persist()  # two consumers (pair stage + final anti-join);
     # measured 30.6 s -> 20.8 s at sf0.1 — the 48-table LSH stage
     # re-derived the text-stats/join chain per table group without it.
-    # The brute-force twin stays checkpoint-free: its O(n^2) stage
-    # dominates (A/B measured 52.2 vs 50.4 s — noise).
+    # Lazy persist, not localCheckpoint: building the plan must stay
+    # free of jobs (the house rule from operators/dedup.py). The
+    # brute-force twin stays persist-free: its O(n^2) stage dominates
+    # (A/B measured 52.2 vs 50.4 s — noise).
     pairs = SIM.cosine_near_duplicates_multitable(
         enriched.select(F.col("doc_id").alias("vec_id"), "embedding"),
         threshold=0.45,

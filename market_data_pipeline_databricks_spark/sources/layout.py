@@ -60,10 +60,13 @@ def zorder_values(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     the write so callers can also use it for range-bucketed layouts."""
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE multi-column sketch pass: per-column approxQuantile calls
+    # would each scan the full input (3 z-order columns = 3 scans of a
+    # 100 TB table before the write even starts)
+    all_boundaries = df.approxQuantile(list(cols), probs, 0.01)
     bucketed = df
     bucket_cols = []
-    for c in cols:
-        boundaries = df.approxQuantile(c, probs, 0.01)
+    for c, boundaries in zip(cols, all_boundaries):
         bucket_cols.append(f"_zb_{c}")
         bucketed = bucketed.withColumn(
             f"_zb_{c}", _bucket_expr(F.col(c), boundaries)

@@ -56,6 +56,31 @@ def append_table(
     writer.parquet(str(_table_path(warehouse_dir, table)))
 
 
+
+# Hive's directory name for a NULL partition value — both the
+# null-safe semi-joins and the emptied-partition cleanup must render
+# NULL this way or NULL-partition rows become invisible to targeted
+# rewrites (a right-to-erasure call would no-op on them).
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_tuple(row, partition_cols: list[str]) -> tuple[str, ...]:
+    return tuple(
+        _HIVE_NULL if row[c] is None else str(row[c]) for c in partition_cols
+    )
+
+
+def _null_safe_semi(df: DataFrame, small: DataFrame, cols: list[str]) -> DataFrame:
+    """left-semi join on ``cols`` that also matches NULL = NULL (the
+    plain on=cols join is null-unsafe, silently dropping NULL
+    partitions from the affected set)."""
+    cond = None
+    for c in cols:
+        eq = df[c].eqNullSafe(small[c])
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(small), cond, "left_semi")
+
+
 def upsert_by_key(
     spark: SparkSession,
     updates: DataFrame,
@@ -110,10 +135,10 @@ def upsert_by_key(
             )
             touched = touched.unionByName(prior).distinct()
         touched_tuples = {
-            tuple(str(row[c]) for c in partition_cols)
+            _partition_tuple(row, partition_cols)
             for row in touched.collect()  # one small row per partition
         }
-        affected = existing.join(F.broadcast(touched), partition_cols, "left_semi")
+        affected = _null_safe_semi(existing, touched, partition_cols)
     else:
         affected = existing
 
@@ -228,14 +253,12 @@ def erase_keys(
             .distinct()
         )
         touched_tuples = {
-            tuple(str(row[c]) for c in partition_cols)
+            _partition_tuple(row, partition_cols)
             for row in prior.collect()
         }
         if not touched_tuples:
             return 0
-        affected = existing.join(
-            F.broadcast(prior), partition_cols, "left_semi"
-        )
+        affected = _null_safe_semi(existing, prior, partition_cols)
     else:
         touched_tuples = None
         affected = existing

@@ -111,3 +111,47 @@ def test_cleanup_staging_removes_only_stale_orphans(spark, tmp_path):
     assert spark.read.parquet(f"{wh}/t").count() == 6
     # Spark never saw the orphan dirs in the first place (hidden paths)
     assert "symbol" in spark.read.parquet(f"{wh}/t").columns
+
+
+def test_erase_keys_null_partition_value(spark, tmp_path):
+    """NULL partition values must not be invisible to erasure: the
+    semi-join locating affected partitions is null-safe and the
+    emptied NULL partition dir (__HIVE_DEFAULT_PARTITION__) is
+    cleaned up."""
+    wh = str(tmp_path)
+    rows = [(1, None, 10), (2, None, 20), (3, "AAA", 30)]
+    df = spark.createDataFrame(rows, "user_id long, symbol string, v long")
+    overwrite_table(df, wh, "t", ["symbol"])
+
+    keys = spark.createDataFrame([(1,)], "user_id long")
+    assert erase_keys(spark, wh, "t", keys, ["user_id"], ["symbol"]) == 1
+    back = spark.read.parquet(f"{wh}/t")
+    assert sorted(r.user_id for r in back.collect()) == [2, 3]
+
+    # erasing the last NULL-partition row removes the hive-null dir
+    keys2 = spark.createDataFrame([(2,)], "user_id long")
+    assert erase_keys(spark, wh, "t", keys2, ["user_id"], ["symbol"]) == 1
+    assert not os.path.exists(f"{wh}/t/symbol=__HIVE_DEFAULT_PARTITION__")
+    assert [r.user_id for r in spark.read.parquet(f"{wh}/t").collect()] == [3]
+
+
+def test_upsert_null_partition_key_move(spark, tmp_path):
+    """A key moving OUT of a NULL partition must not leave its stale
+    row behind (the null-unsafe join bug erased by _null_safe_semi)."""
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        upsert_by_key,
+    )
+
+    wh = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, "BBB", 20)],
+        "user_id long, symbol string, v long",
+    )
+    overwrite_table(df, wh, "t", ["symbol"])
+    upd = spark.createDataFrame(
+        [(1, "AAA", 11)], "user_id long, symbol string, v long"
+    )
+    upsert_by_key(spark, upd, wh, "t", ["user_id"], ["symbol"])
+    back = spark.read.parquet(f"{wh}/t").collect()
+    got = sorted((r.user_id, r.symbol, r.v) for r in back)
+    assert got == [(1, "AAA", 11), (2, "BBB", 20)]  # no stale NULL row
