@@ -64,6 +64,40 @@ def weighted_sample_flag(
     return hash_bucket(id_col, seed) < F.round(rate_col * N_BUCKETS).cast("int")
 
 
+def weighted_reservoir(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "res",
+) -> DataFrame:
+    """Exact-k weighted sample WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each row draws a content-addressed uniform u and competes on
+    the key ln(u)/w — the k largest keys are a weighted-without-
+    replacement sample. The flag sampler above approximates a RATE;
+    this guarantees an exact COUNT, which is what fixed-budget
+    curation ("keep the best 10M documents, weighted by quality")
+    needs.
+
+    Determinism: u derives from the salted md5 bucket (content-
+    addressed like every sampler here), so the same k rows are chosen
+    on any cluster, partitioning, or engine. Non-positive weights are
+    excluded by contract.
+
+    Scale: key computation is per-row Column algebra on the scan; the
+    selection is a TakeOrdered (per-partition top-k, then a k-row
+    merge on the driver) — no global sort, no shuffle of the data."""
+    u = (hash_bucket(F.col(id_col), seed).cast("double") + 0.5) / N_BUCKETS
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_res_key", key)
+        .orderBy(F.desc("_res_key"), F.asc(id_col))
+        .limit(k)
+        .drop("_res_key")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,76 @@
+"""Weighted reservoir (A-ES): exact k, determinism across
+partitionings, weight monotonicity, zero-weight exclusion, and the
+statistical law itself — empirical pick frequency tracks w/Σw across
+many seeds, computed in ONE Spark job via a seed explosion."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.operators.sampling import (
+    N_BUCKETS,
+    weighted_reservoir,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", F.col("n_chars").cast("double").alias("w"))
+
+
+def test_exact_k_and_partitioning_invariance(spark):
+    d = _docs(spark)
+    a = {r.doc_id for r in weighted_reservoir(d, "doc_id", "w", 25).collect()}
+    b = {
+        r.doc_id
+        for r in weighted_reservoir(
+            d.repartition(13), "doc_id", "w", 25
+        ).collect()
+    }
+    assert len(a) == 25 and a == b
+
+
+def test_huge_weight_forces_inclusion_and_zero_excludes(spark):
+    d = _docs(spark).withColumn(
+        "w",
+        F.when(F.col("doc_id") == 7, 1e12)
+        .when(F.col("doc_id") == 8, 0.0)
+        .otherwise(F.col("w")),
+    )
+    got = {r.doc_id for r in weighted_reservoir(d, "doc_id", "w", 10).collect()}
+    assert 7 in got and 8 not in got
+
+
+def test_pick_frequency_tracks_weights(spark):
+    """k=1 over weights 1,1,2,4: P(pick row i) = w_i/8 exactly (A-ES
+    with k=1 reduces to a weighted argmax). 400 seeds in one job."""
+    rows = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 2.0), (4, 4.0)], "id long, w double"
+    )
+    seeds = spark.range(400).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("seed")
+    )
+    crossed = rows.crossJoin(seeds)
+    # inline the key with a per-row seed (hash_bucket takes a literal
+    # seed, so rebuild its expression with the seed COLUMN)
+    h = F.md5(
+        F.concat(F.col("id").cast("string"), F.lit(":"), F.col("seed"))
+    )
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_BUCKETS
+    ).cast("int")
+    key = F.log((bucket.cast("double") + 0.5) / N_BUCKETS) / F.col("w")
+    w = Window.partitionBy("seed").orderBy(F.desc("_k"), F.asc("id"))
+    winners = (
+        crossed.withColumn("_k", key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    freq = {r.id: r.n / 400 for r in winners.collect()}
+    want = {1: 1 / 8, 2: 1 / 8, 3: 2 / 8, 4: 4 / 8}
+    for i, p in want.items():
+        assert abs(freq.get(i, 0.0) - p) < 0.07, (i, freq)
