@@ -1051,6 +1051,22 @@ def sample_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "pos")
 
 
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-100 weighted sample of documents, weight = n_chars
+    (operators/sampling.py:weighted_reservoir, A-ES): the fixed-budget
+    curation pick ("best k by weight, stochastically") as a runnable
+    query. Content-addressed uniforms make the draw reproducible on
+    any engine — the oracle recomputes the identical ln(u)/w keys in
+    DuckDB and must select the same 100 ids. Selection is a
+    TakeOrdered, no global sort."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_reservoir(docs, "doc_id", "n_chars", 100, seed="res")
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram in power-of-2 bins + cumulative document
     share — the packing-efficiency / context-budget planning view a
@@ -1731,6 +1747,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "text_bigram_vocab": text_bigram_vocab,
     "sample_training_shuffle": sample_training_shuffle,
+    "sample_weighted_reservoir": sample_weighted_reservoir,
     "text_length_histogram": text_length_histogram,
     "events_rolling_active_users": events_rolling_active_users,
     "events_rolling_active_users_approx": events_rolling_active_users_approx,
@@ -2706,6 +2723,18 @@ SELECT doc_id, n_tokens FROM (
           FROM documents
         )
         WHERE rn <= 20
+    """,
+    "sample_weighted_reservoir": """
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 LN((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':res'), 1, 8)) AS UBIGINT)
+                          % 10000 AS DOUBLE) + 0.5) / 10000)
+                 / CAST(n_chars AS DOUBLE) AS k
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars FROM t
+        ORDER BY k DESC, doc_id ASC
+        LIMIT 100
     """,
     "sample_training_shuffle": """
         WITH t AS (
