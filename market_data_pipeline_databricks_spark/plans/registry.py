@@ -96,8 +96,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # oracle-checked — the decimal-exact iterative graph_part_pagerank,
     # the shuffle-key report scale_skew_diagnostics, the
     # centrality-survivor dedup_representative_survivors, the Spark 4
-    # VARIANT surface scalar_props_variant, and the expiry-pinned
-    # stream_stream_left_outer_attribution) are
+    # VARIANT surface scalar_props_variant, the expiry-pinned
+    # stream_stream_left_outer_attribution, the range-risk pair
+    # funcs_atr_parkinson, the privacy screen quality_k_anonymity,
+    # and the exact-k sampler sample_weighted_reservoir) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).
