@@ -35,6 +35,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich each fact row with the dimension version that was valid
+    AT THE FACT'S OWN TIMESTAMP: key equality + interval containment
+    (valid_from <= ts < valid_to, NULL valid_to = still open). This is
+    what the history kept by :func:`scd2_apply` is FOR — an as-of
+    lookup that reproduces "the dimension as the business saw it",
+    where joining the current version would silently rewrite history.
+
+    Scale: dimensions are bounded, so Spark broadcasts the versioned
+    dim and the interval predicate evaluates at the probe — no range
+    shuffle. Versions tile without overlap (the scd2_apply invariant,
+    property-tested), so at most ONE version matches per fact row and
+    the join cannot fan out."""
+    ts = F.col(f"f.{ts_col}")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"f.{k}") == F.col(f"d.{k}")
+        cond = eq if cond is None else (cond & eq)
+    cond = (
+        cond
+        & (ts >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (ts < F.col("d.valid_to")))
+    )
+    dim_cols = [
+        F.col(f"d.{c}").alias(c)
+        for c in dim.columns
+        if c not in set(key_cols)
+    ]
+    return facts.alias("f").join(dim.alias("d"), cond, how).select(
+        "f.*", *dim_cols
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     updates: DataFrame,

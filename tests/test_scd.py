@@ -103,3 +103,34 @@ def test_scd2_plan_passes_history_through_without_join(spark):
     # the history branch must not participate in the join: exactly one
     # Join node in the whole plan (updates x current)
     assert plan.count("Join") == 1, plan
+
+
+def test_scd2_point_in_time_join(spark):
+    """Facts pick the version valid at their own ts: before the first
+    version -> NULL (left join), inside a closed interval -> that
+    version, on the boundary -> the NEW version ([from, to) semantics),
+    after the last close -> the open version; no fan-out."""
+    from market_data_pipeline_databricks_spark.operators.scd import (
+        scd2_point_in_time_join,
+    )
+
+    dim = _dim(spark)  # key 1 has two versions split at 2025-06-01
+    facts = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 12, 1), "before_history"),
+            (1, dt.date(2025, 3, 1), "first_version"),
+            (1, dt.date(2025, 6, 1), "boundary_goes_to_new"),
+            (1, dt.date(2025, 12, 1), "open_version"),
+            (2, dt.date(2025, 7, 1), "other_key"),
+        ],
+        "k int, ts date, label string",
+    )
+    out = {r.label: r for r in scd2_point_in_time_join(
+        facts, dim, ["k"], "ts"
+    ).collect()}
+    assert len(out) == 5  # one row per fact: tiling prevents fan-out
+    assert out["before_history"].score is None
+    assert out["first_version"].score == 10.0
+    assert out["boundary_goes_to_new"].score == 12.5
+    assert out["open_version"].score == 12.5
+    assert out["other_key"].score == 7.0
