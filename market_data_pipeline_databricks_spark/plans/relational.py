@@ -471,6 +471,46 @@ def window_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_native_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE ``session_window`` generator in
+    BATCH mode — the built-in twin of window_sessionization's LAG +
+    cumsum formulation (and of the streaming session query, which uses
+    the same generator under a watermark). Per user: session count,
+    the busiest session's event count, and total active span seconds.
+
+    Boundary: session_window merges an event arriving STRICTLY under
+    the 30-min gap, so a gap of exactly 30:00 starts a new session —
+    the ``>=`` rule the streaming oracle documents. Span derives from
+    the window struct (end − start − gap = last − first event time),
+    computed in integer microseconds so both engines truncate
+    identically.
+
+    Scale: one shuffle on user_id; the generator's merge is a sorted
+    per-key pass (same cost shape as the LAG form, without the window
+    function)."""
+    ev = _events(spark, sf_dir)
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    span_s = F.floor(
+        (
+            F.unix_micros(F.col("sw.end"))
+            - F.unix_micros(F.col("sw.start"))
+            - 1800 * 1_000_000
+        )
+        / 1_000_000
+    )
+    return (
+        per_session.withColumn("span_s", span_s)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("span_s").cast("long").alias("total_span_s"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # O-family: sorts / limits; U-family: set ops
 # ---------------------------------------------------------------------------
@@ -559,6 +599,7 @@ QUERIES = {
     "window_jump_check": window_jump_check,
     "window_stale_check": window_stale_check,
     "window_sessionization": window_sessionization,
+    "window_native_session_stats": window_native_session_stats,
     "sort_topk_orders": sort_topk_orders,
     "union_all_check_streams": union_all_check_streams,
     "pivot_qty_by_status": pivot_qty_by_status,
@@ -753,6 +794,33 @@ ORACLE_SQL = {
         GROUP BY l_suppkey
         HAVING date_diff('day', MAX(CAST(l_shipdate AS DATE)),
                (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem)) > 30
+    """,
+    "window_native_session_stats": """
+        WITH e AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ), m AS (
+          SELECT user_id, event_id, us,
+                 CASE WHEN LAG(us) OVER w IS NULL
+                        OR us - LAG(us) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), s AS (
+          SELECT user_id, us,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        ), sess AS (
+          SELECT user_id, sid, COUNT(*) AS n_events,
+                 (MAX(us) - MIN(us)) // 1000000 AS span_s
+          FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, COUNT(*) AS n_sessions,
+               MAX(n_events) AS max_session_events,
+               CAST(SUM(span_s) AS BIGINT) AS total_span_s
+        FROM sess GROUP BY user_id
     """,
     "window_sessionization": """
         WITH marked AS (
