@@ -375,7 +375,65 @@ def vector_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: how much pairwise cosine
+    structure survives keeping only the first half of each embedding —
+    the measurement behind "can we store 32 of the 64 dims and halve
+    the ANN index". Pairs are deterministic id-adjacent (vec_id,
+    vec_id+1); per label: mean full-dim cosine, mean half-dim cosine,
+    and the mean absolute fidelity gap.
+
+    Parity: arrays cast to double BEFORE any arithmetic (float
+    accumulation differs between engines); dot/norm are sequential
+    array folds — the same element order DuckDB's list_inner_product
+    walks — and the per-pair doubles go through decimal before the
+    per-label mean. Zero-norm vectors are excluded by contract.
+
+    Scale: the pairing is a self-equi-join on vec_id+1 (one shuffle,
+    no candidate explosion); everything after is per-row array math."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+    a = e.select(F.col("vec_id").alias("pid"), F.col("v").alias("va"), "label")
+    b = e.select((F.col("vec_id") - 1).alias("pid"), F.col("v").alias("vb"))
+    pairs = a.join(b, "pid")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+
+    def cos(x, y):
+        return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+    half = lambda c: F.slice(c, 1, 32)
+    scored = pairs.select(
+        "label",
+        cos(F.col("va"), F.col("vb")).alias("cf"),
+        cos(half(F.col("va")), half(F.col("vb"))).alias("ch"),
+    )
+
+    def dmean(c):
+        return F.round(
+            F.sum(c.cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+
+    return scored.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dmean(F.col("cf")).alias("mean_cos_full"),
+        dmean(F.col("ch")).alias("mean_cos_half"),
+        dmean(F.abs(F.col("cf") - F.col("ch"))).alias("mean_abs_gap"),
+    )
+
+
 QUERIES = {
+    "vector_truncation_fidelity": vector_truncation_fidelity,
     "vector_cosine_topk": vector_cosine_topk,
     "vector_dim_stats": vector_dim_stats,
     "vector_label_cohesion": vector_label_cohesion,
@@ -402,6 +460,31 @@ WITH v AS (
 """
 
 ORACLE_SQL = {
+    "vector_truncation_fidelity": """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        ), pairs AS (
+          SELECT a.label, a.v AS va, b.v AS vb
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        ), scored AS (
+          SELECT label,
+                 list_inner_product(va, vb)
+                   / (SQRT(list_inner_product(va, va))
+                      * SQRT(list_inner_product(vb, vb))) AS cf,
+                 list_inner_product(va[1:32], vb[1:32])
+                   / (SQRT(list_inner_product(va[1:32], va[1:32]))
+                      * SQRT(list_inner_product(vb[1:32], vb[1:32]))) AS ch
+          FROM pairs
+        )
+        SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_pairs,
+               ROUND(CAST(SUM(CAST(cf AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_cos_full,
+               ROUND(CAST(SUM(CAST(ch AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_cos_half,
+               ROUND(CAST(SUM(CAST(ABS(cf - ch) AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_abs_gap
+        FROM scored GROUP BY 1
+    """,
     "vector_dim_stats": """
         WITH x AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
