@@ -100,8 +100,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stream_stream_left_outer_attribution, the range-risk pair
     # funcs_atr_parkinson, the privacy screen quality_k_anonymity,
     # the exact-k sampler sample_weighted_reservoir, the native
-    # generator form window_native_session_stats, and the embedding
-    # truncation eval vector_truncation_fidelity) are
+    # generator form window_native_session_stats, the embedding
+    # truncation eval vector_truncation_fidelity, and the censored
+    # survival curve events_conversion_survival) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).

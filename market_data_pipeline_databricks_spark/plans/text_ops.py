@@ -780,6 +780,87 @@ def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("split_a") != F.col("split_b"))
 
 
+def events_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion: survival curve of "still has
+    not purchased" over days since first view, with users who never
+    purchase right-censored at the corpus end — the estimator product
+    S(t) = Π (1 − k_u/r_u) that a naive conversion-rate-by-day gets
+    WRONG whenever censoring exists (it silently treats not-yet as
+    never).
+
+    Parity: counts are exact integers; the estimator runs as a
+    cumulative sum of ln(1 − k/r) over the ordered day grid — a
+    sequential fold both engines execute in the same order — then one
+    exp, rounded at 6 dp. A day that converts every remaining user
+    drives the factor to 0; survival is pinned to 0.0 from there on
+    (ln would be −inf).
+
+    Scale: one events scan, ONE user_id shuffle serving both stacked
+    conditional-MIN windows and the per-user collapse (the funnel
+    discipline); the KM recursion itself runs on the O(distinct
+    durations) day grid — a bounded global window, same pattern as
+    window_rolling_range_avg."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id")
+    tv = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(wu)
+    ev = ev.withColumn("tv", tv)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("tv")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    per_user = (
+        ev.withColumn("tp", tp)
+        .groupBy("user_id")
+        .agg(F.min("tv").alias("tv"), F.min("tp").alias("tp"))
+        .filter(F.col("tv").isNotNull())
+    )
+    mx = per_user.agg(
+        F.max(F.coalesce(F.col("tp"), F.col("tv"))).alias("mx")
+    )
+    # duration in whole days; event=1 converted, 0 censored at corpus end
+    durs = per_user.crossJoin(F.broadcast(mx)).select(
+        F.coalesce(
+            F.datediff(F.col("tp").cast("date"), F.col("tv").cast("date")),
+            F.datediff(F.col("mx").cast("date"), F.col("tv").cast("date")),
+        ).alias("t"),
+        F.col("tp").isNotNull().cast("int").alias("event"),
+    )
+    grid = durs.groupBy("t").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("event").cast("long").alias("k"),
+    )
+    wall = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcur = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = F.sum("m").over(total) - F.coalesce(
+        F.sum("m").over(wall), F.lit(0)
+    )
+    factor = 1 - F.col("k").cast("double") / F.col("risk").cast("double")
+    out = grid.withColumn("risk", risk).withColumn("factor", factor)
+    dead = F.max((F.col("factor") == 0).cast("int")).over(wcur)
+    log_s = F.sum(
+        F.when(F.col("factor") > 0, F.log("factor"))
+    ).over(wcur)
+    return out.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("risk").cast("long").alias("n_at_risk"),
+        F.col("k").alias("n_converted"),
+        F.round(
+            F.when(dead == 1, F.lit(0.0)).otherwise(F.exp(log_s)), 6
+        ).alias("survival"),
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time funnel view → click → purchase per user: first view,
     first click at-or-after it, first purchase at-or-after that, and
@@ -1744,6 +1825,7 @@ QUERIES = {
     "curate_chunk_corpus_lsh": curate_chunk_corpus_lsh,
     "sample_split_leakage": sample_split_leakage,
     "events_funnel": events_funnel,
+    "events_conversion_survival": events_conversion_survival,
     "events_retention_cohorts": events_retention_cohorts,
     "text_bigram_vocab": text_bigram_vocab,
     "sample_training_shuffle": sample_training_shuffle,
@@ -2441,6 +2523,54 @@ SELECT doc_id, n_tokens FROM (
         )
         SELECT d.day AS day, d.dau AS dau, w.wau AS wau
         FROM dau d JOIN wau w ON d.day = w.win_day
+    """,
+    "events_conversion_survival": """
+        WITH e AS (
+          SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ), pu AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS tv
+          FROM e GROUP BY 1
+        ), pu2 AS (
+          SELECT p.user_id, p.tv,
+                 MIN(CASE WHEN e.event_type = 'purchase'
+                           AND e.ts >= p.tv THEN e.ts END) AS tp
+          FROM pu p JOIN e ON e.user_id = p.user_id
+          WHERE p.tv IS NOT NULL
+          GROUP BY 1, 2
+        ), mx AS (
+          SELECT MAX(COALESCE(tp, tv)) AS mx FROM pu2
+        ), durs AS (
+          SELECT COALESCE(date_diff('day', CAST(tv AS DATE), CAST(tp AS DATE)),
+                          date_diff('day', CAST(tv AS DATE),
+                                    CAST((SELECT mx FROM mx) AS DATE))) AS t,
+                 CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+          FROM pu2
+        ), grid AS (
+          SELECT t, COUNT(*) AS m, CAST(SUM(event) AS BIGINT) AS k
+          FROM durs GROUP BY 1
+        ), km AS (
+          SELECT t, m, k,
+                 (SELECT SUM(m) FROM grid) -
+                 COALESCE(SUM(m) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS risk
+          FROM grid
+        ), km2 AS (
+          SELECT t, risk, k,
+                 1 - CAST(k AS DOUBLE) / CAST(risk AS DOUBLE) AS factor
+          FROM km
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(risk AS BIGINT) AS n_at_risk,
+               k AS n_converted,
+               ROUND(CASE WHEN MAX(CASE WHEN factor = 0 THEN 1 ELSE 0 END)
+                            OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                          THEN 0.0
+                          ELSE EXP(SUM(CASE WHEN factor > 0 THEN LN(factor) END)
+                               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                     END, 6) AS survival
+        FROM km2
     """,
     "events_funnel": """
         WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -334,3 +334,58 @@ def test_atr_parkinson_matches_pandas_replay(spark):
     ):
         assert abs(g_atr - math.floor(w_atr * 1e6) / 1e6) <= 1.0001e-6
         assert abs(g_pk - math.floor(w_pk * 1e6) / 1e6) <= 1.0001e-6
+
+
+def test_km_survival_matches_python_replay(spark):
+    """Kaplan-Meier replay: derive per-user durations independently,
+    walk the estimator in Python, and compare the curve exactly;
+    survival must be monotone non-increasing from <= 1."""
+    from market_data_pipeline_databricks_spark.plans import text_ops as TXO
+
+    out = sorted(
+        (r.t_days, r.n_at_risk, r.n_converted, r.survival)
+        for r in TXO.events_conversion_survival(spark, SF).collect()
+    )
+    # independent duration derivation in pandas
+    from market_data_pipeline_databricks_spark.sources.tables import read_events
+
+    ev = read_events(spark, SF).toPandas()
+    durs = []
+    mx = None
+    per = {}
+    for uid, g in ev.groupby("user_id"):
+        views = g[g.event_type == "view"].ts
+        if views.empty:
+            continue
+        tv = views.min()
+        purch = g[(g.event_type == "purchase") & (g.ts >= tv)].ts
+        tp = purch.min() if not purch.empty else None
+        per[uid] = (tv, tp)
+        cand = tp if tp is not None else tv
+        mx = cand if mx is None or cand > mx else mx
+    for tv, tp in per.values():
+        if tp is not None:
+            durs.append(((tp.date() - tv.date()).days, 1))
+        else:
+            durs.append(((mx.date() - tv.date()).days, 0))
+    from collections import Counter
+
+    m = Counter(t for t, _ in durs)
+    k = Counter(t for t, e in durs if e == 1)
+    total = len(durs)
+    want = []
+    s = 1.0
+    before = 0
+    for t in sorted(m):
+        risk = total - before
+        factor = 1 - k.get(t, 0) / risk
+        s = 0.0 if factor == 0 or s == 0.0 else s * factor
+        want.append((t, risk, k.get(t, 0), round(s, 6)))
+        before += m[t]
+    assert [w[:3] for w in want] == [o[:3] for o in out]
+    for (t, _, _, ws), (_, _, _, os_) in zip(want, out):
+        assert abs(ws - os_) < 1e-6, t
+    # curve sanity
+    surv = [o[3] for o in out]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert surv[0] <= 1.0
