@@ -95,19 +95,16 @@ def pq_encode(
     )
 
 
-def pq_adc_topk(
+def _adc_scores(
     codes: DataFrame,
     codebooks: np.ndarray,
     queries: DataFrame,
-    topk: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate L2 top-k per query from CODES ALONE (asymmetric
-    distance: exact query subvector vs quantized database subvector,
-    summed from per-subspace lookup tables)."""
-    from pyspark.sql import Window
-
+    id_col: str,
+    vec_col: str,
+):
+    """Shared ADC scoring stage: per-query lookup tables (built on the
+    driver from the bounded query set), then one Arrow pass over the
+    codes emitting (id, q_idx, adc_dist). Returns (scored_df, qids)."""
     m, k, dsub = codebooks.shape
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
@@ -124,13 +121,12 @@ def pq_adc_topk(
         luts.append(lut)
         qids.append(int(r["qid"]))
     luts_arr = np.stack(luts)  # (nq, m, k)
-    qid_arr = qids
+    nq = len(qids)
 
     @pandas_udf(ArrayType(DoubleType()))
     def adc(code_col: pd.Series) -> pd.Series:
         C = np.stack([np.asarray(c, dtype=np.int64) for c in code_col])
-        n = len(C)
-        dists = np.zeros((n, len(qid_arr)))
+        dists = np.zeros((len(C), nq))
         for j in range(m):
             # luts_arr[:, j, C[:, j]] -> (nq, n); accumulate transposed
             dists += luts_arr[:, j, C[:, j]].T
@@ -139,10 +135,14 @@ def pq_adc_topk(
     scored = codes.select(
         "id", F.posexplode(adc(F.col("codes"))).alias("q_idx", "adc_dist")
     )
-    qmap = F.array(*[F.lit(q) for q in qid_arr])
-    w = Window.partitionBy("q_idx").orderBy(
-        F.asc("adc_dist"), F.asc("id")
-    )
+    return scored, qids
+
+
+def _topk_per_query(scored: DataFrame, qids: list[int], topk: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    qmap = F.array(*[F.lit(q) for q in qids])
+    w = Window.partitionBy("q_idx").orderBy(F.asc("adc_dist"), F.asc("id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= topk)
@@ -153,3 +153,79 @@ def pq_adc_topk(
             F.col("rn").cast("long").alias("rank"),
         )
     )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate L2 top-k per query from CODES ALONE (asymmetric
+    distance: exact query subvector vs quantized database subvector,
+    summed from per-subspace lookup tables)."""
+    scored, qids = _adc_scores(codes, codebooks, queries, id_col, vec_col)
+    return _topk_per_query(scored, qids, topk)
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    m: int = 16,
+    k_code: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composition — the production ANN shape: the coarse
+    quantizer PRUNES (each query probes ``nprobe`` cells), the PQ codes
+    SCORE the survivors from memory-resident bytes (ADC), and raw
+    vectors are never touched at query time.
+
+    Scale: cell assignment and code scoring are the existing bounded
+    passes; the only new piece is the (query, cell) probe list — an
+    n_queries × nprobe broadcast — semi-joined against the scored rows
+    BEFORE the per-query top-k window, so the window input is the
+    probed fraction of the corpus, not all of it."""
+    from market_data_pipeline_databricks_spark.operators.similarity import (
+        assign_ivf_cells,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    celled = assign_ivf_cells(
+        corpus, cents, vec_col=vec_col, nprobe=1, out_col="cells"
+    ).select(
+        F.col(id_col).alias("cid"), F.element_at("cells", 1).alias("cell")
+    )
+    books = pq_train(corpus, m=m, k=k_code, id_col=id_col, vec_col=vec_col)
+    codes = (
+        pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+        .join(celled, F.col("id") == F.col("cid"))
+        .select("id", "codes", "cell")
+    )
+    scored, qids = _adc_scores(
+        codes.select("id", "codes"), books, queries, id_col, vec_col
+    )
+    # (q_idx, cell) probe pairs from the bounded query set
+    q_pos = {q: i for i, q in enumerate(qids)}
+    probe_rows = assign_ivf_cells(
+        queries, cents, vec_col=vec_col, nprobe=nprobe, out_col="cells"
+    ).select(F.col(id_col).alias("qid"), "cells").collect()
+    probes = [
+        (q_pos[int(r["qid"])], int(c))
+        for r in probe_rows
+        for c in r["cells"]
+    ]
+    spark = corpus.sparkSession
+    probes_df = spark.createDataFrame(probes, "q_idx int, cell int")
+    pruned = scored.join(
+        codes.select(F.col("id"), "cell"), "id"
+    ).join(F.broadcast(probes_df), ["q_idx", "cell"], "left_semi")
+    return _topk_per_query(pruned, qids, topk)

