@@ -63,6 +63,27 @@ def vector_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 (operators/pq.py:ann_topk_ivfpq): the
+    coarse quantizer prunes to nprobe cells, PQ codes score the
+    survivors from bytes alone — the production memory/recall
+    composition. Rows-only driver check (k-means codebooks have no SQL
+    twin); distance identity with unpruned ADC and self-retrieval are
+    asserted in tests/test_pq.py."""
+    from market_data_pipeline_databricks_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf_dir).persist()
+    return PQ.ann_topk_ivfpq(
+        emb,
+        _queries_subset(emb),
+        topk=5,
+        n_cells=8,
+        nprobe=3,
+        m=16,
+        k_code=16,
+    )
+
+
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → Arrow-batched mapInPandas feature extract
     (deterministic fake decoder — real codecs absent here; plumbing,
@@ -434,6 +455,7 @@ def vector_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "vector_truncation_fidelity": vector_truncation_fidelity,
+    "vector_ann_ivfpq_topk": vector_ann_ivfpq_topk,
     "vector_cosine_topk": vector_cosine_topk,
     "vector_dim_stats": vector_dim_stats,
     "vector_label_cohesion": vector_label_cohesion,

@@ -30,6 +30,7 @@ EAGER = {
     "graph_part_pagerank",
     "dedup_component_size_histogram",
     "vector_ann_ivf_topk",
+    "vector_ann_ivfpq_topk",
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these
