@@ -101,8 +101,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # funcs_atr_parkinson, the privacy screen quality_k_anonymity,
     # the exact-k sampler sample_weighted_reservoir, the native
     # generator form window_native_session_stats, the embedding
-    # truncation eval vector_truncation_fidelity, and the censored
-    # survival curve events_conversion_survival) are
+    # truncation eval vector_truncation_fidelity, the censored
+    # survival curve events_conversion_survival, the CUPED readout
+    # events_cuped_adjustment, and the rows-only IVF-PQ search
+    # vector_ann_ivfpq_topk) are
     # the round-5 rotation backlog —
     # all oracle-green locally via tools/check_oracle.py; they sort
     # directly after the window (oracle-backed before rows-only).

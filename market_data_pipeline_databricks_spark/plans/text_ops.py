@@ -1519,6 +1519,118 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: adjust each
+    user's experiment-period value by their PRE-period value
+    (Y' = Y − θ·(X − mean(X)), θ = cov(X,Y)/var(X)) — the standard
+    trick that shrinks metric variance without biasing the treatment
+    difference, because θ is estimated POOLED across arms. Periods
+    split at the corpus midpoint (Jan 16); variant is the same
+    portable md5 bucket as events_ab_test_lift. Output per variant:
+    n, raw mean, adjusted mean, plus the pooled θ and the variance
+    reduction share (1 − var(Y')/var(Y)) repeated on both rows.
+
+    Parity: θ and the variances derive from decimal-cast component
+    sums (Σx, Σy, Σxy, Σx², Σy'²... — the funcs_market_beta
+    discipline), so every derived double is identical bits on both
+    engines; outputs floor-truncate at 6 dp.
+
+    On THIS synthetic corpus pre/post values are nearly independent
+    (θ ≈ −0.15, variance reduction ≈ 3%) — the machinery is the
+    deliverable; real user metrics correlate strongly across periods
+    and routinely cut variance 30-50%."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0).cast(
+                    "decimal(27,6)"
+                )
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0).cast(
+                    "decimal(27,6)"
+                )
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.when(hash_bucket(F.col("user_id"), "ab") < 5000, "A").otherwise(
+                "B"
+            ),
+        )
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    comp = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    theta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    mean_x = F.col("sx") / n
+    pooled = comp.select(
+        theta.alias("theta"), mean_x.alias("mean_x")
+    )
+    adj = per_user.crossJoin(F.broadcast(pooled)).withColumn(
+        "y_adj",
+        F.col("y") - F.col("theta") * (F.col("x") - F.col("mean_x")),
+    )
+    per_variant = adj.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (dsum(F.col("y")) / F.count(F.lit(1))).alias("_raw"),
+        (dsum(F.col("y_adj")) / F.count(F.lit(1))).alias("_adj"),
+    )
+    # pooled variance reduction share, computed once over all users
+    var_comp = adj.agg(
+        F.count(F.lit(1)).alias("vn"),
+        dsum(F.col("y")).alias("vsy"),
+        dsum(F.col("y") * F.col("y")).alias("vsyy"),
+        dsum(F.col("y_adj")).alias("vsa"),
+        dsum(F.col("y_adj") * F.col("y_adj")).alias("vsaa"),
+    )
+    vn = F.col("vn").cast("double")
+    var_y = (vn * F.col("vsyy") - F.col("vsy") * F.col("vsy"))
+    var_a = (vn * F.col("vsaa") - F.col("vsa") * F.col("vsa"))
+    reduction = var_comp.select(
+        (1 - var_a / var_y).alias("var_reduction"),
+    )
+    trunc = lambda c: F.floor(c * 1e6) / 1e6
+    return (
+        per_variant.crossJoin(F.broadcast(pooled.select("theta")))
+        .crossJoin(F.broadcast(reduction))
+        .select(
+            "variant",
+            "n_users",
+            trunc(F.col("_raw")).alias("raw_mean"),
+            trunc(F.col("_adj")).alias("adjusted_mean"),
+            trunc(F.col("theta")).alias("theta"),
+            trunc(F.col("var_reduction")).alias("var_reduction"),
+        )
+    )
+
+
 def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users split 50/50 by the same portable
     content-addressed md5 bucket the train/test splitter uses
@@ -1826,6 +1938,7 @@ QUERIES = {
     "sample_split_leakage": sample_split_leakage,
     "events_funnel": events_funnel,
     "events_conversion_survival": events_conversion_survival,
+    "events_cuped_adjustment": events_cuped_adjustment,
     "events_retention_cohorts": events_retention_cohorts,
     "text_bigram_vocab": text_bigram_vocab,
     "sample_training_shuffle": sample_training_shuffle,
@@ -2523,6 +2636,65 @@ SELECT doc_id, n_tokens FROM (
         )
         SELECT d.day AS day, d.dau AS dau, w.wau AS wau
         FROM dau d JOIN wau w ON d.day = w.win_day
+    """,
+    "events_cuped_adjustment": """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(SUM(CAST(CASE WHEN CAST(ts AS TIMESTAMP)
+                                         < TIMESTAMP '2024-01-16'
+                                    THEN value ELSE 0.0 END
+                               AS DECIMAL(27,6))) AS DOUBLE) AS x,
+                 CAST(SUM(CAST(CASE WHEN CAST(ts AS TIMESTAMP)
+                                         >= TIMESTAMP '2024-01-16'
+                                    THEN value ELSE 0.0 END
+                               AS DECIMAL(27,6))) AS DOUBLE) AS y
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1
+        ), pv AS (
+          SELECT *,
+                 CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 8)) AS UBIGINT) % 10000 < 5000
+                      THEN 'A' ELSE 'B' END AS variant
+          FROM pu
+        ), comp AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+          FROM pv
+        ), pooled AS (
+          SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+                 sx / n AS mean_x
+          FROM comp
+        ), adj AS (
+          SELECT pv.*, y - theta * (x - mean_x) AS y_adj
+          FROM pv, pooled
+        ), per_variant AS (
+          SELECT variant, COUNT(*) AS n_users,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS raw_m,
+                 CAST(SUM(CAST(y_adj AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS adj_m
+          FROM adj GROUP BY 1
+        ), var_comp AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS vn,
+                 CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS vsy,
+                 CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS vsyy,
+                 CAST(SUM(CAST(y_adj AS DECIMAL(38,12))) AS DOUBLE) AS vsa,
+                 CAST(SUM(CAST(y_adj * y_adj AS DECIMAL(38,12))) AS DOUBLE) AS vsaa
+          FROM adj
+        ), reduction AS (
+          SELECT 1 - (vn * vsaa - vsa * vsa) / (vn * vsyy - vsy * vsy)
+                   AS var_reduction
+          FROM var_comp
+        )
+        SELECT variant, n_users,
+               FLOOR(raw_m * 1e6) / 1e6 AS raw_mean,
+               FLOOR(adj_m * 1e6) / 1e6 AS adjusted_mean,
+               FLOOR((SELECT theta FROM pooled) * 1e6) / 1e6 AS theta,
+               FLOOR((SELECT var_reduction FROM reduction) * 1e6) / 1e6
+                 AS var_reduction
+        FROM per_variant
     """,
     "events_conversion_survival": """
         WITH e AS (
