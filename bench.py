@@ -54,6 +54,12 @@ HEADLINE = [
     # the driver catch a lost checkpoint (28 s / 25 s regressions)
     "graph_part_pagerank",
     "dedup_representative_survivors",
+    # round-5: the LSH curation capstones are the advertised 100-TB
+    # paths (the exact variants above are their labeled baselines) —
+    # un-benched, a plan regression in the banded-join path would be
+    # invisible to the driver. Baselines in BASELINE.md.
+    "curate_chunk_corpus_lsh",
+    "curate_multimodal_corpus_lsh",
 ]
 
 

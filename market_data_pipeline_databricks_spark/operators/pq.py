@@ -44,12 +44,25 @@ def pq_train(
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> np.ndarray:
     """Train per-subspace codebooks: split each vector into ``m``
     contiguous subvectors and run distributed k-means in each subspace.
     Returns codebooks of shape (m, k, dim/m). Deterministic (inherits
-    kmeans_lloyd's lowest-id initialization)."""
-    dim = len(df.select(vec_col).first()[0])
+    kmeans_lloyd's lowest-id initialization).
+
+    Pass ``dim`` to keep plan-build job-free; when omitted, one bounded
+    first-row probe infers it (and an empty input raises a clear
+    ValueError instead of a TypeError)."""
+    if dim is None:
+        head = df.select(vec_col).head(1)
+        if not head:
+            raise ValueError(
+                f"pq_train: input has no rows — cannot infer {vec_col!r} "
+                "dimensionality (pass dim= explicitly or train on a "
+                "non-empty corpus)"
+            )
+        dim = len(head[0][0])
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     dsub = dim // m
     books = []
@@ -186,6 +199,13 @@ def ann_topk_ivfpq(
     SCORE the survivors from memory-resident bytes (ADC), and raw
     vectors are never touched at query time.
 
+    One metric end to end (the FAISS IVF-PQ convention): the coarse
+    quantizer is trained and probed under L2 on RAW vectors, matching
+    the L2 ADC ranking — a cosine coarse stage over normalized vectors
+    would systematically prune true L2 neighbors whenever corpus norms
+    are heterogeneous (round-4 advice; recall on varying-norm vectors
+    is pytest-pinned in tests/test_pq.py).
+
     Scale: cell assignment and code scoring are the existing bounded
     passes; the only new piece is the (query, cell) probe list — an
     n_queries × nprobe broadcast — semi-joined against the scored rows
@@ -197,10 +217,10 @@ def ann_topk_ivfpq(
     )
 
     cents = train_ivf_centroids(
-        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col, metric="l2"
     )
     celled = assign_ivf_cells(
-        corpus, cents, vec_col=vec_col, nprobe=1, out_col="cells"
+        corpus, cents, vec_col=vec_col, nprobe=1, out_col="cells", metric="l2"
     ).select(
         F.col(id_col).alias("cid"), F.element_at("cells", 1).alias("cell")
     )
@@ -216,7 +236,8 @@ def ann_topk_ivfpq(
     # (q_idx, cell) probe pairs from the bounded query set
     q_pos = {q: i for i, q in enumerate(qids)}
     probe_rows = assign_ivf_cells(
-        queries, cents, vec_col=vec_col, nprobe=nprobe, out_col="cells"
+        queries, cents, vec_col=vec_col, nprobe=nprobe, out_col="cells",
+        metric="l2",
     ).select(F.col(id_col).alias("qid"), "cells").collect()
     probes = [
         (q_pos[int(r["qid"])], int(c))

@@ -79,15 +79,25 @@ def weighted_reservoir(
     curation ("keep the best 10M documents, weighted by quality")
     needs.
 
-    Determinism: u derives from the salted md5 bucket (content-
-    addressed like every sampler here), so the same k rows are chosen
-    on any cluster, partitioning, or engine. Non-positive weights are
-    excluded by contract.
+    Determinism: u derives from the first 52 bits (13 hex chars) of
+    the salted md5 — content-addressed like every sampler here, so the
+    same k rows are chosen on any cluster, partitioning, or engine.
+    52 bits matter here where the 10⁴-bucket coarse hash suffices for
+    rate samplers: with only 1e-4 granularity, rows in the same weight
+    class collide on identical keys and ties resolve deterministically
+    to the lowest id, biasing the exact-k draw away from the A-ES
+    distribution at corpus scale (round-4 advice). A 52-bit u is
+    exactly representable in a double (< 2⁵³), so +0.5 and the
+    power-of-two division stay bit-exact cross-engine. Non-positive
+    weights are excluded by contract.
 
     Scale: key computation is per-row Column algebra on the scan; the
     selection is a TakeOrdered (per-partition top-k, then a k-row
     merge on the driver) — no global sort, no shuffle of the data."""
-    u = (hash_bucket(F.col(id_col), seed).cast("double") + 0.5) / N_BUCKETS
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(seed)))
+    u = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("long").cast("double") + 0.5
+    ) / float(1 << 52)
     key = F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)

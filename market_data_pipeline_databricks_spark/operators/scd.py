@@ -83,7 +83,16 @@ def scd2_apply(
 ) -> DataFrame:
     """Return the post-merge dimension (history + untouched current +
     closed-out rows + newly opened rows). Pure function over
-    DataFrames — the caller owns the write."""
+    DataFrames — the caller owns the write.
+
+    Batch presence is tracked by an explicit marker column (the
+    cdc.snapshot_diff convention), NOT by ``effective_col IS NOT
+    NULL``: with the nullable-column probe, an update row carrying a
+    NULL effective date would silently classify as "key absent from
+    batch" and its attribute changes would be dropped (round-4
+    advice). NULL effective dates are invalid input — they would
+    corrupt the version tiling — so they fail fast at execution time
+    via a lazy raise_error instead of being reinterpreted."""
     out_cols = [*key_cols, *tracked_cols, "valid_from", "valid_to", "is_current"]
     history = dim.filter(~F.col("is_current")).select(*out_cols)
     current = dim.filter(F.col("is_current"))
@@ -94,10 +103,21 @@ def scd2_apply(
         changed = ne if changed is None else (changed | ne)
 
     joined = current.alias("cur").join(
-        updates.alias("upd"), on=key_cols, how="full_outer"
+        updates.withColumn("_u_present", F.lit(True)).alias("upd"),
+        on=key_cols,
+        how="full_outer",
     )
-    has_update = F.col(f"upd.{effective_col}").isNotNull()
+    has_update = F.col("upd._u_present").isNotNull()
     has_current = F.col("cur.is_current").isNotNull()
+    eff_raw = F.col(f"upd.{effective_col}")
+    eff = F.when(eff_raw.isNotNull(), eff_raw).otherwise(
+        F.raise_error(
+            F.lit(
+                f"scd2_apply: NULL {effective_col} in updates batch — an "
+                "effective date is required to open/close versions"
+            )
+        ).cast(updates.schema[effective_col].dataType)
+    )
 
     # Emit each joined row's 1-2 output versions from ONE pass via
     # explode, instead of a union of three filtered re-selects of the
@@ -124,12 +144,12 @@ def scd2_apply(
     closed = _version(
         "cur",
         F.col("cur.valid_from"),
-        F.col(f"upd.{effective_col}"),
+        eff,
         F.lit(False),
     )
     opened = _version(
         "upd",
-        F.col(f"upd.{effective_col}"),
+        eff,
         F.lit(None),
         F.lit(True),
     )

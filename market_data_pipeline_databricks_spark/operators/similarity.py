@@ -294,8 +294,13 @@ def train_ivf_centroids(
     sample_size: int = 20000,
     iters: int = 10,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> np.ndarray:
-    """Spherical k-means on a deterministic driver-side sample.
+    """K-means coarse quantizer on a deterministic driver-side sample —
+    spherical (cosine) by default, or plain L2 Lloyd's with
+    ``metric="l2"`` (unnormalized vectors, mean centroids: the FAISS
+    IVF convention — one metric must serve BOTH the coarse prune and
+    the fine ranking, so IVF-PQ's L2 ADC pairs with L2 cells).
 
     IVF training is centralized by design everywhere (FAISS trains the
     coarse quantizer on a sample too) — at 100 TB you still sample
@@ -309,16 +314,25 @@ def train_ivf_centroids(
         .collect()
     )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if metric == "cosine":
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
     for _ in range(iters):
-        assign = np.argmax(X @ cent.T, axis=1)
+        if metric == "cosine":
+            assign = np.argmax(X @ cent.T, axis=1)
+        else:
+            assign = np.argmax(
+                X @ cent.T - 0.5 * (cent * cent).sum(axis=1), axis=1
+            )
         for c in range(len(cent)):
             members = X[assign == c]
             if len(members):
                 m = members.sum(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+                if metric == "cosine":
+                    cent[c] = m / max(np.linalg.norm(m), 1e-12)
+                else:
+                    cent[c] = m / len(members)
     return cent
 
 
@@ -328,8 +342,13 @@ def assign_ivf_cells(
     vec_col: str = "embedding",
     nprobe: int = 1,
     out_col: str = "cells",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Attach the ``nprobe`` nearest centroid ids as an array column.
+    """Attach the ``nprobe`` nearest centroid ids as an array column —
+    by cosine on normalized vectors (default) or by L2 on raw vectors
+    (``metric="l2"``; the argsort key x·c − ½‖c‖² orders identically
+    to −‖x−c‖², the ‖x‖² term being constant per row). The metric
+    MUST match the one the centroids were trained under.
 
     Arrow-batched pandas UDF: one matrix multiply per batch (the
     vectorized scale path — per-row Python would be 100× slower).
@@ -340,8 +359,11 @@ def assign_ivf_cells(
     @pandas_udf(ArrayType(IntegerType()))
     def cells(vecs: pd.Series) -> pd.Series:
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = X @ cent.T
+        if metric == "cosine":
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = X @ cent.T
+        else:
+            sims = X @ cent.T - 0.5 * (cent * cent).sum(axis=1)
         top = np.argsort(-sims, axis=1)[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in top])
 
@@ -422,16 +444,23 @@ def label_centroid_components(
     posexplode fans each vector into dim (pos, val) rows — a constant
     dim× blowup that stays linear in corpus size — then one shuffle on
     the (label, dim) pair with full map-side partial aggregation.
-    Component means are rounded to ``round_dp`` decimals so downstream
-    dot products are reproducible across engines and partitionings
-    (accumulation order shifts the raw mean at ~1e-15 relative; 1e-6 is
-    far above that noise floor).
+    Component means run through a DECIMAL(27,12)-exact sum (addition is
+    associative, so the mean is bit-identical on any partitioning and
+    any engine — the repo-wide cross-engine discipline) and are rounded
+    to ``round_dp`` decimals so downstream dot products fold identical
+    bits everywhere. A raw double AVG would be accumulation-order
+    dependent, and ROUND cannot mask an ulp that sits on a rounding
+    boundary.
     """
     d = df.select(
         F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "val")
     )
+    n = F.count(F.lit(1))
+    exact_sum = F.sum(
+        F.col("val").cast("double").cast("decimal(27,12)")
+    ).cast("double")
     return d.groupBy("label", "dim").agg(
-        F.round(F.avg(F.col("val").cast("double")), round_dp).alias("centroid"),
+        F.round(exact_sum / n, round_dp).alias("centroid"),
         F.count(F.lit(1)).alias("n_vecs"),
     ).select(
         "label", F.col("dim").cast("long").alias("dim"), "centroid", "n_vecs"

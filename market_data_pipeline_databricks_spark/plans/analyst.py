@@ -198,16 +198,26 @@ def quality_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive DQ check (beyond the reference's fixed thresholds,
     04_data_quality_checks.py:15-17): flag days whose return is > 3
     sample-stddevs from that key's own mean — per-instrument adaptive
-    thresholds from one extra aggregation. Decimal mean; stddev and the
-    z-ratio floor-truncated (half-way-safe)."""
+    thresholds from one extra aggregation. Decimal mean AND decimal
+    Σx²-derived stddev (a raw groupBy STDDEV_SAMP merges buffers in
+    task order — low bits vary run to run); the z-ratio is
+    floor-truncated (half-way-safe)."""
     gold = _supplier_daily_gold(spark, sf_dir)
     r = gold.filter(F.col("return_1d").isNotNull())
+    n = F.count(F.lit(1))
+    s12 = F.sum(F.col("return_1d").cast("decimal(27,12)")).cast("double")
+    ss = F.sum(
+        (F.col("return_1d") * F.col("return_1d")).cast("decimal(27,12)")
+    ).cast("double")
     stats = r.groupBy("suppkey").agg(
         (
             F.sum(F.col("return_1d").cast("decimal(27,9)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mu"),
-        F.stddev_samp("return_1d").alias("sd"),
+        F.when(
+            n > 1,
+            F.sqrt(F.greatest((ss - s12 * s12 / n) / (n - 1), F.lit(0.0))),
+        ).alias("sd"),
         F.count(F.lit(1)).alias("n_days"),
     )
     z = (F.col("return_1d") - F.col("mu")) / F.col("sd")
@@ -513,7 +523,13 @@ ORACLE_SQL = {
         stats AS (
           SELECT suppkey,
                  CAST(SUM(CAST(return_1d AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS mu,
-                 STDDEV_SAMP(return_1d) AS sd
+                 CASE WHEN COUNT(*) > 1 THEN SQRT(GREATEST(
+                   (CAST(SUM(CAST(return_1d * return_1d AS DECIMAL(27,12)))
+                         AS DOUBLE)
+                    - CAST(SUM(CAST(return_1d AS DECIMAL(27,12))) AS DOUBLE)
+                      * CAST(SUM(CAST(return_1d AS DECIMAL(27,12))) AS DOUBLE)
+                      / COUNT(*))
+                   / (COUNT(*) - 1), 0.0)) END AS sd
           FROM r GROUP BY suppkey
         )
         SELECT r.suppkey AS suppkey, r.day AS day,

@@ -46,11 +46,22 @@ def funcs_feature_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def funcs_log_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key log-return summary: annualization-ready mean/stddev
-    (decimal-summed mean: order-independent)."""
+    """Per-key log-return summary: annualization-ready mean/stddev.
+    Mean AND stddev derive from decimal-exact sums (Σx, Σx²) — a raw
+    groupBy STDDEV_SAMP merges buffers in task-scheduling order, so its
+    low bits vary run to run and can flake a 6-dp ROUND."""
     daily = _daily(spark, sf_dir)
     w = Window.partitionBy("suppkey").orderBy("day")
     lr = daily.withColumn("log_ret", M.log_return(F.col("close"), w))
+    n = F.count(F.lit(1))
+    s12 = F.sum(F.col("log_ret").cast("decimal(27,12)")).cast("double")
+    ss = F.sum(
+        (F.col("log_ret") * F.col("log_ret")).cast("decimal(27,12)")
+    ).cast("double")
+    sd = F.when(
+        n > 1,
+        F.sqrt(F.greatest((ss - s12 * s12 / n) / (n - 1), F.lit(0.0))),
+    )
     return lr.filter(F.col("log_ret").isNotNull()).groupBy("suppkey").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.round(
@@ -58,7 +69,7 @@ def funcs_log_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("mean_log_ret"),
-        F.round(F.stddev_samp("log_ret"), 6).alias("sd_log_ret"),
+        F.round(sd, 6).alias("sd_log_ret"),
     )
 
 
@@ -262,32 +273,50 @@ def funcs_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame). Absolute edges are client arithmetic:
     upper/lower = MA·(1 ± bandwidth/2).
 
-    Column discipline (the funcs_feature_panel rule): the MA numerator
-    is a decimal-exact frame sum — bit-identical on both engines at any
-    magnitude — while every stddev-derived column is emitted as an O(1)
-    RATIO. A raw ``MA ± 2σ`` band at price magnitude ~1e5 carries
-    ~1e-11 accumulation-order noise, the same order as ROUND(,6)'s
-    grid, and flakes (observed once in 53k rows at sf0.1); the ratios'
-    noise sits ~9 orders below the grid. %B and bandwidth are NULL
+    Column discipline (the funcs_feature_panel rule): MA *and* σ both
+    derive from decimal-exact frame sums (Σx, Σx² — bit-identical on
+    both engines at any magnitude; the previously-raw windowed stddev
+    was deterministic per engine but cross-engine divergent at ~1e-11,
+    observed once in 53k rows at sf0.1), and every stddev-derived
+    column is emitted as an O(1) RATIO. %B and bandwidth are NULL
     until the band has width (σ > 0, also NULL for the 1-row warmup
     frame) — matching on both engines. One suppkey exchange serves
     every column."""
     daily = _daily(spark, sf_dir)
     f = Window.partitionBy("suppkey").orderBy("day").rowsBetween(-19, 0)
-    # Stage the two frame aggregates as named columns FIRST: inlining
-    # ma/sd into every output expression makes WindowExec evaluate 11
-    # window aggregates (5 duplicate stddevs) — Catalyst collapses
-    # window OPERATORS but does not CSE duplicate window EXPRESSIONS.
-    # Two projections keep it at one sum + one count + one stddev.
+    # Stage the frame aggregates as named columns FIRST: inlining
+    # ma/sd into every output expression makes WindowExec evaluate
+    # duplicate aggregates — Catalyst collapses window OPERATORS but
+    # does not CSE duplicate window EXPRESSIONS. Two projections keep
+    # it at two sums + one count in a single WindowExec.
     staged = daily.select(
         "suppkey",
         "day",
         "close",
-        (
-            F.sum(F.col("close").cast("decimal(27,6)")).over(f).cast("double")
-            / F.count(F.lit(1)).over(f)
-        ).alias("_ma"),
-        F.stddev_samp("close").over(f).alias("_sd"),
+        F.sum(F.col("close").cast("decimal(27,6)"))
+        .over(f)
+        .cast("double")
+        .alias("_s"),
+        F.sum((F.col("close") * F.col("close")).cast("decimal(27,6)"))
+        .over(f)
+        .cast("double")
+        .alias("_ss"),
+        F.count(F.lit(1)).over(f).alias("_n"),
+    ).select(
+        "suppkey",
+        "day",
+        "close",
+        (F.col("_s") / F.col("_n")).alias("_ma"),
+        F.when(
+            F.col("_n") > 1,
+            F.sqrt(
+                F.greatest(
+                    (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n"))
+                    / (F.col("_n") - 1),
+                    F.lit(0.0),
+                )
+            ),
+        ).alias("_sd"),
     )
     ma, sd = F.col("_ma"), F.col("_sd")
     return staged.select(
@@ -425,11 +454,12 @@ def funcs_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     by DOWNSIDE deviation (√ of the mean squared negative return), the
     semideviation form.
 
-    Mean and downside-sum run through decimal-exact sums; σ is the
-    plain sample stddev (O(1) ratio outputs, the funcs_feature_panel
-    discipline). Zero deviation → NULL ratio on both engines. One
-    suppkey exchange: the return LAG and the final aggregate share the
-    partitioning."""
+    Mean, downside-sum AND σ all derive from decimal-exact sums (Σx,
+    Σx² — order-independent bits; a raw groupBy STDDEV_SAMP merges
+    aggregation buffers in task-scheduling order, so its low bits vary
+    run to run and can flake a 6-dp ROUND). Zero deviation → NULL
+    ratio on both engines. One suppkey exchange: the return LAG and
+    the final aggregate share the partitioning."""
     daily = _daily(spark, sf_dir)
     w = Window.partitionBy("suppkey").orderBy("day")
     lr = daily.withColumn("log_ret", M.log_return(F.col("close"), w)).filter(
@@ -446,7 +476,20 @@ def funcs_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("log_ret") < 0, F.col("log_ret") * F.col("log_ret"))
             .otherwise(0.0)
         ).alias("dsq"),
-        F.stddev_samp("log_ret").alias("sd"),
+        dsum(F.col("log_ret") * F.col("log_ret")).alias("ss"),
+    )
+    comp = comp.withColumn(
+        "sd",
+        F.when(
+            F.col("n_days") > 1,
+            F.sqrt(
+                F.greatest(
+                    (F.col("ss") - F.col("s") * F.col("s") / F.col("n_days"))
+                    / (F.col("n_days") - 1),
+                    F.lit(0.0),
+                )
+            ),
+        ),
     )
     n = F.col("n_days").cast("double")
     mean = F.col("s") / n
@@ -694,13 +737,20 @@ ORACLE_SQL = {
                  LN(close / LAG(close) OVER (PARTITION BY suppkey ORDER BY day)) AS log_ret
           FROM daily
         ), l AS (SELECT * FROM lr WHERE log_ret IS NOT NULL),
-        comp AS (
+        comp0 AS (
           SELECT suppkey, COUNT(*) AS n_days,
                  CAST(SUM(CAST(log_ret AS DECIMAL(27,12))) AS DOUBLE) AS s,
                  CAST(SUM(CAST(CASE WHEN log_ret < 0 THEN log_ret * log_ret
                                     ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS dsq,
-                 STDDEV_SAMP(log_ret) AS sd
+                 CAST(SUM(CAST(log_ret * log_ret AS DECIMAL(27,12)))
+                      AS DOUBLE) AS ss
           FROM l GROUP BY suppkey
+        ),
+        comp AS (
+          SELECT *,
+                 CASE WHEN n_days > 1 THEN SQRT(GREATEST(
+                   (ss - s * s / n_days) / (n_days - 1), 0.0)) END AS sd
+          FROM comp0
         )
         SELECT suppkey, n_days,
                ROUND(CASE WHEN sd > 0
@@ -733,7 +783,12 @@ ORACLE_SQL = {
         )
         SELECT suppkey, COUNT(*) AS n_days,
                ROUND(CAST(SUM(CAST(log_ret AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*), 6) AS mean_log_ret,
-               ROUND(STDDEV_SAMP(log_ret), 6) AS sd_log_ret
+               ROUND(CASE WHEN COUNT(*) > 1 THEN SQRT(GREATEST(
+                 (CAST(SUM(CAST(log_ret * log_ret AS DECIMAL(27,12))) AS DOUBLE)
+                  - CAST(SUM(CAST(log_ret AS DECIMAL(27,12))) AS DOUBLE)
+                    * CAST(SUM(CAST(log_ret AS DECIMAL(27,12))) AS DOUBLE)
+                    / COUNT(*))
+                 / (COUNT(*) - 1), 0.0)) END, 6) AS sd_log_ret
         FROM lr WHERE log_ret IS NOT NULL GROUP BY suppkey
     """,
     # Recursive CTE reproduces the applyInPandas recursion exactly:
@@ -743,22 +798,28 @@ ORACLE_SQL = {
     # old_wt*prev + new_wt*cur expression, and ROUND(,6) absorbs any
     # last-ulp divergence.
     "funcs_bollinger_bands": _DAILY_CTE + """
+        , staged AS (
+          SELECT suppkey, day, close,
+                 CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER f AS DOUBLE) AS s,
+                 CAST(SUM(CAST(close * close AS DECIMAL(27,6))) OVER f
+                      AS DOUBLE) AS ss,
+                 COUNT(*) OVER f AS n
+          FROM daily
+          WINDOW f AS (PARTITION BY suppkey ORDER BY day
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        ), msd AS (
+          SELECT suppkey, day, close, s / n AS ma,
+                 CASE WHEN n > 1 THEN SQRT(GREATEST(
+                   (ss - s * s / n) / (n - 1), 0.0)) END AS sd
+          FROM staged
+        )
         SELECT suppkey, day, close,
-               ROUND(CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER f AS DOUBLE)
-                     / COUNT(*) OVER f, 6) AS ma_20d,
-               ROUND(CASE WHEN STDDEV_SAMP(close) OVER f > 0
-                          THEN 4 * STDDEV_SAMP(close) OVER f
-                               / (CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER f AS DOUBLE)
-                                  / COUNT(*) OVER f)
-                     END, 6) AS bandwidth,
-               ROUND(CASE WHEN STDDEV_SAMP(close) OVER f > 0
-                          THEN (close - (CAST(SUM(CAST(close AS DECIMAL(27,6))) OVER f AS DOUBLE)
-                                         / COUNT(*) OVER f - 2 * STDDEV_SAMP(close) OVER f))
-                               / (4 * STDDEV_SAMP(close) OVER f)
+               ROUND(ma, 6) AS ma_20d,
+               ROUND(CASE WHEN sd > 0 THEN 4 * sd / ma END, 6) AS bandwidth,
+               ROUND(CASE WHEN sd > 0
+                          THEN (close - (ma - 2 * sd)) / (4 * sd)
                      END, 6) AS pct_b
-        FROM daily
-        WINDOW f AS (PARTITION BY suppkey ORDER BY day
-                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        FROM msd
     """,
     "funcs_rsi": _DAILY_CTE + """
         , chg AS (

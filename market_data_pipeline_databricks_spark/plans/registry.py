@@ -26,145 +26,118 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-4 rotation: the 21 oracle-backed queries that have never
-    # held a driver-green row (landed after round 3's window was pinned;
-    # all pass tools/check_oracle.py locally). They lead the window so
-    # that by end of round 4 EVERY oracle-backed query in the repo has
-    # held a driver-green row at least once (round-3 verdict task 1).
-    "events_funnel",
-    "events_retention_cohorts",
-    "curate_chunk_corpus",
-    "sample_split_leakage",
-    "text_bigram_vocab",
-    "vector_label_centroids",
-    "vector_label_noise_screen",
-    "vector_quantize_int8",
-    "stream_static_enrich_nation",
-    "funcs_market_beta",
-    "scale_exact_percentiles",
-    "agg_grouping_sets_revenue",
-    "unpivot_part_price_bands",
-    "text_chunk_overlap",
-    "dedup_incremental_batch",
-    "text_tfidf_top_terms",
-    "sample_source_cap",
+    # -- round-5 window. Two goals (round-4 verdict tasks 1+2):
+    # (1) the two r4 hash mismatches lead the window so their fixes
+    #     (uncast integer SUM -> CAST(... AS BIGINT) in the DuckDB
+    #     oracles) are re-verified by the driver itself;
     "text_corpus_report",
     "sample_domain_mixture",
-    "text_repetition_score",
-    "text_unigram_logprob",
-    # -- new in round 4 (oracle-green via tools/check_oracle.py); they
-    # take the slots of three twice-green anchors whose §2 IDs remain
-    # covered in-window: window_latest_snapshot_pruned (P7/W1/W5 via
-    # window_latest_snapshot_per_supplier), vector_cosine_topk (vector
-    # family via vector_near_dup_pairs + the three vector_* newcomers),
-    # text_stats (text family via the six in-window text_* queries;
-    # the stats block also feeds the in-window curate capstones).
-    # The remaining round-4 newcomers (text_length_histogram,
-    # quality_mad_outliers, dedup_component_survivors,
-    # join_q4_order_priority, agg_q13_customer_distribution,
-    # events_rolling_active_users, dedup_editdistance_verify,
-    # agg_revenue_share, window_gapfill_daily_close,
-    # sample_temperature_mixture, join_asof_forward_quotes,
-    # funcs_rolling_median_close, text_ngram_novelty,
-    # events_power_users_pareto, events_longest_streak,
-    # events_burst_detection, the TPC-H completion set
-    # (join_q5/q7/q8/q10/q12/q15/q17/q18/q19/q21/q22, agg_q6, agg_q14
-    # — 17 of 22 TPC-H shapes now oracle-checked), the corpus screens
-    # text_gopher_rules + text_pii_redaction, the warehouse
-    # quality_expectation_suite, the risk features funcs_max_drawdown
-    # + funcs_vwap_monthly + funcs_weekly_ohlc, the behavioral suite
-    # events_markov_transitions / events_top_paths /
-    # events_chi2_independence / events_ab_test_lift /
-    # events_session_stats, the map surface scalar_props_map_entries,
-    # the cluster diagnostic dedup_component_size_histogram, and the
-    # round-4 continuation batch: the technical-indicator family
-    # funcs_bollinger_bands / funcs_rsi / funcs_cross_sectional_momentum
-    # / funcs_macd (chained-EWMA grouped map), the value analytics
-    # events_user_value_deciles + events_interarrival_quantiles, the
-    # bigram LM text_bigram_logprob, the warehouse
-    # agg_customer_rfm_segments, the embedding-health pair
-    # vector_dim_stats + vector_label_cohesion, the chained-stateful
-    # streaming stream_daily_unique_users, the oracle-checked
-    # image kernel multimodal_image_resize, the nearest-direction
-    # as-of join_asof_nearest_quotes, the LATERAL surface
-    # join_lateral_top_orders, the risk ratios funcs_sharpe_sortino +
-    # funcs_dow_seasonality, the corpus screens
-    # quality_benford_screen + text_zipf_fit, and the TPC-H closers
-    # join_q2_min_cost_supplier / join_q9_product_type_profit /
-    # agg_q11_important_stock / agg_q16_supplier_part_counts /
-    # join_q20_excess_shipments — all 22 TPC-H shapes now
-    # oracle-checked — the decimal-exact iterative graph_part_pagerank,
-    # the shuffle-key report scale_skew_diagnostics, the
-    # centrality-survivor dedup_representative_survivors, the Spark 4
-    # VARIANT surface scalar_props_variant, the expiry-pinned
-    # stream_stream_left_outer_attribution, the range-risk pair
-    # funcs_atr_parkinson, the privacy screen quality_k_anonymity,
-    # the exact-k sampler sample_weighted_reservoir, the native
-    # generator form window_native_session_stats, the embedding
-    # truncation eval vector_truncation_fidelity, the censored
-    # survival curve events_conversion_survival, the CUPED readout
-    # events_cuped_adjustment, and the rows-only IVF-PQ search
-    # vector_ann_ivfpq_topk) are
-    # the round-5 rotation backlog —
-    # all oracle-green locally via tools/check_oracle.py; they sort
-    # directly after the window (oracle-backed before rows-only).
-    "join_full_outer_reconcile",
-    "scale_winsorized_stats",
-    "sample_training_shuffle",
-    # -- displaced to make room (same standing rule as rounds 2-3: a
-    # never-checked query beats a twice-declared one; every displaced
-    # query held a driver-green row in r3 — see CORRECTNESS_r03.json —
-    # and its §2/extension IDs stay covered by an in-window anchor):
-    #   stream_{tumbling,sliding,session,stateful,click_attribution}
-    #     (streaming stays checked via stream_dedup_within_watermark +
-    #      stream_static_enrich_nation)
-    #   analyst_top_movers_today (J2 via filter_scalar_subquery_latest;
-    #     O via sort_topk_orders; math via analyst_threshold_alerts)
-    #   analyst_volatility_regime / analyst_liquidity_screen (W3/P9 via
-    #     window_supplier_daily_gold / analyst_threshold_alerts)
-    #   window_rolling_range_avg + join_range_binned_volatility (J1 via
-    #     join_range_volatility_expansion, still in-window)
-    #   quality_zscore_outliers (Q1-Q3 via analyst_threshold_alerts +
-    #     analyst_completeness)
-    #   funcs_log_return_stats / funcs_ewma_close (family via
-    #     funcs_feature_panel + funcs_market_beta)
-    #   skew_salted_{pricing_summary,join_orders} (A1/join semantics via
-    #     agg_pricing_summary / join_revenue_by_nation; salting is a
-    #     plan-level technique, result-identical by construction)
-    #   text_decontaminate / pack_training_sequences / text_bpe_token_count
-    #     (text family via text_stats + the six incoming text queries)
-    #   multimodal_wav_roundtrip (multimodal_frame_sample stays)
-    #   dedup_components / sample_train_test_split (dedup via
-    #     dedup_exact_survivors + dedup_incremental_batch + curate
-    #     capstones; sampling via the three incoming sample_* queries)
-    # -- round-3-new anchors kept in-window -------------------------------
-    "stream_dedup_within_watermark",
-    "curate_multimodal_corpus",
-    "multimodal_frame_sample",
-    "vector_near_dup_pairs",
-    "analyst_single_key_recent",
-    "analyst_threshold_alerts",
-    "analyst_point_in_time",
-    "analyst_completeness",
-    "analyst_dq_triage_cte",
-    "funcs_feature_panel",
-    # -- core coverage anchors (driver-green in r1-r3, kept in-window) ----
-    "agg_pricing_summary",
-    "agg_dup_grain_detector",
-    "filter_project_revenue",
-    "filter_case_classification",
-    "filter_scalar_subquery_latest",
-    "join_revenue_by_nation",
-    "join_range_volatility_expansion",
-    "window_supplier_daily_gold",
-    "window_latest_snapshot_per_supplier",
-    "window_sessionization",
-    "sort_topk_orders",
-    "union_all_check_streams",
-    "scalar_regexp_extract",
-    "join_asof_orders_quotes",
-    "dedup_exact_survivors",
-    "curate_training_corpus",
+    # (2) the remaining 48 slots rotate in queries that have NEVER held
+    #     a driver row (all oracle-green via tools/check_oracle.py,
+    #     full-registry sweep re-run this round). Standing rule since
+    #     round 2: never-checked beats twice-green; every SURVEY-2
+    #     family keeps an in-window anchor (noted per block).
+    # TPC-H completion set - all 22 shapes in one driver window
+    # (filters P1-P6 via q12/q19/q22 predicates, scalar subqueries
+    # P8/J2 via q11/q15/q17/q22, outer/semi/anti joins via q13/q20/q21,
+    # aggs A1-A7 via q1-shaped q6/q14/q16, ORDER+LIMIT O1-O4 via q10):
+    "join_q2_min_cost_supplier",
+    "join_q4_order_priority",
+    "join_q5_local_supplier_volume",
+    "agg_q6_forecast_revenue",
+    "join_q7_volume_shipping",
+    "join_q8_market_share",
+    "join_q9_product_type_profit",
+    "join_q10_returned_items",
+    "agg_q11_important_stock",
+    "join_q12_priority_shipping",
+    "agg_q13_customer_distribution",
+    "agg_q14_promo_revenue_pct",
+    "join_q15_top_supplier",
+    "agg_q16_supplier_part_counts",
+    "join_q17_small_quantity_revenue",
+    "join_q18_large_volume",
+    "join_q19_disjunctive_revenue",
+    "join_q20_excess_shipments",
+    "join_q21_waiting_suppliers",
+    "join_q22_idle_balance",
+    # scalar surface (Spark 4 VARIANT + map entries; scalar family
+    # anchor, replacing scalar_regexp_extract which is 4x driver-green)
+    "scalar_props_variant",
+    "scalar_props_map_entries",
+    # as-of family (backward form join_asof_orders_quotes is 2x green;
+    # the forward and nearest directions have never been checked)
+    "join_asof_forward_quotes",
+    "join_asof_nearest_quotes",
+    # iterative / scale diagnostics
+    "graph_part_pagerank",
+    "scale_skew_diagnostics",
+    # dedup family anchors rotate to the graph-contraction closers
+    "dedup_representative_survivors",
+    "dedup_component_survivors",
+    # samplers (A-ES reservoir now 52-bit-u, temperature mixture's
+    # integer SUM now BIGINT-cast - both fixed this round)
+    "sample_weighted_reservoir",
+    "sample_temperature_mixture",
+    # corpus screens
+    "text_gopher_rules",
+    "text_pii_redaction",
+    "text_exact_decontaminate",
+    # behavioral analytics
+    "events_markov_transitions",
+    "events_session_stats",
+    "events_ab_test_lift",
+    "events_conversion_survival",
+    "events_cuped_adjustment",
+    # embedding health (both decimal-exact-stddev'd this round)
+    "vector_dim_stats",
+    "vector_label_cohesion",
+    # oracle-checked image kernel (decode->resize, integer oracle)
+    "multimodal_image_resize",
+    # privacy + warehouse checks (expectation suite is the U1 anchor:
+    # a UNION ALL of check streams, same shape as the displaced
+    # union_all_check_streams; also the Q1-Q3 gap/jump/stale anchor)
+    "quality_k_anonymity",
+    "quality_expectation_suite",
+    # streaming anchors rotate to the two never-checked stateful forms
+    "stream_stream_left_outer_attribution",
+    "stream_daily_unique_users",
+    # window family anchors (W1-W5 stay covered: native session_window
+    # generator, LAG-based gapfill, rolling decimal-exact Bollinger)
+    "window_native_session_stats",
+    "window_gapfill_daily_close",
+    "funcs_bollinger_bands",
+    # -- displaced (every one driver-green in r4 or earlier, most 2-4x;
+    # family coverage notes above; all stay verifiable via
+    # tools/check_oracle.py): the 21 r4 rotation names, the r1-r3
+    # anchors agg_pricing_summary / agg_dup_grain_detector /
+    # filter_project_revenue / filter_case_classification /
+    # filter_scalar_subquery_latest / join_revenue_by_nation /
+    # join_range_volatility_expansion / window_supplier_daily_gold /
+    # window_latest_snapshot_per_supplier / window_sessionization /
+    # sort_topk_orders / union_all_check_streams / scalar_regexp_extract
+    # / join_asof_orders_quotes / dedup_exact_survivors /
+    # curate_training_corpus / curate_multimodal_corpus /
+    # multimodal_frame_sample / vector_near_dup_pairs / analyst_* /
+    # funcs_feature_panel / stream_dedup_within_watermark /
+    # stream_static_enrich_nation / join_full_outer_reconcile /
+    # scale_winsorized_stats / sample_training_shuffle.
+    # Round-6 rotation backlog (oracle-backed, never driver-checked
+    # after this round): the indicator family funcs_rsi / funcs_macd /
+    # funcs_cross_sectional_momentum / funcs_atr_parkinson /
+    # funcs_max_drawdown / funcs_vwap_monthly / funcs_weekly_ohlc /
+    # funcs_rolling_median_close / funcs_sharpe_sortino /
+    # funcs_dow_seasonality, the events tail events_top_paths /
+    # events_chi2_independence / events_user_value_deciles /
+    # events_interarrival_quantiles / events_rolling_active_users /
+    # events_power_users_pareto / events_longest_streak /
+    # events_burst_detection, the text tail text_bigram_logprob /
+    # text_length_histogram / text_ngram_novelty / text_gopher_survivors
+    # / text_zipf_fit, dedup_editdistance_verify /
+    # dedup_component_size_histogram, quality_benford_screen /
+    # quality_mad_outliers, agg_customer_rfm_segments /
+    # join_lateral_top_orders / agg_revenue_share /
+    # agg_segment_value_quantiles, and vector_truncation_fidelity.
 )
 
 

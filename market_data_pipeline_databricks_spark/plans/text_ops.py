@@ -2417,7 +2417,7 @@ SELECT doc_id, n_tokens FROM (
           )
         )
         SELECT source, COUNT(*) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                ROUND(AVG(quality), 6) AS avg_quality,
                CAST(SUM(is_en) AS BIGINT) AS n_en
         FROM scored GROUP BY source
@@ -2438,12 +2438,12 @@ SELECT doc_id, n_tokens FROM (
     """,
     "sample_domain_mixture": """
         SELECT source, COUNT(*) AS n_total,
-               SUM(CASE WHEN
+               CAST(SUM(CASE WHEN
                  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS UBIGINT) % 10000
                  < (CASE CAST(substring(source, 4) AS INT) % 4
                       WHEN 0 THEN 10000 WHEN 1 THEN 5000
                       WHEN 2 THEN 2500 ELSE 1250 END)
-                 THEN 1 ELSE 0 END) AS n_sampled
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         FROM documents GROUP BY source
     """,
     "sample_temperature_mixture": """
@@ -2465,10 +2465,10 @@ SELECT doc_id, n_tokens FROM (
         SELECT d.source,
                MAX(r.n_total) AS n_total,
                ROUND(MAX(r.target_share), 6) AS target_share,
-               SUM(CASE WHEN
+               CAST(SUM(CASE WHEN
                  CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8)) AS UBIGINT) % 10000
                  < CAST(ROUND(r.rate * 10000) AS INT)
-                 THEN 1 ELSE 0 END) AS n_sampled
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         FROM documents d JOIN rt r ON d.source = r.source
         GROUP BY d.source
     """,
@@ -3029,8 +3029,8 @@ SELECT doc_id, n_tokens FROM (
     "sample_weighted_reservoir": """
         WITH t AS (
           SELECT doc_id, n_chars,
-                 LN((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':res'), 1, 8)) AS UBIGINT)
-                          % 10000 AS DOUBLE) + 0.5) / 10000)
+                 LN((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':res'), 1, 13)) AS UBIGINT)
+                          AS DOUBLE) + 0.5) / 4503599627370496.0)
                  / CAST(n_chars AS DOUBLE) AS k
           FROM documents WHERE n_chars > 0
         )

@@ -271,31 +271,36 @@ def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: posexplode is linear, the aggregation shuffles once on the
     dim key (cardinality = embedding width, so the reduce side is
-    trivially small however large the corpus); the mean runs through a
-    decimal-exact sum. The 1e-6 collapse threshold sits far from any
-    real variance, so the boolean cannot flake on accumulation-order
-    noise in the stddev."""
+    trivially small however large the corpus); mean AND stddev both run
+    through decimal-exact sums (sum x, sum x² — addition associative →
+    bit-identical on any partitioning and engine), with one final
+    double expression sqrt((Σx² − (Σx)²/n)/(n−1)) folded identically by
+    IEEE arithmetic on both sides. A raw double STDDEV_SAMP would be
+    accumulation-order dependent and could flake the 6-dp ROUND."""
     d = _emb(spark, sf_dir).select(
         "vec_id",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
             "dim", "val"
         ),
     )
+    n = F.count(F.lit(1))
+    sum_d = F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+    sum2_d = F.sum(
+        (F.col("val") * F.col("val")).cast("decimal(27,12)")
+    ).cast("double")
+    sd = F.when(
+        n > 1,
+        F.sqrt(F.greatest((sum2_d - sum_d * sum_d / n) / (n - 1), F.lit(0.0))),
+    )
     return (
         d.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n_vals"),
-            F.round(
-                F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("mean_val"),
-            F.round(F.stddev_samp("val"), 6).alias("sd_val"),
+            F.round(sum_d / n, 6).alias("mean_val"),
+            F.round(sd, 6).alias("sd_val"),
             F.round(F.min("val"), 6).alias("min_val"),
             F.round(F.max("val"), 6).alias("max_val"),
-            (F.coalesce(F.stddev_samp("val"), F.lit(0.0)) < 1e-6).alias(
-                "near_constant"
-            ),
+            (F.coalesce(sd, F.lit(0.0)) < 1e-6).alias("near_constant"),
         )
         .select(
             F.col("dim").cast("long").alias("dim"),
@@ -517,10 +522,20 @@ ORACLE_SQL = {
                COUNT(*) AS n_vals,
                ROUND(CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
                      / COUNT(*), 6) AS mean_val,
-               ROUND(STDDEV_SAMP(val), 6) AS sd_val,
+               ROUND(CASE WHEN COUNT(*) > 1 THEN SQRT(GREATEST(
+                 (CAST(SUM(CAST(val * val AS DECIMAL(27,12))) AS DOUBLE)
+                  - CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+                    * CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+                    / COUNT(*))
+                 / (COUNT(*) - 1), 0.0)) END, 6) AS sd_val,
                ROUND(MIN(val), 6) AS min_val,
                ROUND(MAX(val), 6) AS max_val,
-               COALESCE(STDDEV_SAMP(val), 0.0) < 1e-6 AS near_constant
+               COALESCE(CASE WHEN COUNT(*) > 1 THEN SQRT(GREATEST(
+                 (CAST(SUM(CAST(val * val AS DECIMAL(27,12))) AS DOUBLE)
+                  - CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+                    * CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+                    / COUNT(*))
+                 / (COUNT(*) - 1), 0.0)) END, 0.0) < 1e-6 AS near_constant
         FROM x GROUP BY gs
     """,
     "vector_label_cohesion": """
@@ -529,7 +544,9 @@ ORACLE_SQL = {
                  generate_subscripts(embedding, 1) AS gs
           FROM embeddings
         ), cent AS (
-          SELECT label, gs, ROUND(AVG(CAST(val AS DOUBLE)), 6) AS c
+          SELECT label, gs,
+                 ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,12)))
+                            AS DOUBLE) / COUNT(*), 6) AS c
           FROM x GROUP BY label, gs
         ), cvec AS (
           SELECT label, list(c ORDER BY gs) AS cv FROM cent GROUP BY label
@@ -669,7 +686,8 @@ ORACLE_SQL = {
           FROM embeddings
         )
         SELECT label, CAST(gs - 1 AS BIGINT) AS dim,
-               ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid,
+               ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,12)))
+                          AS DOUBLE) / COUNT(*), 6) AS centroid,
                COUNT(*) AS n_vecs
         FROM x GROUP BY label, gs
     """,
@@ -680,7 +698,8 @@ ORACLE_SQL = {
           FROM embeddings
         ), cent AS (
           SELECT label AS c_label, gs,
-                 ROUND(AVG(CAST(val AS DOUBLE)), 6) AS c
+                 ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(27,12)))
+                            AS DOUBLE) / COUNT(*), 6) AS c
           FROM x GROUP BY label, gs
         ), cvec AS (
           SELECT c_label, list(c ORDER BY gs) AS cv FROM cent GROUP BY c_label

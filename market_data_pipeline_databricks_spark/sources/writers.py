@@ -81,6 +81,17 @@ def _null_safe_semi(df: DataFrame, small: DataFrame, cols: list[str]) -> DataFra
     return df.join(F.broadcast(small), cond, "left_semi")
 
 
+def _null_safe_anti(df: DataFrame, small: DataFrame, cols: list[str]) -> DataFrame:
+    """left-anti twin of :func:`_null_safe_semi` — keeps rows with NO
+    null-safe match in ``small`` (so a NULL key CAN be matched and
+    removed)."""
+    cond = None
+    for c in cols:
+        eq = df[c].eqNullSafe(small[c])
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(small), cond, "left_anti")
+
+
 def upsert_by_key(
     spark: SparkSession,
     updates: DataFrame,
@@ -238,6 +249,11 @@ def erase_keys(
     affected partitions' size, never the table's. The audit trail (how
     many rows were erased) comes from partition-local counts of the
     same frames the rewrite uses — no extra full scan.
+
+    Every key comparison here is NULL-SAFE (eqNullSafe), matching the
+    deliberately null-safe partition matching: with plain equality a
+    row whose key columns contain NULL could never be erased — a
+    silent no-op in a right-to-erasure operator (round-4 advice).
     """
     path = _table_path(warehouse_dir, table)
     partition_cols = partition_cols or []
@@ -248,7 +264,7 @@ def erase_keys(
 
     if partition_cols:
         prior = (
-            existing.join(F.broadcast(key_set), key_cols, "left_semi")
+            _null_safe_semi(existing, key_set, key_cols)
             .select(*partition_cols)
             .distinct()
         )
@@ -263,7 +279,7 @@ def erase_keys(
         touched_tuples = None
         affected = existing
 
-    kept = affected.join(F.broadcast(key_set), key_cols, "left_anti")
+    kept = _null_safe_anti(affected, key_set, key_cols)
     removed = affected.count() - kept.count()
     if removed == 0:
         return 0

@@ -155,3 +155,20 @@ def test_upsert_null_partition_key_move(spark, tmp_path):
     back = spark.read.parquet(f"{wh}/t").collect()
     got = sorted((r.user_id, r.symbol, r.v) for r in back)
     assert got == [(1, "AAA", 11), (2, "BBB", 20)]  # no stale NULL row
+
+
+def test_erase_keys_null_key_value(spark, tmp_path):
+    """A NULL in the KEY column itself must be erasable: the key
+    semi/anti joins are null-safe, so right-to-erasure cannot silently
+    no-op on rows with NULL keys (round-4 advice)."""
+    wh = str(tmp_path)
+    rows = [(None, "AAA", 10), (2, "AAA", 20), (3, "BBB", 30)]
+    df = spark.createDataFrame(rows, "user_id long, symbol string, v long")
+    overwrite_table(df, wh, "t", ["symbol"])
+
+    keys = spark.createDataFrame([(None,)], "user_id long")
+    assert erase_keys(spark, wh, "t", keys, ["user_id"], ["symbol"]) == 1
+    back = spark.read.parquet(f"{wh}/t")
+    assert sorted(r.user_id for r in back.collect()) == [2, 3]
+    # idempotent: nothing left to erase
+    assert erase_keys(spark, wh, "t", keys, ["user_id"], ["symbol"]) == 0

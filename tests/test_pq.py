@@ -120,3 +120,73 @@ def test_ivfpq_prunes_and_keeps_recall_vs_plain_pq(spark):
                 assert abs(full_dist[key] - r.adc_dist) < 1e-6
         # the query's own cell is always probed -> self-retrieval holds
         assert qid in {r.neighbor_id for r in rows}
+
+
+def test_pq_train_empty_input_raises_clearly(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        PQ.pq_train(empty, m=4, k=4)
+
+
+def test_pq_train_explicit_dim_skips_probe(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = PQ.pq_train(emb, m=16, k=8, iters=2, dim=64)
+    assert books.shape == (16, 8, 4)
+
+
+def test_ivfpq_one_metric_l2_cells_on_varying_norms(spark):
+    """IVF-PQ must use ONE metric end to end (round-4 advice): a
+    cosine coarse stage assigns a small-norm vector to the cell of its
+    DIRECTION (here the far cluster on the +x axis), pruning its true
+    L2 neighbors near the origin. Corpus: FAR cluster at (100, 0, ...),
+    NEAR cluster at (1, 1, ...), probes at (0.5, 0, ...) — +x direction
+    like FAR, L2-nearest to NEAR. Under metric="l2" the probes must
+    share a cell with NEAR, and end-to-end IVF-PQ top-1 must come from
+    NEAR (cosine cells would return FAR ids)."""
+    import numpy as np
+
+    from market_data_pipeline_databricks_spark.operators.similarity import (
+        assign_ivf_cells,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    rows = []
+    for i in range(30):  # FAR: ids 0-29
+        v = np.zeros(dim); v[0] = 100.0
+        rows.append((i, [float(x) for x in v + rng.randn(dim) * 0.5]))
+    for i in range(30, 60):  # NEAR: ids 30-59
+        v = np.zeros(dim); v[0] = 1.0; v[1] = 1.0
+        rows.append((i, [float(x) for x in v + rng.randn(dim) * 0.1]))
+    for i in range(60, 64):  # probes: ids 60-63, +x direction, tiny norm
+        v = np.zeros(dim); v[0] = 0.5
+        rows.append((i, [float(x) for x in v + rng.randn(dim) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = train_ivf_centroids(emb, n_cells=2, metric="l2")
+    celled = {
+        r.vec_id: r.cells[0]
+        for r in assign_ivf_cells(emb, cents, nprobe=1, metric="l2").select(
+            "vec_id", "cells"
+        ).collect()
+    }
+    near_cell = {celled[i] for i in range(30, 60)}
+    far_cell = {celled[i] for i in range(30)}
+    assert len(near_cell) == 1 and len(far_cell) == 1 and near_cell != far_cell
+    # the +x-direction, tiny-norm probes belong with NEAR under L2
+    # (a cosine coarse stage puts them in FAR's direction cell)
+    assert {celled[i] for i in range(60, 64)} == near_cell
+
+    queries = emb.filter(F.col("vec_id") >= 60)
+    got = PQ.ann_topk_ivfpq(
+        emb, queries, topk=3, n_cells=2, nprobe=1, m=2, k_code=16
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rank, r.neighbor_id))
+    for qid, pairs in by_q.items():
+        top1 = min(pairs)[1]
+        assert 30 <= top1 < 64, (qid, pairs)  # NEAR or a fellow probe

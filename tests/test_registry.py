@@ -13,38 +13,63 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# Oracle-backed queries that had no driver correctness row through
-# round 3 (they landed after that round's window was pinned); the
-# round-4 rotation leads the window with them so every oracle-backed
-# query has held a driver-green row by end of round 4. Their round-3
-# predecessors (stream/analyst/funcs/scale/skew families) all hold
-# green rows in CORRECTNESS_r03.json.
+# The round-5 rotation: the two r4 hash mismatches (oracle integer-SUM
+# casts fixed this round — they must hold a green row) plus 48
+# oracle-backed queries that have never held a driver correctness row
+# (CORRECTNESS_r01-r04 cover 100 of the 180 oracle-backed queries; the
+# round-4 additions below are the backlog). Displaced r4-window names
+# all hold green rows in CORRECTNESS_r04.json.
 PREVIOUSLY_UNCHECKED = [
-    "events_funnel",
-    "events_retention_cohorts",
-    "curate_chunk_corpus",
-    "sample_split_leakage",
-    "text_bigram_vocab",
-    "vector_label_centroids",
-    "vector_label_noise_screen",
-    "vector_quantize_int8",
-    "stream_static_enrich_nation",
-    "funcs_market_beta",
-    "scale_exact_percentiles",
-    "agg_grouping_sets_revenue",
-    "unpivot_part_price_bands",
-    "text_chunk_overlap",
-    "dedup_incremental_batch",
-    "text_tfidf_top_terms",
-    "sample_source_cap",
     "text_corpus_report",
     "sample_domain_mixture",
-    "text_repetition_score",
-    "text_unigram_logprob",
-    # round-4 newcomers rotated straight into the window:
-    "join_full_outer_reconcile",
-    "scale_winsorized_stats",
-    "sample_training_shuffle",
+    "join_q2_min_cost_supplier",
+    "join_q4_order_priority",
+    "join_q5_local_supplier_volume",
+    "agg_q6_forecast_revenue",
+    "join_q7_volume_shipping",
+    "join_q8_market_share",
+    "join_q9_product_type_profit",
+    "join_q10_returned_items",
+    "agg_q11_important_stock",
+    "join_q12_priority_shipping",
+    "agg_q13_customer_distribution",
+    "agg_q14_promo_revenue_pct",
+    "join_q15_top_supplier",
+    "agg_q16_supplier_part_counts",
+    "join_q17_small_quantity_revenue",
+    "join_q18_large_volume",
+    "join_q19_disjunctive_revenue",
+    "join_q20_excess_shipments",
+    "join_q21_waiting_suppliers",
+    "join_q22_idle_balance",
+    "scalar_props_variant",
+    "scalar_props_map_entries",
+    "join_asof_forward_quotes",
+    "join_asof_nearest_quotes",
+    "graph_part_pagerank",
+    "scale_skew_diagnostics",
+    "dedup_representative_survivors",
+    "dedup_component_survivors",
+    "sample_weighted_reservoir",
+    "sample_temperature_mixture",
+    "text_gopher_rules",
+    "text_pii_redaction",
+    "text_exact_decontaminate",
+    "events_markov_transitions",
+    "events_session_stats",
+    "events_ab_test_lift",
+    "events_conversion_survival",
+    "events_cuped_adjustment",
+    "vector_dim_stats",
+    "vector_label_cohesion",
+    "multimodal_image_resize",
+    "quality_k_anonymity",
+    "quality_expectation_suite",
+    "stream_stream_left_outer_attribution",
+    "stream_daily_unique_users",
+    "window_native_session_stats",
+    "window_gapfill_daily_close",
+    "funcs_bollinger_bands",
 ]
 
 

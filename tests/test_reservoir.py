@@ -9,7 +9,6 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from market_data_pipeline_databricks_spark.operators.sampling import (
-    N_BUCKETS,
     weighted_reservoir,
 )
 
@@ -43,6 +42,27 @@ def test_huge_weight_forces_inclusion_and_zero_excludes(spark):
     assert 7 in got and 8 not in got
 
 
+def test_key_granularity_no_ties_on_equal_weights(spark):
+    """The A-ES key must not collide within a weight class: the old
+    10⁴-bucket u gave ~1e-4 granularity, so equal-weight rows shared
+    identical keys and the deterministic id tie-break biased the draw
+    toward low ids (round-4 advice). With 52-bit uniforms, 20k
+    equal-weight rows produce 20k distinct keys (collision probability
+    ~4e-8) and the selected set is not an id prefix."""
+    d = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("w")
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":res")))
+    u = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("long").cast("double")
+        + 0.5
+    ) / float(1 << 52)
+    keys = d.select((F.log(u) / F.col("w")).alias("k"))
+    assert keys.distinct().count() == 20_000
+    got = {r.doc_id for r in weighted_reservoir(d, "doc_id", "w", 50).collect()}
+    assert got != set(range(50))  # not the lowest-id prefix
+
+
 def test_pick_frequency_tracks_weights(spark):
     """k=1 over weights 1,1,2,4: P(pick row i) = w_i/8 exactly (A-ES
     with k=1 reduces to a weighted argmax). 400 seeds in one job."""
@@ -53,15 +73,17 @@ def test_pick_frequency_tracks_weights(spark):
         F.concat(F.lit("s"), F.col("id").cast("string")).alias("seed")
     )
     crossed = rows.crossJoin(seeds)
-    # inline the key with a per-row seed (hash_bucket takes a literal
-    # seed, so rebuild its expression with the seed COLUMN)
+    # inline the key with a per-row seed (weighted_reservoir takes a
+    # literal seed, so rebuild its 52-bit-u expression with the seed
+    # COLUMN)
     h = F.md5(
         F.concat(F.col("id").cast("string"), F.lit(":"), F.col("seed"))
     )
-    bucket = (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_BUCKETS
-    ).cast("int")
-    key = F.log((bucket.cast("double") + 0.5) / N_BUCKETS) / F.col("w")
+    u = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("long").cast("double")
+        + 0.5
+    ) / float(1 << 52)
+    key = F.log(u) / F.col("w")
     w = Window.partitionBy("seed").orderBy(F.desc("_k"), F.asc("id"))
     winners = (
         crossed.withColumn("_k", key)

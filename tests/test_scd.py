@@ -134,3 +134,22 @@ def test_scd2_point_in_time_join(spark):
     assert out["boundary_goes_to_new"].score == 12.5
     assert out["open_version"].score == 12.5
     assert out["other_key"].score == 7.0
+
+
+def test_scd2_apply_null_effective_date_fails_fast(spark):
+    """An update row with a NULL effective date is INVALID INPUT, not
+    'key absent from batch': with the old effective-IS-NOT-NULL
+    presence probe its attribute changes were silently dropped
+    (round-4 advice). The presence marker classifies it as an update,
+    and the lazy raise_error surfaces it at execution."""
+    import pytest
+
+    from market_data_pipeline_databricks_spark.operators.scd import scd2_apply
+
+    bad = spark.createDataFrame(
+        [(2, "globex-changed", 99.0, None)],
+        "k int, name string, score double, effective_date date",
+    )
+    out = scd2_apply(_dim(spark), bad, ["k"], ["name", "score"])
+    with pytest.raises(Exception, match="NULL effective_date"):
+        out.collect()

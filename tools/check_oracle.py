@@ -74,12 +74,26 @@ def main() -> int:
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
+            otypes = con.execute(f"DESCRIBE ({sql})").fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
 
         problems = []
+        # The driver's value hash is type-encoding sensitive where this
+        # checker's string-normalize is not: DuckDB widens integer SUM to
+        # HUGEINT (int128) which Spark cannot produce — that exact class
+        # caused the only r4 driver failures. Flag it as a hard failure.
+        wide = [
+            f"{c}:{t}"
+            for c, t, *_ in otypes
+            if "HUGEINT" in t.upper() or "UBIGINT" in t.upper()
+        ]
+        if wide:
+            problems.append(
+                f"oracle emits 128-bit/unsigned ints (cast to BIGINT): {wide}"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
