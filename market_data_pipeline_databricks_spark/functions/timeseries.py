@@ -83,3 +83,50 @@ def macd(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(compute, schema=out_schema)
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    slack: float = 0.02,
+    out_pos: str = "cusum_pos",
+    out_neg: str = "cusum_neg",
+) -> DataFrame:
+    """Two-sided CUSUM drift statistic per key over an ordered series:
+
+    ``s+[t] = max(0, s+[t-1] + x[t] - slack)`` (starts at 0)
+    ``s-[t] = min(0, s-[t-1] + x[t] + slack)``
+
+    The sequential change-point statistic (Page 1954) — accumulates
+    sustained drift above/below the slack band while forgetting noise
+    that mean-reverts inside it. A recursion with a max/min clamp, so
+    no window frame expresses it — same grouped-map surface as
+    :func:`ewma`/:func:`macd`, one shuffle on the key. The per-row
+    Python loop is bounded by the per-key series length (days per
+    instrument), not the corpus.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 — imported for the worker closure
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_pos} double, {out_neg} double"
+
+    def compute(pdf):
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value_col].to_numpy(dtype=float)
+        sp = np.empty(len(x))
+        sn = np.empty(len(x))
+        p = n = 0.0
+        for i, v in enumerate(x):
+            p = max(0.0, p + v - slack)
+            n = min(0.0, n + v + slack)
+            sp[i] = p
+            sn[i] = n
+        pdf[out_pos] = sp
+        pdf[out_neg] = sn
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(compute, schema=out_schema)

@@ -167,3 +167,36 @@ def training_shuffle(
     return tagged.withColumn(
         "pos", F.row_number().over(w).cast("long")
     ).drop("__k__")
+
+
+def stratified_weighted_reservoir(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    stratum_col: str,
+    k: int,
+    seed: str = "res",
+) -> DataFrame:
+    """Exact-k weighted sample WITHOUT replacement PER STRATUM — the
+    per-source curation budget ("best 1M docs from EACH source,
+    weighted by quality") that the global reservoir cannot express. Same A-ES
+    key as :func:`weighted_reservoir` (52-bit content-addressed u), but
+    selection is a ROW_NUMBER over the stratum partition instead of a
+    global TakeOrdered: one shuffle on the stratum key, per-partition
+    top-k state, no global sort. Strata with fewer than ``k`` positive-
+    weight rows keep everything (standard stratified semantics)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.lit(seed)))
+    u = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("long").cast("double") + 0.5
+    ) / float(1 << 52)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc("_res_key"), F.asc(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_res_key", key)
+        .withColumn("_res_rn", F.row_number().over(w))
+        .filter(F.col("_res_rn") <= k)
+        .drop("_res_key", "_res_rn")
+    )

@@ -917,3 +917,81 @@ ORACLE_SQL = {
         SELECT suppkey, day, close, ROUND(ewma, 6) AS ewma_close FROM rec
     """,
 }
+
+
+def funcs_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector per key over daily returns
+    (functions/timeseries.py:cusum, Page 1954): s+ accumulates
+    sustained upward drift beyond a 2% slack band, s- downward;
+    an alarm fires when either statistic escapes ±10%. A clamped
+    recursion no window frame expresses — the third resident of the
+    grouped-map surface beside EWMA and MACD, one suppkey shuffle.
+    Oracle: DuckDB replays the identical GREATEST/LEAST recursion as a
+    recursive CTE (funcs_macd precedent), so the 6-dp values derive
+    from matching bits."""
+    from market_data_pipeline_databricks_spark.functions.timeseries import (
+        cusum,
+    )
+
+    daily = _daily(spark, sf_dir).select("suppkey", "day", "close")
+    w = Window.partitionBy("suppkey").orderBy("day")
+    r = (
+        daily.withColumn(
+            "ret", F.col("close") / F.lag("close").over(w) - 1
+        )
+        .filter(F.col("ret").isNotNull())
+        .select("suppkey", "day", "ret")
+    )
+    out = cusum(r, ["suppkey"], "day", "ret", slack=0.02)
+    return out.select(
+        "suppkey",
+        "day",
+        F.round("ret", 6).alias("ret"),
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        (
+            (F.col("cusum_pos") > 0.1) | (F.col("cusum_neg") < -0.1)
+        ).alias("drift_alarm"),
+    )
+
+
+QUERIES.update({"funcs_cusum_drift": funcs_cusum_drift})
+
+ORACLE_SQL.update(
+    {
+        "funcs_cusum_drift": """
+            WITH RECURSIVE daily AS (
+              SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+                     MAX(l_extendedprice) AS close
+              FROM lineitem GROUP BY 1, 2
+            ),
+            r0 AS (
+              SELECT suppkey, day,
+                     close / LAG(close) OVER (PARTITION BY suppkey ORDER BY day) - 1 AS ret
+              FROM daily
+            ),
+            r AS (
+              SELECT suppkey, day, ret,
+                     ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY day) AS rn
+              FROM r0 WHERE ret IS NOT NULL
+            ),
+            rec AS (
+              SELECT suppkey, day, ret, rn,
+                     GREATEST(0.0, 0.0 + ret - 0.02) AS sp,
+                     LEAST(0.0, 0.0 + ret + 0.02) AS sn
+              FROM r WHERE rn = 1
+              UNION ALL
+              SELECT o.suppkey, o.day, o.ret, o.rn,
+                     GREATEST(0.0, rec.sp + o.ret - 0.02),
+                     LEAST(0.0, rec.sn + o.ret + 0.02)
+              FROM rec JOIN r o
+                ON o.suppkey = rec.suppkey AND o.rn = rec.rn + 1
+            )
+            SELECT suppkey, day, ROUND(ret, 6) AS ret,
+                   ROUND(sp, 6) AS cusum_pos,
+                   ROUND(sn, 6) AS cusum_neg,
+                   (sp > 0.1 OR sn < -0.1) AS drift_alarm
+            FROM rec
+        """,
+    }
+)

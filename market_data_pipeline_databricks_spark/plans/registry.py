@@ -185,6 +185,8 @@ def _extension_modules():
         "feature_ops",
         "scale_ops",
         "graph_ops",
+        "er_ops",
+        "warehouse_ops",
     ):
         try:
             mods.append(

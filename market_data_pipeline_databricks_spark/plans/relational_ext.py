@@ -1871,3 +1871,193 @@ ORACLE_SQL = {
         ORDER BY s_name ASC
     """,
 }
+
+
+def agg_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the standard BI trend
+    readout: yearly decimal-exact revenue per nation, then LAG over the
+    AGGREGATE for the growth ratio. The window runs over |nations| ×
+    |years| rows (the classic mistake this query demonstrates against
+    is lagging the fact table); one star-join + one (nation, year)
+    exchange at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    yearly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(_dsum(F.col("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "n_name",
+        "order_year",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(
+            F.when(prev > 0, F.col("revenue") / prev - 1), 6
+        ).alias("yoy_growth"),
+    )
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: each order carries a validity
+    interval [orderdate, orderdate + 1 + orderkey%7 days]; emit pairs
+    of the SAME customer whose intervals overlap — the temporal-join
+    shape behind policy/session/booking overlap checks.
+
+    Scale: equi-join on custkey co-locates each customer's orders (per
+    customer bounded), the interval predicate evaluates at the probe —
+    no range shuffle, no cross join. For uncorrelated interval sets
+    (no equi-key) the binned form in scale_ops is the template."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("start_d"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.lit(1) + F.col("o_orderkey") % 7).cast("int"),
+        ).alias("end_d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.start_d") <= F.col("b.end_d"))
+        & (F.col("b.start_d") <= F.col("a.end_d")),
+    )
+    overlap = (
+        F.datediff(
+            F.least(F.col("a.end_d"), F.col("b.end_d")),
+            F.greatest(F.col("a.start_d"), F.col("b.start_d")),
+        )
+        + 1
+    )
+    return pairs.select(
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_orderkey").alias("orderkey_a"),
+        F.col("b.o_orderkey").alias("orderkey_b"),
+        overlap.cast("long").alias("overlap_days"),
+    )
+
+
+def quality_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation — the audit every warehouse
+    runs after a load: recompute each order's total from its line items
+    (extendedprice × (1−discount) × (1+tax), decimal-exact sum) and
+    report, per order status, how many orders match the recorded
+    o_totalprice within a cent, plus the gap distribution. One
+    orderkey shuffle collapses lineitem; the orders probe broadcasts
+    nothing — it joins on the aggregate's own key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    recomputed = li.groupBy("l_orderkey").agg(
+        _dsum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            6,
+        ).alias("line_total")
+    )
+    j = o.join(
+        recomputed, o.o_orderkey == recomputed.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        "o_totalprice",
+        "line_total",
+        F.round(
+            F.abs(F.col("o_totalprice") - F.col("line_total")), 2
+        ).alias("abs_gap"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("line_total").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_no_lineitems"),
+        F.sum(F.when(F.col("abs_gap") <= 0.01, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        F.round(_dsum(F.coalesce(F.col("abs_gap"), F.lit(0.0)), 2), 2).alias(
+            "total_abs_gap"
+        ),
+    )
+
+
+QUERIES.update(
+    {
+        "agg_yoy_revenue_growth": agg_yoy_revenue_growth,
+        "join_interval_overlap": join_interval_overlap,
+        "quality_order_total_reconciliation": quality_order_total_reconciliation,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "agg_yoy_revenue_growth": """
+            WITH yearly AS (
+              SELECT n_name,
+                     CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2
+            )
+            SELECT n_name, order_year,
+                   ROUND(revenue, 2) AS revenue,
+                   ROUND(CASE WHEN LAG(revenue) OVER w > 0
+                              THEN revenue / LAG(revenue) OVER w - 1
+                         END, 6) AS yoy_growth
+            FROM yearly
+            WINDOW w AS (PARTITION BY n_name ORDER BY order_year)
+        """,
+        "join_interval_overlap": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(o_orderdate AS DATE) AS start_d,
+                     CAST(o_orderdate AS DATE)
+                       + TO_DAYS(CAST(1 + o_orderkey % 7 AS INT)) AS end_d
+              FROM orders
+            )
+            SELECT a.o_custkey AS custkey,
+                   a.o_orderkey AS orderkey_a,
+                   b.o_orderkey AS orderkey_b,
+                   CAST(date_diff('day',
+                                  GREATEST(a.start_d, b.start_d),
+                                  LEAST(a.end_d, b.end_d)) + 1
+                        AS BIGINT) AS overlap_days
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND a.start_d <= b.end_d
+             AND b.start_d <= a.end_d
+        """,
+        "quality_order_total_reconciliation": """
+            WITH recomputed AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                   AS DECIMAL(27,6))) AS DOUBLE) AS line_total
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            j AS (
+              SELECT o_orderstatus, o_totalprice, line_total,
+                     ROUND(ABS(o_totalprice - line_total), 2) AS abs_gap
+              FROM orders LEFT JOIN recomputed ON o_orderkey = l_orderkey
+            )
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_no_lineitems,
+                   CAST(SUM(CASE WHEN abs_gap <= 0.01 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_reconciled,
+                   ROUND(CAST(SUM(CAST(COALESCE(abs_gap, 0.0) AS DECIMAL(27,2)))
+                              AS DOUBLE), 2) AS total_abs_gap
+            FROM j GROUP BY o_orderstatus
+        """,
+    }
+)

@@ -3095,3 +3095,238 @@ ORACLE_SQL["dedup_component_size_histogram"] = f"""
     )
     GROUP BY size
 """
+
+
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix — the accuracy
+    readout for the heuristic lang-ID against the corpus's own labels,
+    with per-declared-language recall share. Single scan, one
+    aggregate over an O(langs²) grid, a bounded window for the share
+    denominator."""
+    from pyspark.sql import Window
+
+    enr = TX.with_text_stats(_docs(spark, sf_dir)).select("lang", "lang_pred")
+    grid = enr.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return grid.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("share_of_declared"),
+    )
+
+
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, hours from first view
+    to first purchase at-or-after it, rolled up per first-touch cohort
+    day — the latency companion to events_funnel (that query counts
+    WHO converts; this one measures HOW LONG conversion takes).
+
+    Deltas are integer microseconds (exact on both engines); the
+    percentile interpolates over those integers (sort-based, engine-
+    deterministic) and only the final division to hours rounds. One
+    user_id shuffle serves both window passes and the collapse; the
+    cohort rollup aggregates O(users) rows."""
+    from pyspark.sql import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    w = Window.partitionBy("user_id")
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .withColumn("t_first", F.min("ts").over(w))
+        .withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+    )
+    ev = ev.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("t_first").alias("t_first"),
+            F.min("t_view").alias("t_view"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
+        .filter(F.col("t_view").isNotNull() & F.col("t_purchase").isNotNull())
+        .select(
+            F.date_trunc("day", "t_first").cast("date").alias("cohort_day"),
+            (
+                F.unix_micros("t_purchase") - F.unix_micros("t_view")
+            ).alias("us_to_convert"),
+        )
+    )
+    return per_user.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(
+            F.expr("percentile(us_to_convert, 0.5)") / 3.6e9, 6
+        ).alias("p50_hours"),
+        F.round(
+            F.expr("percentile(us_to_convert, 0.9)") / 3.6e9, 6
+        ).alias("p90_hours"),
+    )
+
+
+def sample_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-20 weighted sample PER SOURCE (weight = n_chars) — the
+    per-stratum curation budget, via
+    operators/sampling.py:stratified_weighted_reservoir (A-ES key,
+    ROW_NUMBER over the stratum). One shuffle on the stratum key; the
+    oracle recomputes the identical 52-bit keys and must select the
+    same rows."""
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        stratified_weighted_reservoir,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return stratified_weighted_reservoir(
+        docs, "doc_id", "n_chars", "source", 20, seed="res"
+    )
+
+
+QUERIES.update(
+    {
+        "text_lang_confusion_matrix": text_lang_confusion_matrix,
+        "events_funnel_time_to_convert": events_funnel_time_to_convert,
+        "sample_stratified_reservoir": sample_stratified_reservoir,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "text_lang_confusion_matrix": _NORM + """
+        , enr AS (
+          SELECT d.lang,
+                 CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) AND s_en >= 1 THEN 'en'
+                      WHEN s_de >= GREATEST(s_fr, s_es) AND s_de >= 1 THEN 'de'
+                      WHEN s_fr >= s_es AND s_fr >= 1 THEN 'fr'
+                      WHEN s_es >= 1 THEN 'es'
+                      ELSE 'und' END AS lang_pred
+          FROM (
+            SELECT doc_id,
+                   len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS s_en,
+                   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+                   len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+                   len(list_filter(toks, t -> t IN ('el','la','los','y','es','un'))) AS s_es
+            FROM tok
+          ) s JOIN documents d ON d.doc_id = s.doc_id
+        ),
+        grid AS (
+          SELECT lang, lang_pred, COUNT(*) AS n_docs
+          FROM enr GROUP BY 1, 2
+        )
+        SELECT lang, lang_pred, n_docs,
+               ROUND(CAST(n_docs AS DOUBLE)
+                     / SUM(n_docs) OVER (PARTITION BY lang), 6)
+                 AS share_of_declared
+        FROM grid
+    """,
+        "events_funnel_time_to_convert": """
+        WITH ev AS (
+          SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 MIN(CAST(ts AS TIMESTAMP)) OVER w AS t_first,
+                 MIN(CASE WHEN event_type = 'view'
+                          THEN CAST(ts AS TIMESTAMP) END) OVER w AS t_view
+          FROM events
+          WINDOW w AS (PARTITION BY user_id)
+        ),
+        ev2 AS (
+          SELECT *,
+                 MIN(CASE WHEN event_type = 'purchase' AND ts >= t_view
+                          THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_purchase
+          FROM ev
+        ),
+        per_user AS (
+          SELECT CAST(date_trunc('day', MIN(t_first)) AS DATE) AS cohort_day,
+                 epoch_us(MIN(t_purchase)) - epoch_us(MIN(t_view)) AS us_to_convert
+          FROM ev2
+          GROUP BY user_id
+          HAVING MIN(t_view) IS NOT NULL AND MIN(t_purchase) IS NOT NULL
+        )
+        SELECT cohort_day,
+               COUNT(*) AS n_converters,
+               ROUND(quantile_cont(us_to_convert, 0.5) / 3.6e9, 6) AS p50_hours,
+               ROUND(quantile_cont(us_to_convert, 0.9) / 3.6e9, 6) AS p90_hours
+        FROM per_user GROUP BY cohort_day
+    """,
+        "sample_stratified_reservoir": """
+        WITH t AS (
+          SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY
+                     LN((CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':res'), 1, 13)) AS UBIGINT)
+                              AS DOUBLE) + 0.5) / 4503599627370496.0)
+                     / CAST(n_chars AS DOUBLE) DESC,
+                     doc_id ASC
+                 ) AS rn
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, source, n_chars FROM t WHERE rn <= 20
+    """,
+    }
+)
+
+
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users and cumulative reach — running DISTINCT users
+    without a distinct-over-window (which Spark rightly refuses):
+    collapse each user to their first-seen day (one user_id shuffle),
+    count per day, then a window cumsum over the O(days) series — the
+    same bounded-global-window pattern as window_rolling_range_avg."""
+    from pyspark.sql import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    first_seen = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cumulative_reach"),
+    )
+
+
+QUERIES.update({"events_cumulative_reach": events_cumulative_reach})
+
+ORACLE_SQL.update(
+    {
+        "events_cumulative_reach": """
+        WITH first_seen AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id
+        ),
+        daily AS (
+          SELECT first_day AS day, COUNT(*) AS n_new_users
+          FROM first_seen GROUP BY first_day
+        )
+        SELECT day, n_new_users,
+               CAST(SUM(n_new_users) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumulative_reach
+        FROM daily
+    """,
+    }
+)

@@ -1,0 +1,231 @@
+"""Warehouse-maintenance operators as driver queries.
+
+SCD2, CDC and incremental-rollup maintenance are pytest-covered
+operators (operators/scd.py, operators/cdc.py,
+operators/incremental.py); these queries drive each over the shipped
+testdata with DETERMINISTIC synthetic mutations, so the driver's
+oracle gate also holds a green row for the maintenance family — the
+oracle reconstructs the same merge/diff/combine in plain SQL.
+
+The synthetic second snapshot is derived from supplier: keys
+divisible by 3 get +100.00 balance (an UPDATE), keys divisible by 7
+are dropped (a DELETE for the CDC diff; SCD treats absence as
+"untouched"), and 5 fresh keys appear (INSERTs). All arithmetic is
+DECIMAL(12,2) so both engines fold identical bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _snap1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").cast("decimal(12,2)").alias("balance"),
+    )
+
+
+def _snap2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1 = _snap1(spark, sf_dir)
+    mutated = s1.filter(F.col("suppkey") % 7 != 0).select(
+        "suppkey",
+        "name",
+        F.when(
+            F.col("suppkey") % 3 == 0,
+            (F.col("balance") + F.lit(100.00).cast("decimal(12,2)")).cast(
+                "decimal(12,2)"
+            ),
+        )
+        .otherwise(F.col("balance"))
+        .alias("balance"),
+    )
+    mx = s1.agg(F.max("suppkey")).first()[0]
+    fresh = spark.range(1, 6).select(
+        (F.col("id") + F.lit(mx)).alias("suppkey"),
+        F.concat(F.lit("newsupplier#"), F.col("id").cast("string")).alias(
+            "name"
+        ),
+        F.lit(1000.00).cast("decimal(12,2)").alias("balance"),
+    )
+    return mutated.unionByName(fresh)
+
+
+def scd2_supplier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 merge driven end-to-end (operators/scd.py:scd2_apply):
+    snapshot 1 opens every supplier on 2025-01-01; the mutated snapshot
+    applies on 2025-06-01. Changed keys close + reopen, unchanged and
+    absent keys pass through, fresh keys open — the full Type-2 matrix
+    over real testdata. Single join + explode plan (no union re-scan);
+    the oracle reconstructs the identical version set in plain SQL."""
+    from market_data_pipeline_databricks_spark.operators.scd import scd2_apply
+
+    dim = _snap1(spark, sf_dir).select(
+        "suppkey",
+        "name",
+        "balance",
+        F.lit("2025-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = _snap2(spark, sf_dir).withColumn(
+        "effective_date", F.lit("2025-06-01").cast("date")
+    )
+    out = scd2_apply(dim, updates, ["suppkey"], ["name", "balance"])
+    return out.select(
+        "suppkey",
+        "name",
+        F.col("balance").cast("double").alias("balance"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+def cdc_supplier_balance_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change emission (operators/cdc.py:snapshot_diff): diff the
+    two supplier snapshots into insert/update/delete rows with before/
+    after values — the change feed a downstream consumer applies. One
+    full-outer join on the key; emission is a CASE over the presence
+    markers."""
+    from market_data_pipeline_databricks_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    out = snapshot_diff(
+        _snap1(spark, sf_dir),
+        _snap2(spark, sf_dir),
+        ["suppkey"],
+        ["name", "balance"],
+    )
+    return out.select(
+        "suppkey",
+        F.col("_op").alias("change_type"),
+        "name",
+        F.col("balance").cast("double").alias("balance"),
+    )
+
+
+def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance driven end-to-end
+    (operators/incremental.py): partial revenue rollups built per
+    order-month SPLIT (first half vs second half of the date range)
+    and merged must equal the full rollup — emitted as the merged
+    rollup itself (per nation: order count, decimal-exact revenue),
+    which the oracle recomputes directly from the facts. Proves the
+    mergeable-partial contract on real data, not a crafted fixture."""
+    from market_data_pipeline_databricks_spark.operators.incremental import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "o_orderdate", "o_totalprice")
+    )
+    cut = F.lit("1996-07-01").cast("date")
+    part1 = partial_rollup(
+        base.filter(F.col("o_orderdate") < cut), ["n_name"], ["o_totalprice"]
+    )
+    part2 = partial_rollup(
+        base.filter(F.col("o_orderdate") >= cut), ["n_name"], ["o_totalprice"]
+    )
+    merged = merge_rollups([part1, part2], ["n_name"], ["o_totalprice"])
+    return merged.select(
+        "n_name",
+        F.col("n_rows").alias("n_orders"),
+        F.round(F.col("o_totalprice_sum").cast("double"), 2).alias("revenue"),
+    )
+
+
+QUERIES = {
+    "scd2_supplier_history": scd2_supplier_history,
+    "cdc_supplier_balance_diff": cdc_supplier_balance_diff,
+    "incremental_rollup_equivalence": incremental_rollup_equivalence,
+}
+
+_SNAPS_CTE = """
+WITH snap1 AS (
+  SELECT s_suppkey AS suppkey, s_name AS name,
+         CAST(s_acctbal AS DECIMAL(12,2)) AS balance
+  FROM supplier
+),
+snap2 AS (
+  SELECT suppkey, name,
+         CASE WHEN suppkey % 3 = 0
+              THEN CAST(balance + CAST(100.00 AS DECIMAL(12,2)) AS DECIMAL(12,2))
+              ELSE balance END AS balance
+  FROM snap1 WHERE suppkey % 7 <> 0
+  UNION ALL
+  SELECT (SELECT MAX(suppkey) FROM snap1) + r.range AS suppkey,
+         'newsupplier#' || CAST(r.range AS VARCHAR) AS name,
+         CAST(1000.00 AS DECIMAL(12,2)) AS balance
+  FROM range(1, 6) r
+)
+"""
+
+ORACLE_SQL = {
+    "scd2_supplier_history": _SNAPS_CTE + """
+        , joined AS (
+          SELECT COALESCE(a.suppkey, b.suppkey) AS suppkey,
+                 a.name AS name1, a.balance AS bal1,
+                 b.name AS name2, b.balance AS bal2,
+                 a.suppkey IS NOT NULL AS in1,
+                 b.suppkey IS NOT NULL AS in2
+          FROM snap1 a FULL OUTER JOIN snap2 b ON a.suppkey = b.suppkey
+        )
+        SELECT suppkey, name1 AS name, CAST(bal1 AS DOUBLE) AS balance,
+               DATE '2025-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM joined
+        WHERE in1 AND (NOT in2 OR (name1 = name2 AND bal1 = bal2))
+        UNION ALL
+        SELECT suppkey, name1, CAST(bal1 AS DOUBLE),
+               DATE '2025-01-01', DATE '2025-06-01', FALSE
+        FROM joined
+        WHERE in1 AND in2 AND (name1 <> name2 OR bal1 <> bal2)
+        UNION ALL
+        SELECT suppkey, name2, CAST(bal2 AS DOUBLE),
+               DATE '2025-06-01', CAST(NULL AS DATE), TRUE
+        FROM joined
+        WHERE in2 AND (NOT in1 OR (name1 <> name2 OR bal1 <> bal2))
+    """,
+    "cdc_supplier_balance_diff": _SNAPS_CTE + """
+        , joined AS (
+          SELECT COALESCE(a.suppkey, b.suppkey) AS suppkey,
+                 a.name AS name1, a.balance AS bal1,
+                 b.name AS name2, b.balance AS bal2,
+                 a.suppkey IS NOT NULL AS in1,
+                 b.suppkey IS NOT NULL AS in2
+          FROM snap1 a FULL OUTER JOIN snap2 b ON a.suppkey = b.suppkey
+        )
+        SELECT suppkey,
+               CASE WHEN in1 AND NOT in2 THEN 'delete'
+                    WHEN in2 AND NOT in1 THEN 'insert'
+                    ELSE 'update' END AS change_type,
+               CASE WHEN in2 THEN name2 ELSE name1 END AS name,
+               CAST(CASE WHEN in2 THEN bal2 ELSE bal1 END AS DOUBLE) AS balance
+        FROM joined
+        WHERE NOT (in1 AND in2 AND name1 = name2 AND bal1 = bal2)
+    """,
+    "incremental_rollup_equivalence": """
+        SELECT n_name,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE), 2)
+                 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+}

@@ -37,6 +37,7 @@ EAGER = {
 PANDAS_OK = {
     "funcs_ewma_close",
     "funcs_macd",
+    "funcs_cusum_drift",  # clamped recursion — grouped-map by design
     "multimodal_frame_sample",
     "multimodal_feature_extract",
     "multimodal_wav_roundtrip",

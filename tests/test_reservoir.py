@@ -96,3 +96,27 @@ def test_pick_frequency_tracks_weights(spark):
     want = {1: 1 / 8, 2: 1 / 8, 3: 2 / 8, 4: 4 / 8}
     for i, p in want.items():
         assert abs(freq.get(i, 0.0) - p) < 0.07, (i, freq)
+
+
+def test_stratified_reservoir_exact_k_per_stratum(spark):
+    from market_data_pipeline_databricks_spark.operators.sampling import (
+        stratified_weighted_reservoir,
+    )
+
+    d = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", F.col("n_chars").cast("double").alias("w"))
+    out = stratified_weighted_reservoir(d, "doc_id", "w", "source", 5)
+    per = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r.source: r.n for r in d.filter(F.col("w") > 0).groupBy(
+        "source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {s: min(5, n) for s, n in avail.items()}
+    # partitioning invariance (content-addressed keys)
+    again = {
+        r.doc_id
+        for r in stratified_weighted_reservoir(
+            d.repartition(13), "doc_id", "w", "source", 5
+        ).collect()
+    }
+    assert again == {r.doc_id for r in out.collect()}
