@@ -197,3 +197,144 @@ ORACLE_SQL = {
         FROM orders GROUP BY 1
     """,
 }
+
+
+def nested_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data round trip: pack each customer's orders into a
+    SORTED array<struct<orderkey, totalprice>> (the denormalized shape
+    a document store / feature store serves), then compute from the
+    NESTED representation alone — count via cardinality, revenue via a
+    higher-order ``aggregate`` fold over the structs, first/last order
+    ids via element_at — proving the pack/compute path without
+    re-exploding. One custkey shuffle builds the nest; everything
+    downstream is per-row array algebra inside codegen.
+
+    The fold accumulates DECIMAL(27,2) (exact, order-independent —
+    though the array is sorted anyway) so the 2-dp output matches the
+    oracle's list_aggregate sum bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    nested = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_orderkey").alias("orderkey"),
+                        F.col("o_totalprice").alias("totalprice"),
+                    )
+                )
+            ).alias("orders")
+        )
+    )
+    revenue = F.aggregate(
+        "orders",
+        F.lit(0).cast("decimal(27,2)"),
+        lambda acc, x: (acc + x["totalprice"].cast("decimal(27,2)")).cast(
+            "decimal(27,2)"
+        ),
+    ).cast("double")
+    return nested.select(
+        "custkey",
+        F.size("orders").cast("long").alias("n_orders"),
+        F.element_at("orders", 1)["orderkey"].alias("first_orderkey"),
+        F.element_at("orders", -1)["orderkey"].alias("last_orderkey"),
+        F.round(revenue, 2).alias("revenue"),
+    )
+
+
+QUERIES.update({"nested_orders_rollup": nested_orders_rollup})
+
+ORACLE_SQL.update(
+    {
+        "nested_orders_rollup": """
+        WITH nested AS (
+          SELECT o_custkey AS custkey,
+                 list(struct_pack(orderkey := o_orderkey,
+                                  totalprice := o_totalprice)
+                      ORDER BY o_orderkey) AS orders
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT custkey,
+               CAST(len(orders) AS BIGINT) AS n_orders,
+               orders[1].orderkey AS first_orderkey,
+               orders[-1].orderkey AS last_orderkey,
+               ROUND(CAST(list_sum(
+                 list_transform(orders,
+                                x -> CAST(x.totalprice AS DECIMAL(27,2))))
+                 AS DOUBLE), 2) AS revenue
+        FROM nested
+    """,
+    }
+)
+
+
+def source_synthetic_ticks_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars computed from the CUSTOM PYTHON DATA SOURCE
+    (sources/pydatasource.py, the Spark 4 ``pyspark.sql.datasource``
+    API) — proving a user-defined source feeds the normal engine path
+    AND is oracle-checkable: the source's row synthesis is pure md5
+    arithmetic with floor-truncation, so the DuckDB twin regenerates
+    the identical ticks from range() and aggregates them identically.
+    ``sf_dir`` is unused by design (the source IS the data). Open and
+    close use min_by/max_by on seq — no window needed."""
+    from market_data_pipeline_databricks_spark.sources.pydatasource import (
+        SyntheticTicksDataSource,
+    )
+
+    spark.dataSource.register(SyntheticTicksDataSource)
+    df = (
+        spark.read.format("synthetic_ticks")
+        .option("symbols", "AAA,BBB,CCC")
+        .option("days", "5")
+        .option("ticks_per_day", "40")
+        .load()
+    )
+    return df.groupBy("symbol", "day").agg(
+        F.expr("min_by(price, seq)").alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.expr("max_by(price, seq)").alias("close"),
+        F.sum("volume").cast("long").alias("volume"),
+    )
+
+
+QUERIES.update({"source_synthetic_ticks_ohlc": source_synthetic_ticks_ohlc})
+
+ORACLE_SQL.update(
+    {
+        # regenerate the source's exact rows: u = first 13 hex chars of
+        # md5('<sym>:<day>:<seq>:<salt>') / 2^52; price/volume via the
+        # same floor-truncated IEEE expressions as day_rows()
+        "source_synthetic_ticks_ohlc": """
+        WITH syms AS (
+          SELECT UNNEST(['AAA', 'BBB', 'CCC']) AS symbol
+        ),
+        grid AS (
+          SELECT symbol, d.range AS day, s.range AS seq
+          FROM syms, range(5) d, range(40) s
+        ),
+        ticks AS (
+          SELECT symbol,
+                 CAST(DATE '2025-01-01' + TO_DAYS(CAST(day AS INT)) AS DATE) AS day,
+                 seq,
+                 FLOOR((
+                   50.0
+                   + CAST(('0x' || substring(md5(symbol), 1, 6)) AS BIGINT) % 1000
+                   + day * 0.25
+                   + (CAST(CAST(('0x' || substring(md5(symbol || ':' || day || ':' || seq || ':p'), 1, 13)) AS UBIGINT) AS DOUBLE) / 4503599627370496.0 - 0.5) * 2.0
+                 ) * 1e4) / 1e4 AS price,
+                 100 + CAST(FLOOR(
+                   CAST(CAST(('0x' || substring(md5(symbol || ':' || day || ':' || seq || ':v'), 1, 13)) AS UBIGINT) AS DOUBLE) / 4503599627370496.0 * 900
+                 ) AS BIGINT) AS volume
+          FROM grid
+        )
+        SELECT symbol, day,
+               min_by(price, seq) AS open,
+               MAX(price) AS high,
+               MIN(price) AS low,
+               max_by(price, seq) AS close,
+               CAST(SUM(volume) AS BIGINT) AS volume
+        FROM ticks GROUP BY symbol, day
+    """,
+    }
+)

@@ -137,7 +137,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dedup_component_size_histogram, quality_benford_screen /
     # quality_mad_outliers, agg_customer_rfm_segments /
     # join_lateral_top_orders / agg_revenue_share /
-    # agg_segment_value_quantiles, and vector_truncation_fidelity.
+    # agg_segment_value_quantiles, and vector_truncation_fidelity —
+    # plus the round-5 additions landed after this window was pinned:
+    # er_blocked_match_pairs / er_resolved_entities, funcs_cusum_drift,
+    # scd2_supplier_history / cdc_supplier_balance_diff /
+    # incremental_rollup_equivalence / incremental_cdc_rollup,
+    # graph_part_triangles, agg_yoy_revenue_growth,
+    # join_interval_overlap, quality_order_total_reconciliation,
+    # events_funnel_time_to_convert / events_cumulative_reach,
+    # sample_stratified_reservoir, text_lang_confusion_matrix,
+    # nested_orders_rollup, and source_synthetic_ticks_ohlc (the
+    # custom Python Data Source, oracle-checked).
 )
 
 

@@ -229,3 +229,101 @@ ORACLE_SQL = {
         GROUP BY n_name
     """,
 }
+
+
+def incremental_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance under a CHANGE FEED — the
+    hard half of incremental view maintenance (insert-only merges are
+    easy; updates and deletes need retractions): maintain per-nation
+    supplier count + balance sum by applying the snapshot diff as
+    +new/−old deltas to the snapshot-1 rollup, and emit the maintained
+    rollup — which the oracle recomputes directly from snapshot 2, so
+    equality PROVES the retraction algebra.
+
+    Scale: the delta aggregate is O(changes), the merge is a union of
+    two O(groups) frames — never a rescan of the base. Deletes subtract
+    the old row, updates subtract old and add new, inserts add new."""
+    from market_data_pipeline_databricks_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    s1 = _snap1(spark, sf_dir)
+    s2 = _snap2(spark, sf_dir)
+    nation_of = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    # fresh keys get a deterministic nation too: key % 25
+    nk = F.coalesce(F.col("nationkey"), (F.col("suppkey") % 25).cast("int"))
+
+    base = (
+        s1.join(nation_of, "suppkey", "left")
+        .groupBy(nk.alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("balance")).alias("bal_sum"),
+        )
+    )
+    diff = snapshot_diff(s1, s2, ["suppkey"], ["name", "balance"])
+    # retraction deltas: emitted balance is NEW for insert/update, OLD
+    # for delete; updates additionally retract the OLD value, which
+    # only snapshot 1 still holds
+    plus = diff.filter(F.col("_op") != "delete").select(
+        "suppkey",
+        F.lit(1).alias("dn"),
+        F.col("balance").alias("db"),
+    )
+    minus = (
+        diff.filter(F.col("_op") != "insert")
+        .select("suppkey", F.col("_op"))
+        .join(s1.select("suppkey", F.col("balance").alias("old_bal")), "suppkey")
+        .select(
+            "suppkey",
+            F.lit(-1).alias("dn"),
+            (-F.col("old_bal")).alias("db"),
+        )
+    )
+    deltas = (
+        plus.unionByName(minus)
+        .join(nation_of, "suppkey", "left")
+        .groupBy(nk.alias("nationkey"))
+        .agg(
+            F.sum("dn").alias("n_suppliers"),
+            F.sum(F.col("db")).alias("bal_sum"),
+        )
+    )
+    merged = (
+        base.unionByName(deltas)
+        .groupBy("nationkey")
+        .agg(
+            F.sum("n_suppliers").cast("long").alias("n_suppliers"),
+            F.sum("bal_sum").alias("bal_sum"),
+        )
+        .filter(F.col("n_suppliers") > 0)
+    )
+    return merged.select(
+        "nationkey",
+        "n_suppliers",
+        F.round(F.col("bal_sum").cast("double"), 2).alias("balance_sum"),
+    )
+
+
+QUERIES.update({"incremental_cdc_rollup": incremental_cdc_rollup})
+
+ORACLE_SQL.update(
+    {
+        # the maintained rollup must equal a direct rollup of snapshot 2
+        "incremental_cdc_rollup": _SNAPS_CTE + """
+        , withnk AS (
+          SELECT s2.suppkey, s2.balance,
+                 COALESCE(sup.s_nationkey, CAST(s2.suppkey % 25 AS INT)) AS nationkey
+          FROM snap2 s2
+          LEFT JOIN supplier sup ON sup.s_suppkey = s2.suppkey
+        )
+        SELECT nationkey,
+               COUNT(*) AS n_suppliers,
+               ROUND(CAST(SUM(balance) AS DOUBLE), 2) AS balance_sum
+        FROM withnk GROUP BY nationkey
+    """,
+    }
+)
