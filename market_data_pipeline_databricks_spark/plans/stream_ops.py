@@ -332,3 +332,50 @@ ORACLE_SQL = {
         FROM events GROUP BY user_id
     """,
 }
+
+
+def stream_synthetic_ticks_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily OHLC over the CUSTOM Python Data Source's
+    STREAM reader (sources/pydatasource.py:SyntheticTicksStreamReader)
+    — readStream on a user-defined source feeding a stateful grouped
+    aggregate, drained with availableNow. The oracle is the identical
+    SQL twin as the batch form (source_synthetic_ticks_ohlc), so the
+    driver check certifies stream == batch == regenerated-in-DuckDB.
+    min_by/max_by pick open/close by seq; complete-mode memory sink is
+    driver plumbing only. ``sf_dir`` unused (the source IS the data)."""
+    from market_data_pipeline_databricks_spark.sources.pydatasource import (
+        SyntheticTicksDataSource,
+    )
+
+    spark.dataSource.register(SyntheticTicksDataSource)
+    ticks = (
+        spark.readStream.format("synthetic_ticks")
+        .option("symbols", "AAA,BBB,CCC")
+        .option("days", "5")
+        .option("ticks_per_day", "40")
+        .load()
+    )
+    agg = ticks.groupBy("symbol", "day").agg(
+        F.expr("min_by(price, seq)").alias("open"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.expr("max_by(price, seq)").alias("close"),
+        F.sum("volume").cast("long").alias("volume"),
+    )
+    return run_available_now(agg, f"synticks_ohlc_{_NONCE}")
+
+
+QUERIES.update({"stream_synthetic_ticks_ohlc": stream_synthetic_ticks_ohlc})
+
+# the streaming form must produce the exact batch result, so it shares
+# the batch query's oracle (regenerates the source's md5-arithmetic
+# ticks in DuckDB)
+from market_data_pipeline_databricks_spark.plans import breadth_ops as _b
+
+ORACLE_SQL.update(
+    {
+        "stream_synthetic_ticks_ohlc": _b.ORACLE_SQL[
+            "source_synthetic_ticks_ohlc"
+        ],
+    }
+)

@@ -233,3 +233,114 @@ def _split_top_level_commas(text: str) -> list[str]:
     if cur:
         out.append("".join(cur))
     return out
+
+
+_MERGE_RE = re.compile(
+    r"""(?isx)
+    ^MERGE\s+INTO\s+(?P<target>[\w.`]+)\s+(?:AS\s+)?(?P<talias>\w+)\s+
+    USING\s+(?P<source>[\w.`]+)\s+(?:AS\s+)?(?P<salias>\w+)\s+
+    ON\s+(?P<on>.+?)\s+
+    WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<set>.+?)\s+
+    WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$
+    """
+)
+
+
+def _parse_merge(stmt: str):
+    """Parse the reference-shaped MERGE statement
+    (notebooks/bronze/01_ingest_bronze.py:93-107): equality-conjunction
+    ON clause, UPDATE SET of target.col = source.col pairs, INSERT *.
+    Returns (target, source, key_cols, set_cols). Raises ValueError on
+    anything outside that documented subset."""
+    m = _MERGE_RE.match(stmt)
+    if not m:
+        raise ValueError(
+            "unsupported MERGE shape — accepted: MERGE INTO t AS a USING s "
+            "AS b ON <a.k = b.k [AND ...]> WHEN MATCHED THEN UPDATE SET "
+            "<a.c = b.c, ...> WHEN NOT MATCHED THEN INSERT *"
+        )
+    t, s = m.group("talias"), m.group("salias")
+    key_cols = []
+    for clause in re.split(r"(?i)\s+AND\s+", m.group("on").strip()):
+        eq = re.match(
+            rf"(?is)^\s*{t}\.(\w+)\s*=\s*{s}\.(\w+)\s*$", clause
+        ) or re.match(rf"(?is)^\s*{s}\.(\w+)\s*=\s*{t}\.(\w+)\s*$", clause)
+        if not eq or eq.group(1) != eq.group(2):
+            raise ValueError(f"unsupported MERGE ON clause: {clause!r}")
+        key_cols.append(eq.group(1))
+    set_cols = []
+    for assign in m.group("set").split(","):
+        a = re.match(
+            rf"(?is)^\s*{t}\.(\w+)\s*=\s*{s}\.(\w+)\s*$", assign
+        )
+        if not a or a.group(1) != a.group(2):
+            raise ValueError(f"unsupported MERGE assignment: {assign!r}")
+        set_cols.append(a.group(1))
+    return (
+        m.group("target").strip("`"),
+        m.group("source").strip("`"),
+        key_cols,
+        set_cols,
+    )
+
+
+def merge(
+    spark: SparkSession,
+    text: str,
+    warehouse_dir: str | None = None,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Execute a Databricks ``MERGE INTO`` statement on OSS Spark.
+
+    The reference's bronze ingest is a Delta MERGE
+    (notebooks/bronze/01_ingest_bronze.py:93-107: match on the
+    (symbol, date) grain, update every value column, insert new rows).
+    With delta-spark importable the statement passes through to
+    ``spark.sql`` untouched. Without it (this container: no network
+    route to install it), the statement is parsed — same documented
+    subset the reference uses — and executed with IDENTICAL semantics
+    through the engine's exact parquet upsert
+    (``sources/writers.upsert_by_key``: partition-swap, idempotent,
+    null-safe partition handling), reading the source from the
+    registered temp view exactly as the notebook does.
+
+    Restrictions (ValueError otherwise, so silent divergence is
+    impossible): equality-conjunction ON, UPDATE SET of col = col
+    pairs, INSERT * — i.e. upsert semantics. Duplicate source keys are
+    a MERGE error in Delta; the same grain check is the caller's
+    contract here (the reference dedups upstream).
+
+    ``warehouse_dir`` locates the parquet table for the fallback path
+    (the reference's catalog namespace maps to the warehouse dir).
+    Returns the post-merge table as a DataFrame.
+    """
+    stmt = text.strip().rstrip(";")
+    if _delta_available(spark):
+        spark.sql(stmt)
+        target = _MERGE_RE.match(stmt).group("target").strip("`")
+        return spark.table(target)
+    target, source, key_cols, set_cols = _parse_merge(stmt)
+    if warehouse_dir is None:
+        raise ValueError(
+            "warehouse_dir is required for the parquet MERGE fallback"
+        )
+    from market_data_pipeline_databricks_spark.sources.tables import read_table
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        upsert_by_key,
+    )
+
+    table = target.split(".")[-1]
+    updates = spark.table(source)
+    existing_cols = read_table(spark, warehouse_dir, table).columns
+    missing = [c for c in key_cols + set_cols if c not in existing_cols]
+    if missing:
+        raise ValueError(f"MERGE columns absent from target: {missing}")
+    upsert_by_key(
+        spark,
+        updates,
+        warehouse_dir,
+        table,
+        key_cols,
+        partition_cols=partition_cols,
+    )
+    return read_table(spark, warehouse_dir, table)

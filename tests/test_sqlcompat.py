@@ -181,3 +181,97 @@ def test_ddl_rewrites_using_delta_to_parquet(spark, tmp_path):
         assert comment == "feed USING DELTA upstream"
     finally:
         spark.sql("DROP TABLE IF EXISTS bronze_prices_compat")
+
+
+def test_verbatim_reference_merge_into(spark, tmp_path):
+    """The reference's bronze MERGE (notebooks/bronze/01_ingest_bronze
+    .py:93-107) executes VERBATIM through the parquet fallback:
+    matched (symbol, date) rows take every source value, unmatched
+    insert, untouched rows survive, and re-running the same MERGE is a
+    no-op (idempotent upsert)."""
+    import datetime as dt
+
+    from market_data_pipeline_databricks_spark import sqlcompat
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        overwrite_table,
+    )
+
+    wh = str(tmp_path)
+    cols = (
+        "symbol string, date date, open double, high double, low double, "
+        "close double, volume long, source string, ingested_at timestamp, "
+        "input_file string"
+    )
+    d1, d2 = dt.date(2025, 1, 1), dt.date(2025, 1, 2)
+    t0 = dt.datetime(2025, 1, 3, 0, 0)
+    base = spark.createDataFrame(
+        [
+            ("AAPL", d1, 1.0, 2.0, 0.5, 1.5, 10, "stooq", t0, "f1"),
+            ("AAPL", d2, 1.5, 2.5, 1.0, 2.0, 20, "stooq", t0, "f1"),
+            ("MSFT", d1, 3.0, 4.0, 2.5, 3.5, 30, "stooq", t0, "f2"),
+        ],
+        cols,
+    )
+    overwrite_table(base, wh, "bronze_prices", ["symbol"])
+
+    t1 = dt.datetime(2025, 1, 4, 0, 0)
+    incoming = spark.createDataFrame(
+        [
+            # update: AAPL d2 revised
+            ("AAPL", d2, 1.6, 2.6, 1.1, 2.1, 21, "stooq", t1, "f3"),
+            # insert: new symbol
+            ("GOOG", d1, 9.0, 9.5, 8.5, 9.2, 90, "stooq", t1, "f3"),
+        ],
+        cols,
+    )
+    incoming.createOrReplaceTempView("bronze_incoming")
+
+    stmt = """
+MERGE INTO bronze_prices AS target
+USING bronze_incoming AS source
+ON target.symbol = source.symbol AND target.date = source.date
+WHEN MATCHED THEN UPDATE SET
+  target.open = source.open,
+  target.high = source.high,
+  target.low = source.low,
+  target.close = source.close,
+  target.volume = source.volume,
+  target.source = source.source,
+  target.ingested_at = source.ingested_at,
+  target.input_file = source.input_file
+WHEN NOT MATCHED THEN INSERT *
+"""
+    out = sqlcompat.merge(
+        spark, stmt, warehouse_dir=wh, partition_cols=["symbol"]
+    )
+    rows = {(r.symbol, r.date): r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[("AAPL", d2)].close == 2.1  # updated
+    assert rows[("AAPL", d2)].input_file == "f3"
+    assert rows[("AAPL", d1)].close == 1.5  # untouched
+    assert rows[("GOOG", d1)].volume == 90  # inserted
+
+    a = sorted(map(tuple, out.collect()), key=lambda t: (t[0], str(t[1])))
+    again = sqlcompat.merge(
+        spark, stmt, warehouse_dir=wh, partition_cols=["symbol"]
+    )
+    b = sorted(map(tuple, again.collect()), key=lambda t: (t[0], str(t[1])))
+    assert a == b  # idempotent
+
+
+def test_merge_rejects_unsupported_shapes(spark):
+    import pytest
+
+    from market_data_pipeline_databricks_spark import sqlcompat
+
+    with pytest.raises(ValueError, match="unsupported MERGE shape"):
+        sqlcompat._parse_merge(
+            "MERGE INTO t AS a USING s AS b ON a.k = b.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="ON clause"):
+        sqlcompat._parse_merge(
+            "MERGE INTO t AS a USING s AS b ON a.k > b.k "
+            "WHEN MATCHED THEN UPDATE SET a.v = b.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
