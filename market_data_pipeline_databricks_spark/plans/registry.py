@@ -146,8 +146,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # join_interval_overlap, quality_order_total_reconciliation,
     # events_funnel_time_to_convert / events_cumulative_reach,
     # sample_stratified_reservoir, text_lang_confusion_matrix,
-    # nested_orders_rollup, and source_synthetic_ticks_ohlc (the
-    # custom Python Data Source, oracle-checked).
+    # nested_orders_rollup, source_synthetic_ticks_ohlc and its
+    # streaming twin stream_synthetic_ticks_ohlc (the custom Python
+    # Data Source, oracle-checked), and the sketch-then-verify
+    # scale_heavy_hitters.
 )
 
 

@@ -322,3 +322,58 @@ ORACLE_SQL = {
         GROUP BY c_mktsegment
     """,
 }
+
+
+def scale_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the two-pass sketch-then-verify pattern: pass
+    1 finds CANDIDATE frequent part keys with ``freqItems`` (Karp-
+    Papadimitriou-Shenker misra-gries-style streaming summary — a
+    superset of every item above the support threshold, O(1/support)
+    driver state, one scan); pass 2 exact-counts ONLY the candidates
+    (broadcast semi-join, one scan + a tiny aggregate) and keeps those
+    at/above the threshold. The verify pass makes the approximate
+    stage EXACT — same philosophy as LSH-then-verify dedup — so the
+    query is oracle-backed even though pass 1 is a sketch: false
+    positives are filtered by real counts, and the KPS summary
+    guarantees no false negatives at support ≥ threshold.
+
+    At 100 TB this is the only sane global top-frequency plan: a full
+    groupBy on a high-cardinality key shuffles everything; this
+    shuffles only the candidate subset."""
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.count()
+    # 0.055% of the fact rows: above the per-part mean on this
+    # near-uniform testdata, so the result is the genuine upper tail
+    # (non-empty and non-trivial at every shipped sf); the sketch
+    # support sits safely BELOW the threshold so the KPS superset
+    # guarantee covers every qualifying key
+    threshold = max(1, int(total * 0.00055))
+    cand_rows = li.select("l_partkey").freqItems(
+        ["l_partkey"], support=0.0004
+    ).first()[0]
+    cand = spark.createDataFrame(
+        [(int(x),) for x in cand_rows], "l_partkey long"
+    )
+    return (
+        li.join(F.broadcast(cand), "l_partkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") >= threshold)
+    )
+
+
+QUERIES.update({"scale_heavy_hitters": scale_heavy_hitters})
+
+ORACLE_SQL.update(
+    {
+        # exact heavy hitters: the sketch stage is a provable superset,
+        # the verify stage exact — so the result equals the direct form
+        "scale_heavy_hitters": """
+        SELECT l_partkey, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING COUNT(*) >= GREATEST(1, CAST(
+          (SELECT COUNT(*) FROM lineitem) * 0.00055 AS BIGINT))
+    """,
+    }
+)
