@@ -34,7 +34,48 @@ def main(argv: list[str] | None = None) -> int:
         help="populate raw_dir with deterministic synthetic OHLCV CSVs "
         "first (the reference's empty fetch_market_data.py step, made real)",
     )
+    p.add_argument(
+        "--run-query",
+        metavar="NAME",
+        help="instead of the pipeline, run one registry query by name "
+        "(see --list-queries) against --sf-dir and print it",
+    )
+    p.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="list every registered query name and exit",
+    )
+    p.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="testdata directory for --run-query (default sf0.01)",
+    )
     args = p.parse_args(argv)
+
+    if args.list_queries:
+        from market_data_pipeline_databricks_spark.plans.registry import (
+            all_queries,
+        )
+
+        for name in all_queries():
+            print(name)
+        return 0
+
+    if args.run_query:
+        from market_data_pipeline_databricks_spark.plans.registry import (
+            all_queries,
+        )
+        from market_data_pipeline_databricks_spark.session import get_spark
+
+        queries = all_queries()
+        if args.run_query not in queries:
+            print(f"unknown query: {args.run_query}", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"query-{args.run_query}")
+        df = queries[args.run_query](spark, args.sf_dir)
+        df.show(50, truncate=False)
+        print(f"{args.run_query}: {df.count()} rows")
+        return 0
 
     from market_data_pipeline_databricks_spark.config import (
         PipelineConfig,

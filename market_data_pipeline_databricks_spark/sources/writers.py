@@ -395,3 +395,36 @@ def merge_into_delta(
         .execute()
     )
     return True
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    partition_cols: list[str],
+) -> None:
+    """Partition-scoped overwrite (``partitionOverwriteMode=dynamic``):
+    replace ONLY the partitions present in ``df``, leave every other
+    partition's files untouched — the standard backfill/restatement
+    write (re-run one day or one symbol without rewriting the table).
+
+    This is the built-in counterpart of :func:`upsert_by_key`'s manual
+    partition swap for the whole-partition-replacement case: when the
+    incoming frame IS the new truth for its partitions, no key
+    anti-join is needed and the dynamic writer does the bounded
+    rewrite natively (object-store safe; no read-own-table hazard
+    because nothing is read). Keyed merges still need the upsert.
+
+    The mode is passed as a per-write option so the session default
+    (static) is untouched for other writers."""
+    if not partition_cols:
+        raise ValueError(
+            "dynamic partition overwrite requires partition columns — "
+            "for unpartitioned tables use overwrite_table"
+        )
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(str(_table_path(warehouse_dir, table)))
+    )
