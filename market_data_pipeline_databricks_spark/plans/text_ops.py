@@ -404,7 +404,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(-F.col("logp")), 6).alias("avg_neg_logprob"),
+            F.round(
+                F.sum((-F.col("logp")).cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
         )
     )
 
@@ -418,7 +422,11 @@ def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enr.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
         F.sum((F.col("lang_pred") == "en").cast("long")).alias("n_en"),
     )
 
@@ -1889,7 +1897,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg("neg_logp"), 6).alias("avg_neg_logprob"),
+            F.round(
+                F.sum(F.col("neg_logp").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
         )
     )
 
@@ -2235,8 +2247,10 @@ SELECT doc_id, n_tokens FROM (
         ctx AS (SELECT w1, COUNT(*) AS cw1 FROM pairs GROUP BY w1),
         bigc AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2)
         SELECT doc_id, COUNT(*) AS n_bigrams,
-               ROUND(AVG(-LN(0.9 * (CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE))
-                              + 0.1 * p_uni)), 6) AS avg_neg_logprob
+               ROUND(CAST(SUM(CAST(
+                 -LN(0.9 * (CAST(cb AS DOUBLE) / CAST(cw1 AS DOUBLE))
+                     + 0.1 * p_uni) AS DECIMAL(27,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_neg_logprob
         FROM pairs
         JOIN bigc USING (w1, w2)
         JOIN ctx USING (w1)
@@ -2387,7 +2401,8 @@ SELECT doc_id, n_tokens FROM (
         vocab AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
         tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
         SELECT doc_id, COUNT(*) AS n_tokens,
-               ROUND(AVG(-ln(cnt / total)), 6) AS avg_neg_logprob
+               ROUND(CAST(SUM(CAST(-ln(cnt / total) AS DECIMAL(27,12)))
+                          AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
         FROM tk JOIN vocab USING (token) CROSS JOIN tot
         GROUP BY doc_id
     """,
@@ -2418,7 +2433,8 @@ SELECT doc_id, n_tokens FROM (
         )
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-               ROUND(AVG(quality), 6) AS avg_quality,
+               ROUND(CAST(SUM(CAST(quality AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_quality,
                CAST(SUM(is_en) AS BIGINT) AS n_en
         FROM scored GROUP BY source
     """,
