@@ -428,3 +428,56 @@ def overwrite_partitions_dynamic(
         .partitionBy(*partition_cols)
         .parquet(str(_table_path(warehouse_dir, table)))
     )
+
+
+def append_with_schema_evolution(
+    spark: SparkSession,
+    df: DataFrame,
+    warehouse_dir: str,
+    table: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Append a batch whose schema may have EVOLVED (new columns) and
+    return the merged-schema view of the table.
+
+    Parquet appends are schema-per-file, so the write itself always
+    succeeds; the contract this function adds on top:
+
+    - REORDERED or MISSING columns in the batch are aligned to the
+      existing schema by NAME (missing -> typed NULL), so a positional
+      mismatch can never silently transpose values;
+    - genuinely NEW columns are appended after the existing ones
+      (evolution, not error) — old files simply lack them;
+    - a column whose TYPE changed raises instead of writing a mixed
+      column the scan would fail on later (ValueError now beats an
+      unreadable table at 100 TB);
+    - the returned frame reads with ``mergeSchema=true`` so old rows
+      surface NULL for evolved columns.
+    """
+    path = _table_path(warehouse_dir, table)
+    partition_cols = partition_cols or []
+    if path.exists():
+        existing = spark.read.parquet(str(path))
+        ex_types = dict(existing.dtypes)
+        new_types = dict(df.dtypes)
+        clashes = {
+            c: (ex_types[c], new_types[c])
+            for c in new_types
+            if c in ex_types and ex_types[c] != new_types[c]
+        }
+        if clashes:
+            raise ValueError(
+                f"append_with_schema_evolution: type change for {clashes} "
+                "— evolve by adding columns, not by mutating types"
+            )
+        aligned = [
+            F.col(c) if c in new_types
+            else F.lit(None).cast(ex_types[c]).alias(c)
+            for c in existing.columns
+        ] + [F.col(c) for c in df.columns if c not in ex_types]
+        df = df.select(*aligned)
+    writer = df.write.mode("append")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(str(path))
+    return spark.read.option("mergeSchema", "true").parquet(str(path))

@@ -212,3 +212,34 @@ def test_dynamic_overwrite_requires_partitions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="requires partition columns"):
         overwrite_partitions_dynamic(_table(spark), str(tmp_path), "t", [])
+
+
+def test_append_with_schema_evolution(spark, tmp_path):
+    """New columns evolve (old rows NULL), missing columns fill with
+    typed NULLs, reordered columns align by name, and a type change
+    raises instead of poisoning the table."""
+    import pytest
+
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        append_with_schema_evolution,
+    )
+
+    wh = str(tmp_path)
+    overwrite_table(_table(spark), wh, "t", ["symbol"])
+
+    evolved = spark.createDataFrame(
+        # reordered + new column 'venue', column v missing
+        [("NYSE", "EEE", 7)], "venue string, symbol string, user_id long"
+    )
+    out = append_with_schema_evolution(spark, evolved, wh, "t", ["symbol"])
+    assert set(out.columns) == {"user_id", "symbol", "v", "venue"}
+    rows = {r.user_id: r for r in out.collect()}
+    assert rows[7].venue == "NYSE" and rows[7].v is None  # missing -> NULL
+    assert rows[1].venue is None  # old rows NULL for evolved column
+    assert rows[1].v in (10, 30)  # original values survive aligned
+
+    bad = spark.createDataFrame(
+        [("x", "FFF", 1)], "v string, symbol string, user_id long"
+    )
+    with pytest.raises(ValueError, match="type change"):
+        append_with_schema_evolution(spark, bad, wh, "t", ["symbol"])
