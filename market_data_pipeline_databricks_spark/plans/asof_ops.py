@@ -244,3 +244,77 @@ ORACLE_SQL = {
           ON o_custkey = q.key AND q.day >= CAST(o_orderdate AS DATE)
     """,
 }
+
+
+def join_asof_tolerance_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of WITH A STALENESS TOLERANCE: the matched quote is
+    kept only if it is at most 3 days older than the order — the
+    market-data contract behind every "last known price, unless it has
+    gone stale" lookup (pandas merge_asof's ``tolerance=``). Composed
+    as the plain backward as-of plus a post-filter that NULLs the
+    match (left semantics preserved: the order row survives with no
+    quote, exactly how merge_asof treats out-of-tolerance matches).
+    Oracle: native ASOF LEFT JOIN with the same conditional NULLing —
+    DuckDB's ASOF takes no tolerance either, so both engines express
+    it identically as match-then-invalidate."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    quotes = _daily_quotes(spark, sf_dir)
+    out = asof_join(
+        o,
+        quotes,
+        key="key",
+        left_time="odate",
+        right_time="day",
+        value_cols=["quote", "quote_id"],
+    )
+    fresh = F.datediff(F.col("odate"), F.col("asof_day")) <= 3
+    return out.select(
+        "o_orderkey",
+        F.col("key").alias("custkey"),
+        "odate",
+        F.when(fresh, F.col("asof_day")).alias("quote_day"),
+        F.when(fresh, F.col("asof_quote")).alias("quote"),
+        F.when(fresh, F.col("asof_quote_id")).cast("long").alias("quote_id"),
+        F.coalesce(fresh, F.lit(False)).alias("within_tolerance"),
+    )
+
+
+QUERIES.update({"join_asof_tolerance_quotes": join_asof_tolerance_quotes})
+
+ORACLE_SQL.update(
+    {
+        "join_asof_tolerance_quotes": """
+        WITH quotes AS (
+          SELECT user_id AS key, day, quote, quote_id FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day, value AS quote,
+                   event_id AS quote_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+          ) WHERE rn = 1
+        ),
+        m AS (
+          SELECT o_orderkey, o_custkey AS custkey,
+                 CAST(o_orderdate AS DATE) AS odate,
+                 q.day AS b_day, q.quote AS b_quote, q.quote_id AS b_qid
+          FROM orders
+          ASOF LEFT JOIN quotes q
+            ON o_custkey = q.key AND q.day <= CAST(o_orderdate AS DATE)
+        )
+        SELECT o_orderkey, custkey, odate,
+               CASE WHEN date_diff('day', b_day, odate) <= 3
+                    THEN b_day END AS quote_day,
+               CASE WHEN date_diff('day', b_day, odate) <= 3
+                    THEN b_quote END AS quote,
+               CAST(CASE WHEN date_diff('day', b_day, odate) <= 3
+                         THEN b_qid END AS BIGINT) AS quote_id,
+               COALESCE(date_diff('day', b_day, odate) <= 3, FALSE)
+                 AS within_tolerance
+        FROM m
+    """,
+    }
+)

@@ -148,8 +148,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sample_stratified_reservoir, text_lang_confusion_matrix,
     # nested_orders_rollup, source_synthetic_ticks_ohlc and its
     # streaming twin stream_synthetic_ticks_ohlc (the custom Python
-    # Data Source, oracle-checked), and the sketch-then-verify
-    # scale_heavy_hitters.
+    # Data Source, oracle-checked), the sketch-then-verify
+    # scale_heavy_hitters, the tolerance-bounded as-of
+    # join_asof_tolerance_quotes, and the cross-source contamination
+    # matrix dedup_cross_source_matrix.
 )
 
 

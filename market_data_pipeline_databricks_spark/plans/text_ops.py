@@ -3346,3 +3346,82 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-duplicate pairs (exact
+    3-gram Jaccard, rare-shingle blocking — the dedup_ngram_jaccard
+    machinery) rolled up by unordered SOURCE pair, with the mean
+    Jaccard per cell — the data-governance view that tells a curation
+    owner WHICH feeds duplicate each other (same-source cells measure
+    internal redundancy; off-diagonal cells measure cross-feed
+    copying, the thing source-weighted mixtures silently double-count).
+    Pair generation is the blocked equi-join (scales); the rollup is
+    O(source-pairs). Mean runs through a decimal sum."""
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    enriched = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            "jaccard",
+        )
+    )
+    return enriched.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("jaccard").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_jaccard"),
+    )
+
+
+QUERIES.update({"dedup_cross_source_matrix": dedup_cross_source_matrix})
+
+ORACLE_SQL.update(
+    {
+        "dedup_cross_source_matrix": _SHINGLE_DOCS + """,
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare)
+        ),
+        pairs AS (
+          SELECT id_a, id_b,
+                 ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                   / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) AS jaccard
+          FROM cand
+          JOIN docs da ON da.doc_id = id_a
+          JOIN docs db ON db.doc_id = id_b
+          WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.35
+        ),
+        tagged AS (
+          SELECT LEAST(xa.source, xb.source) AS source_lo,
+                 GREATEST(xa.source, xb.source) AS source_hi,
+                 jaccard
+          FROM pairs
+          JOIN documents xa ON xa.doc_id = id_a
+          JOIN documents xb ON xb.doc_id = id_b
+        )
+        SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+               ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(27,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_jaccard
+        FROM tagged GROUP BY source_lo, source_hi
+    """,
+    }
+)
