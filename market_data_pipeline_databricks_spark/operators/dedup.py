@@ -496,3 +496,65 @@ def connected_components(
     return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_shingle_df: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Max-containment near-dup pairs: C(a,b) = |shingles(a) ∩
+    shingles(b)| / min(|shingles(a)|, |shingles(b)|) for pairs blocked
+    on rare shingles — the asymmetric companion to
+    ``ngram_jaccard_pairs``. Jaccard misses the case a training-data
+    curator cares most about: a SHORT document embedded verbatim
+    inside a much longer one (quote farms, boilerplate wrappers,
+    test-set snippets pasted into crawled pages), where |∩|/|∪| is
+    tiny but |∩|/|smaller| ≈ 1. Containment is the decontamination
+    metric (Lee et al.'s dedup literature uses exactly this form).
+
+    Same blocking and persist discipline as ``ngram_jaccard_pairs``
+    (see that docstring for the scale argument: selective shingles
+    bound the candidate fan-out; the (id, shingleset) frame feeds five
+    consumers so it is persisted). Containment divides two exact
+    integers, so ROUND(..., 6) is deterministic on both engines.
+    """
+    from pyspark import StorageLevel
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.shingles(F.col(text_col), shingle_k)).alias("shingleset"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = docs.select("id", F.explode("shingleset").alias("shingle"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle", "left_semi")
+    a, b = sh_rare.alias("a"), sh_rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("shingleset").alias("sh_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("shingleset").alias("sh_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.least(F.size("sh_a"), F.size("sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

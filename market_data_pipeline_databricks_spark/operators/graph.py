@@ -132,3 +132,46 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum-hop distance (BFS levels) from a seed set: returns
+    ``(node, hop)`` for every node reachable in ≤ ``max_hops`` edges,
+    ``hop`` being the length of the shortest such path. ``edges`` is
+    ``(src, dst)`` (symmetric edges for undirected semantics — exactly
+    what ``cooccurrence_edges`` emits); ``seeds`` is a 1-column
+    ``node`` frame.
+
+    Each level is one equi-join (frontier ⋈ edges on src) plus one
+    anti-join against the visited set — the distributed frontier
+    expansion every Pregel-style system performs, with NO per-node
+    state server: the visited set IS the accumulating result frame.
+    ``localCheckpoint`` per level truncates lineage the same way the
+    components and PageRank loops do; the loop count is the fixed
+    ``max_hops`` (level k's frontier is empty once the ball is
+    exhausted and the remaining rounds are no-op joins on an empty
+    frame), so plan shape — and the unrolled-CTE oracle — never
+    depends on data. At 100 TB: per-level cost is |frontier ⋈ edges|,
+    bounded by edge count, never quadratic; both joins key on the
+    node id so AQE coalesces the exchanges.
+    """
+    visited = seeds.select(
+        F.col("node"), F.lit(0).cast("int").alias("hop")
+    ).distinct()
+    frontier = visited.select("node")
+    for level in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(level).cast("int"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

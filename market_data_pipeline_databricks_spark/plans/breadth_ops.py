@@ -338,3 +338,74 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def window_pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer Pareto frontier (SKYLINE query): the orders not
+    DOMINATED within their customer — no other order is both cheaper-
+    or-equal AND newer-or-equal (with one strict) — i.e. the
+    price/recency efficient set a procurement analyst actually reads.
+
+    The classic skyline evaluation is a quadratic NOT EXISTS self-join
+    (that is the oracle); the scale form is the 2-D sweep: sort each
+    customer's orders by (price asc, date desc) and keep a row iff its
+    date strictly exceeds the running max date of everything cheaper —
+    one window pass over custkey partitions, O(n log n) per customer,
+    no self-join at all. Equal-price ties: only the newest survives
+    (ties dominate each other on the strict-date axis), which the
+    (price asc, date desc) sort gives for free since later ties see
+    the tie-leader's date in the running max.
+
+    The global-skyline variant is the same sweep after a repartition
+    by a price-grid cell + per-cell prefilter; per-customer partitions
+    make the demo scale-exact as-is."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_totalprice"), F.desc("odate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("odate").over(w)
+    return (
+        o.withColumn("_pm", prev_max)
+        .filter(F.col("_pm").isNull() | (F.col("odate") > F.col("_pm")))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "odate")
+    )
+
+
+QUERIES.update(
+    {"window_pareto_frontier_orders": window_pareto_frontier_orders}
+)
+
+ORACLE_SQL.update(
+    {
+        # quadratic NOT-EXISTS dominance definition — the semantic
+        # ground truth the windowed sweep must reproduce exactly
+        "window_pareto_frontier_orders": """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 CAST(o_orderdate AS DATE) AS odate
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey, o_totalprice, odate
+        FROM o a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM o b
+          WHERE b.o_custkey = a.o_custkey
+            AND b.o_orderkey <> a.o_orderkey
+            AND b.o_totalprice <= a.o_totalprice
+            AND b.odate >= a.odate
+            AND (b.o_totalprice < a.o_totalprice OR b.odate > a.odate
+                 OR (b.o_totalprice = a.o_totalprice AND b.odate = a.odate
+                     AND b.o_orderkey < a.o_orderkey))
+        )
+    """,
+    }
+)

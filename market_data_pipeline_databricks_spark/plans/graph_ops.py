@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_data_pipeline_databricks_spark.operators.graph import (
+    bfs_hops,
     cooccurrence_edges,
     pagerank,
 )
@@ -206,6 +207,68 @@ ORACLE_SQL.update(
         FROM corners GROUP BY p_partkey
         ORDER BY n_triangles DESC, p_partkey ASC
         LIMIT 50
+    """,
+    }
+)
+
+
+def graph_part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-hop levels over the co-purchase graph from a
+    pinned seed set (parts 1-10): every part reachable in ≤ 2 hops
+    with its minimum hop count — the "what else ends up in the same
+    baskets, and how directly" neighborhood query, and the graph
+    family's third algorithm class (traversal) next to centrality
+    (PageRank) and clustering (triangles).
+
+    Scale: see ``operators/graph.py:bfs_hops`` — one frontier⋈edges
+    equi-join + one visited anti-join per level, localCheckpoint
+    lineage truncation, cost bounded by edge count per level. The
+    oracle is the same expansion unrolled as two frontier CTEs (no
+    recursion needed at a fixed hop budget)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 10)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_hops(edges, seeds, max_hops=2).select(
+        F.col("node").alias("p_partkey"), "hop"
+    )
+
+
+QUERIES.update({"graph_part_bfs_hops": graph_part_bfs_hops})
+
+ORACLE_SQL.update(
+    {
+        "graph_part_bfs_hops": """
+        WITH pairs AS (
+          SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        ),
+        e AS (
+          SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM pairs a JOIN pairs b
+            ON a.g = b.g AND a.item <> b.item
+        ),
+        h0 AS (
+          SELECT p_partkey AS node FROM part WHERE p_partkey <= 10
+        ),
+        f1 AS (
+          SELECT DISTINCT e.dst AS node
+          FROM e JOIN h0 ON e.src = h0.node
+          WHERE e.dst NOT IN (SELECT node FROM h0)
+        ),
+        f2 AS (
+          SELECT DISTINCT e.dst AS node
+          FROM e JOIN f1 ON e.src = f1.node
+          WHERE e.dst NOT IN (SELECT node FROM h0)
+            AND e.dst NOT IN (SELECT node FROM f1)
+        )
+        SELECT node AS p_partkey, CAST(0 AS INTEGER) AS hop FROM h0
+        UNION ALL
+        SELECT node, CAST(1 AS INTEGER) FROM f1
+        UNION ALL
+        SELECT node, CAST(2 AS INTEGER) FROM f2
     """,
     }
 )

@@ -150,8 +150,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # streaming twin stream_synthetic_ticks_ohlc (the custom Python
     # Data Source, oracle-checked), the sketch-then-verify
     # scale_heavy_hitters, the tolerance-bounded as-of
-    # join_asof_tolerance_quotes, and the cross-source contamination
-    # matrix dedup_cross_source_matrix.
+    # join_asof_tolerance_quotes, the cross-source contamination
+    # matrix dedup_cross_source_matrix, the skyline
+    # window_pareto_frontier_orders, the BFS traversal
+    # graph_part_bfs_hops, the containment decontamination screen
+    # dedup_containment_screen, the batch last-touch attribution
+    # events_last_touch_attribution, and the linear-interpolation
+    # gapfill window_linear_interpolate_close.
 )
 
 

@@ -2061,3 +2061,122 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def window_linear_interpolate_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification + LINEAR interpolation: the repair-side
+    companion to ``window_gapfill_daily_close`` for series where a
+    carried-forward step function misstates the gap (prices drift, they
+    don't freeze). Each missing day gets
+    ``prev + (next − prev) · Δ/Δtotal`` between its bracketing
+    observations; days before the first / after the last observation
+    fall back to the nearest one.
+
+    Plan: the spine explode is identical to the gapfill query; the
+    bracket lookup is two window passes over the SAME suppkey exchange
+    (prev via last(IGNORE NULLS) unbounded-preceding, next via
+    first(IGNORE NULLS) unbounded-following — Catalyst runs both in
+    one WindowExec pair on one sort), so interpolation costs exactly
+    one more window pass than forward-fill, still zero joins beyond
+    the spine. The arithmetic is one per-row IEEE expression written
+    identically in the oracle — bit-equal without any decimal detour
+    because nothing crosses rows after the (deterministic) windows."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(F.max("l_extendedprice").alias("close"))
+    spine = (
+        daily.groupBy("suppkey")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "suppkey",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    wb = (
+        Window.partitionBy("suppkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("suppkey")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("close").isNotNull(), F.col("day"))
+    j = (
+        spine.join(daily, ["suppkey", "day"], "left")
+        .withColumn("prev_close", F.last("close", ignorenulls=True).over(wb))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(wb))
+        .withColumn("next_close", F.first("close", ignorenulls=True).over(wf))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(wf))
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    interp = (
+        F.when(F.col("prev_close").isNull(), F.col("next_close"))
+        .when(F.col("next_close").isNull(), F.col("prev_close"))
+        .when(F.col("next_day") == F.col("prev_day"), F.col("prev_close"))
+        .otherwise(
+            F.col("prev_close")
+            + (F.col("next_close") - F.col("prev_close")) * frac
+        )
+    )
+    return j.select(
+        "suppkey",
+        "day",
+        F.col("close").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("interp_close"),
+    )
+
+
+QUERIES.update(
+    {"window_linear_interpolate_close": window_linear_interpolate_close}
+)
+
+ORACLE_SQL.update(
+    {
+        "window_linear_interpolate_close": """
+        WITH daily AS (
+          SELECT l_suppkey AS suppkey, CAST(l_shipdate AS DATE) AS day,
+                 MAX(l_extendedprice) AS close
+          FROM lineitem WHERE l_suppkey <= 5 GROUP BY 1, 2
+        ),
+        spine AS (
+          SELECT suppkey, CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+          FROM daily GROUP BY suppkey
+        ),
+        f AS (
+          SELECT s.suppkey, s.day, d.close,
+                 LAST_VALUE(d.close IGNORE NULLS) OVER (
+                   PARTITION BY s.suppkey ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_close,
+                 LAST_VALUE(CASE WHEN d.close IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+                   PARTITION BY s.suppkey ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+                 FIRST_VALUE(d.close IGNORE NULLS) OVER (
+                   PARTITION BY s.suppkey ORDER BY s.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_close,
+                 FIRST_VALUE(CASE WHEN d.close IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+                   PARTITION BY s.suppkey ORDER BY s.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+          FROM spine s LEFT JOIN daily d ON s.suppkey = d.suppkey AND s.day = d.day
+        )
+        SELECT suppkey, day,
+               close IS NOT NULL AS observed,
+               ROUND(CASE
+                 WHEN prev_close IS NULL THEN next_close
+                 WHEN next_close IS NULL THEN prev_close
+                 WHEN next_day = prev_day THEN prev_close
+                 ELSE prev_close + (next_close - prev_close)
+                      * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                         / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+               END, 6) AS interp_close
+        FROM f
+    """,
+    }
+)

@@ -3425,3 +3425,136 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def dedup_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-containment near-dup pairs (|∩| / |smaller shingle set|,
+    3-gram shingles, rare-shingle blocking, threshold 0.5) — the
+    decontamination metric Jaccard cannot provide: a short document
+    embedded verbatim in a long one scores containment ≈ 1 while its
+    Jaccard stays near |short|/|long|. See
+    ``operators/dedup.py:ngram_containment_pairs``."""
+    return DD.ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+QUERIES.update({"dedup_containment_screen": dedup_containment_screen})
+
+ORACLE_SQL.update(
+    {
+        "dedup_containment_screen": _SHINGLE_DOCS + """,
+        rare AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a
+          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM rare)
+        )
+        SELECT id_a, id_b,
+               ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                     / CAST(LEAST(len(da.shingleset), len(db.shingleset)) AS DOUBLE), 6) AS containment
+        FROM cand
+        JOIN docs da ON da.doc_id = id_a
+        JOIN docs db ON db.doc_id = id_b
+        WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+              / CAST(LEAST(len(da.shingleset), len(db.shingleset)) AS DOUBLE), 6) >= 0.5
+    """,
+    }
+)
+
+
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch last-touch marketing attribution: every purchase is
+    credited to the user's most recent PRECEDING touch (view or click)
+    within a 7-day lookback, else to 'direct'; revenue and purchase
+    counts roll up by day × attributed channel (the testdata spans one
+    month, so the finer grain is what exercises the group-by). The batch twin of
+    ``stream_stream_left_outer_attribution`` — same business question,
+    answered over the full history with ZERO joins: one window pass
+    carries the last non-null touch forward (``last(..., ignorenulls)``
+    over ROWS UNBOUNDED PRECEDING..1 PRECEDING), so the 100 TB plan is
+    one scan + one user_id exchange + one month×channel aggregation —
+    no self-join of the fact table against itself, which is the naive
+    attribution plan and quadratic in events-per-user. (One scan + one
+    exchange feeds both the window and, via AQE re-use of the user_id
+    partitioning, the aggregate's partial phase.)
+
+    Ties: ordering is (ts, event_id), so a touch sharing a purchase's
+    timestamp is NOT credited (strictly-preceding rows frame) — pinned
+    deterministic on both engines. Revenue sums decimal-exact."""
+    from pyspark.sql.window import Window
+
+    from market_data_pipeline_databricks_spark.plans.relational import _events
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    ev = (
+        _events(spark, sf_dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn(
+            "lt_type",
+            F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "lt_ts",
+            F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w),
+        )
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.coalesce(
+                F.when(
+                    F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+                    F.col("lt_type"),
+                ),
+                F.lit("direct"),
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("day", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(27,12)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+QUERIES.update({"events_last_touch_attribution": events_last_touch_attribution})
+
+ORACLE_SQL.update(
+    {
+        "events_last_touch_attribution": """
+        WITH w AS (
+          SELECT event_type, ts, value,
+                 last_value(CASE WHEN event_type IN ('view','click')
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lt_type,
+                 last_value(CASE WHEN event_type IN ('view','click')
+                                 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lt_ts
+          FROM events
+        )
+        SELECT CAST(ts AS DATE) AS day,
+               COALESCE(CASE WHEN lt_ts >= ts - INTERVAL 7 DAY
+                             THEN lt_type END, 'direct') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS revenue
+        FROM w
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    """,
+    }
+)

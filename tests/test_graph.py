@@ -103,3 +103,34 @@ def test_pagerank_directed_graph_with_dangling_sink(spark):
     # isolated node 5 holds more than the bare teleport floor (it gets
     # a share of the dangling mass from 3 and 5 themselves)
     assert got[5] > TELEPORT / 5
+
+
+def test_bfs_hops_matches_python_bfs_on_handmade_graph(spark):
+    from market_data_pipeline_databricks_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5, a triangle 10-11-12 reachable from 3, and an
+    # isolated node 99 that must never appear
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 10), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: 3}
+    # exhausted ball: extra rounds are no-ops, not errors
+    got5 = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+    assert got5 == {1: 0, 2: 1, 3: 2, 4: 3, 10: 3, 5: 4, 11: 4, 12: 4}
+    assert 99 not in got5
+
+
+def test_bfs_hops_min_distance_with_multiple_seeds(spark):
+    from market_data_pipeline_databricks_spark.operators.graph import bfs_hops
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+    got = {r.node: r.hop for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    # node 3 is 2 hops from both ends; 2 and 4 are 1 hop from a seed
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}

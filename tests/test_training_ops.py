@@ -1119,3 +1119,40 @@ def test_sessionization_boundary_exactly_30_minutes(spark):
     assert len(sess[1]) == 1 and sess[1][0].n_events == 3
     assert sess[1][0].duration_s == 3600 and sess[1][0].converted
     assert len(sess[2]) == 2 and all(not r.converted for r in sess[2])
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc pasted verbatim inside a much longer one must score
+    containment ≈ 1 while its Jaccard stays near |short|/|long| — the
+    exact asymmetry ngram_containment_pairs exists to expose."""
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    long_doc = filler + " " + short + " " + filler.replace("filler", "tail")
+    rows = [(1, short), (2, long_doc), (3, "completely unrelated text about spark plans")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in DD.ngram_containment_pairs(
+            df, max_shingle_df=10, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.99
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(df, max_shingle_df=10, threshold=0.0).collect()
+    }
+    # same pair, same blocking — but Jaccard sits near |short|/|long|
+    assert jac[(1, 2)] < 0.2
+    assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_containment_agrees_with_jaccard_on_corpus_pairs(docs):
+    """On the real corpus every blocked pair must satisfy
+    containment ≥ jaccard (set algebra: min ≤ union), with equality
+    only when the shingle sets have equal size."""
+    c = DD.ngram_containment_pairs(docs, threshold=0.0)
+    j = DD.ngram_jaccard_pairs(docs, threshold=0.0)
+    both = c.join(j, ["id_a", "id_b"]).collect()
+    assert both, "blocking must surface candidate pairs on the corpus"
+    for r in both:
+        assert r.containment >= r.jaccard - 1e-9, r
