@@ -60,6 +60,13 @@ HEADLINE = [
     # invisible to the driver. Baselines in BASELINE.md.
     "curate_chunk_corpus_lsh",
     "curate_multimodal_corpus_lsh",
+    # round-6: the widest TPC-H join trees — the headline set was all
+    # market-window + curation ops, so a plan regression in a 6-way
+    # join (q9: part⋈supplier⋈lineitem⋈partsupp-shaped⋈orders⋈nation)
+    # or the multi-semi/anti q21 would be driver-invisible. Baselines
+    # in BASELINE.md (round-6 pins).
+    "join_q9_product_type_profit",
+    "join_q21_waiting_suppliers",
 ]
 
 

@@ -102,6 +102,111 @@ def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
+#: Reference corpus size for the auto-tuning rule below — the scale at
+#: which the hand-validated 3-plane default keeps expected bucket size
+#: (n / 2^planes) inside the regime where the banding constant, not the
+#: per-bucket quadratic, dominates (measured at sf0.1: the embeddings
+#: table is 2k vectors there; the r5 sf1.0 rehearsal = 20k).
+LSH_BASE_ROWS = 2_000
+
+
+def _lsh_tables_for_miss(p1: float, n_planes: int, target_miss: float) -> int:
+    """Tables needed so (1 − p₁^planes)^tables ≤ target_miss."""
+    import math
+
+    miss_per_table = 1.0 - p1**n_planes
+    if miss_per_table <= 0.0:
+        return 1
+    return max(1, math.ceil(math.log(target_miss) / math.log(miss_per_table)))
+
+
+def lsh_candidate_fraction(n_planes: int, n_tables: int) -> float:
+    """Expected fraction of RANDOM (near-orthogonal) pairs that become
+    candidates: 1 − (1 − 2^-planes)^tables. For a bulk of unrelated
+    vectors the per-table collision probability is 2^-planes (each
+    plane splits an orthogonal pair with probability ½), and a pair is
+    a candidate if ANY table co-buckets it. Measured at the r5 sf1.0
+    rehearsal: predicted 0.78 at (6, 96), observed 151.4M of 200M
+    distinct pairs = 0.757."""
+    return 1.0 - (1.0 - 0.5**n_planes) ** n_tables
+
+
+def lsh_auto_tuning(
+    n_rows: int,
+    threshold: float,
+    target_miss: float = 2e-7,
+    base_planes: int = 3,
+    base_rows: int = LSH_BASE_ROWS,
+    max_planes: int = 24,
+) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) from corpus size and cosine threshold
+    by minimizing the modeled join volume at a fixed miss budget.
+
+    The banding law, validated against measurement at sf1.0
+    (BASELINE.md "LSH tuning rule"): with p₁ = 1 − θ/π the per-pair
+    miss rate of ``tables`` independent ``planes``-bit sign tables is
+    (1 − p₁^planes)^tables, so tables(planes) is solved from the miss
+    budget, and the dominant costs are
+
+    - **banding**: n · tables rows hashed/exploded/shuffled, and
+    - **candidates**: (n²/2) · (1 − (1 − 2^-planes)^tables) rows
+      through the bucket join + DISTINCT + exact verify
+
+    — the same row-shaped work per unit (measured ≈2.3e-7 s/row at
+    sf1.0), so the tuner picks the plane count minimizing their sum.
+    More planes always cut candidates (ratio 1/(2p₁) < 1 per plane at
+    any threshold above 0) but inflate tables 1/p₁ per plane; the
+    argmin lands where the marginal banding row buys exactly one
+    candidate row. ``base_planes`` floors the search (the
+    hand-validated small-corpus default) and ``base_rows`` keeps tiny
+    corpora on that floor.
+    """
+    import math
+
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    n = max(int(n_rows), 1)
+    best: tuple[float, int, int] | None = None
+    for p in range(base_planes, max_planes + 1):
+        t = _lsh_tables_for_miss(p1, p, target_miss)
+        cost = n * t + (n * n / 2.0) * lsh_candidate_fraction(p, t)
+        if best is None or cost < best[0]:
+            best = (cost, p, t)
+    _, n_planes, n_tables = best
+    if n <= base_rows:
+        # Small corpora: the candidate term is tiny everywhere, so the
+        # argmin drifts high on noise-level differences; pin the
+        # validated small-scale default plane count instead.
+        n_planes = base_planes
+        n_tables = _lsh_tables_for_miss(p1, n_planes, target_miss)
+    return n_planes, n_tables
+
+
+def _bucket_array_udf(planes: np.ndarray, n_planes: int, n_tables: int):
+    """Arrow-batched sign-LSH hasher: ALL tables' buckets in one BLAS
+    matmul per batch.
+
+    The Column form below evaluates planes·tables interpreted
+    higher-order folds per row, which is the dominant *constant* of the
+    multitable structure once tables grow with corpus size (the r5
+    sf1.0 rehearsal's "fixed overhead"). Here the whole signature is
+    X(batch×dim) @ P.T(dim×M) — one vectorized matmul — then each
+    table's ``n_planes`` sign bits pack into a long. Bit convention
+    matches :func:`lsh_bucket` exactly (bit_i = 1 iff dot > 0)."""
+    pmat = np.ascontiguousarray(planes, dtype=np.float64)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in v], dtype=np.float64)
+        signs = (x @ pmat.T) > 0  # (batch, n_tables*n_planes)
+        b = signs.reshape(len(x), n_tables, n_planes) @ weights
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit_i = 1 iff dot(vec, plane_i) > 0."""
     bucket = F.lit(0).cast("long")
@@ -117,36 +222,76 @@ def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    n_rows: int | None = None,
+    design_cos: float = 0.5,
+    target_miss: float = 0.1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: exact re-rank within the query's LSH bucket.
+    """Approximate top-k: exact re-rank within the query's LSH buckets.
 
-    2^n_planes buckets; corpus is hashed once (one narrow projection),
-    candidates come from an equi-join on bucket — at 100 TB this is a
-    shuffle on a small int key instead of a cross join.
+    2^n_planes buckets per table; corpus is hashed once (one narrow
+    projection carrying only (id, table, bucket)), candidates come from
+    an equi-join on (table, bucket) — at 100 TB this is a shuffle on a
+    small int key instead of a cross join.
+
+    **Scale-adaptive tuning** (default): with ``n_planes``/``n_tables``
+    unset, planes grow with log₂ of corpus growth via
+    :func:`lsh_auto_tuning` so per-query candidate volume
+    (n_tables · n/2^planes) stays constant as the corpus grows, and
+    tables are solved so a true neighbor at ``design_cos`` is missed
+    with probability ≤ ``target_miss`` (the recall knob — top-k has no
+    hard threshold, so the design point is explicit). Pass ``n_rows``
+    when the corpus frame is derived (avoids the plan-build count).
     """
+    if n_planes is not None and n_tables is None:
+        n_tables = 1  # pinned planes = the legacy single-table form
+    elif n_planes is None or n_tables is None:
+        auto_rows = n_rows if n_rows is not None else corpus.count()
+        auto_planes, auto_tables = lsh_auto_tuning(
+            auto_rows, design_cos, target_miss=target_miss, base_planes=6
+        )
+        n_planes = n_planes if n_planes is not None else auto_planes
+        n_tables = n_tables if n_tables is not None else auto_tables
     first = corpus.select(vec_col).first()
     dim = len(first[0])
-    planes = random_planes(dim, n_planes, seed)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cvec")
-    ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
-    ).withColumn("bucket", lsh_bucket(F.col("qvec"), planes))
+    all_planes = np.vstack(
+        [
+            np.asarray(random_planes(dim, n_planes, seed + t), dtype=np.float64)
+            for t in range(n_tables)
+        ]
+    )
+    hash_udf = _bucket_array_udf(all_planes, n_planes, n_tables)
 
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+    def _banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(out_vec)
         )
+        return v.select(
+            out_id,
+            out_vec,
+            F.posexplode(hash_udf(F.col(out_vec))).alias("table_id", "bucket"),
+        )
+
+    c = _banded(corpus, "neighbor_id", "cvec")
+    q = _banded(queries, "query_id", "qvec")
+    # Candidate pairs dedup on ids BEFORE the exact re-rank so each
+    # (query, neighbor) cosine is computed once however many tables
+    # they co-bucket in.
+    cand = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -161,12 +306,21 @@ def cosine_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = 8,
+    n_rows: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold),
     LSH-bucketed: high-cosine pairs almost surely share a sign bucket
-    (each plane splits them with probability θ/π ≈ 0.1 at cos=0.95)."""
+    (each plane splits them with probability θ/π ≈ 0.1 at cos=0.95).
+    Pass ``n_planes=None`` to grow the plane count with log₂ of corpus
+    size (:func:`lsh_auto_tuning`), holding bucket size — and so the
+    per-bucket quadratic — linear in n; the single-table recall cost of
+    each added plane is the documented trade of this cheap variant (the
+    multitable form below holds recall AND bucket size)."""
+    if n_planes is None:
+        auto_rows = n_rows if n_rows is not None else df.count()
+        n_planes, _ = lsh_auto_tuning(auto_rows, threshold)
     first = df.select(vec_col).first()
     dim = len(first[0])
     planes = random_planes(dim, n_planes, seed)
@@ -190,8 +344,10 @@ def cosine_near_duplicates_multitable(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 3,
-    n_tables: int = 24,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    n_rows: int | None = None,
+    structure: str = "auto",
     seed: int = 42,
 ) -> DataFrame:
     """Multi-table sign-LSH candidates + EXACT cosine verification.
@@ -209,32 +365,79 @@ def cosine_near_duplicates_multitable(
     volume by the bucket count. At thresholds near the bulk of the
     pair-similarity distribution (like this testdata's 0.45, where
     p₁ ≈ 0.65) NO hyperplane scheme prunes much — the LSH exponent
-    ρ → 1 — so the defaults here are sized for recall on that regime
-    (3 planes × 24 tables → per-pair miss < 5e-4 at cos 0.45), and the
-    value of the structure is that bucket joins replace the all-pairs
-    cross join, which is the part that cannot ship at 100 TB.
+    ρ → 1 — so tuning must track corpus size, and the value of the
+    structure is that bucket joins replace the all-pairs cross join,
+    which is the part that cannot ship at 100 TB.
+
+    **Scale-adaptive tuning** (default): when ``n_planes``/``n_tables``
+    are not pinned, they are derived from the corpus row count via
+    :func:`lsh_auto_tuning` — the plane count that minimizes modeled
+    banding + candidate rows at the 2e-7 per-pair miss budget. The row
+    count comes from ``n_rows`` if the caller already knows it (e.g. a
+    parquet footer count), else from a ``df.count()`` — the one
+    documented plan-build action in this operator, cheap when ``df``
+    is a plain scan, so callers on derived frames should pass
+    ``n_rows``.
+
+    **Structure selection** (``structure="auto"``, default): the same
+    model decides whether banding prunes AT ALL. At thresholds in the
+    bulk of the pair-similarity distribution the best achievable
+    candidate fraction stays near 1 (r5 sf1.0 rehearsal: 76% of all
+    pairs at (6, 96)), so shuffled bucket joins pay the quadratic at
+    row rate with no pruning; ``auto`` then delegates to
+    :func:`cosine_near_duplicates_blocked` — exact, same output
+    contract, quadratic paid at matmul rate (≈100× cheaper per pair;
+    the 25× margin below is conservative). Pass ``structure="lsh"``
+    to force the banded path (e.g. to measure it), or ``"blocked"``
+    to force the GEMM path.
     """
+    auto_rows = n_rows
+    if n_planes is None or n_tables is None:
+        import math
+
+        if auto_rows is None:
+            auto_rows = df.count()
+        if n_planes is None:
+            n_planes, auto_tables = lsh_auto_tuning(auto_rows, threshold)
+        else:
+            # planes pinned: solve tables from the miss budget at that
+            # plane count (same banding law, fixed first coordinate)
+            p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+            mpt = 1.0 - p1**n_planes
+            auto_tables = (
+                1 if mpt <= 0.0 else max(1, math.ceil(math.log(2e-7) / math.log(mpt)))
+            )
+        n_tables = n_tables if n_tables is not None else auto_tables
+    if structure == "auto" and auto_rows is not None:
+        all_pairs = auto_rows * auto_rows / 2.0
+        lsh_units = auto_rows * n_tables + all_pairs * lsh_candidate_fraction(
+            n_planes, n_tables
+        )
+        if lsh_units > all_pairs / 25.0:
+            structure = "blocked"
+    if structure == "blocked":
+        return cosine_near_duplicates_blocked(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col, n_rows=auto_rows
+        )
     first = df.select(vec_col).first()
     dim = len(first[0])
     v = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     )
-    # One projection computes every table's bucket; the banded stream
-    # carries only (id, table, bucket) through the explode + self-join
-    # (same narrowing discipline as MinHash banding in operators/dedup).
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_id"),
-                lsh_bucket(
-                    F.col("vec"), random_planes(dim, n_planes, seed + t)
-                ).alias("bucket"),
-            )
+    # One Arrow-batched matmul computes every table's bucket; the
+    # banded stream carries only (id, table, bucket) through the
+    # explode + self-join (same narrowing discipline as MinHash banding
+    # in operators/dedup). Plane values are identical to the Column
+    # path (same seeds), so tuning — not hashing — decides the output.
+    all_planes = np.vstack(
+        [
+            np.asarray(random_planes(dim, n_planes, seed + t), dtype=np.float64)
             for t in range(n_tables)
         ]
     )
-    banded = v.select("id", F.explode(buckets).alias("b")).select(
-        "id", F.col("b.table_id").alias("table_id"), F.col("b.bucket").alias("bucket")
+    hash_udf = _bucket_array_udf(all_planes, n_planes, n_tables)
+    banded = v.select(
+        "id", F.posexplode(hash_udf(F.col("vec"))).alias("table_id", "bucket")
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -277,6 +480,142 @@ def brute_force_near_duplicates(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_near_duplicates_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 4096,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dups at BLAS rate — the bulk-threshold
+    scale path.
+
+    When the threshold sits in the bulk of the pair-similarity
+    distribution, sign-LSH candidates degenerate to ~all pairs
+    (measured at the sf1.0 rehearsal: 76% of all 200M pairs survive the
+    (6,96) banding), so the shuffled bucket join pays quadratic
+    *row-shaped* cost (~2.3e-7 s/row) with no pruning to show for it.
+    This operator accepts the quadratic honestly and pays it at matmul
+    rate instead (~1e-9 s/pair): block-pair cogroup + one numpy GEMM
+    per block pair.
+
+    Plan shape (fully distributed — no driver collect):
+
+    1. each row gets block = pmod(hash(id), B) with
+       B = ⌈n / rows_per_block⌉;
+    2. the A-side stream replicates each row to keys {(blk, j), j ≥ blk},
+       the B-side to {(i, blk), i ≤ blk} — every unordered block pair
+       is materialized exactly once, so the pair (a, b) is emitted by
+       exactly one task (shuffle volume: (B+1)·n vector rows);
+    3. ``cogroup().applyInPandas`` per key computes Xa @ Xb.T in
+       row-chunks, keeps pairs with numpy-cosine ≥ threshold − 1e-9
+       (slack covers the fold-vs-SIMD association difference, ~1e-15);
+    4. survivors (≈ the true pairs, tiny) are re-scored with the same
+       sequential-fold :func:`cosine` used everywhere else, so the
+       output is BIT-IDENTICAL to :func:`brute_force_near_duplicates`.
+
+    At 100 TB corpora the quadratic itself is the limit — there this
+    operator is the within-cell kernel under the IVF coarse quantizer
+    (train_ivf_centroids), while multitable LSH remains the
+    sub-quadratic path at high thresholds where it actually prunes.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    n = n_rows if n_rows is not None else df.count()
+    n_blocks = max(1, -(-n // rows_per_block))
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    # Side columns carry DISTINCT names: with identical names a
+    # self-cogroup from one parent plan hits attribute dedup and the
+    # right-hand pandas frame arrives with only the key columns
+    # (reproduced on Spark 4.1; renaming sidesteps it).
+    a_side = v.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+        F.col("id").alias("ida"),
+        F.col("vec").alias("veca"),
+    )
+    b_side = v.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.col("id").alias("idb"),
+        F.col("vec").alias("vecb"),
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos_approx", DoubleType()),
+        ]
+    )
+    slack = float(threshold) - 1e-9
+
+    def gemm(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_approx": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_approx": "float64"}
+            )
+        xa = np.asarray([np.asarray(e, dtype=np.float64) for e in left["veca"]])
+        xb = np.asarray([np.asarray(e, dtype=np.float64) for e in right["vecb"]])
+        ia = left["ida"].to_numpy()
+        ib = right["idb"].to_numpy()
+        na = np.linalg.norm(xa, axis=1)
+        nb = np.linalg.norm(xb, axis=1)
+        same = key[0] == key[1]
+        frames = []
+        chunk = 2048
+        for s in range(0, len(xa), chunk):
+            g = (xa[s : s + chunk] @ xb.T) / np.outer(na[s : s + chunk], nb)
+            r, c = np.nonzero(g >= slack)
+            if len(r) == 0:
+                continue
+            lo = ia[s + r]
+            hi = ib[c]
+            keep = lo != hi if same else np.ones(len(r), dtype=bool)
+            lo, hi, cs = lo[keep], hi[keep], g[r[keep], c[keep]]
+            swap = lo > hi
+            lo2 = np.where(swap, hi, lo)
+            hi2 = np.where(swap, lo, hi)
+            frames.append(
+                pd.DataFrame({"id_a": lo2, "id_b": hi2, "cos_approx": cs})
+            )
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_approx": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_approx": "float64"}
+            )
+        out = pd.concat(frames, ignore_index=True)
+        if same:
+            # the diagonal block sees each unordered pair twice
+            out = out.drop_duplicates(["id_a", "id_b"])
+        return out
+
+    cand = (
+        a_side.groupBy("bi", "bj")
+        .cogroup(b_side.groupBy("bi", "bj"))
+        .applyInPandas(gemm, out_schema)
+        .select("id_a", "id_b")
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

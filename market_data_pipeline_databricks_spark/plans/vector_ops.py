@@ -20,6 +20,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count for LSH auto-tuning — a count() on the bare
+    parquet scan (zero-column projection: row-group metadata, no data
+    pages), so the plan-build cost is O(files) not O(rows)."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+
 def _queries_subset(df: DataFrame) -> DataFrame:
     # Every 40th vector is a query — small fixed query set at any sf.
     return df.filter(F.col("vec_id") % 40 == 0)
@@ -39,18 +46,27 @@ def vector_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vector_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (random-hyperplane signatures,
-    8 planes). Rows-only driver check; recall vs brute force is
+    """LSH-bucketed approximate top-10, scale-adaptive tuning: plane /
+    table counts derive from the corpus row count at plan-build
+    (operators/similarity.py:lsh_auto_tuning — planes grow with log₂ of
+    corpus growth so per-query candidate volume stays flat, tables hold
+    the miss budget). Rows-only driver check; recall vs brute force is
     asserted in tests/test_training_ops.py."""
     emb = _emb(spark, sf_dir)
-    return SIM.ann_topk_lsh(emb, _queries_subset(emb), k=10, n_planes=6)
+    return SIM.ann_topk_lsh(
+        emb, _queries_subset(emb), k=10, n_rows=_emb_rows(spark, sf_dir)
+    )
 
 
 def vector_ann_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs (cosine ≥ 0.4 within sign buckets).
-    Rows-only driver check."""
-    return SIM.cosine_near_duplicates(
-        _emb(spark, sf_dir), threshold=0.4, n_planes=4
+    """Multi-table sign-LSH near-dup pairs (cosine ≥ 0.4) with exact
+    verification, scale-adaptive tuning from the corpus count — the
+    r5 sf1.0 rehearsal measured the fixed-tuning form super-linear
+    (output grew 102× at 10× rows), so this now shares the banding-law
+    auto-tuning with the multimodal capstone. Rows-only driver check;
+    keep-set equality vs the brute-force twin is pytest-pinned."""
+    return SIM.cosine_near_duplicates_multitable(
+        _emb(spark, sf_dir), threshold=0.4, n_rows=_emb_rows(spark, sf_dir)
     )
 
 
@@ -151,14 +167,19 @@ def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def curate_multimodal_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cross-modality capstone with the near-dup stage swapped to
-    multi-table sign-LSH candidates + exact cosine verification
-    (operators/similarity.py:cosine_near_duplicates_multitable) — the
-    structure that replaces the all-pairs cross join with bucket
-    equi-joins at scale. Rows-only driver check (seeded hyperplanes
-    have no SQL twin); keep-set equality with the brute-force form is
-    asserted in tests/test_training_ops.py. Table/plane counts are
-    sized for recall ≈ 1 at this testdata's unusually low pair cosines
-    (0.45-0.51) — production thresholds (≥ 0.9) need far fewer."""
+    the scale-adaptive structure
+    (operators/similarity.py:cosine_near_duplicates_multitable,
+    structure="auto"): plane/table counts derive from the corpus count
+    via the sf1.0-validated banding law, and the same model detects
+    when banding cannot prune at all — at this testdata's bulk
+    threshold (0.45, where the r5 rehearsal measured 76% of ALL pairs
+    surviving (6,96) banding) it selects the exact block-GEMM path
+    (cosine_near_duplicates_blocked: quadratic paid at BLAS rate,
+    bit-identical to brute force; measured 295 s → 15 s on the 10×
+    rehearsal). At production thresholds (≥ 0.9) the same call keeps
+    auto-tuned multitable LSH, which prunes exponentially there.
+    Rows-only driver check; keep-set equality with the brute-force
+    form is asserted in tests/test_training_ops.py."""
     from market_data_pipeline_databricks_spark.operators import text as TX
 
     docs = TX.with_text_stats(
@@ -179,13 +200,11 @@ def curate_multimodal_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = SIM.cosine_near_duplicates_multitable(
         enriched.select(F.col("doc_id").alias("vec_id"), "embedding"),
         threshold=0.45,
-        n_planes=3,
-        # 48 tables: per-pair miss ≈ 0.7264^48 ≈ 2e-7 at cos 0.45 — at
-        # 24 tables (≈5e-4) a single missed pair was observed at sf0.1,
-        # so the table count is sized for keep-set equality across all
-        # shipped scale factors, and the empirical check below covers
-        # sf0.001 (pytest), sf0.01 and sf0.1 (BASELINE.md).
-        n_tables=48,
+        # corpus size for the auto tuner / structure selector: the
+        # unfiltered embeddings footer count is a cheap upper bound
+        # (the filtered corpus is strictly smaller, which only makes
+        # the chosen structure safer).
+        n_rows=_emb_rows(spark, sf_dir),
     )
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return enriched.join(removed, "doc_id", "left_anti").select(

@@ -1156,3 +1156,77 @@ def test_containment_agrees_with_jaccard_on_corpus_pairs(docs):
     assert both, "blocking must surface candidate pairs on the corpus"
     for r in both:
         assert r.containment >= r.jaccard - 1e-9, r
+
+
+# ---------------------------------------------------------------------------
+# Round 6: scale-adaptive LSH tuning + blocked exact GEMM near-dups
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_auto_tuning_banding_law():
+    # Small corpora pin the validated 3-plane default; the table count
+    # solves the 2e-7 miss budget at cos 0.45 (≈ the hand-tuned 48).
+    p, t = SIM.lsh_auto_tuning(2_000, 0.45)
+    assert p == 3 and 45 <= t <= 55
+    # Larger corpora move to deeper configs: planes strictly grow,
+    # candidate fraction strictly falls.
+    p10, t10 = SIM.lsh_auto_tuning(20_000, 0.45)
+    assert p10 > p
+    assert SIM.lsh_candidate_fraction(p10, t10) < SIM.lsh_candidate_fraction(p, t)
+    # At a production threshold the tuner finds a config that actually
+    # prunes (candidate fraction well under the structure-switch bar).
+    p9, t9 = SIM.lsh_auto_tuning(20_000, 0.9)
+    assert SIM.lsh_candidate_fraction(p9, t9) < 0.02
+
+
+def test_lsh_candidate_fraction_matches_rehearsal_measurement():
+    # r5 sf1.0 rehearsal: 151.4M of 200M distinct pairs survived the
+    # (6, 96) banding = 0.757 measured; the model predicts 0.78.
+    f = SIM.lsh_candidate_fraction(6, 96)
+    assert abs(f - 0.757) < 0.05
+
+
+def test_blocked_near_dups_bitwise_equal_bruteforce(emb):
+    bf = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SIM.brute_force_near_duplicates(emb, threshold=0.45).collect()
+    }
+    # several block counts, including one that forces cross-block pairs
+    for rpb in (64, 4096):
+        bl = {
+            (r.id_a, r.id_b, r.cosine_sim)
+            for r in SIM.cosine_near_duplicates_blocked(
+                emb, threshold=0.45, rows_per_block=rpb
+            ).collect()
+        }
+        assert bl == bf
+
+
+def test_multitable_structure_auto_selects_blocked_at_bulk_threshold(emb):
+    # At cos 0.45 banding cannot prune (candidate fraction ≈ 1), so
+    # "auto" must route to the exact GEMM path — output equals brute
+    # force exactly, not just keep-set.
+    bf = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SIM.brute_force_near_duplicates(emb, threshold=0.45).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SIM.cosine_near_duplicates_multitable(emb, threshold=0.45).collect()
+    }
+    assert auto == bf
+
+
+def test_multitable_structure_forced_lsh_still_keepset_equal(emb):
+    # The banded path stays available and correct under auto tuning.
+    bf = {
+        (r.id_a, r.id_b)
+        for r in SIM.brute_force_near_duplicates(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_near_duplicates_multitable(
+            emb, threshold=0.45, structure="lsh"
+        ).collect()
+    }
+    assert lsh == bf
