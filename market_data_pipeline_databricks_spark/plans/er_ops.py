@@ -21,7 +21,8 @@ case): same nation, name Levenshtein <= 2, |balance gap| <= 0.02.
 
 Scale shape — the part that must survive 100 TB:
 - Blocking is an EQUI-JOIN on (nationkey, balance band): each record's
-  balance is banded at the match tolerance (band = floor(bal / 0.02))
+  balance is banded at the match tolerance on exact integer cents
+  (band = floor((bal*100 as cents) / 2))
   and the probe side explodes to {band-1, band, band+1}, so every
   within-tolerance pair co-locates in exactly one band probe — the
   same banded-range-join trick as join_range_binned_volatility. No
@@ -83,8 +84,15 @@ def _dirty_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal"),
     )
     recs = v1.unionByName(v2)
+    # Band on EXACT integer cents (decimal(12,2)·100 is exact in the
+    # decimal domain): band = floor(cents / 2). Banding through DOUBLE
+    # put some exactly-within-tolerance pairs (gap = 0.02) two bands
+    # apart (e.g. -655.32 vs -655.30), silently dropping them from the
+    # ±1-band probe; integer cents make the blocking guarantee exact:
+    # |cents_a - cents_b| ≤ 2 ⇒ |band_a - band_b| ≤ 1.
+    cents = (F.col("bal") * 100).cast("long")
     return recs.withColumn(
-        "band", F.floor(F.col("bal").cast("double") * 50).cast("long")
+        "band", F.floor(cents / 2).cast("long")
     )
 
 
@@ -189,7 +197,7 @@ recs AS (
   FROM base
 ),
 banded AS (
-  SELECT *, CAST(FLOOR(CAST(bal AS DOUBLE) * 50) AS BIGINT) AS band
+  SELECT *, CAST(FLOOR(CAST(bal * 100 AS BIGINT) / 2) AS BIGINT) AS band
   FROM recs
 ),
 pairs AS (

@@ -339,26 +339,49 @@ def scale_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the only sane global top-frequency plan: a full
     groupBy on a high-cardinality key shuffles everything; this
-    shuffles only the candidate subset."""
+    shuffles only the candidate subset. Plan-build runs exactly ONE
+    action — the pass-1 sketch scan (that is the algorithm); the
+    row-count threshold is folded into pass 2 as a broadcast scalar so
+    the verify pass computes the total and the candidate counts in the
+    same plan rather than paying a third scan."""
     li = _t(spark, sf_dir, "lineitem")
-    total = li.count()
-    # 0.055% of the fact rows: above the per-part mean on this
-    # near-uniform testdata, so the result is the genuine upper tail
-    # (non-empty and non-trivial at every shipped sf); the sketch
-    # support sits safely BELOW the threshold so the KPS superset
-    # guarantee covers every qualifying key
-    threshold = max(1, int(total * 0.00055))
+    # pass 1 (the one plan-build action): KPS/Misra-Gries candidate
+    # sketch. Driver state is bounded by construction at ≤ 1/support
+    # items; the assert pins that contract so a support change cannot
+    # silently turn this into an unbounded collect.
+    support = 0.0004
     cand_rows = li.select("l_partkey").freqItems(
-        ["l_partkey"], support=0.0004
+        ["l_partkey"], support=support
     ).first()[0]
+    assert len(cand_rows) <= int(1 / support) + 1, (
+        f"freqItems returned {len(cand_rows)} items — above the "
+        f"1/support={int(1 / support)} KPS state bound"
+    )
     cand = spark.createDataFrame(
         [(int(x),) for x in cand_rows], "l_partkey long"
     )
+    # pass 2: exact recount of candidates only; the 0.055%-of-rows
+    # threshold (above the per-part mean on this near-uniform testdata,
+    # so the result is the genuine upper tail; the sketch support sits
+    # safely BELOW it, so the KPS superset guarantee covers every
+    # qualifying key) joins in as a 1-row broadcast computed in the
+    # same plan. FLOOR on both engines (the oracle mirrors it) — int()
+    # truncation vs DuckDB's round-to-nearest BIGINT cast disagreed on
+    # fractional parts ≥ .5.
+    total = li.agg(F.count(F.lit(1)).alias("_total"))
     return (
         li.join(F.broadcast(cand), "l_partkey", "left_semi")
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .filter(F.col("n_rows") >= threshold)
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_rows")
+            >= F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("_total") * F.lit(0.00055)).cast("long"),
+            )
+        )
+        .select("l_partkey", "n_rows")
     )
 
 
@@ -372,8 +395,8 @@ ORACLE_SQL.update(
         SELECT l_partkey, COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_partkey
-        HAVING COUNT(*) >= GREATEST(1, CAST(
-          (SELECT COUNT(*) FROM lineitem) * 0.00055 AS BIGINT))
+        HAVING COUNT(*) >= GREATEST(1, CAST(FLOOR(
+          (SELECT COUNT(*) FROM lineitem) * 0.00055) AS BIGINT))
     """,
     }
 )

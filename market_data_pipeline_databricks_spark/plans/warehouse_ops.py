@@ -148,10 +148,70 @@ def incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def gold_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gold rebuild driven end-to-end and proven equal to
+    the full recompute (operators/gold.py:gold_incremental — the
+    engine's answer to the reference's overwrite-everything gold,
+    /root/reference/notebooks/gold/03_aggregate_gold.py:82-95).
+
+    Construction on real testdata: the (l_suppkey, ship-day) daily
+    rollup plays silver; rows before 1998-06-01 are the already-built
+    history, rows from that date on arrive as the change batch.
+    ``existing_gold`` is computed from the OLD silver only, then
+    ``gold_incremental`` patches it with the batch — and the oracle
+    recomputes gold over the FULL silver directly, so hash equality
+    proves incremental == full recompute (the features are strictly
+    backward-looking, so pre-cutoff rows cannot depend on the batch).
+
+    Emits the LAG return and the 20-row rolling volume average (both
+    IEEE-deterministic cross-engine: integral sums are exact in
+    doubles and the division order is mirrored); the rolling stddev is
+    exercised by the decimal-exact Bollinger query instead."""
+    from datetime import datetime
+
+    from market_data_pipeline_databricks_spark.operators.gold import (
+        gold_features,
+        gold_incremental,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    silver = (
+        li.groupBy(
+            F.col("l_suppkey").cast("string").alias("symbol"),
+            F.col("l_shipdate").cast("date").alias("date"),
+        )
+        .agg(
+            F.max("l_extendedprice").cast("double").alias("close"),
+            F.sum("l_quantity").cast("long").alias("volume"),
+        )
+        .withColumn("source", F.lit("lineitem"))
+    )
+    cut = F.lit("1998-06-01").cast("date")
+    ts = datetime(2026, 1, 1, 0, 0)
+    existing_gold = gold_features(
+        silver.filter(F.col("date") < cut), computed_at=ts
+    )
+    out = gold_incremental(
+        silver,
+        existing_gold,
+        silver.filter(F.col("date") >= cut),
+        computed_at=ts,
+    )
+    return out.select(
+        "symbol",
+        "date",
+        "close",
+        "volume",
+        "return_1d",
+        "avg_volume_20d",
+    )
+
+
 QUERIES = {
     "scd2_supplier_history": scd2_supplier_history,
     "cdc_supplier_balance_diff": cdc_supplier_balance_diff,
     "incremental_rollup_equivalence": incremental_rollup_equivalence,
+    "gold_incremental_equivalence": gold_incremental_equivalence,
 }
 
 _SNAPS_CTE = """
@@ -227,6 +287,26 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    # full recompute over ALL silver — equality with the Spark side's
+    # incremental patching proves gold_incremental's cutoff algebra
+    "gold_incremental_equivalence": """
+        WITH daily AS (
+          SELECT CAST(l_suppkey AS VARCHAR) AS symbol,
+                 CAST(l_shipdate AS DATE) AS date,
+                 CAST(MAX(l_extendedprice) AS DOUBLE) AS close,
+                 CAST(SUM(l_quantity) AS BIGINT) AS volume
+          FROM lineitem
+          GROUP BY 1, 2
+        )
+        SELECT symbol, date, close, volume,
+               close / LAG(close) OVER
+                 (PARTITION BY symbol ORDER BY date) - 1 AS return_1d,
+               AVG(CAST(volume AS DOUBLE)) OVER
+                 (PARTITION BY symbol ORDER BY date
+                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                 AS avg_volume_20d
+        FROM daily
     """,
 }
 

@@ -306,7 +306,9 @@ def merge(
 
     Restrictions (ValueError otherwise, so silent divergence is
     impossible): equality-conjunction ON, UPDATE SET of col = col
-    pairs, INSERT * — i.e. upsert semantics. Duplicate source keys are
+    pairs COVERING every non-key target column (a subset SET would
+    make the whole-row upsert diverge from Delta's column-scoped
+    update), INSERT * — i.e. upsert semantics. Duplicate source keys are
     a MERGE error in Delta; the same grain check is the caller's
     contract here (the reference dedups upstream).
 
@@ -316,9 +318,17 @@ def merge(
     """
     stmt = text.strip().rstrip(";")
     if _delta_available(spark):
+        # Resolve the target BEFORE executing: Delta accepts MERGE
+        # shapes wider than _MERGE_RE (e.g. WHEN MATCHED THEN DELETE,
+        # no alias), and failing to parse AFTER the statement already
+        # ran would surface as an AttributeError mid-flight.
+        m = _MERGE_RE.match(stmt) or re.match(
+            r"(?is)^\s*MERGE\s+INTO\s+(?P<target>[`\w.]+)", stmt
+        )
+        if not m:
+            raise ValueError(f"cannot resolve MERGE target in: {stmt[:80]!r}")
         spark.sql(stmt)
-        target = _MERGE_RE.match(stmt).group("target").strip("`")
-        return spark.table(target)
+        return spark.table(m.group("target").strip("`"))
     target, source, key_cols, set_cols = _parse_merge(stmt)
     if warehouse_dir is None:
         raise ValueError(
@@ -335,6 +345,21 @@ def merge(
     missing = [c for c in key_cols + set_cols if c not in existing_cols]
     if missing:
         raise ValueError(f"MERGE columns absent from target: {missing}")
+    # The fallback executes a WHOLE-ROW upsert, which matches Delta
+    # MERGE semantics only when UPDATE SET covers every non-key target
+    # column; a subset SET would silently overwrite the unlisted
+    # columns with source values (Delta keeps target values there), so
+    # reject it rather than diverge.
+    unlisted = [
+        c for c in existing_cols if c not in key_cols and c not in set_cols
+    ]
+    if unlisted:
+        raise ValueError(
+            "parquet MERGE fallback requires UPDATE SET to cover every "
+            f"non-key target column; unlisted: {unlisted} (whole-row "
+            "upsert would overwrite them with source values, diverging "
+            "from Delta MERGE)"
+        )
     upsert_by_key(
         spark,
         updates,

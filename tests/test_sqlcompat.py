@@ -275,3 +275,37 @@ def test_merge_rejects_unsupported_shapes(spark):
             "WHEN MATCHED THEN UPDATE SET a.v = b.v "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_merge_rejects_subset_update_set(spark, tmp_path):
+    """A SET list covering only some non-key columns must be rejected:
+    the parquet fallback is a whole-row upsert, which would silently
+    overwrite the unlisted columns with source values where real Delta
+    MERGE keeps the target values."""
+    import datetime as dt
+
+    import pytest
+
+    from market_data_pipeline_databricks_spark import sqlcompat
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        overwrite_table,
+    )
+
+    wh = str(tmp_path)
+    d1 = dt.date(2025, 1, 1)
+    base = spark.createDataFrame(
+        [("AAPL", d1, 1.5, 10)], "symbol string, date date, close double, volume long"
+    )
+    overwrite_table(base, wh, "bronze_sub", ["symbol"])
+    spark.createDataFrame(
+        [("AAPL", d1, 2.5, 99)], "symbol string, date date, close double, volume long"
+    ).createOrReplaceTempView("bronze_sub_incoming")
+    stmt = """
+MERGE INTO bronze_sub AS target
+USING bronze_sub_incoming AS source
+ON target.symbol = source.symbol AND target.date = source.date
+WHEN MATCHED THEN UPDATE SET target.close = source.close
+WHEN NOT MATCHED THEN INSERT *
+"""
+    with pytest.raises(ValueError, match="every non-key target column"):
+        sqlcompat.merge(spark, stmt, warehouse_dir=wh, partition_cols=["symbol"])
