@@ -709,12 +709,41 @@ def assign_ivf_cells(
     return df.withColumn(out_col, cells(F.col(vec_col)))
 
 
+def ivf_auto_tuning(n_rows: int) -> tuple[int, int]:
+    """(n_cells, nprobe) from corpus size: cells ∝ √n (the standard IVF
+    balance point — per-query work is n·nprobe/cells + cells, minimized
+    at cells ≈ √(n·nprobe)), nprobe growing slowly with cells so the
+    probed FRACTION shrinks while absolute probed cells rise (cells
+    shrink as n grows, so a fixed-count probe keeps the true-neighbor
+    cells covered). Fixed 16-cell tuning measured 8.8× wall for 10×
+    rows at the sf1.0 rehearsal; this rule restores the √n class.
+
+    Honest regime note (mirrors the LSH/blocked split): the √n class
+    at stable recall requires CLUSTERED vectors — real-embedding
+    corpora, where a query's neighbors concentrate in few cells. On
+    unclustered (near-random) vectors like the synthetic testdata,
+    recall for any IVF is ≈ the probed fraction, so a shrinking
+    fraction trades recall for the class; callers needing a recall
+    floor on such data should pin nprobe/n_cells (the recall tests
+    pin them) or use the exact/blocked paths."""
+    import math
+
+    n_cells = max(16, math.ceil(2.0 * math.sqrt(max(n_rows, 1))))
+    # nprobe ∝ √cells: absolute probed cells rise (coverage of the
+    # neighbor cells improves) while the probed FRACTION falls — a
+    # constant fraction (e.g. cells/16) would silently restore the
+    # linear class.
+    nprobe = max(3, round(math.sqrt(n_cells) / 2))
+    return n_cells, nprobe
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
-    nprobe: int = 3,
+    n_cells: int | None = 16,
+    nprobe: int | None = 3,
+    n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -725,7 +754,15 @@ def ann_topk_ivf(
     Scale: candidate generation is an equi-join on a small int cell id
     (shuffle ∝ corpus + nprobe×queries, not corpus×queries); recall is
     tunable via nprobe — cross-validated against brute force in tests.
+    Pass ``n_cells=None`` to derive (cells, nprobe) from the corpus
+    count via :func:`ivf_auto_tuning` (``n_rows`` avoids the plan-build
+    count when the caller knows it).
     """
+    if n_cells is None or nprobe is None:
+        auto_rows = n_rows if n_rows is not None else corpus.count()
+        auto_cells, auto_probe = ivf_auto_tuning(auto_rows)
+        n_cells = n_cells if n_cells is not None else auto_cells
+        nprobe = nprobe if nprobe is not None else auto_probe
     cent = train_ivf_centroids(
         corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed
     )

@@ -71,11 +71,19 @@ def vector_ann_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vector_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 (16-cell coarse quantizer, nprobe=3).
-    Rows-only driver check; recall vs brute force asserted in tests."""
+    """IVF approximate top-10, scale-adaptive: cell count grows ∝ √n
+    with the corpus (operators/similarity.py:ivf_auto_tuning) so
+    per-query probe work stays O(√n) — fixed 16 cells measured 8.8×
+    wall for 10× rows at the sf1.0 rehearsal. Rows-only driver check;
+    recall vs brute force asserted in tests."""
     emb = _emb(spark, sf_dir)
     return SIM.ann_topk_ivf(
-        emb, _queries_subset(emb), k=10, n_cells=16, nprobe=3
+        emb,
+        _queries_subset(emb),
+        k=10,
+        n_cells=None,
+        nprobe=None,
+        n_rows=_emb_rows(spark, sf_dir),
     )
 
 

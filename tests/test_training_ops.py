@@ -1230,3 +1230,25 @@ def test_multitable_structure_forced_lsh_still_keepset_equal(emb):
         ).collect()
     }
     assert lsh == bf
+
+
+def test_ivf_auto_tuning_sqrt_class(emb):
+    # cells grow ~ sqrt(n); per-query probe work n*nprobe/cells + cells
+    # must grow sub-linearly in n.
+    c1, p1 = SIM.ivf_auto_tuning(2_000)
+    c2, p2 = SIM.ivf_auto_tuning(200_000)
+    assert c2 > c1
+    w1 = 2_000 * p1 / c1 + c1
+    w2 = 200_000 * p2 / c2 + c2
+    assert w2 < 100 * w1 / 3  # 100x rows -> far less than 100x work
+    # auto-tuned IVF scores remain EXACT for every returned pair
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in SIM.cosine_topk(emb, queries, k=10**9).collect()
+    }
+    auto = SIM.ann_topk_ivf(emb, queries, k=10, n_cells=None, nprobe=None)
+    for r in auto.collect():
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine_sim

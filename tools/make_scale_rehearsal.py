@@ -25,6 +25,8 @@ collapses:
   random tail itself yields pair counts ~ n^2/buckets — that is a
   property of thresholded similarity on any honestly-grown corpus, not
   of this synthesis; see the BASELINE.md analysis.)
+- supplier: re-keyed by copy offset, names suffixed with 5 copy-unique
+  chars (keeps ER matches strictly within-copy at lev <= 2)
 - orders/lineitem: o_orderkey/l_orderkey re-keyed by copy offset
   (facts grow 10x over the same dimension tables — the realistic
   shape); other tables pass through.
@@ -118,7 +120,26 @@ def main() -> None:
         f"{out}/lineitem.parquet"
     )
 
-    for t in ("region", "nation", "customer", "supplier", "part", "events"):
+    # supplier grows 10x for the ER rehearsal: suppkey re-keyed by copy
+    # offset; each copy's names get a 5-char copy-unique suffix so
+    # cross-copy name pairs sit Levenshtein-5 apart (the ER match rule
+    # is lev <= 2, so matches stay strictly within-copy and the true
+    # match density per copy is preserved exactly); balances pass
+    # through (equal cross-copy balances are blocked by the name term
+    # of the conjunctive rule).
+    sup = spark.read.parquet(f"{src}/supplier.parquet")
+    n_sup = sup.agg(F.max("s_suppkey")).first()[0] + 1
+    big_s = None
+    for k in range(COPIES):
+        c = sup.withColumn(
+            "s_suppkey", F.col("s_suppkey") + F.lit(k * n_sup)
+        ).withColumn("s_name", F.concat("s_name", F.lit(str(k) * 5)))
+        big_s = c if big_s is None else big_s.unionByName(c)
+    big_s.repartition(8).write.mode("overwrite").parquet(
+        f"{out}/supplier.parquet"
+    )
+
+    for t in ("region", "nation", "customer", "part", "events"):
         dst = f"{out}/{t}.parquet"
         if os.path.exists(dst):
             (shutil.rmtree if os.path.isdir(dst) else os.remove)(dst)
