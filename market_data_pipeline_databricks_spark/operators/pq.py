@@ -137,6 +137,13 @@ def _adc_scores(
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()  # bounded query set by contract (same as cosine_topk)
+    # pin the contract: the LUT build and the probe-pair collect are
+    # O(|queries|) driver state — fail loudly if a caller hands the
+    # corpus as the query set instead of silently OOMing the driver
+    assert len(q_rows) <= 100_000, (
+        f"PQ query set has {len(q_rows)} rows — the ADC LUT stage is "
+        "driver-built and contracted to bounded query sets (≤100k)"
+    )
     luts = []
     qids = []
     for r in q_rows:
