@@ -3,9 +3,12 @@
 Cosine math on both engines is a sequential left-to-right double fold
 (Spark ``aggregate``/``zip_with``; DuckDB ``list_dot_product`` on
 DOUBLE[] — verified bit-identical), mirrored expression order:
-dot(q,c) / (sqrt(dot(q,q)) * sqrt(dot(c,c))). LSH variants use seeded
-random hyperplanes with no SQL twin → rows-only checks, recall
-cross-validated against the brute-force baseline in tests.
+dot(q,c) / (sqrt(dot(q,q)) * sqrt(dot(c,c))). Banded LSH/IVF variants
+use seeded hyperplanes/centroids with no SQL twin → rows-only checks
+with recall cross-validated against the brute-force baseline in tests;
+the structure="auto" near-dup variants route to the exact blocked GEMM
+at bulk thresholds and are fully oracle-backed (see the ORACLE_SQL
+aliases at the bottom).
 """
 
 from __future__ import annotations
@@ -63,8 +66,10 @@ def vector_ann_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification, scale-adaptive tuning from the corpus count — the
     r5 sf1.0 rehearsal measured the fixed-tuning form super-linear
     (output grew 102× at 10× rows), so this now shares the banding-law
-    auto-tuning with the multimodal capstone. Rows-only driver check;
-    keep-set equality vs the brute-force twin is pytest-pinned."""
+    auto-tuning with the multimodal capstone. At this bulk threshold
+    the structure selector routes to the exact blocked GEMM path, so
+    the query is fully oracle-backed (brute-force twin's SQL); keep-set
+    equality is additionally pytest-pinned."""
     return SIM.cosine_near_duplicates_multitable(
         _emb(spark, sf_dir), threshold=0.4, n_rows=_emb_rows(spark, sf_dir)
     )
@@ -186,8 +191,10 @@ def curate_multimodal_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to brute force; measured 295 s → 15 s on the 10×
     rehearsal). At production thresholds (≥ 0.9) the same call keeps
     auto-tuned multitable LSH, which prunes exponentially there.
-    Rows-only driver check; keep-set equality with the brute-force
-    form is asserted in tests/test_training_ops.py."""
+    Fully oracle-backed (the exact twin's SQL — the blocked path is
+    bit-identical to brute force); keep-set equality with the
+    brute-force form is additionally asserted in
+    tests/test_training_ops.py."""
     from market_data_pipeline_databricks_spark.operators import text as TX
 
     docs = TX.with_text_stats(
@@ -746,3 +753,13 @@ ORACLE_SQL = {
         FROM cos GROUP BY vec_id, label
     """,
 }
+
+# The structure="auto" near-dup variants route to the exact blocked
+# GEMM path at these bulk thresholds (the tuner's candidate-fraction
+# model puts banding at ~all-pairs there — asserted by
+# tests/test_training_ops.py::test_multitable_structure_auto_selects_
+# blocked_at_bulk_threshold), so their outputs are BIT-IDENTICAL to
+# the brute-force twins and the same DuckDB oracles apply — upgrading
+# both from rows-only to full hash-checked driver rows.
+ORACLE_SQL["vector_ann_near_dup_lsh"] = ORACLE_SQL["vector_near_dup_pairs"]
+ORACLE_SQL["curate_multimodal_corpus_lsh"] = ORACLE_SQL["curate_multimodal_corpus"]
