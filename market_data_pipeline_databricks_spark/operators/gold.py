@@ -63,6 +63,7 @@ def gold_incremental(
     existing_gold: DataFrame,
     changed: DataFrame,
     computed_at: datetime | None = None,
+    fresh_only: bool = False,
 ) -> DataFrame:
     """Incremental gold rebuild: recompute only the rows a batch of
     new/changed silver rows can affect, keep everything else.
@@ -106,6 +107,11 @@ def gold_incremental(
         F.col("date") >= F.col("cutoff")
     ).drop("cutoff")
 
+    if fresh_only:
+        # just the replacement rows (>= cutoff, full frames) — the
+        # shape a keyed upsert sink wants (see
+        # streaming/ingest.stream_gold_maintenance)
+        return fresh
     untouched = existing_gold.join(
         F.broadcast(cutoffs), "symbol", "left"
     ).filter(F.col("cutoff").isNull() | (F.col("date") < F.col("cutoff"))).drop(

@@ -109,7 +109,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # agg_segment_value_quantiles / events_funnel_time_to_convert /
     # events_cumulative_reach / dedup_editdistance_verify /
     # dedup_component_size_histogram / quality_benford_screen /
-    # quality_mad_outliers.
+    # quality_mad_outliers — plus the round-6 additions landed after
+    # this window was pinned: stream_gold_incremental (streaming
+    # incremental gold maintenance == full recompute), and the two
+    # rows-only→oracle upgrades curate_multimodal_corpus_lsh /
+    # vector_ann_near_dup_lsh (blocked-GEMM exact structure).
     # -- displaced: the full r5 window (all 50 driver-green in
     # CORRECTNESS_r05.json) plus every earlier anchor noted in git
     # history; all stay verifiable via tools/check_oracle.py.

@@ -379,3 +379,83 @@ ORACLE_SQL.update(
         ],
     }
 )
+
+
+def stream_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental gold maintenance, oracle-backed end to
+    end: the (l_suppkey, ship-day) daily silver rollup is split into
+    four date-range parquet chunks, streamed one file per micro-batch,
+    and each batch patches a persistent gold table via
+    streaming/ingest.stream_gold_maintenance (append silver →
+    recompute only the affected region → idempotent keyed upsert).
+    The oracle recomputes gold over ALL of silver directly, so hash
+    equality proves that four incremental streaming patches compose to
+    the exact full recompute — the strongest statement a streaming
+    maintenance op can make (same bar as the stream==batch window
+    twins). Emits the IEEE-deterministic columns (LAG return, rolling
+    volume average); rolling stddev is covered by the decimal-exact
+    Bollinger query."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from market_data_pipeline_databricks_spark.streaming.ingest import (
+        stream_gold_maintenance,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    silver = (
+        li.groupBy(
+            F.col("l_suppkey").cast("string").alias("symbol"),
+            F.col("l_shipdate").cast("date").alias("date"),
+        )
+        .agg(
+            F.max("l_extendedprice").cast("double").alias("close"),
+            F.sum("l_quantity").cast("long").alias("volume"),
+        )
+        .withColumn("source", F.lit("lineitem"))
+    )
+    feed_dir = tempfile.mkdtemp(prefix=f"gold_feed_{_NONCE}_")
+    wh = tempfile.mkdtemp(prefix=f"gold_wh_{_NONCE}_")
+    # four date-ordered drops — each lands as its own file(s); batch
+    # boundaries are irrelevant to correctness (the cutoff algebra is
+    # order-safe), only to the per-batch work profile
+    bounds = ["1995-01-01", "1996-07-01", "1997-07-01"]
+    chunks = [
+        silver.filter(F.col("date") < bounds[0]),
+        silver.filter((F.col("date") >= bounds[0]) & (F.col("date") < bounds[1])),
+        silver.filter((F.col("date") >= bounds[1]) & (F.col("date") < bounds[2])),
+        silver.filter(F.col("date") >= bounds[2]),
+    ]
+    for c in chunks:
+        c.coalesce(1).write.mode("append").parquet(feed_dir)
+    feed = (
+        spark.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    stream_gold_maintenance(
+        feed, wh, computed_at=datetime(2026, 1, 1, 0, 0)
+    )
+    gold = spark.read.parquet(f"{wh}/gold_daily")
+    out = gold.select(
+        "symbol", "date", "close", "volume", "return_1d", "avg_volume_20d"
+    ).localCheckpoint()  # materialize before the temp dirs vanish
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
+QUERIES.update({"stream_gold_incremental": stream_gold_incremental})
+
+# the streaming maintenance must equal the batch full recompute, so it
+# shares the incremental-equivalence oracle (full gold over all silver)
+from market_data_pipeline_databricks_spark.plans import warehouse_ops as _w
+
+ORACLE_SQL.update(
+    {
+        "stream_gold_incremental": _w.ORACLE_SQL[
+            "gold_incremental_equivalence"
+        ],
+    }
+)

@@ -139,3 +139,72 @@ def run_available_now(
     )
     q.awaitTermination()
     return df.sparkSession.table(query_name)
+
+
+def stream_gold_maintenance(
+    silver_stream: DataFrame,
+    warehouse_dir: str,
+    silver_table: str = "silver_daily",
+    gold_table: str = "gold_daily",
+    computed_at=None,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming incremental GOLD maintenance — the streaming twin of
+    the reference's recompute-everything gold
+    (notebooks/gold/03_aggregate_gold.py:82-95), built from the two
+    primitives this engine already trusts: ``operators/gold.
+    gold_incremental`` (cutoff algebra: a batch can only affect rows of
+    its symbols at dates >= the batch's min date, and those need at
+    most ROLL preceding rows to recompute) and the idempotent keyed
+    upsert sink.
+
+    Each micro-batch:
+
+    1. appends the batch to the silver table (append-only feed);
+    2. recomputes ONLY the affected region (``fresh_only=True``) —
+       O(batch symbols × tail) work, never O(history);
+    3. upserts the fresh rows into the gold table by (symbol, date) —
+       replays rewrite the same values, so the sink is exactly-once in
+       effect.
+
+    Out-of-order batches are safe: the cutoff is derived per batch, so
+    a late batch simply recomputes forward from its own min date using
+    the silver accumulated so far.
+    """
+    from market_data_pipeline_databricks_spark.operators.gold import (
+        gold_incremental,
+    )
+    from market_data_pipeline_databricks_spark.sources.tables import read_table
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        append_table,
+        upsert_by_key,
+    )
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix=f"ckpt_gold_{gold_table}_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()  # cut the per-batch lineage
+        append_table(batch, warehouse_dir, silver_table)
+        silver = read_table(spark, warehouse_dir, silver_table)
+        fresh = gold_incremental(
+            silver,
+            existing_gold=None,  # unused on the fresh_only path
+            changed=batch,
+            computed_at=computed_at,
+            fresh_only=True,
+        )
+        upsert_by_key(
+            spark, fresh, warehouse_dir, gold_table, ["symbol", "date"]
+        )
+
+    q = (
+        silver_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -77,3 +77,59 @@ def test_incremental_update_touches_only_new_partition(spark):
     assert _rows(finalize_rollup(updated, KEYS, MEASURES)) == _rows(want)
     # sanity: both slices are non-trivial so the test means something
     assert old.count() > 0 and new.count() > 0
+
+
+def test_stream_gold_maintenance_out_of_order_batches(spark, tmp_path):
+    """A LATE batch (earlier dates arriving after later ones) must
+    still converge to the exact full recompute: the cutoff algebra
+    recomputes forward from the late batch's min date over the silver
+    accumulated so far."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_databricks_spark.operators.gold import (
+        gold_features,
+    )
+    from market_data_pipeline_databricks_spark.streaming.ingest import (
+        stream_gold_maintenance,
+    )
+
+    rows = []
+    for sym in ("AAA", "BBB"):
+        for i in range(30):
+            rows.append(
+                (sym, dt.date(2025, 1, 1) + dt.timedelta(days=i),
+                 100.0 + i + (7.0 if sym == "BBB" else 0.0), 10 + i, "t")
+            )
+    cols = "symbol string, date date, close double, volume long, source string"
+    silver = spark.createDataFrame(rows, cols)
+
+    feed = str(tmp_path / "feed")
+    # chunk 1: days 10-19; chunk 2: days 20-29; chunk 3 (LATE): days 0-9
+    d = lambda i: dt.date(2025, 1, 1) + dt.timedelta(days=i)
+    for lo, hi in ((10, 20), (20, 30), (0, 10)):
+        silver.filter(
+            (F.col("date") >= F.lit(d(lo))) & (F.col("date") < F.lit(d(hi)))
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    wh = str(tmp_path / "wh")
+    stream = (
+        spark.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    ts = dt.datetime(2026, 1, 1)
+    stream_gold_maintenance(stream, wh, computed_at=ts)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{wh}/gold_daily")
+            .select("symbol", "date", "close", "volume", "return_1d",
+                    "vol_20d", "avg_volume_20d").collect())
+    )
+    want = sorted(
+        map(tuple, gold_features(silver, computed_at=ts)
+            .select("symbol", "date", "close", "volume", "return_1d",
+                    "vol_20d", "avg_volume_20d").collect())
+    )
+    assert got == want

@@ -42,6 +42,12 @@ PANDAS_OK = {
     "multimodal_feature_extract",
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
+    # r6 scale-adaptive similarity: matmul bucket hashing
+    # (ArrowEvalPython) on the banded path, block-pair GEMM
+    # (FlatMapCoGroupsInPandas) on the bulk-threshold exact path
+    "vector_ann_lsh_topk",
+    "vector_ann_near_dup_lsh",
+    "curate_multimodal_corpus_lsh",
 }
 
 # The documented exact all-pairs oracle baselines: their near-dup
@@ -68,5 +74,10 @@ def test_plan_invariants(spark, name, fn):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in PANDAS_OK:
-        for node in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        for node in (
+            "ArrowEvalPython",
+            "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+            "MapInPandas",
+        ):
             assert node not in plan, f"{name}: unexpected Python node {node}"
