@@ -79,6 +79,40 @@ def scale_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scale_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance via MERGEABLE HLL
+    sketches (Spark 4 Apache DataSketches surface): per-day partial
+    sketches (`hll_sketch_agg`) union into monthly estimates
+    (`hll_union_agg`) — the pattern that maintains a distinct-users
+    dashboard from daily increments WITHOUT rescanning history. At
+    100 TB each partial is a fixed ~KB register set; re-aggregation
+    cost is O(days), not O(events).
+
+    Emits per month: the merged-partials estimate AND the direct
+    whole-month estimate — identical by sketch algebra (union of
+    per-day sketches IS the month sketch), which the pytest pins
+    along with the HLL error bound vs exact. Rows-only driver check
+    (DuckDB has no compatible sketch)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    merged = daily.groupBy("month").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_users")
+    )
+    direct = ev.groupBy(F.date_trunc("month", F.col("ts")).alias("month")).agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
+            "direct_users"
+        )
+    )
+    return merged.join(direct, "month").select(
+        F.col("month").cast("date").alias("month"),
+        "merged_users",
+        "direct_users",
+    )
+
+
 def scale_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch, accuracy 1e4):
     mergeable fixed-size sketches instead of a global sort. Rows-only
@@ -385,7 +419,12 @@ def scale_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES.update({"scale_heavy_hitters": scale_heavy_hitters})
+QUERIES.update(
+    {
+        "scale_heavy_hitters": scale_heavy_hitters,
+        "scale_hll_mergeable_distinct": scale_hll_mergeable_distinct,
+    }
+)
 
 ORACLE_SQL.update(
     {

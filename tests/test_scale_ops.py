@@ -215,3 +215,30 @@ def test_max_drawdown_matches_pandas_replay(spark):
         for r in funcs_max_drawdown(spark, SF_SMALL).collect()
     }
     assert got == expect
+
+
+def test_hll_mergeable_distinct_algebra(spark):
+    """Merged per-day partials must equal the direct whole-month sketch
+    estimate EXACTLY (union of day sketches IS the month sketch), and
+    both must sit within the HLL error bound of the exact count."""
+    from market_data_pipeline_databricks_spark.plans.scale_ops import (
+        scale_hll_mergeable_distinct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = scale_hll_mergeable_distinct(spark, sf).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {
+        r["month"]: r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["merged_users"] == r["direct_users"], "sketch algebra broken"
+        assert abs(r["merged_users"] - exact[r["month"]]) <= max(
+            2, 0.05 * exact[r["month"]]
+        )
