@@ -13,64 +13,12 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# The round-5 rotation: the two r4 hash mismatches (oracle integer-SUM
-# casts fixed this round — they must hold a green row) plus 48
-# oracle-backed queries that have never held a driver correctness row
-# (CORRECTNESS_r01-r04 cover 100 of the 180 oracle-backed queries; the
-# round-4 additions below are the backlog). Displaced r4-window names
-# all hold green rows in CORRECTNESS_r04.json.
-PREVIOUSLY_UNCHECKED = [
-    "text_corpus_report",
-    "sample_domain_mixture",
-    "join_q2_min_cost_supplier",
-    "join_q4_order_priority",
-    "join_q5_local_supplier_volume",
-    "agg_q6_forecast_revenue",
-    "join_q7_volume_shipping",
-    "join_q8_market_share",
-    "join_q9_product_type_profit",
-    "join_q10_returned_items",
-    "agg_q11_important_stock",
-    "join_q12_priority_shipping",
-    "agg_q13_customer_distribution",
-    "agg_q14_promo_revenue_pct",
-    "join_q15_top_supplier",
-    "agg_q16_supplier_part_counts",
-    "join_q17_small_quantity_revenue",
-    "join_q18_large_volume",
-    "join_q19_disjunctive_revenue",
-    "join_q20_excess_shipments",
-    "join_q21_waiting_suppliers",
-    "join_q22_idle_balance",
-    "scalar_props_variant",
-    "scalar_props_map_entries",
-    "join_asof_forward_quotes",
-    "join_asof_nearest_quotes",
-    "graph_part_pagerank",
-    "scale_skew_diagnostics",
-    "dedup_representative_survivors",
-    "dedup_component_survivors",
-    "sample_weighted_reservoir",
-    "sample_temperature_mixture",
-    "text_gopher_rules",
-    "text_pii_redaction",
-    "text_exact_decontaminate",
-    "events_markov_transitions",
-    "events_session_stats",
-    "events_ab_test_lift",
-    "events_conversion_survival",
-    "events_cuped_adjustment",
-    "vector_dim_stats",
-    "vector_label_cohesion",
-    "multimodal_image_resize",
-    "quality_k_anonymity",
-    "quality_expectation_suite",
-    "stream_stream_left_outer_attribution",
-    "stream_daily_unique_users",
-    "window_native_session_stats",
-    "window_gapfill_daily_close",
-    "funcs_bollinger_bands",
-]
+# The round-6 rotation: 50 oracle-backed queries that had never held
+# a driver correctness row when the window was pinned (the r5 window's
+# 50 names are all green in CORRECTNESS_r05.json). Kept in lockstep
+# with registry.DRIVER_WINDOW — the assertion below is the guard that
+# a registry reorder cannot silently push one past position 50.
+PREVIOUSLY_UNCHECKED = list(registry.DRIVER_WINDOW)
 
 
 def test_driver_window_fully_oracle_backed():
