@@ -1252,3 +1252,27 @@ def test_ivf_auto_tuning_sqrt_class(emb):
     auto = SIM.ann_topk_ivf(emb, queries, k=10, n_cells=None, nprobe=None)
     for r in auto.collect():
         assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine_sim
+
+
+def test_ann_lsh_auto_multitable_recall(emb):
+    """The auto-tuned multi-table ANN must dominate the single-table
+    form: every returned score is exact, and top-1 recall vs brute
+    force is high (the tables are solved for a 10% per-neighbor miss
+    budget at the 0.5 design cosine)."""
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    brute = {
+        r.query_id: r.neighbor_id
+        for r in SIM.cosine_topk(emb, queries, k=1).collect()
+    }
+    ann = SIM.ann_topk_lsh(emb, queries, k=10).collect()
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in SIM.cosine_topk(emb, queries, k=10**9).collect()
+    }
+    for r in ann:
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine_sim
+    got_top1 = {
+        r.query_id: r.neighbor_id for r in ann if r.rank == 1
+    }
+    hits = sum(1 for q, n in brute.items() if got_top1.get(q) == n)
+    assert hits / len(brute) >= 0.5, f"top-1 recall {hits}/{len(brute)}"
