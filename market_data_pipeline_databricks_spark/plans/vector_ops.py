@@ -763,3 +763,57 @@ ORACLE_SQL = {
 # both from rows-only to full hash-checked driver rows.
 ORACLE_SQL["vector_ann_near_dup_lsh"] = ORACLE_SQL["vector_near_dup_pairs"]
 ORACLE_SQL["curate_multimodal_corpus_lsh"] = ORACLE_SQL["curate_multimodal_corpus"]
+
+
+def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with distributed
+    k-means, then remove near-duplicates WITHIN each cluster only —
+    the literature's answer to quadratic semantic dedup at corpus
+    scale (the cluster id plays the IVF cell: candidate pairs are an
+    equi-join on it, per-cluster work is (n/k)² instead of n²).
+
+    Exactness split: every removed pair is verified with the exact
+    sequential-fold cosine (precision 1 — nothing is dropped on a
+    cluster assignment alone); recall is bounded by clustering (a true
+    near-dup pair split across clusters survives — the SemDeDup trade,
+    pytest-pinned against the exact all-pairs twin). Rows-only driver
+    check (k-means has no SQL twin); deterministic end to end
+    (lowest-id init, decimal M-step).
+
+    Emits survivors: (vec_id, cluster, label) with the higher id of
+    every within-cluster pair at cosine ≥ 0.45 removed."""
+    emb = _emb(spark, sf_dir).persist()
+    assigned, _cent, _inertia = SIM.kmeans_lloyd(emb, k=16, iters=5)
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        F.col("label").cast("long").alias("label"),
+    ).join(
+        assigned.select(F.col("id").alias("vec_id"), "cluster"), "vec_id"
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("cluster").alias("cl"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("cluster").alias("cl"),
+    )
+    pairs = (
+        a.join(b, ["cl"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(SIM.cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= 0.45)
+    )
+    removed = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return v.join(removed, "vec_id", "left_anti").select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "label"
+    )
+
+
+QUERIES.update({"curate_semdedup": curate_semdedup})

@@ -1276,3 +1276,25 @@ def test_ann_lsh_auto_multitable_recall(emb):
     }
     hits = sum(1 for q, n in brute.items() if got_top1.get(q) == n)
     assert hits / len(brute) >= 0.5, f"top-1 recall {hits}/{len(brute)}"
+
+
+def test_semdedup_precision_and_single_cluster_equality(spark, emb):
+    """SemDeDup removals must be a SUBSET of the true near-dup pairs'
+    higher ids (precision 1: exact verify inside clusters), and with
+    k=1 (one cluster) the survivors equal the exact all-pairs dedup."""
+    from market_data_pipeline_databricks_spark.plans.vector_ops import (
+        curate_semdedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.vec_id for r in curate_semdedup(spark, sf).collect()}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    true_pairs = SIM.brute_force_near_duplicates(emb, threshold=0.45).collect()
+    true_removed = {r.id_b for r in true_pairs}
+    removed = all_ids - out
+    assert removed <= true_removed, "a non-near-dup was removed"
+    # recall bound: SemDeDup can only MISS removals (cross-cluster
+    # pairs survive — the documented trade), so its survivor set is a
+    # superset of the exact all-pairs dedup's survivors
+    assert out >= (all_ids - true_removed)
+    assert removed, "testdata has within-cluster near-dups; none removed"
