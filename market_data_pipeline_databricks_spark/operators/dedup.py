@@ -558,3 +558,76 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def ngram_jaccard_cross_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_shingle_df: int = 10,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Incremental fuzzy dedup: blocked exact shingle-Jaccard between a
+    NEW batch and the EXISTING corpus only — the daily-crawl companion
+    to :func:`ngram_jaccard_pairs` (which is all-pairs within one
+    frame) and to the md5 exact incremental dedup.
+
+    Scale shape: candidate fan-out is batch-side × corpus-side on rare
+    shingles — no corpus×corpus term anywhere, so daily cost is
+    O(batch × block occupancy) regardless of corpus history size.
+    Shingle rarity (the blocking key selectivity) is computed over the
+    UNION of both sides: document frequency is a corpus-global
+    property, and computing it batch-locally would let a corpus-common
+    shingle masquerade as rare.
+
+    Returns (batch id, corpus id, jaccard) for every cross pair at or
+    above ``threshold`` — deterministic, fully SQL-expressible (oracle
+    twin in plans/text_ops.py)."""
+    from pyspark import StorageLevel
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.array_distinct(
+                TX.shingles(F.col(text_col), shingle_k)
+            ).alias(f"sh_{side}"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    db_ = prep(batch, "b")
+    dc_ = prep(corpus, "c")
+    sh_b = db_.select("id_b", F.explode("sh_b").alias("shingle"))
+    sh_c = dc_.select("id_c", F.explode("sh_c").alias("shingle"))
+    rare = (
+        sh_b.select(F.col("id_b").alias("id"), "shingle")
+        .unionByName(sh_c.select(F.col("id_c").alias("id"), "shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") <= max_shingle_df)
+        .select("shingle")
+    )
+    cand = (
+        sh_b.join(rare, "shingle", "left_semi")
+        .join(sh_c.join(rare, "shingle", "left_semi"), "shingle")
+        .select("id_b", "id_c")
+        .distinct()
+    )
+    return (
+        cand.join(db_, "id_b")
+        .join(dc_, "id_c")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_b", "sh_c"))
+                / F.size(F.array_union("sh_b", "sh_c")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_b").alias("batch_id"),
+            F.col("id_c").alias("corpus_id"),
+            "jaccard",
+        )
+    )

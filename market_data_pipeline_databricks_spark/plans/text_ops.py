@@ -685,6 +685,20 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_tokens(_docs(spark, sf_dir), chunk_size=32, stride=24)
 
 
+def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FUZZY dedup (the near-dup companion to the md5
+    exact form below): docs with doc_id % 5 == 0 arrive as the new
+    batch and are blocked-Jaccard-matched against the existing corpus
+    only (operators/dedup.ngram_jaccard_cross_pairs) — no
+    corpus×corpus work, so the daily cost is O(batch × block
+    occupancy) however large history grows. Deterministic rare-shingle
+    blocking + exact verification ⇒ fully oracle-backed."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return DD.ngram_jaccard_cross_pairs(batch, corpus)
+
+
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup: docs with doc_id % 5 == 0 arrive as
     a new batch; the rest are the already-ingested corpus. Survivors =
@@ -1943,6 +1957,7 @@ QUERIES = {
     "sample_stratified_events": sample_stratified_events,
     "text_chunk_overlap": text_chunk_overlap,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "dedup_incremental_fuzzy": dedup_incremental_fuzzy,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_source_cap": sample_source_cap,
     "curate_chunk_corpus": curate_chunk_corpus,
@@ -2997,6 +3012,26 @@ SELECT doc_id, n_tokens FROM (
                CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_chunk_tokens
         FROM st
         WHERE start = 1 OR start - 24 + 31 < len(toks)
+    """,
+    "dedup_incremental_fuzzy": _SHINGLE_DOCS + """,
+        rare AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+          FROM sh a
+          JOIN sh b ON a.shingle = b.shingle
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+            AND a.shingle IN (SELECT shingle FROM rare)
+        )
+        SELECT batch_id, corpus_id,
+               ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                     / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) AS jaccard
+        FROM cand
+        JOIN docs da ON da.doc_id = batch_id
+        JOIN docs db ON db.doc_id = corpus_id
+        WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+              / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.1
     """,
     "dedup_incremental_batch": _NORM + r""",
         fp AS (SELECT doc_id, md5(ntext) AS fp FROM norm),
