@@ -31,6 +31,7 @@ EAGER = {
     "dedup_component_size_histogram",
     "vector_ann_ivf_topk",
     "vector_ann_ivfpq_topk",
+    "curate_semdedup",  # k-means training at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these
