@@ -631,3 +631,88 @@ def ngram_jaccard_cross_pairs(
             "jaccard",
         )
     )
+
+
+def minhash_cross_verified_near_duplicates(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Incremental banded-MinHash near-dup detection: the new batch's
+    band keys probe the corpus's band keys — the 100-TB twin of
+    :func:`ngram_jaccard_cross_pairs` (which pays a corpus-global
+    shingle-DF pass for its deterministic blocking; here the corpus
+    side contributes only its persisted signatures/band keys, the
+    production pattern where the corpus index is maintained once and
+    each day's batch probes it).
+
+    Candidates = cross band-bucket collisions only (no corpus×corpus,
+    no batch×batch term); every candidate is verified with the exact
+    shingle Jaccard, so precision is 1 and output equals the exact
+    cross form wherever banding recall is 1 (J ≥ 0.9 pairs are missed
+    with probability < 1e-10 at 16×4; keep-set equality pytest-pinned
+    at the 0.5 threshold on testdata)."""
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // num_bands
+
+    def prep(df: DataFrame, side: str):
+        sh = df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            TX.shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        sigs = sh.select(
+            f"id_{side}",
+            F.array_distinct("sh").alias(f"shset_{side}"),
+            minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        banded = sigs.select(
+            f"id_{side}",
+            F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"),
+        ).select(
+            f"id_{side}",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+        return sigs, banded
+
+    sigs_b, banded_b = prep(batch, "b")
+    sigs_c, banded_c = prep(corpus, "c")
+    # Skew guard on the corpus side (the big one): drop over-full
+    # buckets before the probe join.
+    ok_buckets = (
+        banded_c.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") <= max_bucket_size)
+        .select("band_id", "band_hash")
+    )
+    banded_c = banded_c.join(ok_buckets, ["band_id", "band_hash"], "left_semi")
+    cand = (
+        banded_b.join(banded_c, ["band_id", "band_hash"])
+        .select("id_b", "id_c")
+        .distinct()
+    )
+    return (
+        cand.join(sigs_b.select("id_b", "shset_b"), "id_b")
+        .join(sigs_c.select("id_c", "shset_c"), "id_c")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("shset_b", "shset_c"))
+                / F.size(F.array_union("shset_b", "shset_c")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_b").alias("batch_id"),
+            F.col("id_c").alias("corpus_id"),
+            "jaccard",
+        )
+    )

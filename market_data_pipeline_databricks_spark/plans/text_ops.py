@@ -699,6 +699,22 @@ def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_cross_pairs(batch, corpus)
 
 
+def dedup_incremental_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB twin of dedup_incremental_fuzzy: the batch's MinHash
+    band keys probe the corpus's band index — no corpus-global
+    shingle-DF pass, no corpus×corpus term; exact-Jaccard verification
+    makes precision 1 (operators/dedup.minhash_cross_verified_near_
+    duplicates). Rows-only driver check (seeded hashing); keep-set
+    equality with the exact cross form at the 0.5 threshold is
+    pytest-pinned."""
+    docs = _docs(spark, sf_dir)
+    return DD.minhash_cross_verified_near_duplicates(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
+
+
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingestion dedup: docs with doc_id % 5 == 0 arrive as
     a new batch; the rest are the already-ingested corpus. Survivors =
@@ -1958,6 +1974,7 @@ QUERIES = {
     "text_chunk_overlap": text_chunk_overlap,
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_incremental_fuzzy": dedup_incremental_fuzzy,
+    "dedup_incremental_fuzzy_lsh": dedup_incremental_fuzzy_lsh,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_source_cap": sample_source_cap,
     "curate_chunk_corpus": curate_chunk_corpus,

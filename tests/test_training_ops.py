@@ -1298,3 +1298,24 @@ def test_semdedup_precision_and_single_cluster_equality(spark, emb):
     # superset of the exact all-pairs dedup's survivors
     assert out >= (all_ids - true_removed)
     assert removed, "testdata has within-cluster near-dups; none removed"
+
+
+def test_incremental_fuzzy_lsh_keepset_equals_exact_cross(docs):
+    """The banded-MinHash incremental twin must find exactly the exact
+    cross form's pairs at the 0.5 threshold (banding recall ~1 there)."""
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    exact = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in DD.ngram_jaccard_cross_pairs(
+            batch, corpus, threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in DD.minhash_cross_verified_near_duplicates(
+            batch, corpus, threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact
+    assert exact, "testdata must contain cross batch/corpus near-dups"
