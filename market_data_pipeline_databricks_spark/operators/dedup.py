@@ -565,10 +565,23 @@ def ngram_containment_pairs(
     """
     from pyspark import StorageLevel
 
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(TX.shingles(F.col(text_col), shingle_k)).alias("shingleset"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                TX.shingles(F.col(text_col), shingle_k)
+            ).alias("shingleset"),
+        )
+        .withColumn(
+            "hset",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform("shingleset", lambda s: F.xxhash64(s))
+                )
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sh = docs.select("id", F.explode("shingleset").alias("shingle"))
     rare = (
         sh.groupBy("shingle")
@@ -583,10 +596,24 @@ def ngram_containment_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # Hashed prefilter + exact string verify — same two-stage scheme
+    # (and the same collision/slack argument) as ngram_jaccard_pairs.
+    ha = docs.select(F.col("id").alias("id_a"), F.col("hset").alias("h_a"))
+    hb = docs.select(F.col("id").alias("id_b"), F.col("hset").alias("h_b"))
+    pre = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(
+            F.size(F.array_intersect("h_a", "h_b"))
+            / F.least(F.size("h_a"), F.size("h_b")).cast("double")
+            >= F.lit(threshold * 0.98)
+        )
+        .select("id_a", "id_b")
+    )
     da = docs.select(F.col("id").alias("id_a"), F.col("shingleset").alias("sh_a"))
     db = docs.select(F.col("id").alias("id_b"), F.col("shingleset").alias("sh_b"))
     return (
-        cand.join(da, "id_a")
+        pre.join(da, "id_a")
         .join(db, "id_b")
         .withColumn(
             "containment",
