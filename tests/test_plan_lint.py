@@ -49,13 +49,16 @@ PANDAS_OK = {
     "vector_ann_lsh_topk",
     "vector_ann_near_dup_lsh",
     "curate_multimodal_corpus_lsh",
+    # exact all-pairs baselines, evaluated through the blocked GEMM
+    # (bit-identical to the naive fold form, pytest-pinned)
+    "vector_near_dup_pairs",
+    "curate_multimodal_corpus",
 }
 
-# The documented exact all-pairs oracle baselines: their near-dup
-# stage is a deliberate brute-force cross join so DuckDB can verify
-# the full chain; the 100 TB path is the _lsh twin of each (keep-set
-# equality asserted in test_training_ops). Nothing else may cartesian.
-CARTESIAN_OK = {"curate_multimodal_corpus"}
+# Round 6 removed the last deliberate cartesian (the multimodal
+# capstone's near-dup stage now runs the blocked cogroup-GEMM, exact
+# and cartesian-free), so NO query may produce a CartesianProduct.
+CARTESIAN_OK: set[str] = set()
 
 SF = "/root/testdata/sf0.001"
 
