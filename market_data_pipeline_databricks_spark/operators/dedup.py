@@ -656,12 +656,23 @@ def ngram_jaccard_cross_pairs(
     from pyspark import StorageLevel
 
     def prep(df: DataFrame, side: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"id_{side}"),
-            F.array_distinct(
-                TX.shingles(F.col(text_col), shingle_k)
-            ).alias(f"sh_{side}"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        return (
+            df.select(
+                F.col(id_col).alias(f"id_{side}"),
+                F.array_distinct(
+                    TX.shingles(F.col(text_col), shingle_k)
+                ).alias(f"sh_{side}"),
+            )
+            .withColumn(
+                f"h_{side}",
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(f"sh_{side}", lambda s: F.xxhash64(s))
+                    )
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
     db_ = prep(batch, "b")
     dc_ = prep(corpus, "c")
@@ -681,9 +692,22 @@ def ngram_jaccard_cross_pairs(
         .select("id_b", "id_c")
         .distinct()
     )
+    # Hashed prefilter + exact string verify on survivors — same
+    # two-stage scheme (and collision/slack argument) as
+    # ngram_jaccard_pairs.
+    hinter = F.size(F.array_intersect("h_b", "h_c"))
+    pre = (
+        cand.join(db_.select("id_b", "h_b"), "id_b")
+        .join(dc_.select("id_c", "h_c"), "id_c")
+        .filter(
+            hinter / (F.size("h_b") + F.size("h_c") - hinter).cast("double")
+            >= F.lit(threshold * 0.98)
+        )
+        .select("id_b", "id_c")
+    )
     return (
-        cand.join(db_, "id_b")
-        .join(dc_, "id_c")
+        pre.join(db_.select("id_b", "sh_b"), "id_b")
+        .join(dc_.select("id_c", "sh_c"), "id_c")
         .withColumn(
             "jaccard",
             F.round(
