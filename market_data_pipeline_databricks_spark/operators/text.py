@@ -397,3 +397,77 @@ def bigram_structs(col: Column) -> Column:
         ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
     return F.element_at(F.transform(F.array(toks), per_doc), 1)
+
+
+def bpe_train_merges(
+    words: "DataFrame",
+    n_merges: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Byte-pair-encoding vocabulary induction over a word-frequency
+    table (Sennrich et al. 2016, arXiv:1508.07909) — the iterative
+    tokenizer-training step of a training-data pipeline, run
+    distributed.
+
+    ``words`` is (word, freq) — the DISTINCT-word table, which is the
+    classic formulation's working set and is vocabulary-sized (≪
+    corpus; at 100 TB the word-frequency rollup is one shuffle and the
+    N merge iterations then touch only the vocab table). Each
+    iteration:
+
+    1. adjacent symbol pairs, weighted by word freq, one groupBy —
+       fully distributed;
+    2. argmax pair to the driver (one row; deterministic tie-break
+       count DESC, pair ASC);
+    3. merge applied with a greedy left-to-right fold
+       (``F.aggregate``): occurrences merge non-overlapping from the
+       left, exactly the reference implementation's semantics
+       ("a a a" + merge(a,a) → ["aa", "a"]);
+    4. ``localCheckpoint`` truncates the N-deep lineage.
+
+    Returns the merge table [(rank, left, right, pair_freq)] — the
+    artifact a tokenizer ships. The DuckDB oracle twin replays the
+    identical chain (plans/text_ops.py builds it level by level, the
+    same generated-CTE device as the PageRank oracle).
+    """
+    vocab = words.select(
+        "word",
+        "freq",
+        F.concat(
+            # trailing-empty guard: Spark's split keeps the empty match
+            # at end-of-string (DuckDB's char split does not)
+            F.filter(F.split(F.col("word"), "(?!^)"), lambda s: s != ""),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pair_structs = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("w1"),
+                F.element_at(F.col("syms"), F.lit(1) + i).alias("w2"),
+            ),
+        )
+        best = (
+            vocab.select("freq", F.explode(pair_structs).alias("p"))
+            .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+            .first()
+        )
+        if best is None:
+            break
+        a, b, cnt = best["w1"], best["w2"], int(best["cnt"])
+        merges.append((rank, a, b, cnt))
+        merged = F.aggregate(
+            F.slice("syms", 2, F.size("syms") - 1),
+            F.slice("syms", 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.withColumn("syms", merged).localCheckpoint()
+    return merges

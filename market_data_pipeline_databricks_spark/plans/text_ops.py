@@ -685,6 +685,28 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_tokens(_docs(spark, sf_dir), chunk_size=32, stride=24)
 
 
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary induction over the corpus (8 merges):
+    word-frequency rollup → iterative best-pair merge on the
+    vocabulary-sized word table (operators/text.bpe_train_merges,
+    Sennrich et al. 2016). Emits the merge table — the artifact a
+    tokenizer ships — and the DuckDB oracle REPLAYS the identical
+    8-level merge chain with generated chained CTEs (the PageRank
+    oracle's device), so every rank, pair and weighted pair count is
+    hash-checked."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = TX.bpe_train_merges(words, n_merges=8)
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, pair_freq long"
+    )
+
+
 def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental FUZZY dedup (the near-dup companion to the md5
     exact form below): docs with doc_id % 5 == 0 arrive as the new
@@ -1959,6 +1981,7 @@ QUERIES = {
     "text_chunk_overlap": text_chunk_overlap,
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_incremental_fuzzy": dedup_incremental_fuzzy,
+    "text_bpe_train_merges": text_bpe_train_merges,
     "dedup_incremental_fuzzy_lsh": dedup_incremental_fuzzy_lsh,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_source_cap": sample_source_cap,
@@ -3595,3 +3618,196 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+_BPE_CHAIN = _NORM + r""",
+words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(toks) AS word FROM tok)
+  WHERE word <> '' GROUP BY word
+),
+w0 AS (
+  SELECT word, freq,
+         list_concat(regexp_split_to_array(word, ''), ['</w>']) AS syms
+  FROM words
+),
+p0 AS (
+  SELECT syms[x] AS w1, syms[x+1] AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w0, unnest(range(1, len(syms))) t(x)
+  GROUP BY 1, 2
+),
+b0 AS (
+  SELECT w1 AS bw1, w2 AS bw2, cnt FROM p0
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+w1 AS (
+  SELECT word, freq,
+    list_reduce(
+      list_transform(syms, s -> [s]),
+      (acc, x) -> CASE
+        WHEN acc[-1] = bw1 AND x[1] = bw2
+        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [bw1 || bw2])
+        ELSE list_concat(acc, x) END
+    ) AS syms
+  FROM w0, b0
+),
+p1 AS (
+  SELECT syms[x] AS w1, syms[x+1] AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w1, unnest(range(1, len(syms))) t(x)
+  GROUP BY 1, 2
+),
+b1 AS (
+  SELECT w1 AS bw1, w2 AS bw2, cnt FROM p1
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+w2 AS (
+  SELECT word, freq,
+    list_reduce(
+      list_transform(syms, s -> [s]),
+      (acc, x) -> CASE
+        WHEN acc[-1] = bw1 AND x[1] = bw2
+        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [bw1 || bw2])
+        ELSE list_concat(acc, x) END
+    ) AS syms
+  FROM w1, b1
+),
+p2 AS (
+  SELECT syms[x] AS w1, syms[x+1] AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w2, unnest(range(1, len(syms))) t(x)
+  GROUP BY 1, 2
+),
+b2 AS (
+  SELECT w1 AS bw1, w2 AS bw2, cnt FROM p2
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+w3 AS (
+  SELECT word, freq,
+    list_reduce(
+      list_transform(syms, s -> [s]),
+      (acc, x) -> CASE
+        WHEN acc[-1] = bw1 AND x[1] = bw2
+        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [bw1 || bw2])
+        ELSE list_concat(acc, x) END
+    ) AS syms
+  FROM w2, b2
+),
+p3 AS (
+  SELECT syms[x] AS w1, syms[x+1] AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w3, unnest(range(1, len(syms))) t(x)
+  GROUP BY 1, 2
+),
+b3 AS (
+  SELECT w1 AS bw1, w2 AS bw2, cnt FROM p3
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+w4 AS (
+  SELECT word, freq,
+    list_reduce(
+      list_transform(syms, s -> [s]),
+      (acc, x) -> CASE
+        WHEN acc[-1] = bw1 AND x[1] = bw2
+        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [bw1 || bw2])
+        ELSE list_concat(acc, x) END
+    ) AS syms
+  FROM w3, b3
+),
+p4 AS (
+  SELECT syms[x] AS w1, syms[x+1] AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w4, unnest(range(1, len(syms))) t(x)
+  GROUP BY 1, 2
+),
+b4 AS (
+  SELECT w1 AS bw1, w2 AS bw2, cnt FROM p4
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+w5 AS (
+  SELECT word, freq,
+    list_reduce(
+      list_transform(syms, s -> [s]),
+      (acc, x) -> CASE
+        WHEN acc[-1] = bw1 AND x[1] = bw2
+        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [bw1 || bw2])
+        ELSE list_concat(acc, x) END
+    ) AS syms
+  FROM w4, b4
+),
+p5 AS (
+  SELECT syms[x] AS w1, syms[x+1] AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w5, unnest(range(1, len(syms))) t(x)
+  GROUP BY 1, 2
+),
+b5 AS (
+  SELECT w1 AS bw1, w2 AS bw2, cnt FROM p5
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+w6 AS (
+  SELECT word, freq,
+    list_reduce(
+      list_transform(syms, s -> [s]),
+      (acc, x) -> CASE
+        WHEN acc[-1] = bw1 AND x[1] = bw2
+        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [bw1 || bw2])
+        ELSE list_concat(acc, x) END
+    ) AS syms
+  FROM w5, b5
+),
+p6 AS (
+  SELECT syms[x] AS w1, syms[x+1] AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w6, unnest(range(1, len(syms))) t(x)
+  GROUP BY 1, 2
+),
+b6 AS (
+  SELECT w1 AS bw1, w2 AS bw2, cnt FROM p6
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+w7 AS (
+  SELECT word, freq,
+    list_reduce(
+      list_transform(syms, s -> [s]),
+      (acc, x) -> CASE
+        WHEN acc[-1] = bw1 AND x[1] = bw2
+        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [bw1 || bw2])
+        ELSE list_concat(acc, x) END
+    ) AS syms
+  FROM w6, b6
+),
+p7 AS (
+  SELECT syms[x] AS w1, syms[x+1] AS w2, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM w7, unnest(range(1, len(syms))) t(x)
+  GROUP BY 1, 2
+),
+b7 AS (
+  SELECT w1 AS bw1, w2 AS bw2, cnt FROM p7
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+),
+w8 AS (
+  SELECT word, freq,
+    list_reduce(
+      list_transform(syms, s -> [s]),
+      (acc, x) -> CASE
+        WHEN acc[-1] = bw1 AND x[1] = bw2
+        THEN list_concat(list_slice(acc, 1, len(acc) - 1), [bw1 || bw2])
+        ELSE list_concat(acc, x) END
+    ) AS syms
+  FROM w7, b7
+)"""
+
+ORACLE_SQL["text_bpe_train_merges"] = _BPE_CHAIN + """
+SELECT merge_rank, left_ AS "left", right_ AS "right", pair_freq FROM (
+SELECT CAST(0 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair_freq FROM b0
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair_freq FROM b1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair_freq FROM b2
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair_freq FROM b3
+UNION ALL
+SELECT CAST(4 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair_freq FROM b4
+UNION ALL
+SELECT CAST(5 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair_freq FROM b5
+UNION ALL
+SELECT CAST(6 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair_freq FROM b6
+UNION ALL
+SELECT CAST(7 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair_freq FROM b7
+) ORDER BY merge_rank
+"""

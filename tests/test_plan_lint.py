@@ -32,6 +32,7 @@ EAGER = {
     "vector_ann_ivf_topk",
     "vector_ann_ivfpq_topk",
     "curate_semdedup",  # k-means training at construction
+    "text_bpe_train_merges",  # N merge iterations at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these

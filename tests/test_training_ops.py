@@ -1319,3 +1319,24 @@ def test_incremental_fuzzy_lsh_keepset_equals_exact_cross(docs):
     }
     assert lsh == exact
     assert exact, "testdata must contain cross batch/corpus near-dups"
+
+
+def test_bpe_train_merges_canonical(spark):
+    """Sennrich's canonical example: {low, lower, newest, widest} must
+    learn es → est → est</w> first (weighted by freq), and the merge
+    fold must be greedy left-to-right on repeats."""
+    w = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, freq long",
+    )
+    merges = TX.bpe_train_merges(w, n_merges=3)
+    assert [(m[1], m[2]) for m in merges] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    assert [m[3] for m in merges] == [9, 9, 9]
+    # greedy left-to-right on adjacent repeats: "aaa" + merge(a,a)
+    # yields ["aa", "a", "</w>"], never ["a", "aa", ...]
+    rep = spark.createDataFrame([("aaa", 10)], "word string, freq long")
+    m2 = TX.bpe_train_merges(rep, n_merges=1)
+    assert (m2[0][1], m2[0][2]) == ("a", "a")
+    # determinism
+    again = TX.bpe_train_merges(w, n_merges=3)
+    assert again == merges
