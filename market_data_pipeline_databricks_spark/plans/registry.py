@@ -113,7 +113,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # this window was pinned: stream_gold_incremental (streaming
     # incremental gold maintenance == full recompute), and the two
     # rows-only→oracle upgrades curate_multimodal_corpus_lsh /
-    # vector_ann_near_dup_lsh (blocked-GEMM exact structure).
+    # vector_ann_near_dup_lsh (blocked-GEMM exact structure),
+    # dedup_incremental_fuzzy (oracle-backed batch×corpus blocked
+    # Jaccard), and text_bpe_train_merges (oracle-replayed BPE merge
+    # chain).
     # -- displaced: the full r5 window (all 50 driver-green in
     # CORRECTNESS_r05.json) plus every earlier anchor noted in git
     # history; all stay verifiable via tools/check_oracle.py.
