@@ -471,3 +471,45 @@ def bpe_train_merges(
         )
         vocab = vocab.withColumn("syms", merged).localCheckpoint()
     return merges
+
+
+def bpe_apply_merges(
+    words: "DataFrame",
+    merges: list[tuple[int, str, str, int]],
+) -> "DataFrame":
+    """Apply a learned BPE merge list to a word table: returns
+    (word, freq?, syms) with every merge folded in rank order — the
+    ENCODE half of the tokenizer (train half: :func:`bpe_train_merges`).
+    Runs on the vocabulary-sized distinct-word table; corpus-scale
+    tokenization is then a broadcast join of this map onto the token
+    stream, never a per-document re-derivation."""
+    vocab = words.withColumn(
+        "syms",
+        F.concat(
+            F.filter(F.split(F.col("word"), "(?!^)"), lambda s: s != ""),
+            F.array(F.lit("</w>")),
+        ),
+    )
+    def merge_step(a: str, b: str):
+        # factory, not default-arg lambda: PySpark reads extra lambda
+        # params as HOF arguments and rejects the arity
+        def fold(acc: Column, s: Column) -> Column:
+            return F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return fold
+
+    for _, a, b, _cnt in merges:
+        vocab = vocab.withColumn(
+            "syms",
+            F.aggregate(
+                F.slice("syms", 2, F.size("syms") - 1),
+                F.slice("syms", 1, 1),
+                merge_step(a, b),
+            ),
+        )
+    return vocab

@@ -707,6 +707,34 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the BPE pair: train 8 merges on the corpus,
+    apply them to the distinct-word table (8 chained array folds on a
+    vocabulary-sized frame), then tokenize the corpus by broadcast-
+    joining the word→symbols map onto the token stream — per document:
+    word count and BPE token count after the merges. The oracle reuses
+    the replayed merge chain's final symbol table (w8), so the whole
+    train→encode path is hash-checked end to end."""
+    docs_words = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    words = docs_words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    merges = TX.bpe_train_merges(words, n_merges=8)
+    encoded = TX.bpe_apply_merges(words.select("word"), merges).select(
+        "word", F.size("syms").alias("n_bpe")
+    )
+    return (
+        docs_words.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental FUZZY dedup (the near-dup companion to the md5
     exact form below): docs with doc_id % 5 == 0 arrive as the new
@@ -1982,6 +2010,7 @@ QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_incremental_fuzzy": dedup_incremental_fuzzy,
     "text_bpe_train_merges": text_bpe_train_merges,
+    "text_bpe_encode_stats": text_bpe_encode_stats,
     "dedup_incremental_fuzzy_lsh": dedup_incremental_fuzzy_lsh,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_source_cap": sample_source_cap,
@@ -3810,4 +3839,15 @@ SELECT CAST(6 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair
 UNION ALL
 SELECT CAST(7 AS BIGINT) AS merge_rank, bw1 AS left_, bw2 AS right_, cnt AS pair_freq FROM b7
 ) ORDER BY merge_rank
+"""
+
+
+ORACLE_SQL["text_bpe_encode_stats"] = _BPE_CHAIN + """
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(toks) AS word FROM tok) d
+JOIN w8 w USING (word)
+WHERE word <> ''
+GROUP BY doc_id
 """

@@ -33,6 +33,7 @@ EAGER = {
     "vector_ann_ivfpq_topk",
     "curate_semdedup",  # k-means training at construction
     "text_bpe_train_merges",  # N merge iterations at construction
+    "text_bpe_encode_stats",  # trains merges at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these

@@ -1340,3 +1340,27 @@ def test_bpe_train_merges_canonical(spark):
     # determinism
     again = TX.bpe_train_merges(w, n_merges=3)
     assert again == merges
+
+
+def test_bpe_apply_merges_roundtrip(spark):
+    """Encoding with the learned merges reproduces the trainer's final
+    symbol state (train and apply share one fold), and symbol counts
+    shrink monotonically as merges apply."""
+    w = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, freq long",
+    )
+    merges = TX.bpe_train_merges(w, n_merges=3)
+    enc = {
+        r["word"]: list(r["syms"])
+        for r in TX.bpe_apply_merges(w.select("word"), merges).collect()
+    }
+    assert enc["newest"] == ["n", "e", "w", "est</w>"]
+    assert enc["widest"] == ["w", "i", "d", "est</w>"]
+    assert enc["low"] == ["l", "o", "w", "</w>"]
+    none = {
+        r["word"]: list(r["syms"])
+        for r in TX.bpe_apply_merges(w.select("word"), []).collect()
+    }
+    for word, syms in enc.items():
+        assert len(syms) <= len(none[word])
