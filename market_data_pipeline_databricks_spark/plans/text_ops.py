@@ -735,6 +735,70 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document — the
+    literature-standard smoothing one up from the 0.9/0.1 back-off of
+    text_bigram_logprob (Kneser & Ney 1995; Chen & Goodman 1999):
+
+        P_KN(w2|w1) = max(c(w1w2) − d, 0) / c(w1·)
+                    + d · N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··),  d = 0.75
+
+    — the continuation probability N1+(·w2)/types ranks words by how
+    many distinct contexts they FOLLOW, the fix for high-frequency but
+    context-bound words ("francisco"). All five count tables are
+    vocabulary-sized; the totals come from windows over the VOCAB (the
+    same trick as the unigram model), never a corpus-wide pass. Score:
+    mean −ln P per document, decimal-summed (order-independent) and
+    rounded to 6 — identical expression shape on both engines."""
+    from pyspark.sql.window import Window
+    from pyspark import StorageLevel
+
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        docs.select("doc_id", F.explode(TX.bigram_structs(F.col("text"))).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bigc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ctx = bigc.groupBy("w1").agg(
+        F.sum("cb").alias("cw1"), F.count(F.lit(1)).alias("n1f")
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cont = bigc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    cont = cont.select(
+        "w2",
+        (F.col("n1b").cast("double") / F.sum("n1b").over(wall).cast("double")).alias(
+            "p_cont"
+        ),
+    )
+    d = F.lit(0.75)
+    p_kn = (
+        F.greatest(F.col("cb").cast("double") - d, F.lit(0.0))
+        / F.col("cw1").cast("double")
+        + (d * F.col("n1f").cast("double") / F.col("cw1").cast("double"))
+        * F.col("p_cont")
+    )
+    return (
+        pairs.join(bigc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .select("doc_id", (-F.log(p_kn)).alias("neg_logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("neg_logp").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob_kn"),
+        )
+    )
+
+
 def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental FUZZY dedup (the near-dup companion to the md5
     exact form below): docs with doc_id % 5 == 0 arrive as the new
@@ -2011,6 +2075,7 @@ QUERIES = {
     "dedup_incremental_fuzzy": dedup_incremental_fuzzy,
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_encode_stats": text_bpe_encode_stats,
+    "text_kneser_ney_bigram": text_kneser_ney_bigram,
     "dedup_incremental_fuzzy_lsh": dedup_incremental_fuzzy_lsh,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_source_cap": sample_source_cap,
@@ -3849,5 +3914,38 @@ SELECT doc_id,
 FROM (SELECT doc_id, unnest(toks) AS word FROM tok) d
 JOIN w8 w USING (word)
 WHERE word <> ''
+GROUP BY doc_id
+"""
+
+
+ORACLE_SQL["text_kneser_ney_bigram"] = _NORM + """,
+ts AS (
+  SELECT doc_id, unnest(toks) AS tokn,
+         generate_subscripts(toks, 1) AS pos
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id, a.tokn AS w1, b.tokn AS w2
+  FROM ts a JOIN ts b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bigc AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw1, COUNT(*) AS n1f
+  FROM bigc GROUP BY w1
+),
+cont AS (
+  SELECT w2, CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS p_cont
+  FROM bigc GROUP BY w2
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(
+         -LN(GREATEST(CAST(cb AS DOUBLE) - 0.75, 0.0) / CAST(cw1 AS DOUBLE)
+             + (0.75 * CAST(n1f AS DOUBLE) / CAST(cw1 AS DOUBLE)) * p_cont)
+         AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob_kn
+FROM pairs
+JOIN bigc USING (w1, w2)
+JOIN ctx USING (w1)
+JOIN cont ON cont.w2 = pairs.w2
 GROUP BY doc_id
 """

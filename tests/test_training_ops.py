@@ -1364,3 +1364,17 @@ def test_bpe_apply_merges_roundtrip(spark):
     }
     for word, syms in enc.items():
         assert len(syms) <= len(none[word])
+
+
+def test_kneser_ney_scores_positive_and_finite(spark):
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        text_kneser_ney_bigram,
+    )
+
+    rows = text_kneser_ney_bigram(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        # every bigram in the corpus has c >= 1, so P_KN > 0 and the
+        # mean negative log is positive and finite
+        assert 0.0 < r["avg_neg_logprob_kn"] < 100.0
