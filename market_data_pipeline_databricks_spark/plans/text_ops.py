@@ -799,6 +799,84 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_curation_distill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier DISTILLATION of the curation pipeline — the
+    production pattern where the full (expensive) curation chain runs
+    on a sample and a cheap model imitates its keep/drop decision at
+    scale (the fastText-quality-filter recipe): label = "survived
+    curate_training_corpus" (language + quality screens + exact dedup
+    + near-dup removal), features = cheap per-row stats only (quality
+    score, punctuation ratio, per-language stopword ratios, log token
+    count — no dedup signal, so the model must approximate that part
+    from content statistics). Spark MLlib logistic regression (the
+    platform's distributed trainer; treeAggregate gradient passes,
+    coefficient broadcast for scoring); 80/20 split on doc_id%5;
+    emits one row per split with label/correct counts.
+
+    Rows-only driver check (LBFGS aggregation is not bit-reproducible
+    and DuckDB has no trainer); the test-split accuracy floor is
+    pytest-pinned."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    kept = curate_training_corpus(spark, sf_dir).select("doc_id").withColumn(
+        "label", F.lit(1.0)
+    )
+    stats = TX.with_text_stats(_docs(spark, sf_dir))
+    scores = TX.lang_scores(F.col("text"))
+    n_tok = F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0))
+    feat = (
+        stats.select(
+            "doc_id",
+            F.col("quality").alias("f_quality"),
+            F.log(n_tok).alias("f_log_tokens"),
+            (
+                F.col("n_punct").cast("double")
+                / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+            ).alias("f_punct_ratio"),
+            *[
+                (scores[lang].cast("double") / n_tok).alias(f"f_stop_{lang}")
+                for lang in ("en", "de", "fr", "es")
+            ],
+        )
+        .join(kept, "doc_id", "left")
+        .withColumn("label", F.coalesce("label", F.lit(0.0)))
+    )
+    va = VectorAssembler(
+        inputCols=[
+            "f_quality",
+            "f_log_tokens",
+            "f_punct_ratio",
+            "f_stop_en",
+            "f_stop_de",
+            "f_stop_fr",
+            "f_stop_es",
+        ],
+        outputCol="features",
+    )
+    train = va.transform(feat.filter(F.col("doc_id") % 5 != 0))
+    test = va.transform(feat.filter(F.col("doc_id") % 5 == 0))
+    model = LogisticRegression(maxIter=25, regParam=0.001).fit(train)
+    out = []
+    for split, df_ in (("train", train), ("test", test)):
+        out.append(
+            model.transform(df_)
+            .select(
+                F.lit(split).alias("split"),
+                F.col("label"),
+                (F.col("prediction") == F.col("label")).cast("long").alias("ok"),
+            )
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("label").cast("long").alias("n_kept_label"),
+                F.sum("ok").alias("n_correct"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+
 def dedup_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental FUZZY dedup (the near-dup companion to the md5
     exact form below): docs with doc_id % 5 == 0 arrive as the new
@@ -2076,6 +2154,7 @@ QUERIES = {
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_encode_stats": text_bpe_encode_stats,
     "text_kneser_ney_bigram": text_kneser_ney_bigram,
+    "text_curation_distill_report": text_curation_distill_report,
     "dedup_incremental_fuzzy_lsh": dedup_incremental_fuzzy_lsh,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "sample_source_cap": sample_source_cap,

@@ -34,6 +34,7 @@ EAGER = {
     "curate_semdedup",  # k-means training at construction
     "text_bpe_train_merges",  # N merge iterations at construction
     "text_bpe_encode_stats",  # trains merges at construction
+    "text_curation_distill_report",  # MLlib fit at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these

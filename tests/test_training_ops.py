@@ -1378,3 +1378,19 @@ def test_kneser_ney_scores_positive_and_finite(spark):
         # every bigram in the corpus has c >= 1, so P_KN > 0 and the
         # mean negative log is positive and finite
         assert 0.0 < r["avg_neg_logprob_kn"] < 100.0
+
+
+def test_curation_distill_accuracy_floor(spark):
+    """The cheap-feature classifier must imitate the full curation
+    decision well above the base rate on the held-out split (the gap
+    to 1.0 is the near-dup signal the features cannot see)."""
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        text_curation_distill_report,
+    )
+
+    rows = {r.split: r for r in text_curation_distill_report(spark, SF).collect()}
+    assert set(rows) == {"train", "test"}
+    t = rows["test"]
+    assert t["n_correct"] / t["n_docs"] >= 0.85
+    base = max(t["n_kept_label"], t["n_docs"] - t["n_kept_label"]) / t["n_docs"]
+    assert t["n_correct"] / t["n_docs"] >= base  # at least majority class
