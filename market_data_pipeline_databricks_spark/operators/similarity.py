@@ -729,11 +729,12 @@ def ivf_auto_tuning(n_rows: int) -> tuple[int, int]:
     import math
 
     n_cells = max(16, math.ceil(2.0 * math.sqrt(max(n_rows, 1))))
-    # nprobe ∝ √cells: absolute probed cells rise (coverage of the
-    # neighbor cells improves) while the probed FRACTION falls — a
-    # constant fraction (e.g. cells/16) would silently restore the
-    # linear class.
-    nprobe = max(3, round(math.sqrt(n_cells) / 2))
+    # nprobe ∝ log(cells): absolute probed cells rise (coverage of the
+    # neighbor cells improves) while the probed FRACTION falls. A
+    # constant fraction (e.g. cells/16) silently restores the linear
+    # class, and even √cells drifts to n^(3/4) work at extreme n
+    # (property-tested); log keeps per-query work O(√n·log n).
+    nprobe = max(3, round(math.log2(n_cells)))
     return n_cells, nprobe
 
 

@@ -448,3 +448,85 @@ def test_session_stats_match_python_reference(spark, events):
         prev_ts = r[1]
     flush()
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Round 6: tuning-law invariants (pure functions, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10**9),
+    threshold=st.floats(min_value=0.05, max_value=0.99),
+)
+@settings(max_examples=200, deadline=None)
+def test_lsh_auto_tuning_honors_miss_budget(n, threshold):
+    import math
+
+    from market_data_pipeline_databricks_spark.operators.similarity import (
+        lsh_auto_tuning,
+    )
+
+    p, t = lsh_auto_tuning(n, threshold)
+    assert p >= 3 and t >= 1
+    p1 = 1.0 - math.acos(threshold) / math.pi
+    miss = (1.0 - p1**p) ** t
+    # the solved table count must satisfy the 2e-7 per-pair miss budget
+    # (tiny numeric slack for the float pow chain)
+    assert miss <= 2e-7 * (1 + 1e-9)
+
+
+@given(
+    threshold=st.floats(min_value=0.05, max_value=0.99),
+    n1=st.integers(min_value=1, max_value=10**6),
+    n2=st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_lsh_auto_tuning_planes_monotone_in_corpus(threshold, n1, n2):
+    from market_data_pipeline_databricks_spark.operators.similarity import (
+        lsh_auto_tuning,
+    )
+
+    lo, hi = sorted((n1, n2))
+    p_lo, _ = lsh_auto_tuning(lo, threshold)
+    p_hi, _ = lsh_auto_tuning(hi, threshold)
+    # a bigger corpus never gets FEWER planes (candidate volume would
+    # silently go quadratic again)
+    assert p_hi >= p_lo
+
+
+@given(n=st.integers(min_value=1, max_value=10**9))
+@settings(max_examples=200, deadline=None)
+def test_ivf_auto_tuning_sublinear_probe_work(n):
+    from market_data_pipeline_databricks_spark.operators.similarity import (
+        ivf_auto_tuning,
+    )
+
+    cells, nprobe = ivf_auto_tuning(n)
+    assert cells >= 16 and nprobe >= 3
+    assert nprobe <= cells
+    # probe work per query is O(sqrt n * log n): catch any
+    # constant-fraction (linear-class) or sqrt-cells (n^0.75-class)
+    # regression
+    work = n * nprobe / cells + cells
+    import math
+
+    assert work <= 10 * math.sqrt(n) * max(math.log2(n + 1), 1) + 200
+
+
+@given(
+    p=st.integers(min_value=1, max_value=24),
+    t=st.integers(min_value=1, max_value=5000),
+)
+@settings(max_examples=200, deadline=None)
+def test_lsh_candidate_fraction_bounds(p, t):
+    from market_data_pipeline_databricks_spark.operators.similarity import (
+        lsh_candidate_fraction,
+    )
+
+    f = lsh_candidate_fraction(p, t)
+    assert 0.0 <= f <= 1.0
+    # one more table never reduces the candidate fraction
+    assert lsh_candidate_fraction(p, t + 1) >= f
+    # one more plane never increases it
+    assert lsh_candidate_fraction(p + 1, t) <= f
