@@ -151,6 +151,32 @@ def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # DEGREE orientation (the scale lever the id-oriented form
+    # documents): direct each undirected edge from the lexicographically
+    # smaller (degree, id) endpoint. The orientation is an acyclic
+    # total order, so every triangle is still listed exactly once and
+    # the corner counts — hence the oracle — are untouched; what
+    # changes is the wedge volume, Σ out-deg², which degree ordering
+    # caps at O(Σ deg^1.5)-ish on skewed graphs where a hub's id could
+    # otherwise put all its neighbors downstream of it.
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("du_key"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("dv_key"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e = (
+        e.join(du, F.col("u") == F.col("du_key"))
+        .join(dv, F.col("v") == F.col("dv_key"))
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
