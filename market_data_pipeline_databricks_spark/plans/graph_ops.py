@@ -126,14 +126,14 @@ def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles sits in a dense co-purchase community, not just on many
     edges).
 
-    Listing via two joins over id-oriented edges (u<v<w): each
-    triangle is counted exactly once, then each corner credited. The
-    intermediate wedge set is Σ deg(b)² on the middle vertex — the
-    standard scale lever is orienting edges by DEGREE instead of id
-    (cuts wedges to Σ deg²/4 on skewed graphs); id-orientation keeps
-    the oracle twin trivially identical and is documented as the
-    testdata-size choice. No cartesian anywhere: both joins are
-    equi-joins on a vertex key.
+    Listing via two joins over DEGREE-oriented edges (each edge
+    directed from the lexicographically smaller (degree, id)
+    endpoint — an acyclic total order, so each triangle is counted
+    exactly once): the standard wedge-volume cap for skewed graphs,
+    where id orientation would let a hub put its whole neighborhood
+    downstream and pay Σ deg² wedges. Output — and so the id-oriented
+    DuckDB oracle — is orientation-invariant. No cartesian anywhere:
+    both joins are equi-joins on a vertex key.
 
     Both fan-outs are persisted (the house multi-consumer rule): the
     edge set feeds THREE join legs and the triangle list THREE corner
@@ -205,7 +205,108 @@ def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the order→part baskets —
+    the co-purchase graph's actionable form (Agrawal & Srikant's
+    support/confidence/lift on pairs): for directed rules A→B with
+    pair support ≥ 3 baskets, confidence = c(A,B)/c(A) and lift =
+    confidence / (c(B)/n_baskets). Top-50 by lift (ties: confidence,
+    then keys) — the recommendation shortlist.
+
+    Scale shape: identical to triangle counting's first stage — one
+    distinct projection of (basket, item), item counts are one
+    aggregate, pair counts one self-equi-join on the basket key with
+    fan-out bounded by basket width; the n_baskets total joins in as a
+    1-row broadcast computed in the same plan (no plan-build action).
+    Ratios are int/int doubles — deterministic on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_b = baskets.select("g").distinct().agg(
+        F.count(F.lit(1)).alias("_n_baskets")
+    )
+    ic = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("antecedent"),
+            F.col("b.item").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= 3)
+    )
+    ca = ic.select(F.col("item").alias("antecedent"), F.col("c_item").alias("c_a"))
+    cb = ic.select(F.col("item").alias("consequent"), F.col("c_item").alias("c_b"))
+    out = (
+        pc.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "antecedent",
+            "consequent",
+            "c_pair",
+            F.round(
+                F.col("c_pair").cast("double") / F.col("c_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("c_pair").cast("double") / F.col("c_a").cast("double"))
+                / (
+                    F.col("c_b").cast("double")
+                    / F.col("_n_baskets").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"),
+            F.desc("confidence"),
+            F.asc("antecedent"),
+            F.asc("consequent"),
+        )
+        .limit(50)
+    )
+    return out
+
+
 QUERIES.update({"graph_part_triangles": graph_part_triangles})
+QUERIES.update({"graph_part_association_rules": graph_part_association_rules})
+ORACLE_SQL.update(
+    {
+        "graph_part_association_rules": """
+        WITH baskets AS (
+          SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        ),
+        nb AS (SELECT COUNT(DISTINCT g) AS n_baskets FROM baskets),
+        ic AS (SELECT item, COUNT(*) AS c_item FROM baskets GROUP BY item),
+        pc AS (
+          SELECT a.item AS antecedent, b.item AS consequent,
+                 CAST(COUNT(*) AS BIGINT) AS c_pair
+          FROM baskets a JOIN baskets b
+            ON a.g = b.g AND a.item <> b.item
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 3
+        )
+        SELECT antecedent, consequent, c_pair,
+               ROUND(CAST(c_pair AS DOUBLE) / CAST(ca.c_item AS DOUBLE), 6)
+                 AS confidence,
+               ROUND((CAST(c_pair AS DOUBLE) / CAST(ca.c_item AS DOUBLE))
+                     / (CAST(cb.c_item AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)), 6)
+                 AS lift
+        FROM pc
+        JOIN ic ca ON ca.item = pc.antecedent
+        JOIN ic cb ON cb.item = pc.consequent
+        CROSS JOIN nb
+        ORDER BY lift DESC, confidence DESC, antecedent ASC, consequent ASC
+        LIMIT 50
+    """,
+    }
+)
 
 ORACLE_SQL.update(
     {
