@@ -826,3 +826,68 @@ def curate_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"curate_semdedup": curate_semdedup})
+
+
+def vector_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality introspection — the recall dashboard a retrieval
+    deployment ships beside its index: for each approximate method
+    (auto-tuned multi-table LSH, auto-tuned IVF), per-query top-10
+    compared against the exact brute-force top-10; emits one row per
+    method with mean recall@10 and the top-1 hit rate. Rows-only
+    driver check (the approximate sides are seeded); the exact twin is
+    itself oracle-backed (vector_cosine_topk), and recall floors are
+    pinned in tests. Scale: the compare is an equi-join on
+    (query_id, neighbor_id) — O(k·queries) rows."""
+    emb = _emb(spark, sf_dir).persist()
+    qs = _queries_subset(emb)
+    n_rows = _emb_rows(spark, sf_dir)
+    exact = SIM.cosine_topk(emb, qs, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+    ).persist()
+    methods = {
+        "lsh_auto": SIM.ann_topk_lsh(emb, qs, k=10, n_rows=n_rows),
+        "ivf_auto": SIM.ann_topk_ivf(
+            emb, qs, k=10, n_cells=None, nprobe=None, n_rows=n_rows
+        ),
+    }
+    reports = []
+    for name, approx in methods.items():
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        per_q = (
+            exact.select("query_id").distinct()
+            .join(
+                hits.groupBy("query_id").agg(
+                    F.count(F.lit(1)).alias("n_hit"),
+                    F.sum(
+                        (F.col("exact_rank") == 1).cast("long")
+                    ).alias("top1_hit"),
+                ),
+                "query_id",
+                "left",
+            )
+            .select(
+                F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                F.coalesce("top1_hit", F.lit(0)).alias("top1_hit"),
+            )
+        )
+        reports.append(
+            per_q.agg(
+                F.lit(name).alias("method"),
+                F.count(F.lit(1)).alias("n_queries"),
+                F.round(F.avg(F.col("n_hit") / F.lit(10.0)), 6).alias(
+                    "recall_at_10"
+                ),
+                F.round(F.avg(F.col("top1_hit").cast("double")), 6).alias(
+                    "top1_hit_rate"
+                ),
+            )
+        )
+    out = reports[0].unionByName(reports[1])
+    return out
+
+
+QUERIES.update({"vector_ann_quality_report": vector_ann_quality_report})

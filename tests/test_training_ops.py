@@ -1394,3 +1394,20 @@ def test_curation_distill_accuracy_floor(spark):
     assert t["n_correct"] / t["n_docs"] >= 0.85
     base = max(t["n_kept_label"], t["n_docs"] - t["n_kept_label"]) / t["n_docs"]
     assert t["n_correct"] / t["n_docs"] >= base  # at least majority class
+
+
+def test_ann_quality_report_floors(spark):
+    from market_data_pipeline_databricks_spark.plans.vector_ops import (
+        vector_ann_quality_report,
+    )
+
+    rows = {r.method: r for r in vector_ann_quality_report(spark, SF).collect()}
+    assert set(rows) == {"lsh_auto", "ivf_auto"}
+    for r in rows.values():
+        assert r.n_queries >= 10
+        assert 0.0 <= r.recall_at_10 <= 1.0
+    # the auto-tuned LSH is the recall-governed method (10% miss budget
+    # at the design cosine); IVF on unclustered vectors trades recall
+    # for the sqrt-n class (documented) — floor it loosely
+    assert rows["lsh_auto"].recall_at_10 >= 0.5
+    assert rows["ivf_auto"].recall_at_10 >= 0.2
