@@ -274,7 +274,81 @@ def graph_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def graph_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemsets over the order→part baskets via Spark MLlib
+    FP-Growth (Han et al. 2000 — the platform's distributed miner:
+    parallel FP-trees per partition of the item-conditional groups),
+    restricted to sizes ≤ 3 at absolute support ≥ 3 baskets, and
+    hash-checked against a DuckDB oracle that ENUMERATES the same
+    itemsets with plain joins (1-sets: item counts; 2-/3-sets: ordered
+    self-joins on the basket key — feasible because baskets are ≤ 7
+    items, so the triple fan-out is C(7,3) per basket). An MLlib
+    mining algorithm with a full SQL oracle.
+
+    Boundary discipline: FPGrowth's fractional minSupport is set
+    strictly BETWEEN 2 and 3 baskets (2.5/n) so float rounding cannot
+    decide a freq-exactly-3 itemset; the integer ``freq >= 3`` filter
+    is applied explicitly on both engines."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
+    n = baskets.count()
+    model = FPGrowth(itemsCol="items", minSupport=2.5 / n).fit(baskets)
+    return (
+        model.freqItemsets.filter(
+            (F.size("items") <= 3) & (F.col("freq") >= 3)
+        )
+        .select(
+            F.concat_ws(
+                ",",
+                F.transform(F.array_sort("items"), lambda x: x.cast("string")),
+            ).alias("itemset"),
+            F.size("items").cast("long").alias("n_items"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )
+
+
 QUERIES.update({"graph_part_triangles": graph_part_triangles})
+QUERIES.update({"graph_frequent_itemsets": graph_frequent_itemsets})
+ORACLE_SQL.update(
+    {
+        "graph_frequent_itemsets": """
+        WITH b AS (
+          SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        ),
+        i1 AS (
+          SELECT CAST(item AS VARCHAR) AS itemset,
+                 CAST(1 AS BIGINT) AS n_items,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM b GROUP BY item HAVING COUNT(*) >= 3
+        ),
+        i2 AS (
+          SELECT CAST(x.item AS VARCHAR) || ',' || CAST(y.item AS VARCHAR),
+                 CAST(2 AS BIGINT),
+                 CAST(COUNT(*) AS BIGINT)
+          FROM b x JOIN b y ON x.g = y.g AND x.item < y.item
+          GROUP BY x.item, y.item HAVING COUNT(*) >= 3
+        ),
+        i3 AS (
+          SELECT CAST(x.item AS VARCHAR) || ',' || CAST(y.item AS VARCHAR)
+                 || ',' || CAST(z.item AS VARCHAR),
+                 CAST(3 AS BIGINT),
+                 CAST(COUNT(*) AS BIGINT)
+          FROM b x
+          JOIN b y ON x.g = y.g AND x.item < y.item
+          JOIN b z ON y.g = z.g AND y.item < z.item
+          GROUP BY x.item, y.item, z.item HAVING COUNT(*) >= 3
+        )
+        SELECT * FROM i1
+        UNION ALL SELECT * FROM i2
+        UNION ALL SELECT * FROM i3
+    """,
+    }
+)
 QUERIES.update({"graph_part_association_rules": graph_part_association_rules})
 ORACLE_SQL.update(
     {
