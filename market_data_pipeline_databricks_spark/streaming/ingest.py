@@ -160,7 +160,9 @@ def stream_gold_maintenance(
 
     Each micro-batch:
 
-    1. appends the batch to the silver table (append-only feed);
+    1. upserts the batch into the silver table by (symbol, date) —
+       replay-idempotent where an append would duplicate re-delivered
+       rows;
     2. recomputes ONLY the affected region (``fresh_only=True``) —
        O(batch symbols × tail) work, never O(history);
     3. upserts the fresh rows into the gold table by (symbol, date) —
@@ -176,7 +178,6 @@ def stream_gold_maintenance(
     )
     from market_data_pipeline_databricks_spark.sources.tables import read_table
     from market_data_pipeline_databricks_spark.sources.writers import (
-        append_table,
         upsert_by_key,
     )
 
@@ -188,7 +189,14 @@ def stream_gold_maintenance(
             return
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint()  # cut the per-batch lineage
-        append_table(batch, warehouse_dir, silver_table)
+        # silver accumulates through the keyed UPSERT, not an append:
+        # a replayed micro-batch (failure after the write, before the
+        # checkpoint commit) re-delivers the same rows, and an append
+        # would duplicate them — corrupting every window the gold
+        # recompute runs downstream. Upserting on the grain makes the
+        # whole sink idempotent end to end (and late corrections to an
+        # already-seen (symbol, date) restate cleanly).
+        upsert_by_key(spark, batch, warehouse_dir, silver_table, ["symbol", "date"])
         silver = read_table(spark, warehouse_dir, silver_table)
         fresh = gold_incremental(
             silver,

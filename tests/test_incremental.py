@@ -133,3 +133,54 @@ def test_stream_gold_maintenance_out_of_order_batches(spark, tmp_path):
                     "vol_20d", "avg_volume_20d").collect())
     )
     assert got == want
+
+
+def test_stream_gold_maintenance_replayed_batch_is_idempotent(spark, tmp_path):
+    """A re-delivered (duplicate) batch must not corrupt gold: the
+    silver accumulation is a keyed upsert, so replays restate the same
+    rows instead of appending duplicates that would poison every
+    downstream window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_databricks_spark.operators.gold import (
+        gold_features,
+    )
+    from market_data_pipeline_databricks_spark.streaming.ingest import (
+        stream_gold_maintenance,
+    )
+
+    rows = [
+        ("AAA", dt.date(2025, 1, 1) + dt.timedelta(days=i), 100.0 + i, 10 + i, "t")
+        for i in range(25)
+    ]
+    cols = "symbol string, date date, close double, volume long, source string"
+    silver = spark.createDataFrame(rows, cols)
+    d = lambda i: dt.date(2025, 1, 1) + dt.timedelta(days=i)
+    feed = str(tmp_path / "feed")
+    chunk1 = silver.filter(F.col("date") < F.lit(d(12)))
+    chunk2 = silver.filter(F.col("date") >= F.lit(d(12)))
+    chunk1.coalesce(1).write.mode("append").parquet(feed)
+    chunk1.coalesce(1).write.mode("append").parquet(feed)  # the replay
+    chunk2.coalesce(1).write.mode("append").parquet(feed)
+
+    wh = str(tmp_path / "wh")
+    ts = dt.datetime(2026, 1, 1)
+    stream = (
+        spark.readStream.schema(silver.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    stream_gold_maintenance(stream, wh, computed_at=ts)
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{wh}/gold_daily")
+            .select("symbol", "date", "close", "volume", "return_1d",
+                    "vol_20d", "avg_volume_20d").collect())
+    )
+    want = sorted(
+        map(tuple, gold_features(silver, computed_at=ts)
+            .select("symbol", "date", "close", "volume", "return_1d",
+                    "vol_20d", "avg_volume_20d").collect())
+    )
+    assert got == want
