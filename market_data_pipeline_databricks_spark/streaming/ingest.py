@@ -172,6 +172,12 @@ def stream_gold_maintenance(
     Out-of-order batches are safe: the cutoff is derived per batch, so
     a late batch simply recomputes forward from its own min date using
     the silver accumulated so far.
+
+    Scale note: a parquet keyed upsert rewrites the partitions its keys
+    touch (Delta MERGE rewrites the matched files — same shape). On a
+    production table partition silver by a date-derived column so a
+    daily batch touches O(1) partitions, not the whole history; the
+    unpartitioned default here is sized for the testdata drive.
     """
     from market_data_pipeline_databricks_spark.operators.gold import (
         gold_incremental,
