@@ -252,6 +252,117 @@ def minhash_verified_near_duplicates(
     )
 
 
+def minhash_near_duplicates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with ORACLE-REPLAYABLE hashes.
+
+    Identical pipeline to :func:`minhash_candidate_pairs` (shingle →
+    per-seed min-hash → banded equi-join → estimated Jaccard ≥
+    threshold) with two substitutions that make every intermediate
+    value reproducible in plain SQL on any engine:
+
+    - each hash-family member is ``portable_hash60(seed || ':' ||
+      shingle)`` (md5-derived 60-bit int) instead of seeded xxhash64;
+    - the band bucket key is the comma-joined signature slice STRING
+      instead of an xxhash64 of it (fixed-width band hashing matters
+      at 100 TB for shuffle width — 8-byte keys vs ~80-byte strings —
+      but is an engine-internal detail, so the oracle form skips it).
+
+    The DuckDB oracle replays the whole algorithm — including banding
+    recall misses and the max_bucket_size skew guard — so the driver's
+    hash check pins the LSH behavior itself, not just a downstream
+    verification (same discipline as the BPE merge-chain oracle).
+    Plan shape and shuffle structure are unchanged from the xxhash64
+    form: the banded stream stays (id, band key)-narrow, buckets over
+    ``max_bucket_size`` are dropped before the self-join, signatures
+    re-join only onto the candidate set.
+    """
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // num_bands
+
+    def seeded(i: int):
+        return lambda s: TX.portable_hash60(F.concat(F.lit(f"{i}:"), s))
+
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            TX.shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        .select(
+            "id",
+            F.array(
+                *[
+                    F.array_min(F.transform(F.col("sh"), seeded(i)))
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    bucket_sizes = banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("sz") <= max_bucket_size).select(
+            "band_id", "band_key"
+        ),
+        ["band_id", "band_key"],
+        "left_semi",
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = cand.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -335,6 +446,102 @@ def simhash_near_duplicates(
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_duplicates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bits: int = 60,
+    num_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with an ORACLE-REPLAYABLE signature.
+
+    60-bit sign-of-sum signature over DISTINCT normalized tokens, each
+    token hashed with ``portable_hash60`` (md5-derived) so a DuckDB
+    oracle reproduces every signature bit-for-bit. Candidates come from
+    equi-joins on ``num_bands`` disjoint 15-bit bands, then the exact
+    popcount filter keeps pairs within ``max_hamming``.
+
+    Banding recall is EXACTLY 1 here by pigeonhole, not probabilisticly:
+    with ``max_hamming`` < ``num_bands``, at most ``max_hamming`` of the
+    ``num_bands`` disjoint bands can contain a differing bit, so at
+    least one band is identical and every qualifying pair is a
+    candidate. The oracle may therefore check all-pairs Hamming
+    directly — banded output is structurally equal, independent of the
+    data. (Requires ``n_bits % num_bands == 0``.)
+
+    Relational vote aggregation (explode distinct tokens → one groupBy
+    with 60 conditional sums) rather than 60 higher-order ``aggregate``
+    lambdas: HOFs get no common-subexpression elimination, and the
+    single hash projection feeds all 60 bit-votes in one pass.
+    """
+    if n_bits % num_bands != 0:
+        raise ValueError(f"n_bits {n_bits} not divisible by num_bands {num_bands}")
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} >= num_bands {num_bands} — pigeonhole "
+            "recall guarantee (and hence oracle equality) would not hold"
+        )
+    band_bits = n_bits // num_bands
+    th = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(TX.tokens(F.col(text_col)))).alias("tok"),
+        )
+        .select("id", TX.portable_hash60(F.col("tok")).alias("h"))
+    )
+    votes = th.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig_expr = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sim = votes.select("id", sig_expr.alias("simhash"))
+    bands = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.band_id", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
@@ -746,10 +953,15 @@ def minhash_cross_verified_near_duplicates(
 
     Candidates = cross band-bucket collisions only (no corpus×corpus,
     no batch×batch term); every candidate is verified with the exact
-    shingle Jaccard, so precision is 1 and output equals the exact
-    cross form wherever banding recall is 1 (J ≥ 0.9 pairs are missed
-    with probability < 1e-10 at 16×4; keep-set equality pytest-pinned
-    at the 0.5 threshold on testdata)."""
+    shingle Jaccard, so precision is 1. Output equals
+    :func:`ngram_jaccard_cross_pairs` when BOTH blocking schemes have
+    recall 1 on the corpus: banding recall here (J ≥ 0.9 pairs are
+    missed with probability < 1e-10 at 16×4), AND the exact form's
+    rare-shingle blocking (df ≤ max_shingle_df), which can miss true
+    pairs that share only common shingles — in general the two outputs
+    are incomparable (each can contain pairs the other's blocking
+    missed); on the pinned testdata both recalls are 1 and keep-set
+    equality is pytest-pinned at the 0.5 threshold."""
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // num_bands

@@ -139,11 +139,13 @@ def _adc_scores(
     ).collect()  # bounded query set by contract (same as cosine_topk)
     # pin the contract: the LUT build and the probe-pair collect are
     # O(|queries|) driver state — fail loudly if a caller hands the
-    # corpus as the query set instead of silently OOMing the driver
-    assert len(q_rows) <= 100_000, (
-        f"PQ query set has {len(q_rows)} rows — the ADC LUT stage is "
-        "driver-built and contracted to bounded query sets (≤100k)"
-    )
+    # corpus as the query set instead of silently OOMing the driver.
+    # A runtime contract, not a debug assert: must survive `python -O`.
+    if len(q_rows) > 100_000:
+        raise ValueError(
+            f"PQ query set has {len(q_rows)} rows — the ADC LUT stage is "
+            "driver-built and contracted to bounded query sets (≤100k)"
+        )
     luts = []
     qids = []
     for r in q_rows:

@@ -560,7 +560,14 @@ def cosine_near_duplicates_blocked(
             StructField("cos_approx", DoubleType()),
         ]
     )
-    slack = float(threshold) - 1e-9
+    # Slack must cover BOTH the fold-vs-SIMD association difference
+    # (~1e-15) and the final round(cos, 6) >= threshold filter, which
+    # admits raw cosines down to threshold - 5e-7: a pair at exactly
+    # threshold - 5e-7 rounds up and is kept by brute force, so the
+    # prefilter must not drop it. 1e-6 covers the rounding half-step
+    # with margin; the exact re-score stage below restores precision,
+    # so the only cost is a few extra survivors re-checked.
+    slack = float(threshold) - 1e-6
 
     def gemm(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:

@@ -43,6 +43,18 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash any SQL engine can replay bit-for-bit: the
+    first 15 hex chars of md5, parsed base-16. Unlike xxhash64 (engine-
+    specific seed/implementation), md5 is md5 everywhere, so a DuckDB
+    oracle can reproduce the exact value:
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT``. 60 bits < 2^63 — no
+    sign-overflow on either engine. Used by the oracle-replayable
+    MinHash / SimHash / winnowing forms; the xxhash64 forms remain the
+    faster engine-internal default."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization of normalized text."""
     return F.split(normalize_text(col), " ")
@@ -263,6 +275,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 7,
     window: int = 4,
+    portable: bool = False,
 ) -> "DataFrame":
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     hash every char k-gram, keep the min hash of each sliding window of
@@ -292,7 +305,14 @@ def winnow_fingerprints(
     n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
     grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(k)))
     g = norm.select("id", F.posexplode(grams).alias("pos", "gram"))
-    g = g.withColumn("h", F.xxhash64("gram"))
+    # portable=True swaps the k-gram hash for the md5-derived 60-bit
+    # hash so a DuckDB oracle can replay the winnowing selection
+    # exactly (which windows pick which minima depends on the hash
+    # values); xxhash64 stays the engine-internal default — it is
+    # ~3× cheaper and fingerprint semantics don't need cross-engine
+    # parity unless an oracle is watching.
+    hash_fn = portable_hash60(F.col("gram")) if portable else F.xxhash64("gram")
+    g = g.withColumn("h", hash_fn)
     w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
     full = (
         g.withColumn("fp", F.min("h").over(w))

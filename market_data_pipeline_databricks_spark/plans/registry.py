@@ -26,100 +26,86 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-6 window: 50 oracle-backed queries that have NEVER held
-    # a driver correctness row (standing rule since round 2:
-    # never-checked beats twice-green). 59 backlog names existed at
-    # rotation time; the 9 deferred to round 7 are listed below.
-    # Family anchors stay in-window throughout (noted per block).
+    # -- round-7 window. Standing rule since round 2: never-checked
+    # beats twice-green. This rotation CLOSES the correctness backlog:
+    # the 18 oracle-backed queries that had never held a driver
+    # correctness row through r06 (pinned in VERDICT r6 task 1) lead,
+    # followed by the three round-7 rows-only→oracle upgrades (MinHash /
+    # SimHash / winnowing re-expressed over the md5-derived
+    # portable_hash60 so the DuckDB oracle REPLAYS the hashing
+    # algorithm itself), then 29 family anchors that are already green
+    # in r01–r06 — after this round every oracle-backed query in the
+    # registry has held ≥1 green driver row.
     #
-    # technical-indicator family (W2-W4/scalar anchors: LAG chains,
-    # rolling frames, RANGE windows, decimal discipline)
-    "funcs_rsi",
-    "funcs_macd",
-    "funcs_cross_sectional_momentum",
-    "funcs_atr_parkinson",
-    "funcs_max_drawdown",
-    "funcs_vwap_monthly",
-    "funcs_weekly_ohlc",
-    "funcs_rolling_median_close",
-    "funcs_sharpe_sortino",
-    "funcs_dow_seasonality",
-    "funcs_cusum_drift",
-    # events tail (A1-A10 anchors: sessionized behavioral aggregates)
-    "events_top_paths",
-    "events_chi2_independence",
-    "events_user_value_deciles",
-    "events_interarrival_quantiles",
-    "events_rolling_active_users",
-    "events_power_users_pareto",
-    "events_longest_streak",
-    "events_burst_detection",
-    "events_last_touch_attribution",
-    # text tail (corpus-screen anchors)
-    "text_bigram_logprob",
-    "text_length_histogram",
-    "text_ngram_novelty",
-    "text_gopher_survivors",
-    "text_zipf_fit",
-    "text_lang_confusion_matrix",
-    # dedup/decontamination anchors (A8): containment screen + the
-    # cross-source contamination matrix
-    "dedup_containment_screen",
-    "dedup_cross_source_matrix",
-    # entity resolution (blocked fuzzy match + transitive identity;
-    # banding re-derived on exact integer cents this round)
-    "er_blocked_match_pairs",
+    # the r6-deferred backlog (segmentation aggs, funnel timing,
+    # edit-distance verify, component histogram, DQ screens)
+    "agg_customer_rfm_segments",
+    "agg_revenue_share",
+    "agg_segment_value_quantiles",
+    "events_funnel_time_to_convert",
+    "events_cumulative_reach",
+    "dedup_editdistance_verify",
+    "dedup_component_size_histogram",
+    "quality_benford_screen",
+    "quality_mad_outliers",
+    # r6 late additions (landed after the r6 window was pinned)
+    "stream_gold_incremental",
+    "curate_multimodal_corpus_lsh",
+    "vector_ann_near_dup_lsh",
+    "dedup_incremental_fuzzy",
+    "text_bpe_train_merges",
+    "text_bpe_encode_stats",
+    "text_kneser_ney_bigram",
+    "graph_frequent_itemsets",
+    "graph_part_association_rules",
+    # round-7 rows-only→oracle upgrades (oracle replays the hashes)
+    "dedup_minhash_near",
+    "dedup_simhash_near",
+    "dedup_winnow_overlap",
+    # -- 29 family anchors (all r01–r06 green; one per API family so a
+    # regression anywhere in the surface still trips the driver gate):
+    # TPC-H/relational core
+    "agg_pricing_summary",
+    "join_q3_shipping_priority",
+    "join_q9_product_type_profit",
+    "filter_project_revenue",
+    "scalar_regexp_extract",
+    "scalar_json_extract",
+    # window family
+    "window_dedup_latest_wins",
+    "window_supplier_daily_gold",
+    "window_sessionization",
+    # join shapes (as-of, binned range)
+    "join_asof_orders_quotes",
+    "join_range_binned_volatility",
+    # analyst + quality
+    "analyst_top_movers_today",
+    "analyst_dq_triage_cte",
+    "quality_zscore_outliers",
+    # streaming (batch-twin-checked)
+    "stream_stream_click_attribution",
+    "stream_session_window_stats",
+    "stream_stateful_user_totals",
+    # technical indicators + skew discipline
+    "funcs_feature_panel",
+    "skew_salted_pricing_summary",
+    # curation / dedup / vectors / multimodal
+    "curate_training_corpus",
+    "dedup_components",
+    "vector_cosine_topk",
+    "multimodal_frame_sample",
+    # graph (pagerank also carries the r7 bench re-pin task)
+    "graph_part_pagerank",
+    # entity resolution + warehouse maintenance
     "er_resolved_entities",
-    # warehouse maintenance: SCD2, CDC diff, mergeable partials,
-    # retraction algebra, and the NEW incremental-gold equivalence
-    # (round-6 verdict task 3; U1-shaped unions inside)
     "scd2_supplier_history",
-    "cdc_supplier_balance_diff",
-    "incremental_rollup_equivalence",
-    "incremental_cdc_rollup",
-    "gold_incremental_equivalence",
-    # custom Spark 4 Python Data Source, batch + streaming twins
-    "source_synthetic_ticks_ohlc",
-    "stream_synthetic_ticks_ohlc",
-    # graph closers (iterative anchors beside the r5-green pagerank)
-    "graph_part_triangles",
-    "graph_part_bfs_hops",
-    # scale/sketch ops (eager plan-build count removed this round)
-    "scale_heavy_hitters",
-    # window/join shape closers: skyline, linear-interp gapfill,
-    # tolerance-bounded as-of, interval overlap (J1 anchor), lateral
-    # top-k per group (J/O1-O4 anchor)
-    "window_pareto_frontier_orders",
-    "window_linear_interpolate_close",
-    "join_asof_tolerance_quotes",
-    "join_interval_overlap",
-    "join_lateral_top_orders",
-    # aggregates + quality anchors (A/Q): YoY growth, order-total
-    # reconciliation (Q1-Q3-shaped check), nested array<struct>
-    # round-trip, stratified exact-k reservoir, embedding truncation
-    # fidelity (vector-family anchor)
-    "agg_yoy_revenue_growth",
-    "quality_order_total_reconciliation",
-    "nested_orders_rollup",
-    "sample_stratified_reservoir",
-    "vector_truncation_fidelity",
-    # -- deferred to the round-7 window (oracle-backed, never
-    # driver-checked, all green via tools/check_oracle.py):
-    # agg_customer_rfm_segments / agg_revenue_share /
-    # agg_segment_value_quantiles / events_funnel_time_to_convert /
-    # events_cumulative_reach / dedup_editdistance_verify /
-    # dedup_component_size_histogram / quality_benford_screen /
-    # quality_mad_outliers — plus the round-6 additions landed after
-    # this window was pinned: stream_gold_incremental (streaming
-    # incremental gold maintenance == full recompute), and the two
-    # rows-only→oracle upgrades curate_multimodal_corpus_lsh /
-    # vector_ann_near_dup_lsh (blocked-GEMM exact structure),
-    # dedup_incremental_fuzzy (oracle-backed batch×corpus blocked
-    # Jaccard), and text_bpe_train_merges (oracle-replayed BPE merge
-    # chain).
-    # -- displaced: the full r5 window (all 50 driver-green in
-    # CORRECTNESS_r05.json) plus every earlier anchor noted in git
-    # history; all stay verifiable via tools/check_oracle.py.
+    # events + sampling
+    "events_funnel",
+    "events_session_stats",
+    "sample_weighted_reservoir",
+    # -- displaced: the full r6 window (all 50 driver-green in
+    # CORRECTNESS_r06.json) and every earlier window; all remain
+    # verifiable via tools/check_oracle.py.
 )
 
 

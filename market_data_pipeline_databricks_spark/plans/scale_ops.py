@@ -381,16 +381,18 @@ def scale_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # pass 1 (the one plan-build action): KPS/Misra-Gries candidate
     # sketch. Driver state is bounded by construction at ≤ 1/support
-    # items; the assert pins that contract so a support change cannot
-    # silently turn this into an unbounded collect.
+    # items; the check pins that contract so a support change cannot
+    # silently turn this into an unbounded collect. A runtime contract,
+    # not a debug assert: must survive `python -O`.
     support = 0.0004
     cand_rows = li.select("l_partkey").freqItems(
         ["l_partkey"], support=support
     ).first()[0]
-    assert len(cand_rows) <= int(1 / support) + 1, (
-        f"freqItems returned {len(cand_rows)} items — above the "
-        f"1/support={int(1 / support)} KPS state bound"
-    )
+    if len(cand_rows) > int(1 / support) + 1:
+        raise ValueError(
+            f"freqItems returned {len(cand_rows)} items — above the "
+            f"1/support={int(1 / support)} KPS state bound"
+        )
     cand = spark.createDataFrame(
         [(int(x),) for x in cand_rows], "l_partkey long"
     )

@@ -53,18 +53,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (64 hashes, 16 bands × 4 rows).
-    Engine-hash-specific → rows-only driver check; cross-validated
-    against dedup_ngram_jaccard in tests/test_training_ops.py."""
-    return DD.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.35)
+    """MinHash+LSH near-dup pairs (64 hashes, 16 bands × 4 rows) in the
+    oracle-replayable portable-hash form: the DuckDB oracle recomputes
+    every min-hash, band bucket, skew-guard drop and estimate — the
+    driver hash check pins the LSH algorithm itself (upgraded from a
+    rows-only xxhash64 form in round 7; the xxhash64 form remains as
+    DD.minhash_near_duplicates for engine-internal use and stays
+    cross-validated against dedup_ngram_jaccard in
+    tests/test_training_ops.py)."""
+    return DD.minhash_near_duplicates_portable(_docs(spark, sf_dir), threshold=0.35)
 
 
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit near-dup pairs within Hamming distance 3.
-    Rows-only driver check (engine-hash-specific). Note: these synthetic
-    docs have 6-31 distinct tokens, so SimHash is inherently noisier
-    here than on web-scale text — the tight radius compensates."""
-    return DD.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash near-dup pairs within Hamming distance 3, in the
+    oracle-replayable 60-bit portable-hash form (md5-derived token
+    hashes the DuckDB oracle reproduces bit-for-bit; banding recall is
+    exactly 1 by pigeonhole — 4 disjoint bands, ≤3 differing bits —
+    so the oracle's all-pairs Hamming filter is structurally equal to
+    the banded plan). Note: these synthetic docs have 6-31 distinct
+    tokens, so SimHash is inherently noisier here than on web-scale
+    text — the tight radius compensates."""
+    return DD.simhash_near_duplicates_portable(_docs(spark, sf_dir), max_hamming=3)
 
 
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,9 +90,11 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprint overlap: pairs of documents
     sharing ≥ 5 selected k-gram window minima — catches substring-level
-    plagiarism/copy that whole-doc hashing misses. xxhash64-seeded →
-    rows-only driver check; behavior verified in tests against
-    controlled mutations."""
+    plagiarism/copy that whole-doc hashing misses. Portable-hash form
+    (round 7): the DuckDB oracle replays the k-gram hashing and the
+    window-minimum selection itself, so the driver hash check pins the
+    winnowing algorithm; behavior additionally verified in tests
+    against controlled mutations."""
     from pyspark import StorageLevel
 
     docs = _docs(spark, sf_dir)
@@ -92,7 +103,7 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once, not three times (the multi-consumer persist pattern;
     # the distinct (id, fp) frame is tiny next to the exploded stream)
     fp = TX.winnow_fingerprints(
-        docs, id_col="doc_id", text_col="text", k=12, window=25
+        docs, id_col="doc_id", text_col="text", k=12, window=25, portable=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = fp.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
@@ -4027,4 +4038,111 @@ JOIN bigc USING (w1, w2)
 JOIN ctx USING (w1)
 JOIN cont ON cont.w2 = pairs.w2
 GROUP BY doc_id
+"""
+
+
+# --- round-7 rows-only→oracle upgrades: the DuckDB oracles REPLAY the
+# hashing algorithms (md5-derived portable_hash60 in both engines), so
+# the driver hash check pins MinHash banding, SimHash signatures and
+# winnowing selection themselves — not just a downstream verification.
+# Engine parity of the hash: Spark conv(substr(md5(s),1,15),16,10) ==
+# DuckDB ('0x' || substr(md5(s),1,15))::BIGINT (60 bits, no sign
+# overflow on either side).
+
+_H60 = "('0x' || substr(md5({arg}), 1, 15))::BIGINT"
+
+ORACLE_SQL["dedup_minhash_near"] = _SHINGLE_DOCS + f""",
+hs AS (
+  SELECT doc_id, seed,
+         MIN({_H60.format(arg="CAST(seed AS VARCHAR) || ':' || shingle")}) AS minh
+  FROM sh CROSS JOIN range(0, 64) t(seed)
+  GROUP BY doc_id, seed
+),
+sigs AS (
+  SELECT doc_id, list(minh ORDER BY seed) AS sig FROM hs GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, (seed // 4) AS band_id,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM hs GROUP BY doc_id, (seed // 4)
+),
+ok AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= 200
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN ok USING (band_id, band_key)
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0, 6)
+         AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE ROUND(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0, 6)
+      >= 0.35
+"""
+
+# 60 per-bit sign votes over distinct-token hashes, then the signature
+# as a sum of set-bit powers; all-pairs Hamming ≤ 3 is structurally
+# equal to the Spark plan's banded candidates (pigeonhole: 4 disjoint
+# 15-bit bands, at most 3 differing bits → ≥1 identical band).
+_SIMHASH_VOTES = ",\n       ".join(
+    f"SUM((((h >> {b}) & 1) * 2 - 1)) AS v{b}" for b in range(60)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(60)
+)
+
+ORACLE_SQL["dedup_simhash_near"] = _NORM + f""",
+th AS (
+  SELECT doc_id, {_H60.format(arg="tok")} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok)
+),
+votes AS (
+  SELECT doc_id,
+       {_SIMHASH_VOTES}
+  FROM th GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, ({_SIMHASH_SIG}) AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+ORACLE_SQL["dedup_winnow_overlap"] = _NORM + f""",
+g AS (
+  SELECT doc_id, i AS pos,
+         {_H60.format(arg="substr(ntext, CAST(i AS INTEGER), 12)")} AS h
+  FROM norm, unnest(range(1, greatest(length(ntext) - 11, 0) + 1)) t(i)
+),
+w AS (
+  SELECT doc_id,
+         MIN(h) OVER fw AS fp,
+         COUNT(*) OVER fw AS n_in_frame
+  FROM g
+  WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING)
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE n_in_frame = 25),
+counts AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared
+FROM shared
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / LEAST(ca.n_fp, cb.n_fp) >= 0.5
+  AND n_shared >= 3
 """

@@ -12,6 +12,7 @@ the file log (checkpointed), not data — safe at any scale.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -187,7 +188,13 @@ def stream_gold_maintenance(
         upsert_by_key,
     )
 
-    if checkpoint_dir is None:
+    # Track whether we created the checkpoint dir ourselves: an
+    # auto-created mkdtemp dir must be removed after the availableNow
+    # drain completes, or repeated registry/bench drives leak temp
+    # state (caller-owned checkpoint dirs are never touched — those
+    # carry restart semantics the caller manages).
+    auto_checkpoint = checkpoint_dir is None
+    if auto_checkpoint:
         checkpoint_dir = tempfile.mkdtemp(prefix=f"ckpt_gold_{gold_table}_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -221,4 +228,8 @@ def stream_gold_maintenance(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if auto_checkpoint:
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)

@@ -13,12 +13,70 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# The round-6 rotation: 50 oracle-backed queries that had never held
-# a driver correctness row when the window was pinned (the r5 window's
-# 50 names are all green in CORRECTNESS_r05.json). Kept in lockstep
-# with registry.DRIVER_WINDOW — the assertion below is the guard that
-# a registry reorder cannot silently push one past position 50.
-PREVIOUSLY_UNCHECKED = list(registry.DRIVER_WINDOW)
+# The round-7 rotation, as an EXPLICIT literal (not
+# list(registry.DRIVER_WINDOW)): the point of this guard is that an
+# accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
+# aliasing the registry value made the lockstep check trivially true
+# (round-6 advice). 21 never-driver-checked names (18 backlog + 3
+# rows-only→oracle upgrades) + 29 family anchors.
+PREVIOUSLY_UNCHECKED = [
+    "agg_customer_rfm_segments",
+    "agg_revenue_share",
+    "agg_segment_value_quantiles",
+    "events_funnel_time_to_convert",
+    "events_cumulative_reach",
+    "dedup_editdistance_verify",
+    "dedup_component_size_histogram",
+    "quality_benford_screen",
+    "quality_mad_outliers",
+    "stream_gold_incremental",
+    "curate_multimodal_corpus_lsh",
+    "vector_ann_near_dup_lsh",
+    "dedup_incremental_fuzzy",
+    "text_bpe_train_merges",
+    "text_bpe_encode_stats",
+    "text_kneser_ney_bigram",
+    "graph_frequent_itemsets",
+    "graph_part_association_rules",
+    "dedup_minhash_near",
+    "dedup_simhash_near",
+    "dedup_winnow_overlap",
+    "agg_pricing_summary",
+    "join_q3_shipping_priority",
+    "join_q9_product_type_profit",
+    "filter_project_revenue",
+    "scalar_regexp_extract",
+    "scalar_json_extract",
+    "window_dedup_latest_wins",
+    "window_supplier_daily_gold",
+    "window_sessionization",
+    "join_asof_orders_quotes",
+    "join_range_binned_volatility",
+    "analyst_top_movers_today",
+    "analyst_dq_triage_cte",
+    "quality_zscore_outliers",
+    "stream_stream_click_attribution",
+    "stream_session_window_stats",
+    "stream_stateful_user_totals",
+    "funcs_feature_panel",
+    "skew_salted_pricing_summary",
+    "curate_training_corpus",
+    "dedup_components",
+    "vector_cosine_topk",
+    "multimodal_frame_sample",
+    "graph_part_pagerank",
+    "er_resolved_entities",
+    "scd2_supplier_history",
+    "events_funnel",
+    "events_session_stats",
+    "sample_weighted_reservoir",
+]
+
+
+def test_window_literal_lockstep():
+    # Both directions: every pinned name is in the registry window and
+    # the window contains nothing unpinned.
+    assert list(registry.DRIVER_WINDOW) == PREVIOUSLY_UNCHECKED
 
 
 def test_driver_window_fully_oracle_backed():

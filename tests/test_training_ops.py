@@ -1411,3 +1411,96 @@ def test_ann_quality_report_floors(spark):
     # for the sqrt-n class (documented) — floor it loosely
     assert rows["lsh_auto"].recall_at_10 >= 0.5
     assert rows["ivf_auto"].recall_at_10 >= 0.2
+
+
+# --- round-7 portable (oracle-replayable) hash forms -----------------------
+
+
+def test_portable_hash60_cross_engine_parity(spark):
+    """The md5-derived 60-bit hash must agree bit-for-bit with DuckDB's
+    ('0x' || substr(md5(s),1,15))::BIGINT — the whole point of the
+    portable MinHash/SimHash/winnowing forms is that a plain-SQL oracle
+    can replay every hash value."""
+    import duckdb
+
+    samples = ["", "hello", "the quick brown fox", "0:shingle a b", "ünïcode ok"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", TX.portable_hash60(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == want, (s, got[s], want)
+
+
+def test_portable_minhash_matches_property_suite(docs):
+    """The portable form must satisfy the same recall/estimate laws as
+    the xxhash64 form: strong exact-Jaccard pairs are recalled, and the
+    estimate tracks the exact Jaccard."""
+    exact = DD.ngram_jaccard_pairs(docs, threshold=0.5)
+    strong = {(r.id_a, r.id_b) for r in exact.collect()}
+    port = DD.minhash_near_duplicates_portable(docs, threshold=0.35)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in port.collect()}
+    missed = strong - set(got)
+    assert not missed, f"portable minhash missed strong pairs: {missed}"
+    exact_j = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    for pair, j in exact_j.items():
+        assert abs(got[pair] - j) < 0.25, (pair, got[pair], j)
+
+
+def test_portable_simhash_pigeonhole_recall(docs):
+    """Banded candidates must equal the all-pairs Hamming≤3 set exactly
+    (4 disjoint 15-bit bands, ≤3 differing bits → ≥1 identical band):
+    the structural theorem the DuckDB all-pairs oracle relies on."""
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_near_duplicates_portable(docs, max_hamming=3).collect()
+    }
+    # all-pairs reference: join signatures both ways without banding
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok"),
+    ).select("id", TX.portable_hash60(F.col("tok")).alias("h"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"v{b}"
+            )
+            for b in range(60)
+        ]
+    )
+    sig = None
+    for b in range(60):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    sim = votes.select("id", sig.alias("simhash"))
+    a, b2 = sim.alias("a"), sim.alias("b")
+    allp = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b2, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == allp
+
+
+def test_portable_simhash_param_contracts():
+    import pyspark.sql  # noqa: F401
+
+    with pytest.raises(ValueError):
+        DD.simhash_near_duplicates_portable(None, n_bits=59, num_bands=4)
+    with pytest.raises(ValueError):
+        DD.simhash_near_duplicates_portable(None, max_hamming=4, num_bands=4)
