@@ -118,9 +118,34 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "protocol": "min_of_reps",
+                "calibration_sec": _calibration(reps),
             }
         )
     )
+
+
+def _calibration(reps: int) -> float:
+    """Fixed-work DuckDB aggregation, min-of-reps — a box-speed
+    constant independent of Spark (round-6 verdict task 8). The r5→r6
+    relational headliners drifted ~1.4× uniformly from box load, which
+    made round-over-round comparison noisy; dividing a round's timings
+    by (calibration_r{N} / calibration_r{M}) normalizes that drift.
+    Threads pinned to 8 so the constant measures single-box CPU+memory
+    speed under a stable parallelism, not scheduler contention."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads=8")
+    q = (
+        "SELECT sum(x * x), count(*) FROM "
+        "(SELECT (range * 2654435761) % 1000000007 AS x FROM range(50000000))"
+    )
+    best = float("inf")
+    for _ in range(max(reps, 2)):
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 if __name__ == "__main__":

@@ -252,6 +252,25 @@ def minhash_verified_near_duplicates(
     )
 
 
+_MINHASH_P30 = 1073741789  # largest prime < 2^30 — base-hash range
+_MINHASH_P31 = 2147483647  # 2^31 − 1 (Mersenne prime) — family modulus
+
+
+def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the Carter–Wegman affine
+    MinHash family h_i(x) = (a_i·x + b_i) mod P31. Mersenne-Twister
+    seeded — stable across Python versions — and shared verbatim with
+    the DuckDB oracle (plans/text_ops.py embeds the same pairs in a
+    VALUES list), so both engines replay identical signatures."""
+    import random
+
+    rng = random.Random(20260815)
+    return [
+        (rng.randrange(1, _MINHASH_P31), rng.randrange(0, _MINHASH_P31))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_near_duplicates_portable(
     df: DataFrame,
     text_col: str = "text",
@@ -284,25 +303,43 @@ def minhash_near_duplicates_portable(
     form: the banded stream stays (id, band key)-narrow, buckets over
     ``max_bucket_size`` are dropped before the self-join, signatures
     re-join only onto the candidate set.
+
+    The hash family is the classic Carter–Wegman affine construction
+    over ONE md5-derived base hash per shingle: h_i(s) = (a_i·h(s) +
+    b_i) mod p with h(s) = portable_hash60(s) mod P30 — one md5 per
+    shingle instead of ``num_hashes`` md5s (measured 4.96 s → the
+    xxhash64 form's ~2.3 s at sf0.1; a_i·h < 2^61 so the arithmetic
+    never overflows a signed 64-bit int on either engine).
     """
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // num_bands
+    params = minhash_affine_params(num_hashes)
 
-    def seeded(i: int):
-        return lambda s: TX.portable_hash60(F.concat(F.lit(f"{i}:"), s))
+    def affine(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P31)
 
     sigs = (
         df.select(
             F.col(id_col).alias("id"),
             TX.shingles(F.col(text_col), shingle_k).alias("sh"),
         )
+        # base hashes in their own projection: the md5 evaluates once
+        # per shingle; the 64 affine transforms below read the bound
+        # column (no-CSE-inside-HOF lesson, round 3/4)
+        .select(
+            "id",
+            F.transform(
+                F.col("sh"),
+                lambda s: TX.portable_hash60(s) % F.lit(_MINHASH_P30),
+            ).alias("hb"),
+        )
         .select(
             "id",
             F.array(
                 *[
-                    F.array_min(F.transform(F.col("sh"), seeded(i)))
-                    for i in range(num_hashes)
+                    F.array_min(F.transform(F.col("hb"), affine(a, b)))
+                    for a, b in params
                 ]
             ).alias("sig"),
         )

@@ -62,10 +62,13 @@ def _iter_cte(prev: str, cur: str) -> str:
           GROUP BY dst
         ),
         {cur}_d AS (
-          SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(27,12)))
-                               AS DOUBLE), 0.0) AS d_mass
-          FROM {prev}
-          WHERE node NOT IN (SELECT DISTINCT src FROM en)
+          -- dangling mass by conservation: Σ_dst p = 1 per src, so
+          -- Σ in_sum = non-dangling rank mass and d_mass = 1 − Σ in_sum
+          -- (same formula, same decimal casts as operators/graph.py)
+          SELECT CAST(1 AS DOUBLE)
+                 - COALESCE(CAST(SUM(CAST(in_sum AS DECIMAL(27,12)))
+                                 AS DOUBLE), 0.0) AS d_mass
+          FROM {cur}_in
         ),
         {cur} AS (
           SELECT nodes.node,

@@ -4051,11 +4051,26 @@ GROUP BY doc_id
 
 _H60 = "('0x' || substr(md5({arg}), 1, 15))::BIGINT"
 
+# the affine MinHash family constants — same (a, b) pairs the Spark
+# side derives (operators/dedup.py:minhash_affine_params), embedded as
+# a VALUES list so DuckDB replays identical signatures
+_MINHASH_PARAMS_VALUES = ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(DD.minhash_affine_params(64))
+)
+
 ORACLE_SQL["dedup_minhash_near"] = _SHINGLE_DOCS + f""",
+params AS (
+  SELECT * FROM (VALUES {_MINHASH_PARAMS_VALUES}) AS t(seed, a, b)
+),
+hb AS (
+  SELECT doc_id, shingle,
+         ({_H60.format(arg="shingle")}) % 1073741789 AS hbase
+  FROM sh
+),
 hs AS (
-  SELECT doc_id, seed,
-         MIN({_H60.format(arg="CAST(seed AS VARCHAR) || ':' || shingle")}) AS minh
-  FROM sh CROSS JOIN range(0, 64) t(seed)
+  SELECT doc_id, seed, MIN((a * hbase + b) % 2147483647) AS minh
+  FROM hb CROSS JOIN params
   GROUP BY doc_id, seed
 ),
 sigs AS (

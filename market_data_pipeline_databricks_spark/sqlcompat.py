@@ -18,12 +18,18 @@ becomes::
     → .filter(__qualify__).drop(__qualify__)          -- DataFrame side
     → ORDER BY / LIMIT re-applied
 
-Scope (documented, tested): one QUALIFY per statement, at the top
-level of the final SELECT (CTEs before it are fine); the predicate may
-be any boolean expression over window functions and base columns —
-which covers the reference corpus and the common latest-per-group
-idiom. Anything fancier should be written as a subquery, which is
-what this rewrite produces anyway.
+Scope (documented, tested): one QUALIFY per SELECT block. The final
+SELECT's QUALIFY uses the flag-column + DataFrame-filter path above;
+QUALIFY inside a subquery or CTE body (any nesting depth, round-7) is
+rewritten purely in SQL, innermost-first::
+
+    ( SELECT <list> FROM ... QUALIFY <pred> [tail] )
+    → ( SELECT * EXCEPT(__qualify_N__)
+        FROM (SELECT <list>, (<pred>) AS __qualify_N__ FROM ...)
+        WHERE __qualify_N__ [tail] )
+
+``SELECT DISTINCT ... QUALIFY`` is rejected with a clear error at any
+depth (the flag column would widen the DISTINCT grain).
 """
 
 from __future__ import annotations
@@ -98,10 +104,10 @@ def _lstrip_comments_and_hints(text: str) -> str:
     return text[i:]
 
 
-def rewrite_qualify(stmt: str) -> tuple[str, str | None, str]:
-    """Split a statement with QUALIFY into (inner_sql_with_flag_column,
-    predicate_present?, tail_sql). Returns (stmt, None, "") unchanged
-    when there is no top-level QUALIFY."""
+def _split_qualify(stmt: str, flag: str) -> tuple[str, str | None, str]:
+    """Shared splitter: (sql_with_flag_column, predicate?, tail_sql).
+    Returns (stmt, None, "") unchanged when the statement has no
+    QUALIFY at its own top level."""
     q = _scan_top_level(stmt, "QUALIFY")
     if q == -1:
         return stmt, None, ""
@@ -141,15 +147,124 @@ def rewrite_qualify(stmt: str) -> tuple[str, str | None, str]:
         raise ValueError("QUALIFY SELECT has no FROM clause")
     inner = (
         head[:frm].rstrip()
-        + f", ({pred}) AS {_QUALIFY_COL} "
+        + f", ({pred}) AS {flag} "
         + head[frm:]
     )
     return inner, pred, tail
 
 
+def rewrite_qualify(stmt: str) -> tuple[str, str | None, str]:
+    """Split a statement with QUALIFY into (inner_sql_with_flag_column,
+    predicate_present?, tail_sql). Returns (stmt, None, "") unchanged
+    when there is no top-level QUALIFY."""
+    return _split_qualify(stmt, _QUALIFY_COL)
+
+
+def _find_deepest_qualify(text: str) -> tuple[int, int] | None:
+    """(qualify_idx, enclosing_open_paren_idx) of a deepest NESTED
+    QUALIFY (depth > 0), or None when every QUALIFY is top-level.
+    Same literal/comment discipline as :func:`_scan_top_level`."""
+    best: tuple[int, int, int] | None = None  # (depth, qidx, open_idx)
+    stack: list[int] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'" or c == '"' or c == "`":
+            quote = c
+            i += 1
+            while i < n:
+                if text[i] == quote:
+                    if i + 1 < n and text[i + 1] == quote:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif c == "/" and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            i = n if j == -1 else j + 1
+        elif c == "(":
+            stack.append(i)
+        elif c == ")":
+            if stack:
+                stack.pop()
+        elif stack and text[i : i + 7].upper() == "QUALIFY":
+            before = text[i - 1] if i > 0 else " "
+            after = text[i + 7] if i + 7 < n else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                if best is None or len(stack) > best[0]:
+                    best = (len(stack), i, stack[-1])
+        i += 1
+    return None if best is None else (best[1], best[2])
+
+
+def _matching_paren(text: str, open_idx: int) -> int:
+    """Index of the ``)`` matching ``text[open_idx] == '('``."""
+    depth = 0
+    i, n = open_idx, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'" or c == '"' or c == "`":
+            quote = c
+            i += 1
+            while i < n:
+                if text[i] == quote:
+                    if i + 1 < n and text[i + 1] == quote:
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":
+                i += 1
+        elif c == "/" and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            i = n if j == -1 else j + 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL statement")
+
+
+def _rewrite_nested_qualify(text: str) -> str:
+    """Rewrite every QUALIFY that sits inside a subquery or CTE body
+    into the pure-SQL star-EXCEPT form, innermost-first. Each pass
+    consumes exactly one nested QUALIFY, so the loop terminates; the
+    final (top-level) QUALIFY, if any, is left for the flag-column +
+    DataFrame-filter path in :func:`sql`."""
+    count = 0
+    while True:
+        hit = _find_deepest_qualify(text)
+        if hit is None:
+            return text
+        qidx, open_idx = hit
+        close_idx = _matching_paren(text, open_idx)
+        block = text[open_idx + 1 : close_idx]
+        count += 1
+        flag = f"__qualify_{count}__"
+        inner, pred, tail = _split_qualify(block, flag)
+        if pred is None:  # pragma: no cover — deepest scan guarantees one
+            raise ValueError("internal: nested QUALIFY scan desynchronized")
+        new_block = f"SELECT * EXCEPT({flag}) FROM ({inner}) WHERE {flag}"
+        if tail:
+            new_block += " " + tail
+        text = text[: open_idx + 1] + new_block + text[close_idx:]
+
+
 def sql(spark: SparkSession, text: str) -> DataFrame:
-    """``spark.sql`` that also accepts the QUALIFY dialect."""
-    inner, pred, tail = rewrite_qualify(text.strip().rstrip(";"))
+    """``spark.sql`` that also accepts the QUALIFY dialect — at the top
+    level of the statement and inside subqueries/CTE bodies."""
+    inner, pred, tail = rewrite_qualify(
+        _rewrite_nested_qualify(text.strip().rstrip(";"))
+    )
     if pred is None:
         return spark.sql(inner)
     df = spark.sql(inner).filter(_QUALIFY_COL).drop(_QUALIFY_COL)

@@ -309,3 +309,129 @@ WHEN NOT MATCHED THEN INSERT *
 """
     with pytest.raises(ValueError, match="every non-key target column"):
         sqlcompat.merge(spark, stmt, warehouse_dir=wh, partition_cols=["symbol"])
+
+
+# --- nested QUALIFY (round-7: subquery / CTE-body support) ------------------
+
+
+def test_qualify_inside_subquery(spark):
+    got = sql(
+        spark,
+        """
+        SELECT o_custkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice
+          FROM orders
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        )
+        WHERE o_totalprice > 100000
+        """,
+    )
+    want = spark.sql(
+        """
+        SELECT o_custkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+          ) WHERE rn = 1
+        ) WHERE o_totalprice > 100000
+        """
+    )
+    assert _rows(got) == _rows(want)
+    assert all(not c.startswith("__qualify") for c in got.columns)
+
+
+def test_qualify_inside_cte_body(spark):
+    got = sql(
+        spark,
+        """
+        WITH latest AS (
+          SELECT o_custkey, o_orderkey, o_totalprice
+          FROM orders
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+        )
+        SELECT COUNT(*) AS n, SUM(o_totalprice) AS total FROM latest
+        """,
+    )
+    n_cust = spark.sql("SELECT COUNT(DISTINCT o_custkey) AS n FROM orders").first().n
+    assert got.first().n == n_cust
+
+
+def test_nested_plus_top_level_qualify(spark):
+    # inner QUALIFY picks each customer's latest order; outer QUALIFY
+    # then keeps the single most expensive of those
+    got = sql(
+        spark,
+        """
+        SELECT o_custkey, o_totalprice FROM (
+          SELECT o_custkey, o_totalprice
+          FROM orders
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        )
+        QUALIFY ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_custkey) = 1
+        """,
+    )
+    rows = got.collect()
+    assert len(rows) == 1
+    assert all(not c.startswith("__qualify") for c in got.columns)
+
+
+def test_nested_qualify_with_inner_order_limit(spark):
+    got = sql(
+        spark,
+        """
+        SELECT AVG(o_totalprice) AS avg_top FROM (
+          SELECT o_custkey, o_totalprice
+          FROM orders
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY o_custkey ORDER BY o_totalprice DESC) = 1
+          ORDER BY o_totalprice DESC
+          LIMIT 10
+        )
+        """,
+    )
+    want = spark.sql(
+        """
+        SELECT AVG(o_totalprice) AS avg_top FROM (
+          SELECT o_custkey, o_totalprice FROM (
+            SELECT o_custkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC) AS rn
+            FROM orders
+          ) WHERE rn = 1
+          ORDER BY o_totalprice DESC
+          LIMIT 10
+        )
+        """
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_nested_distinct_qualify_rejected(spark):
+    with pytest.raises(ValueError, match="DISTINCT"):
+        sql(
+            spark,
+            """
+            SELECT * FROM (
+              SELECT DISTINCT o_custkey, o_totalprice
+              FROM orders
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+            )
+            """,
+        )
+
+
+def test_qualify_keyword_in_nested_string_untouched(spark):
+    got = sql(
+        spark,
+        """
+        SELECT n FROM (
+          SELECT COUNT(*) AS n, 'has QUALIFY inside' AS note FROM orders
+        )
+        """,
+    )
+    assert got.first().n > 0
