@@ -116,6 +116,7 @@ def minhash_candidate_pairs(
     num_bands: int = 16,
     shingle_k: int = 3,
     max_bucket_size: int = 200,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
@@ -123,6 +124,11 @@ def minhash_candidate_pairs(
     fraction of matching signature components. Buckets larger than
     ``max_bucket_size`` are dropped (degenerate-content guard — at web
     scale a boilerplate bucket would otherwise produce O(n²) pairs).
+
+    ``portable=True`` swaps the seeded-xxhash64 signature and band
+    hashing for the md5-derived affine family + string band keys so a
+    DuckDB oracle replays the banding exactly; the xxhash64 default
+    stays the engine-internal fast path.
     """
     rows_per_band = num_hashes // num_bands
     # Shingle array materialized behind its own projection (see
@@ -133,21 +139,32 @@ def minhash_candidate_pairs(
     # (same fix class as the blocked-Jaccard shingleset persist).
     from pyspark import StorageLevel
 
-    sigs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            TX.shingles(F.col(text_col), shingle_k).alias("sh"),
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        TX.shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    if portable:
+        shingled = shingled.select(
+            "id", portable_base_hashes(F.col("sh")).alias("hb")
         )
-        .select("id", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        sig_col = portable_signature(F.col("hb"), num_hashes)
+    else:
+        sig_col = minhash_signature(F.col("sh"), num_hashes)
+    sigs = shingled.select("id", sig_col.alias("sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     # The banded stream stays NARROW (id, band key) — the 64-long
     # signature arrays never ride through the explode, the bucket-size
     # aggregation, or the self-join; they re-join only onto the (tiny
     # relative to the corpus) candidate-pair set at the end.
-    banded = sigs.select(
-        "id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
-    ).select("id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    bands_col = (
+        portable_lsh_bands(F.col("sig"), num_bands, rows_per_band)
+        if portable
+        else lsh_bands(F.col("sig"), num_bands, rows_per_band)
+    )
+    banded = sigs.select("id", F.explode(bands_col).alias("b")).select(
+        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
 
     # Skew guard: drop over-full buckets before the self-join.
     bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("sz"))
@@ -205,6 +222,7 @@ def minhash_verified_near_duplicates(
     num_hashes: int = 64,
     num_bands: int = 16,
     max_bucket_size: int = 200,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded-MinHash candidates + EXACT Jaccard verification — the
     production recall/precision split for near-dup detection at scale.
@@ -229,6 +247,7 @@ def minhash_verified_near_duplicates(
         num_bands=num_bands,
         shingle_k=shingle_k,
         max_bucket_size=max_bucket_size,
+        portable=portable,
     ).select("id_a", "id_b")
     docs = df.select(
         F.col(id_col).alias("id"),
@@ -269,6 +288,61 @@ def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
         (rng.randrange(1, _MINHASH_P31), rng.randrange(0, _MINHASH_P31))
         for _ in range(num_hashes)
     ]
+
+
+def _affine_fn(a: int, b: int):
+    """Factory (NOT a default-arg lambda — PySpark reads a 2-arg HOF
+    lambda as (element, index)) for one Carter–Wegman family member."""
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P31)
+
+
+def portable_base_hashes(shingle_col: Column) -> Column:
+    """One md5-derived base hash per shingle, reduced mod P30 so the
+    affine family never overflows signed 64-bit. Project the result
+    into its OWN column before feeding :func:`portable_signature` —
+    interpreted HOFs get no CSE, so an inlined base-hash expression
+    would re-run the md5 once per family member."""
+    return F.transform(
+        shingle_col, lambda s: TX.portable_hash60(s) % F.lit(_MINHASH_P30)
+    )
+
+
+def portable_signature(hb_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from a BOUND base-hash array column: per
+    family member, min over the array of (a·h + b) mod P31."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hb_col, _affine_fn(a, b)))
+            for a, b in minhash_affine_params(num_hashes)
+        ]
+    )
+
+
+def portable_lsh_bands(
+    sig_col: Column, num_bands: int = 16, rows_per_band: int = 4
+) -> Column:
+    """Band keys as comma-joined signature-slice STRINGS (no engine
+    hash): array<struct<band_id, band_hash>> ready to explode, oracle-
+    replayable via string_agg(... ORDER BY seed). The xxhash64 form
+    (:func:`lsh_bands`) stays the engine-internal default — 8-byte
+    fixed-width keys shuffle cheaper at 100 TB."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(
+                            sig_col, b * rows_per_band + r + 1
+                        ).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
 
 
 def minhash_near_duplicates_portable(
@@ -314,56 +388,25 @@ def minhash_near_duplicates_portable(
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // num_bands
-    params = minhash_affine_params(num_hashes)
-
-    def affine(a: int, b: int):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P31)
-
     sigs = (
         df.select(
             F.col(id_col).alias("id"),
             TX.shingles(F.col(text_col), shingle_k).alias("sh"),
         )
         # base hashes in their own projection: the md5 evaluates once
-        # per shingle; the 64 affine transforms below read the bound
+        # per shingle; the affine transforms below read the bound
         # column (no-CSE-inside-HOF lesson, round 3/4)
-        .select(
-            "id",
-            F.transform(
-                F.col("sh"),
-                lambda s: TX.portable_hash60(s) % F.lit(_MINHASH_P30),
-            ).alias("hb"),
-        )
-        .select(
-            "id",
-            F.array(
-                *[
-                    F.array_min(F.transform(F.col("hb"), affine(a, b)))
-                    for a, b in params
-                ]
-            ).alias("sig"),
-        )
+        .select("id", portable_base_hashes(F.col("sh")).alias("hb"))
+        .select("id", portable_signature(F.col("hb"), num_hashes).alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
-                            "string"
-                        )
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(num_bands)
-        ]
-    )
-    banded = sigs.select("id", F.explode(band_structs).alias("b")).select(
-        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    banded = sigs.select(
+        "id",
+        F.explode(portable_lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias(
+            "b"
+        ),
+    ).select(
+        "id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_key")
     )
     bucket_sizes = banded.groupBy("band_id", "band_key").agg(
         F.count(F.lit(1)).alias("sz")
@@ -979,6 +1022,7 @@ def minhash_cross_verified_near_duplicates(
     num_hashes: int = 64,
     num_bands: int = 16,
     max_bucket_size: int = 200,
+    portable: bool = False,
 ) -> DataFrame:
     """Incremental banded-MinHash near-dup detection: the new batch's
     band keys probe the corpus's band keys — the 100-TB twin of
@@ -1008,14 +1052,34 @@ def minhash_cross_verified_near_duplicates(
             F.col(id_col).alias(f"id_{side}"),
             TX.shingles(F.col(text_col), shingle_k).alias("sh"),
         )
-        sigs = sh.select(
-            f"id_{side}",
-            F.array_distinct("sh").alias(f"shset_{side}"),
-            minhash_signature(F.col("sh"), num_hashes).alias("sig"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if portable:
+            # base hashes bound in their own projection (no CSE inside
+            # interpreted HOFs), then the oracle-replayable affine
+            # signature + string band keys
+            sigs = (
+                sh.select(
+                    f"id_{side}",
+                    F.array_distinct("sh").alias(f"shset_{side}"),
+                    portable_base_hashes(F.col("sh")).alias("hb"),
+                )
+                .select(
+                    f"id_{side}",
+                    f"shset_{side}",
+                    portable_signature(F.col("hb"), num_hashes).alias("sig"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            bands_col = portable_lsh_bands(F.col("sig"), num_bands, rows_per_band)
+        else:
+            sigs = sh.select(
+                f"id_{side}",
+                F.array_distinct("sh").alias(f"shset_{side}"),
+                minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            bands_col = lsh_bands(F.col("sig"), num_bands, rows_per_band)
         banded = sigs.select(
             f"id_{side}",
-            F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"),
+            F.explode(bands_col).alias("b"),
         ).select(
             f"id_{side}",
             F.col("b.band_id").alias("band_id"),

@@ -100,8 +100,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "er_resolved_entities",
     "scd2_supplier_history",
     # events + sampling
-    "events_funnel",
-    "events_session_stats",
+    # round-7 batch-2 upgrades (banded-LSH capstones, oracle replays
+    # the affine banding) — never-checked beats green anchors, so they
+    # displace two events anchors (the events family stays covered by
+    # events_funnel_time_to_convert / events_cumulative_reach above)
+    "dedup_incremental_fuzzy_lsh",
+    "curate_chunk_corpus_lsh",
     "sample_weighted_reservoir",
     # -- displaced: the full r6 window (all 50 driver-green in
     # CORRECTNESS_r06.json) and every earlier window; all remain

@@ -171,7 +171,11 @@ def _curated_survivors(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if near_dup == "lsh":
-        pairs = DD.minhash_verified_near_duplicates(exact, threshold=0.5)
+        # portable affine family: the DuckDB curate-LSH oracle replays
+        # the banding itself (round-7 rows-only→oracle upgrade)
+        pairs = DD.minhash_verified_near_duplicates(
+            exact, threshold=0.5, portable=True
+        )
     else:
         pairs = DD.ngram_jaccard_pairs(exact, threshold=0.5)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -202,10 +206,11 @@ def curate_chunk_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curate→chunk capstone with the near-dup stage swapped to
     banded MinHash + exact-Jaccard verification — the runnable 100-TB
     curation path (no rare-shingle document-frequency pass; candidate
-    pairs from band-key equi-joins). Rows-only driver check by design
-    (engine-side xxhash64 banding has no portable SQL twin); keep-set
-    equality with ``curate_chunk_corpus`` is asserted in
-    tests/test_training_ops.py."""
+    pairs from band-key equi-joins). Oracle-backed since round 7: the
+    portable affine MinHash family lets the DuckDB oracle replay the
+    banding, skew guard and verification stages of the whole curation
+    chain; keep-set equality with ``curate_chunk_corpus`` additionally
+    asserted in tests/test_training_ops.py."""
     surv = _curated_survivors(spark, sf_dir, near_dup="lsh").select("doc_id", "text")
     return TX.chunk_tokens(surv, chunk_size=32, stride=24)
 
@@ -907,7 +912,9 @@ def dedup_incremental_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys probe the corpus's band index — no corpus-global
     shingle-DF pass, no corpus×corpus term; exact-Jaccard verification
     makes precision 1 (operators/dedup.minhash_cross_verified_near_
-    duplicates). Rows-only driver check (seeded hashing); keep-set
+    duplicates). Oracle-backed since round 7 via the portable affine
+    MinHash family (the DuckDB oracle replays the cross-banding probe,
+    the corpus-side skew guard and the exact verification); keep-set
     equality with the exact cross form at the 0.5 threshold is
     pytest-pinned."""
     docs = _docs(spark, sf_dir)
@@ -915,6 +922,7 @@ def dedup_incremental_fuzzy_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 == 0),
         docs.filter(F.col("doc_id") % 5 != 0),
         threshold=0.5,
+        portable=True,
     )
 
 
@@ -4160,4 +4168,112 @@ JOIN counts ca ON ca.doc_id = id_a
 JOIN counts cb ON cb.doc_id = id_b
 WHERE CAST(n_shared AS DOUBLE) / LEAST(ca.n_fp, cb.n_fp) >= 0.5
   AND n_shared >= 3
+"""
+
+
+# --- round-7 batch 2: the two banded-LSH capstones become
+# oracle-backed via the portable affine family (the oracle replays
+# banding, skew guard and exact verification — no recall assumption).
+
+_LSH_PAIR_CTES = f""",
+        params2 AS (
+          SELECT * FROM (VALUES {_MINHASH_PARAMS_VALUES}) AS t(seed, a, b)
+        ),
+        hb2 AS (
+          SELECT doc_id, ({_H60.format(arg="shingle")}) % 1073741789 AS hbase
+          FROM sh2
+        ),
+        hs2 AS (
+          SELECT doc_id, seed, MIN((a * hbase + b) % 2147483647) AS minh
+          FROM hb2 CROSS JOIN params2 GROUP BY doc_id, seed
+        ),
+        bands2 AS (
+          SELECT doc_id, (seed // 4) AS band_id,
+                 string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+          FROM hs2 GROUP BY doc_id, (seed // 4)
+        ),
+        okb2 AS (
+          SELECT band_id, band_key FROM bands2
+          GROUP BY band_id, band_key HAVING COUNT(*) <= 200
+        ),
+        cand2 AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands2 a
+          JOIN okb2 USING (band_id, band_key)
+          JOIN bands2 b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM cand2
+          JOIN sdocs da ON da.doc_id = id_a
+          JOIN sdocs db ON db.doc_id = id_b
+          WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+                / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.5
+        )
+"""
+
+# everything in _CURATE_CTES up through sh2 (enr → kept → exact →
+# sdocs shinglesets → exploded shingles), then the LSH pair stage in
+# place of the rare-shingle exact stage
+_CURATE_PREFIX_TO_SH2 = _CURATE_CTES[: _CURATE_CTES.index(",\n        rare2 AS")]
+assert _CURATE_PREFIX_TO_SH2.rstrip().endswith("FROM sdocs)"), (
+    "curate CTE surgery anchor moved — update _CURATE_PREFIX_TO_SH2"
+)
+_CURATE_CTES_LSH = _CURATE_PREFIX_TO_SH2 + _LSH_PAIR_CTES
+
+ORACLE_SQL["curate_chunk_corpus_lsh"] = _CURATE_CTES_LSH + """,
+        surv AS (
+          SELECT doc_id, toks FROM exact
+          WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
+        ),
+        cst AS (
+          SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
+          FROM surv
+        )
+        SELECT doc_id,
+               CAST((start - 1) / 24 AS BIGINT) AS chunk_id,
+               array_to_string(toks[start:least(start + 31, len(toks))], ' ') AS chunk_text,
+               CAST(least(32, len(toks) - start + 1) AS BIGINT) AS n_chunk_tokens
+        FROM cst
+        WHERE start = 1 OR start - 24 + 31 < len(toks)
+"""
+
+ORACLE_SQL["dedup_incremental_fuzzy_lsh"] = _SHINGLE_DOCS + f""",
+params AS (
+  SELECT * FROM (VALUES {_MINHASH_PARAMS_VALUES}) AS t(seed, a, b)
+),
+hb AS (
+  SELECT doc_id, ({_H60.format(arg="shingle")}) % 1073741789 AS hbase FROM sh
+),
+hs AS (
+  SELECT doc_id, seed, MIN((a * hbase + b) % 2147483647) AS minh
+  FROM hb CROSS JOIN params GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, (seed // 4) AS band_id,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM hs GROUP BY doc_id, (seed // 4)
+),
+bb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+bc AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+-- skew guard on the CORPUS side only (mirrors the Spark probe shape)
+okc AS (
+  SELECT band_id, band_key FROM bc
+  GROUP BY band_id, band_key HAVING COUNT(*) <= 200
+),
+cand AS (
+  SELECT DISTINCT bb.doc_id AS batch_id, bc.doc_id AS corpus_id
+  FROM bb
+  JOIN okc USING (band_id, band_key)
+  JOIN bc USING (band_id, band_key)
+)
+SELECT batch_id, corpus_id,
+       ROUND(len(list_intersect(da.shingleset, db.shingleset))
+             / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN docs da ON da.doc_id = batch_id
+JOIN docs db ON db.doc_id = corpus_id
+WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+      / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.5
 """

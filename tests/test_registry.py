@@ -67,8 +67,12 @@ PREVIOUSLY_UNCHECKED = [
     "graph_part_pagerank",
     "er_resolved_entities",
     "scd2_supplier_history",
-    "events_funnel",
-    "events_session_stats",
+    # round-7 batch-2 upgrades (banded-LSH capstones, oracle replays
+    # the affine banding) — never-checked beats green anchors, so they
+    # displace two events anchors (the events family stays covered by
+    # events_funnel_time_to_convert / events_cumulative_reach above)
+    "dedup_incremental_fuzzy_lsh",
+    "curate_chunk_corpus_lsh",
     "sample_weighted_reservoir",
 ]
 
