@@ -129,6 +129,8 @@ def window_rolling_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = daily.withColumn(
         "day_num", F.datediff("day", F.lit("1992-01-01").cast("date"))
     )
+    # single-partition window: bounded — input is one row per day
+    # (aggregate-collapsed), so cardinality ~ trading days, not facts
     w = Window.orderBy("day_num").rangeBetween(-59, 0)
     return (
         daily.withColumn(
@@ -339,6 +341,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = top.withColumn(
         "rank",
+        # single-partition window: bounded — input is the limit(200)
+        # token frame above, never the corpus
         F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token"))),
     ).select(
         F.log(F.col("rank").cast("double")).alias("x"),

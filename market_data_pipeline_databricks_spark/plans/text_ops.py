@@ -588,6 +588,8 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     total = ev.groupBy().agg(F.count(F.lit(1)).alias("total_events"))
     topk = per_user.orderBy(F.desc("n_events"), F.asc("user_id")).limit(100)
+    # single-partition window: bounded — runs over topk (limit(100)),
+    # not the per-user aggregate
     wo = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -1086,7 +1088,10 @@ def events_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("m"),
         F.sum("event").cast("long").alias("k"),
     )
+    # single-partition window: bounded — the grid frame is one row per
+    # distinct duration t (aggregate-collapsed survival grid)
     wall = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    # single-partition window: bounded — same per-t grid as above
     wcur = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     total = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -1414,6 +1419,8 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+    # single-partition window: bounded — hist is one row per length
+    # bin (fixed bin count), not per document
     w = Window.orderBy("len_bin").rowsBetween(Window.unboundedPreceding, 0)
     total = Window.partitionBy()
     return hist.select(
@@ -3569,6 +3576,8 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).alias("n_new_users")
     )
+    # single-partition window: bounded — daily is one row per calendar
+    # day (first-seen counts), not per event
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "day",

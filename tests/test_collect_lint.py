@@ -112,3 +112,28 @@ def test_allowlist_entries_still_exist():
             live.add((rel, fn))
     stale = [k for k in BOUNDED_COLLECTS if k not in live]
     assert not stale, f"stale BOUNDED_COLLECTS entries: {stale}"
+
+
+def test_unpartitioned_windows_carry_bound_comments():
+    """Every ``Window.orderBy(...)`` without a partitionBy funnels its
+    whole input through ONE task (Spark's single-partition WindowExec
+    warning). That is fine exactly when the input is already
+    aggregate-collapsed / top-k bounded — and the bound must be written
+    down where the window is built, as a ``single-partition window:
+    bounded`` comment within the three preceding lines, so a new
+    unbounded site fails this lint until its bound is stated."""
+    marker = "single-partition window: bounded"
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if "Window.orderBy" in ln and not ln.lstrip().startswith("#"):
+                ctx = "\n".join(lines[max(0, i - 3) : i])
+                if marker not in ctx:
+                    offenders.append(
+                        f"{path.relative_to(PKG)}:{i + 1}: {ln.strip()[:70]}"
+                    )
+    assert not offenders, (
+        "unpartitioned Window.orderBy without a stated cardinality "
+        f"bound: {offenders}"
+    )
