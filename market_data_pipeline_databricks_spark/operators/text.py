@@ -533,3 +533,80 @@ def bpe_apply_merges(
             ),
         )
     return vocab
+
+
+def cdc_chunks(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    divisor: int = 64,
+) -> "DataFrame":
+    """Content-defined chunking (the storage-dedup/rsync primitive,
+    FastCDC-style): cut each document where the rolling k-gram hash
+    satisfies ``h % divisor == 0``, yielding chunks of EXPECTED size
+    ``divisor`` chars whose boundaries depend only on local content.
+    Because boundaries are content-defined, a span duplicated across
+    documents at DIFFERENT offsets still produces identical chunks —
+    the alignment-free property fixed-stride shingling lacks, and the
+    reason CDC is the standard primitive for detecting copied passages
+    / boilerplate inside otherwise-distinct documents.
+
+    Returns (id, chunk_idx, chunk_start, chunk_text, chunk_fp) with
+    1-based chunk_start, md5 chunk fingerprints, and chunk_idx ordinal
+    per document. Fully deterministic and oracle-replayable: boundary
+    hashes use ``portable_hash60`` and fingerprints are md5, so a plain
+    SQL engine reproduces every boundary and every fingerprint.
+
+    Scale shape: one k-gram explode (O(total chars), pipelined off the
+    scan), a per-doc LEAD window for boundary pairing (one shuffle on
+    the doc id), and a substring projection — no joins, no driver
+    state. Documents shorter than k become one whole-doc chunk.
+    """
+    norm = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("__nt__")
+    )
+    t = F.col("__nt__")
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    # boundary candidates: gram END positions i+k-1 where the gram
+    # hash divides; sequence bound once (HOF-CSE lesson)
+    grams = F.transform(F.sequence(F.lit(1), n_grams), lambda i: t.substr(i, F.lit(k)))
+    g = norm.select("id", "__nt__", F.posexplode(grams).alias("pos0", "gram"))
+    bounds = g.filter(
+        (portable_hash60(F.col("gram")) % F.lit(divisor)) == 0
+    ).select("id", (F.col("pos0") + F.lit(k)).alias("cut"))  # cut AFTER gram end
+    # synthetic start-of-doc cut at 1; end-of-doc handled by LEAD default
+    starts = (
+        norm.select("id", F.lit(1).alias("cut"))
+        .unionByName(bounds.select("id", "cut"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("cut")
+    spans = (
+        starts.withColumn("next_cut", F.lead("cut").over(w))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        spans.join(norm, "id")
+        .select(
+            "id",
+            (F.col("rn") - 1).cast("long").alias("chunk_idx"),
+            F.col("cut").cast("long").alias("chunk_start"),
+            F.when(
+                F.col("next_cut").isNotNull(),
+                F.col("__nt__").substr(
+                    F.col("cut"), F.col("next_cut") - F.col("cut")
+                ),
+            )
+            .otherwise(
+                F.col("__nt__").substr(
+                    F.col("cut"), F.length("__nt__") - F.col("cut") + 1
+                )
+            )
+            .alias("chunk_text"),
+        )
+        .filter(F.length("chunk_text") > 0)  # empty docs yield no chunks
+        .withColumn("chunk_fp", F.md5("chunk_text"))
+    )

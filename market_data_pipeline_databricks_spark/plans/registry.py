@@ -70,7 +70,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_q9_product_type_profit",
     "filter_project_revenue",
     "scalar_regexp_extract",
-    "scalar_json_extract",
     # window family
     "window_dedup_latest_wins",
     "window_supplier_daily_gold",
@@ -84,8 +83,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "quality_zscore_outliers",
     # streaming (batch-twin-checked)
     "stream_stream_click_attribution",
-    "stream_session_window_stats",
     "stream_stateful_user_totals",
+    # round-7 batch-3: content-defined chunking dedup (never-checked
+    # beats green anchors — displaces scalar_json_extract and
+    # stream_session_window_stats; both families keep other anchors)
+    "dedup_cdc_repeated_chunks",
+    "dedup_cdc_duplicate_coverage",
     # technical indicators + skew discipline
     "funcs_feature_panel",
     "skew_salted_pricing_summary",

@@ -215,6 +215,68 @@ def curate_chunk_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.chunk_tokens(surv, chunk_size=32, stride=24)
 
 
+def dedup_cdc_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated passages via content-defined chunking
+    (the alignment-free complement to whole-doc and shingle dedup):
+    chunks whose md5 fingerprint appears in ≥2 documents, with
+    occurrence counts — the Lee-et-al-style "repeated span" report
+    that catches copied boilerplate at arbitrary offsets. Chunk
+    boundaries are portable_hash60-defined, so the DuckDB oracle
+    replays boundary selection, chunk assembly and fingerprints.
+    Chunks shorter than 20 chars are excluded from the report (their
+    duplication is not evidence of copying)."""
+    ch = TX.cdc_chunks(_docs(spark, sf_dir), k=12, divisor=64)
+    return (
+        ch.filter(F.length("chunk_text") >= 20)
+        .groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.length("chunk_text")).cast("long").alias("chunk_len"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def dedup_cdc_duplicate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage coverage: the fraction of a
+    document's normalized chars that sit inside CDC chunks duplicated
+    in OTHER documents — the per-doc curation signal built on
+    dedup_cdc_repeated_chunks (a doc that is 80% shared passages is a
+    near-dup even if no single whole-doc fingerprint matches). Only
+    docs with ≥1 duplicated chunk are emitted (the interesting rows;
+    clean docs would add |corpus| zero rows)."""
+    ch = TX.cdc_chunks(_docs(spark, sf_dir), k=12, divisor=64).select(
+        "id", "chunk_fp", F.length("chunk_text").alias("clen")
+    )
+    dup_fps = (
+        ch.groupBy("chunk_fp")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_fp")
+    )
+    flagged = ch.join(dup_fps, "chunk_fp", "left_semi")
+    per_doc = ch.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("clen").cast("long").alias("n_chars_norm"),
+    )
+    dup_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_chunks"),
+        F.sum("clen").cast("long").alias("n_dup_chars"),
+    )
+    return (
+        per_doc.join(dup_doc, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chars") / F.col("n_chars_norm").cast("double"), 6
+            ).alias("dup_char_coverage"),
+        )
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-Jaccard near-dup graph
     (threshold 0.35): (doc_id, component) with component = min id in
@@ -2159,6 +2221,8 @@ QUERIES = {
     "text_bpe_token_count": text_bpe_token_count,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_cdc_repeated_chunks": dedup_cdc_repeated_chunks,
+    "dedup_cdc_duplicate_coverage": dedup_cdc_duplicate_coverage,
     "dedup_minhash_near": dedup_minhash_near,
     "dedup_simhash_near": dedup_simhash_near,
     "dedup_winnow_overlap": dedup_winnow_overlap,
@@ -4285,4 +4349,80 @@ JOIN docs da ON da.doc_id = batch_id
 JOIN docs db ON db.doc_id = corpus_id
 WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
       / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.5
+"""
+
+
+# --- round-7 batch 3: content-defined chunking dedup. The oracle
+# replays boundary selection (portable_hash60(k-gram) % divisor == 0
+# at each 1-based gram start i → cut at i + k - 1), chunk assembly
+# (LEAD over cuts per doc) and md5 chunk fingerprints.
+
+_CDC_CTES = _NORM + f""",
+cuts AS (
+  SELECT doc_id, i + 11 AS cut
+  FROM norm, unnest(range(1, greatest(length(ntext) - 11, 0) + 1)) t(i)
+  WHERE ({_H60.format(arg="substr(ntext, CAST(i AS INTEGER), 12)")}) % 64 = 0
+),
+starts AS (
+  SELECT DISTINCT doc_id, cut FROM (
+    SELECT doc_id, 1 AS cut FROM norm
+    UNION ALL
+    SELECT doc_id, cut FROM cuts
+  )
+),
+spans AS (
+  SELECT doc_id, cut,
+         LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS next_cut,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cut) AS rn
+  FROM starts
+),
+chunks AS (
+  SELECT s.doc_id,
+         CAST(rn - 1 AS BIGINT) AS chunk_idx,
+         CAST(cut AS BIGINT) AS chunk_start,
+         CASE WHEN next_cut IS NOT NULL
+              THEN substr(n.ntext, CAST(cut AS INTEGER), CAST(next_cut - cut AS INTEGER))
+              ELSE substr(n.ntext, CAST(cut AS INTEGER),
+                          CAST(length(n.ntext) - cut + 1 AS INTEGER))
+         END AS chunk_text
+  FROM spans s JOIN norm n ON n.doc_id = s.doc_id
+),
+ch AS (
+  SELECT doc_id, chunk_idx, chunk_start, chunk_text,
+         md5(chunk_text) AS chunk_fp, length(chunk_text) AS clen
+  FROM chunks WHERE length(chunk_text) > 0
+)
+"""
+
+ORACLE_SQL["dedup_cdc_repeated_chunks"] = _CDC_CTES + """
+SELECT chunk_fp,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(clen) AS BIGINT) AS chunk_len
+FROM ch
+WHERE clen >= 20
+GROUP BY chunk_fp
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+ORACLE_SQL["dedup_cdc_duplicate_coverage"] = _CDC_CTES + """,
+dupfps AS (
+  SELECT chunk_fp FROM ch GROUP BY chunk_fp
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(clen) AS BIGINT) AS n_chars_norm
+  FROM ch GROUP BY doc_id
+),
+dup_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks,
+         CAST(SUM(clen) AS BIGINT) AS n_dup_chars
+  FROM ch WHERE chunk_fp IN (SELECT chunk_fp FROM dupfps)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_chunks, d.n_dup_chunks,
+       ROUND(CAST(d.n_dup_chars AS DOUBLE) / CAST(p.n_chars_norm AS DOUBLE), 6)
+         AS dup_char_coverage
+FROM per_doc p JOIN dup_doc d ON p.doc_id = d.doc_id
 """

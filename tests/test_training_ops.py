@@ -1504,3 +1504,84 @@ def test_portable_simhash_param_contracts():
         DD.simhash_near_duplicates_portable(None, n_bits=59, num_bands=4)
     with pytest.raises(ValueError):
         DD.simhash_near_duplicates_portable(None, max_hamming=4, num_bands=4)
+
+
+# --- round-7 content-defined chunking ---------------------------------------
+
+
+def test_cdc_chunks_reconstruct_and_align(spark):
+    """CDC invariants: (1) chunks concatenate back to the normalized
+    text (lossless cover), (2) a duplicated span survives an arbitrary
+    OFFSET SHIFT — the alignment-free property fixed-stride shingling
+    lacks and the whole reason CDC exists."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest tonight while owls watch from "
+        "tall trees near the old river bend"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "a shifted prefix of unrelated words " + base + " plus a tail"),
+            (3, "entirely different text about engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    ch = TX.cdc_chunks(docs, divisor=16)
+    rec = {
+        r["id"]: r["rebuilt"]
+        for r in ch.groupBy("id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+            ).alias("rebuilt")
+        )
+        .collect()
+    }
+    norm = {
+        r["doc_id"]: r["nt"]
+        for r in docs.select(
+            "doc_id", TX.normalize_text(F.col("text")).alias("nt")
+        ).collect()
+    }
+    assert rec == norm
+    shared_12 = (
+        ch.filter(F.col("id").isin(1, 2))
+        .groupBy("chunk_fp")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") == 2)
+        .count()
+    )
+    assert shared_12 >= 5, "shifted duplicate span must share interior chunks"
+    shared_3 = (
+        ch.groupBy("chunk_fp")
+        .agg(F.countDistinct("id").alias("nd"), F.max("id").alias("mx"))
+        .filter((F.col("nd") > 1) & (F.col("mx") == 3))
+        .count()
+    )
+    assert shared_3 == 0, "unrelated doc must share no chunks"
+
+
+def test_cdc_empty_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "tiny"), (3, "   ")], "doc_id long, text string"
+    )
+    rows = TX.cdc_chunks(docs).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert 1 not in by_id and 3 not in by_id  # empty/whitespace → no chunks
+    assert len(by_id[2]) == 1 and by_id[2][0]["chunk_text"] == "tiny"
+
+
+def test_cdc_coverage_bounds(spark):
+    from market_data_pipeline_databricks_spark.plans import text_ops as TO
+
+    rows = TO.dedup_cdc_duplicate_coverage(spark, SF).collect()
+    assert rows, "fixture corpus contains near-dups, coverage must be non-empty"
+    for r in rows:
+        assert 0 < r["dup_char_coverage"] <= 1.0
+        assert r["n_dup_chunks"] <= r["n_chunks"]
