@@ -73,7 +73,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window family
     "window_dedup_latest_wins",
     "window_supplier_daily_gold",
-    "window_sessionization",
     # join shapes (as-of, binned range)
     "join_asof_orders_quotes",
     "join_range_binned_volatility",
@@ -89,6 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # stream_session_window_stats; both families keep other anchors)
     "dedup_cdc_repeated_chunks",
     "dedup_cdc_duplicate_coverage",
+    "dedup_cdc_incremental",
     # technical indicators + skew discipline
     "funcs_feature_panel",
     "skew_salted_pricing_summary",

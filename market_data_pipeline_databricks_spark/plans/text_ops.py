@@ -277,6 +277,39 @@ def dedup_cdc_duplicate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC dedup — the daily-crawl shape for passage-level
+    duplication: the new batch's (doc_id % 5 == 0) chunk fingerprints
+    probe the existing corpus's chunk index (doc_id % 5 != 0); emitted
+    per batch doc: how much of it already exists in the corpus as
+    copied passages. Corpus cost is the one-time chunk index (in
+    production maintained incrementally); the per-batch cost is
+    O(batch chunks) + one semi-join on the 16-byte fingerprint — no
+    batch×batch or corpus×corpus term. Fully oracle-replayed."""
+    ch = TX.cdc_chunks(_docs(spark, sf_dir), k=12, divisor=64).select(
+        "id", "chunk_fp", F.length("chunk_text").alias("clen")
+    )
+    batch = ch.filter(F.col("id") % 5 == 0)
+    corpus_fps = ch.filter(F.col("id") % 5 != 0).select("chunk_fp").distinct()
+    hit = batch.join(corpus_fps, "chunk_fp", "left_semi")
+    per_doc = batch.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("clen").cast("long").alias("n_chars_norm"),
+    )
+    hit_doc = hit.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_corpus_dup_chunks"),
+        F.sum("clen").cast("long").alias("n_dup_chars"),
+    )
+    return per_doc.join(hit_doc, "id").select(
+        F.col("id").alias("batch_id"),
+        "n_chunks",
+        "n_corpus_dup_chunks",
+        F.round(
+            F.col("n_dup_chars") / F.col("n_chars_norm").cast("double"), 6
+        ).alias("corpus_dup_coverage"),
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-Jaccard near-dup graph
     (threshold 0.35): (doc_id, component) with component = min id in
@@ -2223,6 +2256,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cdc_repeated_chunks": dedup_cdc_repeated_chunks,
     "dedup_cdc_duplicate_coverage": dedup_cdc_duplicate_coverage,
+    "dedup_cdc_incremental": dedup_cdc_incremental,
     "dedup_minhash_near": dedup_minhash_near,
     "dedup_simhash_near": dedup_simhash_near,
     "dedup_winnow_overlap": dedup_winnow_overlap,
@@ -4425,4 +4459,25 @@ SELECT p.doc_id, p.n_chunks, d.n_dup_chunks,
        ROUND(CAST(d.n_dup_chars AS DOUBLE) / CAST(p.n_chars_norm AS DOUBLE), 6)
          AS dup_char_coverage
 FROM per_doc p JOIN dup_doc d ON p.doc_id = d.doc_id
+"""
+
+
+ORACLE_SQL["dedup_cdc_incremental"] = _CDC_CTES + """,
+batch AS (SELECT * FROM ch WHERE doc_id % 5 = 0),
+cfps AS (SELECT DISTINCT chunk_fp FROM ch WHERE doc_id % 5 <> 0),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(clen) AS BIGINT) AS n_chars_norm
+  FROM batch GROUP BY doc_id
+),
+hit_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_corpus_dup_chunks,
+         CAST(SUM(clen) AS BIGINT) AS n_dup_chars
+  FROM batch WHERE chunk_fp IN (SELECT chunk_fp FROM cfps)
+  GROUP BY doc_id
+)
+SELECT p.doc_id AS batch_id, p.n_chunks, h.n_corpus_dup_chunks,
+       ROUND(CAST(h.n_dup_chars AS DOUBLE) / CAST(p.n_chars_norm AS DOUBLE), 6)
+         AS corpus_dup_coverage
+FROM per_doc p JOIN hit_doc h ON p.doc_id = h.doc_id
 """

@@ -48,7 +48,6 @@ PREVIOUSLY_UNCHECKED = [
     "scalar_regexp_extract",
     "window_dedup_latest_wins",
     "window_supplier_daily_gold",
-    "window_sessionization",
     "join_asof_orders_quotes",
     "join_range_binned_volatility",
     "analyst_top_movers_today",
@@ -61,6 +60,7 @@ PREVIOUSLY_UNCHECKED = [
     # stream_session_window_stats; both families keep other anchors)
     "dedup_cdc_repeated_chunks",
     "dedup_cdc_duplicate_coverage",
+    "dedup_cdc_incremental",
     "funcs_feature_panel",
     "skew_salted_pricing_summary",
     "curate_training_corpus",

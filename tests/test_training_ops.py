@@ -1585,3 +1585,26 @@ def test_cdc_coverage_bounds(spark):
     for r in rows:
         assert 0 < r["dup_char_coverage"] <= 1.0
         assert r["n_dup_chunks"] <= r["n_chunks"]
+
+
+def test_cdc_incremental_consistency(spark):
+    """Incremental CDC coverage must agree with the global coverage
+    report restricted to batch docs whose duplicated chunks come from
+    the corpus side (a batch doc duplicated only WITHIN the batch can
+    appear in the global report but not the incremental one)."""
+    from market_data_pipeline_databricks_spark.plans import text_ops as TO
+
+    inc = {r["batch_id"]: r for r in TO.dedup_cdc_incremental(spark, SF).collect()}
+    assert inc, "fixture corpus contains cross-partition near-dups"
+    for r in inc.values():
+        assert r["batch_id"] % 5 == 0
+        assert 0 < r["corpus_dup_coverage"] <= 1.0
+        assert r["n_corpus_dup_chunks"] <= r["n_chunks"]
+    glob = {
+        r["doc_id"]: r
+        for r in TO.dedup_cdc_duplicate_coverage(spark, SF).collect()
+    }
+    for bid, r in inc.items():
+        # corpus-duplicated chunks are a subset of all-duplicated chunks
+        assert bid in glob
+        assert r["n_corpus_dup_chunks"] <= glob[bid]["n_dup_chunks"]
