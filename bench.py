@@ -67,6 +67,11 @@ HEADLINE = [
     # in BASELINE.md (round-6 pins).
     "join_q9_product_type_profit",
     "join_q21_waiting_suppliers",
+    # round-7: the content-defined-chunking family is a new heavy text
+    # path (k-gram explode + per-doc LEAD window + fingerprint groupBy);
+    # un-benched, a boundary-rule or window regression would be
+    # driver-invisible. Baseline 3.9-4.8 s at sf0.1 (BASELINE.md r7).
+    "dedup_cdc_repeated_chunks",
 ]
 
 

@@ -775,6 +775,11 @@ def connected_components(
     )
 
     converged = False
+    # The previous round's edge count rides along in the driver (an int,
+    # not data): re-counting the checkpointed previous set each round
+    # would add one job per round to an op whose bench cost is already
+    # fixed per-round overhead, not data.
+    prev_count = e.count()
     for _ in range(max_iter):
         # -- large-star: every node links its LARGER neighbors to its
         # minimum (of neighborhood ∪ self). Keeps big→small invariant.
@@ -806,10 +811,13 @@ def connected_components(
         )
         # Fixpoint test on the canonical edge set: both sides are
         # distinct, so equal counts + empty one-way difference ⇔ equal.
-        if small.count() == e.count() and small.exceptAll(e).limit(1).count() == 0:
+        # The exceptAll job runs only when the cheap count gate passes.
+        sc = small.count()
+        if sc == prev_count and small.exceptAll(e).limit(1).count() == 0:
             e = small
             converged = True
             break
+        prev_count = sc
         e = small
     if not converged:
         # Silently returning split components would be a wrong answer.
