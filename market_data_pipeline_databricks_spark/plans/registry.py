@@ -94,7 +94,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "skew_salted_pricing_summary",
     # curation / dedup / vectors / multimodal
     "curate_training_corpus",
-    "dedup_components",
+    # displaced dedup_components for its never-checked LSH sibling
+    # (same family: pairs → components; the LSH form is the 100-TB path)
+    "dedup_components_lsh",
     "vector_cosine_topk",
     "multimodal_frame_sample",
     # graph (pagerank also carries the r7 bench re-pin task)

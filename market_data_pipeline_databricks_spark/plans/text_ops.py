@@ -321,6 +321,26 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering on the 100-TB path: banded-MinHash
+    candidates (portable affine family) → exact-Jaccard verification
+    (threshold 0.35) → large-star/small-star connected components —
+    the composition a web-scale dedup actually runs (no rare-shingle
+    document-frequency pass anywhere). Fully oracle-replayed: DuckDB
+    reproduces the banding, the skew guard, the exact verification and
+    the transitive closure (recursive CTE). The exact-blocking sibling
+    is ``dedup_components``; on this corpus both blockings have recall
+    1 so the cluster sets coincide, but neither result is defined in
+    terms of the other — each oracle replays its own pair generation."""
+    pairs = DD.minhash_verified_near_duplicates(
+        _docs(spark, sf_dir), threshold=0.35, portable=True
+    ).select("id_a", "id_b")
+    return DD.connected_components(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def dedup_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION the component pass exists for: one survivor
     (the min id) per near-dup cluster, everything else dropped — pairs
@@ -2262,6 +2282,7 @@ QUERIES = {
     "dedup_winnow_overlap": dedup_winnow_overlap,
     "curate_training_corpus": curate_training_corpus,
     "dedup_components": dedup_components,
+    "dedup_components_lsh": dedup_components_lsh,
     "dedup_component_survivors": dedup_component_survivors,
     "dedup_representative_survivors": dedup_representative_survivors,
     "text_decontaminate": text_decontaminate,
@@ -4481,3 +4502,53 @@ SELECT p.doc_id AS batch_id, p.n_chunks, h.n_corpus_dup_chunks,
          AS corpus_dup_coverage
 FROM per_doc p JOIN hit_doc h ON p.doc_id = h.doc_id
 """
+
+
+ORACLE_SQL["dedup_components_lsh"] = (
+    _SHINGLE_DOCS.replace("WITH norm", "WITH RECURSIVE norm", 1)
+    + f""",
+params AS (
+  SELECT * FROM (VALUES {_MINHASH_PARAMS_VALUES}) AS t(seed, a, b)
+),
+hb AS (
+  SELECT doc_id, ({_H60.format(arg="shingle")}) % 1073741789 AS hbase FROM sh
+),
+hs AS (
+  SELECT doc_id, seed, MIN((a * hbase + b) % 2147483647) AS minh
+  FROM hb CROSS JOIN params GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, (seed // 4) AS band_id,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM hs GROUP BY doc_id, (seed // 4)
+),
+okb AS (
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING COUNT(*) <= 200
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN okb USING (band_id, band_key)
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN docs da ON da.doc_id = id_a
+  JOIN docs db ON db.doc_id = id_b
+  WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+        / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.35
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id,
+       CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+FROM reach GROUP BY u
+"""
+)

@@ -24,6 +24,7 @@ import __spark_entry__ as entrymod
 # training) — linted in their own tests instead
 EAGER = {
     "dedup_components",
+    "dedup_components_lsh",
     "vector_kmeans_clusters",
     "dedup_component_survivors",
     "dedup_representative_survivors",

@@ -64,7 +64,9 @@ PREVIOUSLY_UNCHECKED = [
     "funcs_feature_panel",
     "skew_salted_pricing_summary",
     "curate_training_corpus",
-    "dedup_components",
+    # displaced dedup_components for its never-checked LSH sibling
+    # (same family: pairs → components; the LSH form is the 100-TB path)
+    "dedup_components_lsh",
     "vector_cosine_topk",
     "multimodal_frame_sample",
     "graph_part_pagerank",
