@@ -89,6 +89,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cdc_repeated_chunks",
     "dedup_cdc_duplicate_coverage",
     "dedup_cdc_incremental",
+    "dedup_cdc_duplicate_spans",
     # technical indicators + skew discipline
     "funcs_feature_panel",
     "skew_salted_pricing_summary",
@@ -111,7 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # events_funnel_time_to_convert / events_cumulative_reach above)
     "dedup_incremental_fuzzy_lsh",
     "curate_chunk_corpus_lsh",
-    "sample_weighted_reservoir",
+
     # -- displaced: the full r6 window (all 50 driver-green in
     # CORRECTNESS_r06.json) and every earlier window; all remain
     # verifiable via tools/check_oracle.py.

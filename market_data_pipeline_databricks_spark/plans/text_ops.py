@@ -277,6 +277,50 @@ def dedup_cdc_duplicate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cdc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated passages: adjacent corpus-duplicated CDC
+    chunks merged into contiguous spans per document (the classic
+    gaps-and-islands shape: chunk_idx − ROW_NUMBER() is constant
+    within a run), emitting char offsets — the actionable form of the
+    repeated-passage signal (what you would actually cut out of a
+    training document, à la Lee et al.'s span removal). Spans shorter
+    than 40 chars are dropped. Fully oracle-replayed, islands and all."""
+    ch = TX.cdc_chunks(_docs(spark, sf_dir), k=12, divisor=64).select(
+        "id", "chunk_idx", "chunk_start", "chunk_fp",
+        F.length("chunk_text").alias("clen"),
+    )
+    dup_fps = (
+        ch.groupBy("chunk_fp")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_fp")
+    )
+    flagged = ch.join(dup_fps, "chunk_fp", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("chunk_idx")
+    runs = flagged.withColumn(
+        "island", F.col("chunk_idx") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id", "island")
+        .agg(
+            F.min("chunk_start").alias("span_start"),
+            (F.max(F.col("chunk_start") + F.col("clen")) - F.min("chunk_start"))
+            .cast("long")
+            .alias("span_len"),
+            F.count(F.lit(1)).alias("n_chunks_in_span"),
+        )
+        .filter(F.col("span_len") >= 40)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            "span_len",
+            "n_chunks_in_span",
+        )
+    )
+
+
 def dedup_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDC dedup — the daily-crawl shape for passage-level
     duplication: the new batch's (doc_id % 5 == 0) chunk fingerprints
@@ -2276,6 +2320,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cdc_repeated_chunks": dedup_cdc_repeated_chunks,
     "dedup_cdc_duplicate_coverage": dedup_cdc_duplicate_coverage,
+    "dedup_cdc_duplicate_spans": dedup_cdc_duplicate_spans,
     "dedup_cdc_incremental": dedup_cdc_incremental,
     "dedup_minhash_near": dedup_minhash_near,
     "dedup_simhash_near": dedup_simhash_near,
@@ -4552,3 +4597,28 @@ SELECT u AS doc_id,
 FROM reach GROUP BY u
 """
 )
+
+
+ORACLE_SQL["dedup_cdc_duplicate_spans"] = _CDC_CTES + """,
+dupfps2 AS (
+  SELECT chunk_fp FROM ch GROUP BY chunk_fp
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT doc_id, chunk_idx, chunk_start, clen FROM ch
+  WHERE chunk_fp IN (SELECT chunk_fp FROM dupfps2)
+),
+runs AS (
+  SELECT doc_id, chunk_idx, chunk_start, clen,
+         chunk_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+           AS island
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(chunk_start) AS BIGINT) AS span_start,
+       CAST(MAX(chunk_start + clen) - MIN(chunk_start) AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks_in_span
+FROM runs
+GROUP BY doc_id, island
+HAVING MAX(chunk_start + clen) - MIN(chunk_start) >= 40
+"""

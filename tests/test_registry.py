@@ -61,6 +61,7 @@ PREVIOUSLY_UNCHECKED = [
     "dedup_cdc_repeated_chunks",
     "dedup_cdc_duplicate_coverage",
     "dedup_cdc_incremental",
+    "dedup_cdc_duplicate_spans",
     "funcs_feature_panel",
     "skew_salted_pricing_summary",
     "curate_training_corpus",
@@ -78,7 +79,7 @@ PREVIOUSLY_UNCHECKED = [
     # events_funnel_time_to_convert / events_cumulative_reach above)
     "dedup_incremental_fuzzy_lsh",
     "curate_chunk_corpus_lsh",
-    "sample_weighted_reservoir",
+
 ]
 
 

