@@ -81,8 +81,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "analyst_dq_triage_cte",
     "quality_zscore_outliers",
     # streaming (batch-twin-checked)
-    "stream_stream_click_attribution",
     "stream_stateful_user_totals",
+    # streaming CDC twin (never-checked; the streaming family keeps the
+    # stateful anchor plus stream_gold_incremental above)
+    "stream_cdc_incremental",
     # round-7 batch-3: content-defined chunking dedup (never-checked
     # beats green anchors — displaces scalar_json_extract and
     # stream_session_window_stats; both families keep other anchors)

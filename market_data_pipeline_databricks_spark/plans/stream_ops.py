@@ -459,3 +459,97 @@ ORACLE_SQL.update(
         ],
     }
 )
+
+
+def stream_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental CDC dedup — the daily-crawl pipeline as a
+    stream: new-batch documents (doc_id % 5 == 0) arrive in three
+    micro-batches (availableNow, one file per trigger); each batch
+    computes its content-defined chunks INSIDE foreachBatch (CDC needs
+    a per-doc LEAD window, which streaming DataFrames cannot host) and
+    probes the STATIC corpus chunk-fingerprint index built once up
+    front — the production shape where the index is maintained
+    out-of-band and each crawl drop probes it. Coverage rows append to
+    a result table; the accumulated output must equal the batch form
+    ``dedup_cdc_incremental`` exactly, so it shares that oracle — the
+    stream==batch equality statement, same bar as the gold-maintenance
+    and windowed-aggregation twins."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.operators import text as TXX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    # the corpus chunk index: built once, shared by every micro-batch
+    # (localCheckpoint — foreachBatch closures re-evaluate lazy plans)
+    corpus_fps = (
+        TXX.cdc_chunks(docs.filter(F.col("doc_id") % 5 != 0), k=12, divisor=64)
+        .select("chunk_fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    feed_dir = tempfile.mkdtemp(prefix=f"cdc_feed_{_NONCE}_")
+    out_dir = tempfile.mkdtemp(prefix=f"cdc_out_{_NONCE}_")
+    ckpt_dir = tempfile.mkdtemp(prefix=f"cdc_ckpt_{_NONCE}_")
+    for part in range(3):
+        batch_docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        ch = TXX.cdc_chunks(batch_df, id_col="doc_id", k=12, divisor=64).select(
+            "id", "chunk_fp", F.length("chunk_text").alias("clen")
+        )
+        hit = ch.join(corpus_fps, "chunk_fp", "left_semi")
+        per_doc = ch.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("clen").cast("long").alias("n_chars_norm"),
+        )
+        hit_doc = hit.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_corpus_dup_chunks"),
+            F.sum("clen").cast("long").alias("n_dup_chars"),
+        )
+        per_doc.join(hit_doc, "id").select(
+            F.col("id").alias("batch_id"),
+            "n_chunks",
+            "n_corpus_dup_chunks",
+            F.round(
+                F.col("n_dup_chars") / F.col("n_chars_norm").cast("double"), 6
+            ).alias("corpus_dup_coverage"),
+        ).write.mode("append").parquet(out_dir)
+
+    feed = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        feed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    out = spark.read.parquet(out_dir).localCheckpoint()
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+QUERIES.update({"stream_cdc_incremental": stream_cdc_incremental})
+
+# streaming micro-batched probing must equal the batch incremental CDC
+# exactly — shared oracle
+from market_data_pipeline_databricks_spark.plans import text_ops as _txo
+
+ORACLE_SQL.update(
+    {"stream_cdc_incremental": _txo.ORACLE_SQL["dedup_cdc_incremental"]}
+)

@@ -237,3 +237,22 @@ def test_transform_with_state_totals_equal_batch(spark):
     )
     cols = ["user_id", "n_events", "first_ts", "last_ts"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_cdc_incremental_equals_batch(spark):
+    """Three micro-batched crawl drops probing the static corpus chunk
+    index must reproduce the batch incremental-CDC output exactly —
+    the stream==batch contract for passage-level dedup."""
+    from market_data_pipeline_databricks_spark.plans import stream_ops as SO
+    from market_data_pipeline_databricks_spark.plans import text_ops as TO
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in SO.stream_cdc_incremental(spark, sf).collect()
+    }
+    want = {
+        tuple(r)
+        for r in TO.dedup_cdc_incremental(spark, sf).collect()
+    }
+    assert got == want and got
