@@ -96,6 +96,94 @@ def cosine_topk(
     )
 
 
+def sign_signature_words(vec_col, dim: int = 64):
+    """Binary sign quantization: bit d = (v[d] > 0), packed into
+    32-dim BIGINT words (no 2^63 sign-overflow, any dim). Unlike every
+    hashed signature in this module, the sign signature is a pure
+    function of the STORED floats — no hash family, no seed — so a SQL
+    oracle reproduces it exactly from the same parquet values."""
+    words = []
+    for w in range((dim + 31) // 32):
+        bits = None
+        for b in range(32):
+            d = w * 32 + b
+            if d >= dim:
+                break
+            term = F.when(
+                F.element_at(vec_col, d + 1) > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            bits = term if bits is None else bits + term
+        words.append(bits)
+    return words
+
+
+def sign_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k by Hamming distance on binary sign signatures, with the
+    exact cosine attached — the compressed-linear-scan ANN baseline
+    (1 bit/dim: a 64-dim float vector becomes 8 bytes, so the scan
+    reads 32× less than the float baseline; ranking is two bit_count
+    XORs per pair). Deterministic: rank orders by (hamming, neighbor
+    id), never by float cosine, so ties are engine-independent.
+
+    Scale: O(|queries| × corpus) like every linear-scan baseline, but
+    the per-pair cost is two XOR+popcounts over broadcast 16-byte
+    signatures; the sublinear paths (sign-LSH banding, IVF) build on
+    the same signature. Returns (query_id, neighbor_id, hamming,
+    cosine_sim, rank)."""
+    # sign bits come off the RAW float column — sign(float) == sign of
+    # its double widening, and skipping the transform keeps the 64
+    # element_at comparisons over a plain attribute (codegen CSE-safe)
+    cw = sign_signature_words(F.col(vec_col), dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+        cw[0].alias("c0"),
+        cw[1].alias("c1"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+        cw[0].alias("q0"),
+        cw[1].alias("q1"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.bit_count(F.col("c0").bitwiseXOR(F.col("q0")))
+                + F.bit_count(F.col("c1").bitwiseXOR(F.col("q1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            "cosine_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

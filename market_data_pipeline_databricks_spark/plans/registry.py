@@ -100,7 +100,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # displaced dedup_components for its never-checked LSH sibling
     # (same family: pairs → components; the LSH form is the 100-TB path)
     "dedup_components_lsh",
-    "vector_cosine_topk",
+    # sign-quantized ANN (never-checked; displaces the r3-green exact
+    # cosine anchor — same family, and the sign query carries the exact
+    # cosine in its own output)
+    "vector_sign_ann_topk",
     "multimodal_frame_sample",
     # graph (pagerank also carries the r7 bench re-pin task)
     "graph_part_pagerank",

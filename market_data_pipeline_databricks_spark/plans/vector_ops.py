@@ -42,6 +42,18 @@ def vector_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, _queries_subset(emb), k=10)
 
 
+def vector_sign_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-quantized ANN: top-10 per query by Hamming distance
+    on 1-bit/dim sign signatures (two 32-bit words — pure functions of
+    the stored floats, no hash family), exact cosine attached, ties by
+    neighbor id. The one ANN variant whose entire candidate ranking a
+    SQL oracle reproduces bit-for-bit — the compressed-linear-scan
+    baseline the hashed sublinear paths (sign-LSH, IVF) are graded
+    against."""
+    emb = _emb(spark, sf_dir)
+    return SIM.sign_hamming_topk(emb, _queries_subset(emb), k=10)
+
+
 def vector_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding near-dups at cosine ≥ 0.4 (the corpus
     max pairwise cosine is ~0.51, so this returns the true tail).
@@ -505,6 +517,7 @@ QUERIES = {
     "vector_truncation_fidelity": vector_truncation_fidelity,
     "vector_ann_ivfpq_topk": vector_ann_ivfpq_topk,
     "vector_cosine_topk": vector_cosine_topk,
+    "vector_sign_ann_topk": vector_sign_ann_topk,
     "vector_dim_stats": vector_dim_stats,
     "vector_label_cohesion": vector_label_cohesion,
     "vector_kmeans_clusters": vector_kmeans_clusters,
@@ -891,3 +904,45 @@ def vector_ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"vector_ann_quality_report": vector_ann_quality_report})
+
+
+# sign-bit words replayed straight off the stored floats; Hamming via
+# xor + bit_count; rank ties on neighbor id only (never float cosine)
+def _sign_word_sql(alias: str, word: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {alias}.embedding[{word * 32 + b + 1}] > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"({terms})"
+
+
+ORACLE_SQL["vector_sign_ann_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, v,
+         {_sign_word_sql('e', 0)} AS w0,
+         {_sign_word_sql('e', 1)} AS w1
+  FROM e
+),
+q AS (SELECT * FROM sigs WHERE vec_id % 40 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS BIGINT)
+           AS hamming,
+         ROUND(list_inner_product(q.v, c.v)
+               / (SQRT(list_inner_product(q.v, q.v))
+                  * SQRT(list_inner_product(c.v, c.v))), 6) AS cosine_sim
+  FROM sigs c, q
+  WHERE q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, hamming, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
