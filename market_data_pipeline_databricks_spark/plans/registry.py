@@ -104,7 +104,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # cosine anchor — same family, and the sign query carries the exact
     # cosine in its own output)
     "vector_sign_ann_topk",
-    "multimodal_frame_sample",
+    # text-vs-embedding dedup reconciliation (never-checked; displaces
+    # the r3-green frame-sample anchor — multimodal stays covered by
+    # curate_multimodal_corpus_lsh above)
+    "dedup_method_agreement",
     # graph (pagerank also carries the r7 bench re-pin task)
     "graph_part_pagerank",
     # entity resolution + warehouse maintenance

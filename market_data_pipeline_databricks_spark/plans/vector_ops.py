@@ -946,3 +946,122 @@ ranked AS (
 SELECT query_id, neighbor_id, hamming, cosine_sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
 """
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-vs-embedding near-dup RECONCILIATION: production pipelines
+    run both content dedup (shingle Jaccard) and representation dedup
+    (embedding cosine); this report full-outer-joins the two pair sets
+    over the common id domain and aggregates per detection category
+    (both / text_only / embedding_only) with each side's mean score —
+    the diagnostic that tells a curator whether the two screens agree
+    and which pairs only one modality can see. Fully oracle-composed
+    from the two already-replayed pair generations."""
+    from market_data_pipeline_databricks_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb_ids = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"))
+    t = (
+        DD.ngram_jaccard_pairs(docs, threshold=0.35)
+        .select("id_a", "id_b", "jaccard")
+        # the embeddings table can cover a prefix of the documents ids
+        # (it does at sf0.1); compare only where both modalities exist
+        .join(emb_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi")
+        .join(emb_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi")
+    )
+    e = vector_near_dup_pairs(spark, sf_dir).select(
+        "id_a", "id_b", "cosine_sim"
+    )
+    joined = t.join(e, ["id_a", "id_b"], "full_outer")
+    cat = (
+        F.when(
+            F.col("jaccard").isNotNull() & F.col("cosine_sim").isNotNull(),
+            "both",
+        )
+        .when(F.col("jaccard").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+    )
+    return (
+        joined.select(cat.alias("category"), "jaccard", "cosine_sim")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(27,12)")).cast("double")
+                / F.count("jaccard"),
+                6,
+            ).alias("avg_jaccard"),
+            F.round(
+                F.sum(F.col("cosine_sim").cast("decimal(27,12)")).cast("double")
+                / F.count("cosine_sim"),
+                6,
+            ).alias("avg_cosine"),
+        )
+    )
+
+
+QUERIES.update({"dedup_method_agreement": dedup_method_agreement})
+
+ORACLE_SQL["dedup_method_agreement"] = r"""
+WITH norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[.,!?;:''"()\[\]{}\-]', '', 'g'), '\s+', ' ', 'g')) AS ntext
+  FROM documents
+), tok AS (
+  SELECT doc_id, string_split(ntext, ' ') AS toks FROM norm
+),
+docs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks)-2, 1) + 1),
+           i -> array_to_string(toks[i:least(i+2, len(toks))], ' ')
+         )) AS shingleset
+  FROM tok
+), sh AS (
+  SELECT doc_id, unnest(shingleset) AS shingle FROM docs
+),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 10),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM rare)
+),
+tpairs AS (
+  SELECT id_a, id_b,
+         ROUND(len(list_intersect(da.shingleset, db.shingleset))
+               / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) AS jaccard
+  FROM cand
+  JOIN docs da ON da.doc_id = id_a
+  JOIN docs db ON db.doc_id = id_b
+  WHERE ROUND(len(list_intersect(da.shingleset, db.shingleset))
+        / CAST(len(list_distinct(list_concat(da.shingleset, db.shingleset))) AS DOUBLE), 6) >= 0.35
+    AND id_a IN (SELECT vec_id FROM embeddings)
+    AND id_b IN (SELECT vec_id FROM embeddings)
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+epairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.vec, b.vec)
+        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) >= 0.4
+),
+joined AS (
+  SELECT COALESCE(t.id_a, e.id_a) AS id_a, COALESCE(t.id_b, e.id_b) AS id_b,
+         t.jaccard, e.cosine_sim
+  FROM tpairs t FULL OUTER JOIN epairs e
+    ON t.id_a = e.id_a AND t.id_b = e.id_b
+)
+SELECT CASE WHEN jaccard IS NOT NULL AND cosine_sim IS NOT NULL THEN 'both'
+            WHEN jaccard IS NOT NULL THEN 'text_only'
+            ELSE 'embedding_only' END AS category,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(27,12))) AS DOUBLE)
+             / COUNT(jaccard), 6) AS avg_jaccard,
+       ROUND(CAST(SUM(CAST(cosine_sim AS DECIMAL(27,12))) AS DOUBLE)
+             / COUNT(cosine_sim), 6) AS avg_cosine
+FROM joined
+GROUP BY 1
+"""

@@ -59,6 +59,8 @@ PANDAS_OK = {
     # (bit-identical to the naive fold form, pytest-pinned)
     "vector_near_dup_pairs",
     "curate_multimodal_corpus",
+    # reuses vector_near_dup_pairs' blocked cogroup-GEMM stage
+    "dedup_method_agreement",
 }
 
 # Round 6 removed the last deliberate cartesian (the multimodal

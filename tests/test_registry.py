@@ -74,7 +74,10 @@ PREVIOUSLY_UNCHECKED = [
     # cosine anchor — same family, and the sign query carries the exact
     # cosine in its own output)
     "vector_sign_ann_topk",
-    "multimodal_frame_sample",
+    # text-vs-embedding dedup reconciliation (never-checked; displaces
+    # the r3-green frame-sample anchor — multimodal stays covered by
+    # curate_multimodal_corpus_lsh above)
+    "dedup_method_agreement",
     "graph_part_pagerank",
     "er_resolved_entities",
     "scd2_supplier_history",
