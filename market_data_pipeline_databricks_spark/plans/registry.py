@@ -79,7 +79,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # analyst + quality
     "analyst_top_movers_today",
     "analyst_dq_triage_cte",
-    "quality_zscore_outliers",
     # streaming (batch-twin-checked)
     "stream_stateful_user_totals",
     # streaming CDC twin (never-checked; the streaming family keeps the
@@ -94,6 +93,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cdc_duplicate_spans",
     # technical indicators + skew discipline
     "funcs_feature_panel",
+    # tokenizer-fertility report (never-checked; displaces the r5-green
+    # quality_zscore_outliers anchor — the DQ family stays covered by
+    # the never-checked Benford and MAD screens above)
+    "text_tokenizer_fertility",
     "skew_salted_pricing_summary",
     # curation / dedup / vectors / multimodal
     "curate_training_corpus",

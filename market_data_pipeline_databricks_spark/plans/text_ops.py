@@ -87,6 +87,36 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by predicted language: mean chars-per-BPE-
+    token and BPE-tokens-per-word — the standard report for how
+    efficiently a (BPE-ish) tokenizer encodes each language slice of a
+    corpus (high fertility = wasted context window for that language).
+    One narrow projection per doc + one aggregate; decimal-exact means
+    so the DuckDB oracle reproduces the doubles bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        F.length(F.col("text")).cast("long").alias("n_chars_raw"),
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).filter(F.col("n_bpe_tokens") > 0)
+    return per_doc.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.round(
+            F.sum(F.col("n_chars_raw").cast("decimal(27,12)")).cast("double")
+            / F.sum("n_bpe_tokens").cast("double"),
+            6,
+        ).alias("chars_per_bpe_token"),
+        F.round(
+            F.sum(F.col("n_bpe_tokens").cast("decimal(27,12)")).cast("double")
+            / F.sum("n_ws_tokens").cast("double"),
+            6,
+        ).alias("bpe_tokens_per_word"),
+    )
+
+
 def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprint overlap: pairs of documents
     sharing ≥ 5 selected k-gram window minima — catches substring-level
@@ -2316,6 +2346,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint_groups": text_fingerprint_groups,
     "text_bpe_token_count": text_bpe_token_count,
+    "text_tokenizer_fertility": text_tokenizer_fertility,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cdc_repeated_chunks": dedup_cdc_repeated_chunks,
@@ -4621,4 +4652,39 @@ SELECT doc_id,
 FROM runs
 GROUP BY doc_id, island
 HAVING MAX(chunk_start + clen) - MIN(chunk_start) >= 40
+"""
+
+
+ORACLE_SQL["text_tokenizer_fertility"] = _NORM + r""",
+per_doc AS (
+  SELECT CASE WHEN s_en >= GREATEST(s_de, s_fr, s_es) AND s_en >= 1 THEN 'en'
+              WHEN s_de >= GREATEST(s_fr, s_es) AND s_de >= 1 THEN 'de'
+              WHEN s_fr >= s_es AND s_fr >= 1 THEN 'fr'
+              WHEN s_es >= 1 THEN 'es'
+              ELSE 'und' END AS lang_pred,
+         CAST(length(text) AS BIGINT) AS n_chars_raw,
+         CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         CAST(len(list_filter(
+             regexp_extract_all(ntext,
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+|\s+'),
+             t -> trim(t) != '')) AS BIGINT) AS n_bpe_tokens
+  FROM (
+    SELECT *,
+           len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS s_en,
+           len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS s_de,
+           len(list_filter(toks, t -> t IN ('le','la','les','et','est','un'))) AS s_fr,
+           len(list_filter(toks, t -> t IN ('el','la','los','y','es','un'))) AS s_es
+    FROM tok
+  )
+)
+SELECT lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       ROUND(CAST(SUM(CAST(n_chars_raw AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(SUM(n_bpe_tokens) AS DOUBLE), 6) AS chars_per_bpe_token,
+       ROUND(CAST(SUM(CAST(n_bpe_tokens AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(SUM(n_ws_tokens) AS DOUBLE), 6) AS bpe_tokens_per_word
+FROM per_doc
+WHERE n_bpe_tokens > 0
+GROUP BY lang_pred
 """

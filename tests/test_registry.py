@@ -52,7 +52,6 @@ PREVIOUSLY_UNCHECKED = [
     "join_range_binned_volatility",
     "analyst_top_movers_today",
     "analyst_dq_triage_cte",
-    "quality_zscore_outliers",
     "stream_stateful_user_totals",
     # streaming CDC twin (never-checked; the streaming family keeps the
     # stateful anchor plus stream_gold_incremental above)
@@ -65,6 +64,10 @@ PREVIOUSLY_UNCHECKED = [
     "dedup_cdc_incremental",
     "dedup_cdc_duplicate_spans",
     "funcs_feature_panel",
+    # tokenizer-fertility report (never-checked; displaces the r5-green
+    # quality_zscore_outliers anchor — the DQ family stays covered by
+    # the never-checked Benford and MAD screens above)
+    "text_tokenizer_fertility",
     "skew_salted_pricing_summary",
     "curate_training_corpus",
     # displaced dedup_components for its never-checked LSH sibling
