@@ -108,3 +108,34 @@ def test_nested_rewrite_eliminates_every_nested_qualify():
     assert _scan_top_level(out, "QUALIFY") == -1
     # both rewrites landed, innermost first
     assert "__qualify_1__" in out and "__qualify_2__" in out
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_portable_hash60_parity_on_random_strings(strings):
+    """portable_hash60 must agree with the DuckDB expression on
+    arbitrary (incl. non-ASCII) strings — the bit-for-bit contract the
+    oracle-replayed LSH family rests on. Hash math is checked here in
+    pure Python (md5 is md5) against DuckDB; the Spark expression is
+    pinned separately in test_training_ops (needs a session)."""
+    import duckdb
+    import hashlib
+
+    con = duckdb.connect()
+    for s in strings:
+        want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        got = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got == want, (s, got, want)
