@@ -87,6 +87,53 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_perplexity_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-bucketed corpus sampling (Wenzek et al.
+    2020): score every document with the Kneser-Ney bigram LM, split
+    the corpus into head/middle/tail terciles by EXACT interpolated
+    quantile boundaries (broadcast 1-row — the scale-safe global
+    NTILE, same pattern as the LTV deciles), and keep buckets at
+    decreasing rates (head 100%, middle 50%, tail 10%) via the
+    portable-hash deterministic sampler — so the DuckDB oracle replays
+    the scoring, the cut points AND every keep/drop decision.
+    Boundary determinism: interpolated cut points either equal a data
+    value exactly or lie strictly between two rounded-6 scores, so the
+    strict ``>`` bucketing cannot flip on last-ulp differences."""
+    from pyspark import StorageLevel
+
+    scored = (
+        text_kneser_ney_bigram(spark, sf_dir)
+        .select("doc_id", "avg_neg_logprob_kn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bounds = scored.agg(
+        F.expr(
+            "percentile(avg_neg_logprob_kn, array(0.3333D, 0.6667D))"
+        ).alias("b")
+    )
+    score = F.col("avg_neg_logprob_kn")
+    b1 = F.element_at(F.col("b"), 1)
+    b2 = F.element_at(F.col("b"), 2)
+    bucket = (
+        F.when(score > b2, "tail")
+        .when(score > b1, "middle")
+        .otherwise("head")
+    )
+    rate = F.when(score > b2, 100).when(score > b1, 500).otherwise(1000)
+    keep = (
+        TX.portable_hash60(
+            F.concat(F.lit("ppl:"), F.col("doc_id").cast("string"))
+        )
+        % 1000
+        < rate
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .filter(keep)
+        .select("doc_id", bucket.alias("ppl_bucket"), "avg_neg_logprob_kn")
+    )
+
+
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by predicted language: mean chars-per-BPE-
     token and BPE-tokens-per-word — the standard report for how
@@ -2375,6 +2422,7 @@ QUERIES = {
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_encode_stats": text_bpe_encode_stats,
     "text_kneser_ney_bigram": text_kneser_ney_bigram,
+    "sample_perplexity_mixture": sample_perplexity_mixture,
     "text_curation_distill_report": text_curation_distill_report,
     "dedup_incremental_fuzzy_lsh": dedup_incremental_fuzzy_lsh,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -4687,4 +4735,27 @@ SELECT lang_pred,
 FROM per_doc
 WHERE n_bpe_tokens > 0
 GROUP BY lang_pred
+"""
+
+
+ORACLE_SQL["sample_perplexity_mixture"] = f"""
+WITH scored AS (
+  SELECT doc_id, avg_neg_logprob_kn
+  FROM ({ORACLE_SQL["text_kneser_ney_bigram"]})
+),
+b AS (
+  SELECT quantile_cont(avg_neg_logprob_kn, 0.3333) AS b1,
+         quantile_cont(avg_neg_logprob_kn, 0.6667) AS b2
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN avg_neg_logprob_kn > b2 THEN 'tail'
+            WHEN avg_neg_logprob_kn > b1 THEN 'middle'
+            ELSE 'head' END AS ppl_bucket,
+       avg_neg_logprob_kn
+FROM scored CROSS JOIN b
+WHERE (('0x' || substr(md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1000
+      < CASE WHEN avg_neg_logprob_kn > b2 THEN 100
+             WHEN avg_neg_logprob_kn > b1 THEN 500
+             ELSE 1000 END
 """
