@@ -127,6 +127,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- displaced: the full r6 window (all 50 driver-green in
     # CORRECTNESS_r06.json) and every earlier window; all remain
     # verifiable via tools/check_oracle.py.
+    # -- r8 backlog (oracle-backed, added after this window was full):
+    # sample_perplexity_mixture. Rotate it in next round.
 )
 
 
