@@ -499,3 +499,113 @@ def image_resize_stats(media: DataFrame, size: int = 16) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         kernel, RESIZE_STATS_SCHEMA
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("w0", T.LongType(), True),
+        T.StructField("w1", T.LongType(), True),
+    ]
+)
+
+
+def image_ahash_words(media: DataFrame, size: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over the binary image column:
+    REAL PPM decode → nearest-neighbor ``size×size`` downsample →
+    mean-threshold each cell → 64 bits packed row-major into two
+    32-bit BIGINT words (no 2^63 overflow; same packing as the
+    embedding sign signatures). The threshold compares in INTEGERS —
+    ``pixel·size² > total`` instead of ``pixel > mean`` — so there is
+    no float division anywhere and a SQL oracle replays every bit from
+    the synthesis parameters. Arrow-batched mapInPandas, one decode
+    per row (the sanctioned Python path for binary media)."""
+
+    n_cells = size * size
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, w0s, w1s = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                img = decode_ppm(bytes(blob))
+                h, w = img.shape[:2]
+                rows = (np.arange(size) * h) // size
+                cols = (np.arange(size) * w) // size
+                g = img[rows][:, cols][:, :, 0].astype(np.int64)
+                total = int(g.sum())
+                bits = (g.flatten() * n_cells) > total  # strict, integer
+                word0 = 0
+                word1 = 0
+                for k in range(min(32, n_cells)):
+                    if bits[k]:
+                        word0 |= 1 << k
+                for k in range(32, n_cells):
+                    if bits[k]:
+                        word1 |= 1 << (k - 32)
+                ids.append(int(mid))
+                w0s.append(word0)
+                w1s.append(word1)
+            yield pd.DataFrame({"media_id": ids, "w0": w0s, "w1": w1s})
+
+    return media.select("media_id", "content").mapInPandas(kernel, AHASH_SCHEMA)
+
+
+def image_ahash_near_duplicates(
+    media: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: aHash signatures, banded
+    candidates (4 disjoint 16-bit bands over the 64 hash bits —
+    pigeonhole recall is EXACTLY 1 for ``max_hamming`` ≤ 3, the same
+    theorem as the SimHash portable form), exact popcount filter.
+    Returns (id_a, id_b, hamming). The production image-dedup shape:
+    no all-pairs term, candidates from equi-joins on band values."""
+    if max_hamming >= 4:
+        raise ValueError(
+            f"max_hamming {max_hamming} >= 4 bands — pigeonhole recall "
+            "guarantee (and oracle equality) would not hold"
+        )
+    ah = image_ahash_words(media)
+    band_cols = [
+        F.col("w0").bitwiseAND(F.lit(0xFFFF)).alias("b0"),
+        F.shiftright(F.col("w0"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b1"),
+        F.col("w1").bitwiseAND(F.lit(0xFFFF)).alias("b2"),
+        F.shiftright(F.col("w1"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b3"),
+    ]
+    sig = ah.select(F.col("media_id").alias("id"), "w0", "w1", *band_cols)
+    bands = sig.select(
+        "id",
+        "w0",
+        "w1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"b{b}").alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "w0", "w1", "b.band_id", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
+                + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

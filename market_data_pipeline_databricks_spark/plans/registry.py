@@ -128,7 +128,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # CORRECTNESS_r06.json) and every earlier window; all remain
     # verifiable via tools/check_oracle.py.
     # -- r8 backlog (oracle-backed, added after this window was full):
-    # sample_perplexity_mixture. Rotate it in next round.
+    # sample_perplexity_mixture, multimodal_image_near_dup. Rotate
+    # them in next round.
 )
 
 

@@ -427,6 +427,25 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the binary media column: REAL PPM
+    decode → 8×8 average-hash (integer mean threshold, no float math)
+    → banded Hamming pairs ≤ 3 — the pHash-family near-dup every
+    image-corpus pipeline runs before training. Banding recall is
+    exactly 1 by pigeonhole (4 disjoint 16-bit bands), so the DuckDB
+    oracle checks all-pairs Hamming computed from the synthesis
+    parameters — the decode→downsample→threshold kernel is what the
+    hash equality verifies."""
+    from market_data_pipeline_databricks_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synthesize_ppm_media(docs)
+    return (
+        MM.image_ahash_near_duplicates(media, max_hamming=3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def vector_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 5 iterations) over the full
     embedding corpus, rolled up per cluster — the whole-corpus
@@ -522,6 +541,7 @@ QUERIES = {
     "vector_label_cohesion": vector_label_cohesion,
     "vector_kmeans_clusters": vector_kmeans_clusters,
     "multimodal_image_resize": multimodal_image_resize,
+    "multimodal_image_near_dup": multimodal_image_near_dup,
     "curate_multimodal_corpus": curate_multimodal_corpus,
     "curate_multimodal_corpus_lsh": curate_multimodal_corpus_lsh,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
@@ -1064,4 +1084,37 @@ SELECT CASE WHEN jaccard IS NOT NULL AND cosine_sim IS NOT NULL THEN 'both'
              / COUNT(cosine_sim), 6) AS avg_cosine
 FROM joined
 GROUP BY 1
+"""
+
+
+ORACLE_SQL["multimodal_image_near_dup"] = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         8 + (n_chars % 7) * 4 AS h
+  FROM documents
+),
+grid AS (
+  SELECT i.range AS i, j.range AS j FROM range(8) i, range(8) j
+),
+cells AS (
+  SELECT doc_id, (i * 8 + j) AS k,
+         (doc_id * 31 + ((i * h) // 8) * w + ((j * w) // 8)) % 256 AS px
+  FROM dims CROSS JOIN grid
+),
+tot AS (SELECT doc_id, SUM(px) AS total FROM cells GROUP BY doc_id),
+sigs AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN k < 32 AND px * 64 > total
+                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN k >= 32 AND px * 64 > total
+                       THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS w1
+  FROM cells c JOIN tot USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT)
+         AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
 """

@@ -49,6 +49,7 @@ PANDAS_OK = {
     "multimodal_feature_extract",
     "multimodal_wav_roundtrip",
     "multimodal_image_resize",
+    "multimodal_image_near_dup",
     # r6 scale-adaptive similarity: matmul bucket hashing
     # (ArrowEvalPython) on the banded path, block-pair GEMM
     # (FlatMapCoGroupsInPandas) on the bulk-threshold exact path

@@ -1630,3 +1630,34 @@ def test_cdc_spans_are_maximal_and_disjoint(spark):
             )
         for r in spans:
             assert r["span_len"] >= 40 and r["n_chunks_in_span"] >= 1
+
+
+def test_image_ahash_detects_identical_and_rejects_distinct(spark):
+    """Crafted PPMs: two byte-identical images at different ids must
+    pair at hamming 0; a structurally different image (inverted
+    gradient) must not pair with them at hamming <= 3."""
+    import numpy as np
+    from market_data_pipeline_databricks_spark.operators import multimodal as MM
+
+    def ppm(grid):
+        h, w = grid.shape
+        rgb = np.repeat(grid.astype(np.uint8)[:, :, None], 3, axis=2)
+        return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+    y, x = np.mgrid[0:16, 0:16]
+    grad = (x * 16 + y) % 256
+    anti = 255 - grad
+    rows = [
+        (1, ppm(grad), {"mime": "image/x-portable-pixmap"}),
+        (2, ppm(grad), {"mime": "image/x-portable-pixmap"}),
+        (3, ppm(anti), {"mime": "image/x-portable-pixmap"}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, meta map<string,string>"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.image_ahash_near_duplicates(media, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0, pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
