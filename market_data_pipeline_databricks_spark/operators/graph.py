@@ -117,7 +117,14 @@ def pagerank(
         # against a src-node set (and the src-node set itself — one
         # less distributed structure, measured ~25% of round wall at
         # sf0.1); the DuckDB oracle unrolls the identical formula, so
-        # results stay bit-identical to the oracle.
+        # results stay bit-identical to the oracle. Accuracy bound
+        # (round-7 advice): the conservation identity inherits the
+        # decimal(27,12) quantization of each per-node in_sum, so the
+        # dangling scalar carries up to ~n·5e-13 absolute error per
+        # iteration vs the old exact anti-join — at n = 1e9 that is
+        # ~5e-4 of total mass, so for billion-node graphs widen the
+        # accumulator to decimal(38,18) (the oracle twin must widen in
+        # lockstep; both formulas stay bit-identical at any scale).
         dangling = in_sum.agg(
             (
                 F.lit(1.0)

@@ -522,6 +522,14 @@ def image_ahash_words(media: DataFrame, size: int = 8) -> DataFrame:
     per row (the sanctioned Python path for binary media)."""
 
     n_cells = size * size
+    # the (w0, w1) schema holds exactly 2×32 bits; size > 8 would shift
+    # past bit 63 of w1 (LongType overflow), size < 6 wastes the words
+    # but is harmless — guard the hard limit explicitly (round-7 advice)
+    if n_cells > 64:
+        raise ValueError(
+            f"size {size} gives {n_cells} cells > 64 — the two-word "
+            "(w0, w1) signature holds at most 64 bits"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -139,19 +139,22 @@ def sign_hamming_topk(
     cosine_sim, rank)."""
     # sign bits come off the RAW float column — sign(float) == sign of
     # its double widening, and skipping the transform keeps the 64
-    # element_at comparisons over a plain attribute (codegen CSE-safe)
+    # element_at comparisons over a plain attribute (codegen CSE-safe).
+    # One 32-bit word per 32 dims, so any dim works (not just 64).
     cw = sign_signature_words(F.col(vec_col), dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cvec"),
-        cw[0].alias("c0"),
-        cw[1].alias("c1"),
+        *[w.alias(f"c{i}") for i, w in enumerate(cw)],
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qvec"),
-        cw[0].alias("q0"),
-        cw[1].alias("q1"),
+        *[w.alias(f"q{i}") for i, w in enumerate(cw)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"c{i}").bitwiseXOR(F.col(f"q{i}")))
+        for i in range(len(cw))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -159,12 +162,7 @@ def sign_hamming_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                F.bit_count(F.col("c0").bitwiseXOR(F.col("q0")))
-                + F.bit_count(F.col("c1").bitwiseXOR(F.col("q1")))
-            )
-            .cast("long")
-            .alias("hamming"),
+            hamming.cast("long").alias("hamming"),
             F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cosine_sim"),
         )
     )
@@ -602,8 +600,10 @@ def cosine_near_duplicates_blocked(
        is materialized exactly once, so the pair (a, b) is emitted by
        exactly one task (shuffle volume: (B+1)·n vector rows);
     3. ``cogroup().applyInPandas`` per key computes Xa @ Xb.T in
-       row-chunks, keeps pairs with numpy-cosine ≥ threshold − 1e-9
-       (slack covers the fold-vs-SIMD association difference, ~1e-15);
+       row-chunks, keeps pairs with numpy-cosine ≥ threshold − 1e-6
+       (slack covers the fold-vs-SIMD association difference ~1e-15
+       AND the final ``round(cos, 6) ≥ threshold`` filter, which
+       admits raw cosines down to threshold − 5e-7);
     4. survivors (≈ the true pairs, tiny) are re-scored with the same
        sequential-fold :func:`cosine` used everywhere else, so the
        output is BIT-IDENTICAL to :func:`brute_force_near_duplicates`.

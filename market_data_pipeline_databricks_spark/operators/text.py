@@ -574,7 +574,9 @@ def cdc_chunks(
     g = norm.select("id", "__nt__", F.posexplode(grams).alias("pos0", "gram"))
     bounds = g.filter(
         (portable_hash60(F.col("gram")) % F.lit(divisor)) == 0
-    ).select("id", (F.col("pos0") + F.lit(k)).alias("cut"))  # cut AFTER gram end
+        # cut lands ON the gram's LAST character (1-based pos0 + k): that
+        # char begins the NEXT chunk — matches the DuckDB oracle's i + 11
+    ).select("id", (F.col("pos0") + F.lit(k)).alias("cut"))
     # synthetic start-of-doc cut at 1; end-of-doc handled by LEAD default
     starts = (
         norm.select("id", F.lit(1).alias("cut"))

@@ -26,110 +26,74 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-7 window. Standing rule since round 2: never-checked
-    # beats twice-green. This rotation CLOSES the correctness backlog:
-    # the 18 oracle-backed queries that had never held a driver
-    # correctness row through r06 (pinned in VERDICT r6 task 1) lead,
-    # followed by the three round-7 rows-only→oracle upgrades (MinHash /
-    # SimHash / winnowing re-expressed over the md5-derived
-    # portable_hash60 so the DuckDB oracle REPLAYS the hashing
-    # algorithm itself), then 29 family anchors that are already green
-    # in r01–r06 — after this round every oracle-backed query in the
-    # registry has held ≥1 green driver row.
-    #
-    # the r6-deferred backlog (segmentation aggs, funnel timing,
-    # edit-distance verify, component histogram, DQ screens)
-    "agg_customer_rfm_segments",
-    "agg_revenue_share",
-    "agg_segment_value_quantiles",
-    "events_funnel_time_to_convert",
-    "events_cumulative_reach",
-    "dedup_editdistance_verify",
-    "dedup_component_size_histogram",
-    "quality_benford_screen",
-    "quality_mad_outliers",
-    # r6 late additions (landed after the r6 window was pinned)
-    "stream_gold_incremental",
-    "curate_multimodal_corpus_lsh",
-    "vector_ann_near_dup_lsh",
-    "dedup_incremental_fuzzy",
-    "text_bpe_train_merges",
-    "text_bpe_encode_stats",
-    "text_kneser_ney_bigram",
-    "graph_frequent_itemsets",
-    "graph_part_association_rules",
-    # round-7 rows-only→oracle upgrades (oracle replays the hashes)
-    "dedup_minhash_near",
-    "dedup_simhash_near",
-    "dedup_winnow_overlap",
-    # -- 29 family anchors (all r01–r06 green; one per API family so a
-    # regression anywhere in the surface still trips the driver gate):
-    # TPC-H/relational core
-    "agg_pricing_summary",
-    "join_q3_shipping_priority",
-    "join_q9_product_type_profit",
-    "filter_project_revenue",
-    "scalar_regexp_extract",
-    # window family
-    "window_dedup_latest_wins",
-    "window_supplier_daily_gold",
-    # join shapes (as-of, binned range)
-    "join_asof_orders_quotes",
-    "join_range_binned_volatility",
-    # analyst + quality
-    "analyst_top_movers_today",
-    "analyst_dq_triage_cte",
-    # streaming (batch-twin-checked)
-    "stream_stateful_user_totals",
-    # streaming CDC twin (never-checked; the streaming family keeps the
-    # stateful anchor plus stream_gold_incremental above)
-    "stream_cdc_incremental",
-    # round-7 batch-3: content-defined chunking dedup (never-checked
-    # beats green anchors — displaces scalar_json_extract and
-    # stream_session_window_stats; both families keep other anchors)
-    "dedup_cdc_repeated_chunks",
-    "dedup_cdc_duplicate_coverage",
-    "dedup_cdc_incremental",
-    "dedup_cdc_duplicate_spans",
-    # technical indicators + skew discipline
-    "funcs_feature_panel",
-    # tokenizer-fertility report (never-checked; displaces the r5-green
-    # quality_zscore_outliers anchor — the DQ family stays covered by
-    # the never-checked Benford and MAD screens above)
-    "text_tokenizer_fertility",
-    "skew_salted_pricing_summary",
-    # curation / dedup / vectors / multimodal
-    "curate_training_corpus",
-    # displaced dedup_components for its never-checked LSH sibling
-    # (same family: pairs → components; the LSH form is the 100-TB path)
-    "dedup_components_lsh",
-    # sign-quantized ANN (never-checked; displaces the r3-green exact
-    # cosine anchor — same family, and the sign query carries the exact
-    # cosine in its own output)
-    "vector_sign_ann_topk",
-    # text-vs-embedding dedup reconciliation (never-checked; displaces
-    # the r3-green frame-sample anchor — multimodal stays covered by
-    # curate_multimodal_corpus_lsh above)
-    "dedup_method_agreement",
-    # graph (pagerank also carries the r7 bench re-pin task)
-    "graph_part_pagerank",
-    # entity resolution + warehouse maintenance
-    "er_resolved_entities",
-    "scd2_supplier_history",
-    # events + sampling
-    # round-7 batch-2 upgrades (banded-LSH capstones, oracle replays
-    # the affine banding) — never-checked beats green anchors, so they
-    # displace two events anchors (the events family stays covered by
-    # events_funnel_time_to_convert / events_cumulative_reach above)
-    "dedup_incremental_fuzzy_lsh",
-    "curate_chunk_corpus_lsh",
+    # -- round-8 window. Standing rule since round 2: never-checked
+    # beats twice-green. After the round-7 rotation closed the backlog,
+    # the only two oracle-backed queries without a driver row are the
+    # post-window r7 additions below — they lead (VERDICT r7 task 1).
+    # With the backlog empty the rotation policy degrades gracefully to
+    # STALEST-GREEN-FIRST: the remaining 48 slots are exactly the
+    # oracle-backed queries whose most recent green driver row is
+    # oldest (24 last green in r02, 20 in r03, 4 in r04 — computed from
+    # CORRECTNESS_r01..r07.json), so every query's last-verified age
+    # stays bounded as rounds accumulate.
+    "sample_perplexity_mixture",
+    "multimodal_image_near_dup",
+    # -- last green in r02
+    "agg_conditional_counts",
+    "agg_coverage_report",
+    "agg_cube_order_stats",
+    "agg_distinct_suppliers",
+    "agg_monthly_revenue",
+    "agg_rollup_revenue",
+    "dedup_ngram_jaccard",
+    "filter_date_interval",
+    "filter_greatest_least",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "pivot_qty_by_status",
+    "sample_stratified_events",
+    "scalar_json_extract",
+    "scalar_string_kitchen",
+    "set_except_intersect_buyers",
+    "text_fingerprint_groups",
+    "text_lang_id",
+    "window_gap_detection",
+    "window_jump_check",
+    "window_latest_event_per_user",
+    "window_lead_gap_to_next",
+    "window_rank_family",
+    "window_stale_check",
+    # -- last green in r03
+    "analyst_liquidity_screen",
+    "analyst_volatility_regime",
+    "dedup_components",
+    "funcs_ewma_close",
+    "funcs_log_return_stats",
+    "multimodal_wav_roundtrip",
+    "pack_training_sequences",
+    "quality_zscore_outliers",
+    "sample_train_test_split",
+    "skew_salted_join_orders",
+    "stream_session_window_stats",
+    "stream_sliding_window_counts",
+    "stream_stream_click_attribution",
+    "stream_tumbling_daily_counts",
+    "text_bpe_token_count",
+    "text_decontaminate",
+    "text_stats",
+    "vector_cosine_topk",
+    "window_latest_snapshot_pruned",
+    "window_rolling_range_avg",
+    # -- last green in r04 (oldest four, alphabetical)
+    "agg_dup_grain_detector",
+    "agg_grouping_sets_revenue",
+    "analyst_completeness",
+    "analyst_point_in_time",
 
-    # -- displaced: the full r6 window (all 50 driver-green in
-    # CORRECTNESS_r06.json) and every earlier window; all remain
-    # verifiable via tools/check_oracle.py.
-    # -- r8 backlog (oracle-backed, added after this window was full):
-    # sample_perplexity_mixture, multimodal_image_near_dup. Rotate
-    # them in next round.
+    # -- displaced: the full r7 window (all 50 driver-green in
+    # CORRECTNESS_r07.json) and every earlier window; all remain
+    # verifiable via tools/check_oracle.py. New round-8 queries are
+    # never-checked and displace slots from the r04 tail upward.
 )
 
 

@@ -37,7 +37,7 @@ EAGER = {
     "text_bpe_encode_stats",  # trains merges at construction
     "text_curation_distill_report",  # MLlib fit at construction
     "vector_ann_quality_report",  # IVF training at construction
-    "graph_frequent_itemsets",  # FP-Growth fit at construction
+    "graph_frequent_itemsets",  # basket-stats action (n, max width) at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these

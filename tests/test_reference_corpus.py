@@ -25,6 +25,13 @@ import pytest
 from market_data_pipeline_databricks_spark import sqlcompat
 
 REF_SQL = Path("/root/reference/sql/example_queries.sql")
+# The corpus is executed VERBATIM against live Spark and DuckDB
+# sessions, and the reference checkout is untrusted content — pin the
+# exact bytes (round-7 advice) so a modified checkout fails loudly
+# instead of running arbitrary SQL. Reviewed at this hash: 14
+# statements, pure SELECTs over gold_market_features_daily, no DDL /
+# COPY / file access.
+REF_SQL_SHA256 = "db3f9f286eff097375b89d88666c89c8c2f4dba2b52e5b44591670d467f32fd2"
 
 SYMBOLS = ["SPY", "AAPL", "EURUSD", "BTC", "TLT", "GLD"]
 START = dt.date(2025, 9, 1)
@@ -58,7 +65,17 @@ COLS = ["symbol", "date", "close", "return_1d", "vol_20d", "avg_volume_20d"]
 
 
 def _statements():
-    text = REF_SQL.read_text()
+    import hashlib
+
+    data = REF_SQL.read_bytes()
+    digest = hashlib.sha256(data).hexdigest()
+    if digest != REF_SQL_SHA256:
+        raise AssertionError(
+            "reference sql/example_queries.sql changed (sha256 "
+            f"{digest}); review the new content before executing it "
+            "verbatim, then update REF_SQL_SHA256"
+        )
+    text = data.decode()
     stmts = []
     for raw in text.split(";"):
         # strip comment-only / empty fragments

@@ -13,84 +13,63 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# The round-7 rotation, as an EXPLICIT literal (not
+# The round-8 rotation, as an EXPLICIT literal (not
 # list(registry.DRIVER_WINDOW)): the point of this guard is that an
 # accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
 # aliasing the registry value made the lockstep check trivially true
-# (round-6 advice). 21 never-driver-checked names (18 backlog + 3
-# rows-only→oracle upgrades) + 29 family anchors.
+# (round-6 advice). 2 never-driver-checked names lead, then the 48
+# stalest-green queries (last green r02/r03/r04) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
-    "agg_customer_rfm_segments",
-    "agg_revenue_share",
-    "agg_segment_value_quantiles",
-    "events_funnel_time_to_convert",
-    "events_cumulative_reach",
-    "dedup_editdistance_verify",
-    "dedup_component_size_histogram",
-    "quality_benford_screen",
-    "quality_mad_outliers",
-    "stream_gold_incremental",
-    "curate_multimodal_corpus_lsh",
-    "vector_ann_near_dup_lsh",
-    "dedup_incremental_fuzzy",
-    "text_bpe_train_merges",
-    "text_bpe_encode_stats",
-    "text_kneser_ney_bigram",
-    "graph_frequent_itemsets",
-    "graph_part_association_rules",
-    "dedup_minhash_near",
-    "dedup_simhash_near",
-    "dedup_winnow_overlap",
-    "agg_pricing_summary",
-    "join_q3_shipping_priority",
-    "join_q9_product_type_profit",
-    "filter_project_revenue",
-    "scalar_regexp_extract",
-    "window_dedup_latest_wins",
-    "window_supplier_daily_gold",
-    "join_asof_orders_quotes",
-    "join_range_binned_volatility",
-    "analyst_top_movers_today",
-    "analyst_dq_triage_cte",
-    "stream_stateful_user_totals",
-    # streaming CDC twin (never-checked; the streaming family keeps the
-    # stateful anchor plus stream_gold_incremental above)
-    "stream_cdc_incremental",
-    # round-7 batch-3: content-defined chunking dedup (never-checked
-    # beats green anchors — displaces scalar_json_extract and
-    # stream_session_window_stats; both families keep other anchors)
-    "dedup_cdc_repeated_chunks",
-    "dedup_cdc_duplicate_coverage",
-    "dedup_cdc_incremental",
-    "dedup_cdc_duplicate_spans",
-    "funcs_feature_panel",
-    # tokenizer-fertility report (never-checked; displaces the r5-green
-    # quality_zscore_outliers anchor — the DQ family stays covered by
-    # the never-checked Benford and MAD screens above)
-    "text_tokenizer_fertility",
-    "skew_salted_pricing_summary",
-    "curate_training_corpus",
-    # displaced dedup_components for its never-checked LSH sibling
-    # (same family: pairs → components; the LSH form is the 100-TB path)
-    "dedup_components_lsh",
-    # sign-quantized ANN (never-checked; displaces the r3-green exact
-    # cosine anchor — same family, and the sign query carries the exact
-    # cosine in its own output)
-    "vector_sign_ann_topk",
-    # text-vs-embedding dedup reconciliation (never-checked; displaces
-    # the r3-green frame-sample anchor — multimodal stays covered by
-    # curate_multimodal_corpus_lsh above)
-    "dedup_method_agreement",
-    "graph_part_pagerank",
-    "er_resolved_entities",
-    "scd2_supplier_history",
-    # round-7 batch-2 upgrades (banded-LSH capstones, oracle replays
-    # the affine banding) — never-checked beats green anchors, so they
-    # displace two events anchors (the events family stays covered by
-    # events_funnel_time_to_convert / events_cumulative_reach above)
-    "dedup_incremental_fuzzy_lsh",
-    "curate_chunk_corpus_lsh",
-
+    "sample_perplexity_mixture",
+    "multimodal_image_near_dup",
+    "agg_conditional_counts",
+    "agg_coverage_report",
+    "agg_cube_order_stats",
+    "agg_distinct_suppliers",
+    "agg_monthly_revenue",
+    "agg_rollup_revenue",
+    "dedup_ngram_jaccard",
+    "filter_date_interval",
+    "filter_greatest_least",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "pivot_qty_by_status",
+    "sample_stratified_events",
+    "scalar_json_extract",
+    "scalar_string_kitchen",
+    "set_except_intersect_buyers",
+    "text_fingerprint_groups",
+    "text_lang_id",
+    "window_gap_detection",
+    "window_jump_check",
+    "window_latest_event_per_user",
+    "window_lead_gap_to_next",
+    "window_rank_family",
+    "window_stale_check",
+    "analyst_liquidity_screen",
+    "analyst_volatility_regime",
+    "dedup_components",
+    "funcs_ewma_close",
+    "funcs_log_return_stats",
+    "multimodal_wav_roundtrip",
+    "pack_training_sequences",
+    "quality_zscore_outliers",
+    "sample_train_test_split",
+    "skew_salted_join_orders",
+    "stream_session_window_stats",
+    "stream_sliding_window_counts",
+    "stream_stream_click_attribution",
+    "stream_tumbling_daily_counts",
+    "text_bpe_token_count",
+    "text_decontaminate",
+    "text_stats",
+    "vector_cosine_topk",
+    "window_latest_snapshot_pruned",
+    "window_rolling_range_avg",
+    "agg_dup_grain_detector",
+    "agg_grouping_sets_revenue",
+    "analyst_completeness",
+    "analyst_point_in_time",
 ]
 
 

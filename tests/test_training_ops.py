@@ -1202,6 +1202,78 @@ def test_blocked_near_dups_bitwise_equal_bruteforce(emb):
         assert bl == bf
 
 
+def test_blocked_prefilter_keeps_borderline_rounding_pair(spark):
+    """Regression pin for the GEMM prefilter slack (round-7 advice,
+    fixed to 1e-6): a pair whose exact fold cosine sits in
+    [θ − 5e-7, θ − 1e-9) is BELOW the threshold in raw doubles but
+    rounds up at the final ``round(cos, 6) ≥ θ`` filter, so brute
+    force keeps it — the blocked path's prefilter must not drop it.
+    The old 1e-9 slack dropped exactly this band."""
+    theta = 0.95
+    c = theta - 2.5e-7  # middle of the vulnerable band
+    s = (1.0 - c * c) ** 0.5
+    # replicate the sequential-fold cosine in pure-Python doubles
+    # (same IEEE ops as F.aggregate) and pin the band membership the
+    # test depends on
+    fold_cos = ((0.0 + 1.0 * c) + 0.0 * s) / (
+        1.0 * ((0.0 + c * c) + s * s) ** 0.5
+    )
+    assert theta - 5e-7 <= fold_cos < theta - 1e-9
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [c, s]),        # borderline: kept only via rounding
+        (3, [0.0, 1.0]),    # orthogonal to id 1 — never kept
+        (4, [2.0, 0.002]),  # cos ≈ 1 with id 1 — always kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bf = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in SIM.brute_force_near_duplicates(df, threshold=theta).collect()
+    }
+    assert (1, 2, theta) in bf, bf  # the borderline pair rounds up
+    for rpb in (1, 4096):  # force cross-block and single-block shapes
+        bl = {
+            (r.id_a, r.id_b, r.cosine_sim)
+            for r in SIM.cosine_near_duplicates_blocked(
+                df, threshold=theta, rows_per_block=rpb
+            ).collect()
+        }
+        assert bl == bf
+
+
+def test_sign_hamming_topk_any_dim(spark):
+    """Round-7 advice: sign_hamming_topk hardcoded exactly two
+    signature words, so dim ≤ 32 raised IndexError and dim > 64
+    silently dropped the upper bits. Now one word per 32 dims: pin a
+    3-dim corpus (1 word) and a 70-dim corpus (3 words, where the
+    only sign disagreements sit PAST bit 64)."""
+    rows3 = [
+        (1, [1.0, 1.0, 1.0]),
+        (2, [1.0, 1.0, -1.0]),   # hamming 1 vs id 1
+        (3, [-1.0, -1.0, -1.0]), # hamming 3 vs id 1
+    ]
+    df3 = spark.createDataFrame(rows3, ["vec_id", "embedding"])
+    out = {
+        (r.query_id, r.neighbor_id): r.hamming
+        for r in SIM.sign_hamming_topk(df3, df3, k=3, dim=3).collect()
+    }
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 3 and out[(2, 3)] == 2
+    base = [1.0] * 70
+    flipped = list(base)
+    flipped[66] = -1.0  # only disagreement is in word 2 (bits 64..69)
+    flipped2 = list(base)
+    flipped2[64] = -1.0
+    flipped2[69] = -1.0
+    df70 = spark.createDataFrame(
+        [(1, base), (2, flipped), (3, flipped2)], ["vec_id", "embedding"]
+    )
+    out70 = {
+        (r.query_id, r.neighbor_id): r.hamming
+        for r in SIM.sign_hamming_topk(df70, df70, k=3, dim=70).collect()
+    }
+    assert out70[(1, 2)] == 1 and out70[(1, 3)] == 2 and out70[(2, 3)] == 3
+
+
 def test_multitable_structure_auto_selects_blocked_at_bulk_threshold(emb):
     # At cos 0.45 banding cannot prune (candidate fraction ≈ 1), so
     # "auto" must route to the exact GEMM path — output equals brute
