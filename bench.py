@@ -72,6 +72,11 @@ HEADLINE = [
     # un-benched, a boundary-rule or window regression would be
     # driver-invisible. Baseline 3.9-4.8 s at sf0.1 (BASELINE.md r7).
     "dedup_cdc_repeated_chunks",
+    # round-8: grouped perceptual image dedup — the binary-decode
+    # mapInPandas path plus the distinct-hash banded join; un-benched,
+    # a decode-batching or band-join regression would be
+    # driver-invisible. Baseline 1.7 s at sf0.1 (BASELINE.md r8).
+    "multimodal_image_dedup_groups",
 ]
 
 

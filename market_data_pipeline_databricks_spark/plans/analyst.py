@@ -296,6 +296,7 @@ def quality_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+    # single-partition window: bounded — 9 Benford digit rows
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -389,6 +390,7 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = c.groupBy("c_mktsegment", "c_nationkey").agg(
         F.count(F.lit(1)).alias("class_size")
     )
+    # single-partition window: bounded — mktsegment x nationkey classes (~125 rows)
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

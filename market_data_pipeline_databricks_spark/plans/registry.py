@@ -31,13 +31,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the only two oracle-backed queries without a driver row are the
     # post-window r7 additions below — they lead (VERDICT r7 task 1).
     # With the backlog empty the rotation policy degrades gracefully to
-    # STALEST-GREEN-FIRST: the remaining 48 slots are exactly the
+    # STALEST-GREEN-FIRST: the remaining slots are exactly the
     # oracle-backed queries whose most recent green driver row is
-    # oldest (24 last green in r02, 20 in r03, 4 in r04 — computed from
+    # oldest (24 last green in r02, 20 in r03 — computed from
     # CORRECTNESS_r01..r07.json), so every query's last-verified age
-    # stays bounded as rounds accumulate.
+    # stays bounded as rounds accumulate. Four round-8 additions
+    # displaced the four stale-r04 anchors.
     "sample_perplexity_mixture",
     "multimodal_image_near_dup",
+    # round-8 additions (never-checked): oracle-replayed k-means
+    # assignment argmin, largest-remainder token-budget allocator,
+    # fixed-stride sliding chunker, grouped image dedup — displace the
+    # four r04 tail anchors (analyst_point_in_time,
+    # analyst_completeness, agg_grouping_sets_revenue,
+    # agg_dup_grain_detector)
+    "vector_kmeans_assign",
+    "sample_token_budget_mixture",
+    "text_chunk_sliding",
+    "multimodal_image_dedup_groups",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -84,11 +95,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vector_cosine_topk",
     "window_latest_snapshot_pruned",
     "window_rolling_range_avg",
-    # -- last green in r04 (oldest four, alphabetical)
-    "agg_dup_grain_detector",
-    "agg_grouping_sets_revenue",
-    "analyst_completeness",
-    "analyst_point_in_time",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

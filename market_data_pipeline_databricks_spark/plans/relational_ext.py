@@ -282,6 +282,7 @@ def agg_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("r_name")
+    # single-partition window: bounded — region x nation rollup (25 rows)
     wg = Window.partitionBy()
     return base.select(
         "r_name",

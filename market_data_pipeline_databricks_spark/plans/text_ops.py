@@ -134,6 +134,124 @@ def sample_perplexity_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token-budget allocator: split a global token
+    budget (50% of corpus tokens) across sources by sqrt-smoothed
+    share (the standard multilingual temperature T=2 reweighting),
+    with a 2-epoch per-source cap — the planning step that turns
+    per-source token counts into an actual sampling plan.
+
+    Everything after the per-source token count is INTEGER arithmetic:
+    weights are floor(sqrt(tokens)·1e6) (IEEE sqrt is correctly
+    rounded, so both engines floor the same double), base allocations
+    are floor(B·w/W) in BIGINT, and the leftover L = B − Σbase tokens
+    (< n_sources) goes to the L largest remainders (B·w mod W), ties
+    by source id — the largest-remainder method, so Σ alloc == B
+    EXACTLY before capping and the oracle hash-matches bit-for-bit.
+
+    Scale: one groupBy(source) over the corpus; everything downstream
+    operates on the per-source aggregate (20 rows here; thousands of
+    domains at 100 TB — still driver-trivial, and the windows below
+    sit on that aggregate)."""
+    docs = _docs(spark, sf_dir)
+    per_source = (
+        docs.select("source", TX.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    # single-partition window: bounded — one row per source
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6).cast("long")
+    weighted = per_source.select(
+        "source",
+        "n_tokens",
+        w.alias("w"),
+        F.sum(w).over(wall).alias("w_total"),
+        F.sum("n_tokens").over(wall).cast("long").alias("total_tokens"),
+    ).withColumn("budget", F.expr("total_tokens div 2"))
+    alloc = weighted.withColumn(
+        "prod", F.col("budget") * F.col("w")
+    ).select(
+        "source",
+        "n_tokens",
+        "w",
+        "budget",
+        # BIGINT floor division — no double roundtrip
+        F.expr("prod div w_total").alias("base_alloc"),
+        (F.col("prod") % F.col("w_total")).alias("rem"),
+    )
+    # single-partition window: bounded — one row per source
+    wrem = Window.orderBy(F.desc("rem"), F.asc("source"))
+    # single-partition window: bounded — one row per source
+    wsum = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    topped = alloc.withColumn("rem_rank", F.row_number().over(wrem)).withColumn(
+        "leftover", F.col("budget") - F.sum("base_alloc").over(wsum)
+    )
+    final = topped.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("uncapped_alloc"),
+    ).select(
+        "source",
+        "n_tokens",
+        "uncapped_alloc",
+        F.least(F.col("uncapped_alloc"), F.col("n_tokens") * 2).alias(
+            "alloc_tokens"
+        ),
+        (F.col("uncapped_alloc") > F.col("n_tokens") * 2).alias("capped"),
+    )
+    return final.select(
+        "source",
+        "n_tokens",
+        "alloc_tokens",
+        "capped",
+        F.round(
+            F.col("alloc_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+    )
+
+
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride sliding-window chunking (window 200 chars, stride
+    150 → 50-char overlap) over normalized text — the RAG/pretraining
+    windowing primitive and the fixed-grid complement of the
+    content-defined (CDC) chunker: same normalized stream, but
+    boundaries at arithmetic positions instead of content-defined
+    hash cuts, so insertions SHIFT downstream windows (exactly the
+    failure mode CDC exists to avoid — shipping both makes the
+    trade-off measurable). Emits (doc_id, chunk_idx, chunk_start,
+    chunk_len, chunk_fp md5) — every column a pure function of the
+    stored text, replayed by the oracle.
+
+    Scale: zero shuffles — sequence + posexplode + substr pipelined
+    with the scan; output rows ≈ chars/stride."""
+    docs = _docs(spark, sf_dir)
+    window, stride = 200, 150
+    norm = docs.select(
+        "doc_id", TX.normalize_text(F.col("text")).alias("__nt__")
+    )
+    t = F.col("__nt__")
+    starts = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride))
+    g = norm.select("doc_id", t.alias("nt"), F.posexplode(starts).alias("idx", "s"))
+    chunk = F.col("nt").substr(F.col("s"), F.lit(window))
+    return g.select(
+        "doc_id",
+        F.col("idx").cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_fp"),
+    )
+
+
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by predicted language: mean chars-per-BPE-
     token and BPE-tokens-per-word — the standard report for how
@@ -642,6 +760,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # single-partition window: bounded — token vocab rows (Heaps-law
+    # sublinear in corpus; a broadcast global agg is the rewrite if the
+    # vocab ever outgrows one task)
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -744,6 +865,7 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    # single-partition window: bounded — one row per document source
     wg = Window.partitionBy()
     shares = counts.withColumn(
         "w_dec", F.sqrt(F.col("n_total").cast("double")).cast("decimal(27,12)")
@@ -1019,6 +1141,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = bigc.groupBy("w1").agg(
         F.sum("cb").alias("cw1"), F.count(F.lit(1)).alias("n1f")
     )
+    # single-partition window: bounded — w1 context rows (vocab-bounded)
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -1907,6 +2030,7 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_row = Window.partitionBy("event_type")
     w_col = Window.partitionBy("value_band")
+    # single-partition window: bounded — event_type x value_band cells
     w_all = Window.partitionBy()
     expected = (
         F.sum("n_obs").over(w_row).cast("double")
@@ -1935,6 +2059,7 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell.withColumn(
         "chi2_total",
         F.sum(F.col("chi2_cell").cast("decimal(27,6)"))
+        # single-partition window: bounded — contingency cells
         .over(Window.partitionBy())
         .cast("double"),
     )
@@ -2165,6 +2290,7 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("converted").cast("long").alias("n_converted"),
     )
+    # single-partition window: bounded — one row per experiment variant
     w = Window.partitionBy()
 
     def across(var: str, col: str):
@@ -2343,6 +2469,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("ucnt"))
     )
+    # single-partition window: bounded — unigram vocab rows (Heaps-law)
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -2423,6 +2550,8 @@ QUERIES = {
     "text_bpe_encode_stats": text_bpe_encode_stats,
     "text_kneser_ney_bigram": text_kneser_ney_bigram,
     "sample_perplexity_mixture": sample_perplexity_mixture,
+    "sample_token_budget_mixture": sample_token_budget_mixture,
+    "text_chunk_sliding": text_chunk_sliding,
     "text_curation_distill_report": text_curation_distill_report,
     "dedup_incremental_fuzzy_lsh": dedup_incremental_fuzzy_lsh,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -4737,6 +4866,62 @@ WHERE n_bpe_tokens > 0
 GROUP BY lang_pred
 """
 
+
+ORACLE_SQL["sample_token_budget_mixture"] = _NORM + """,
+    per_source AS (
+      SELECT d.source, CAST(SUM(len(t.toks)) AS BIGINT) AS n_tokens
+      FROM tok t JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    ),
+    -- sqrt-smoothed weights in integer millionths; BIGINT floor
+    -- division + largest-remainder so the allocation sums to the
+    -- budget exactly (same arithmetic as the Spark side)
+    weighted AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w,
+             SUM(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)) OVER () AS w_total,
+             (SUM(n_tokens) OVER ()) // 2 AS budget
+      FROM per_source
+    ),
+    alloc AS (
+      SELECT source, n_tokens, budget,
+             (budget * w) // w_total AS base_alloc,
+             (budget * w) % w_total AS rem
+      FROM weighted
+    ),
+    topped AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rem_rank,
+             budget - SUM(base_alloc) OVER () AS leftover
+      FROM alloc
+    ),
+    final AS (
+      SELECT source, n_tokens,
+             base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+               AS uncapped_alloc
+      FROM topped
+    )
+    SELECT source, n_tokens,
+           CAST(LEAST(uncapped_alloc, n_tokens * 2) AS BIGINT) AS alloc_tokens,
+           uncapped_alloc > n_tokens * 2 AS capped,
+           ROUND(CAST(LEAST(uncapped_alloc, n_tokens * 2) AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM final
+"""
+
+ORACLE_SQL["text_chunk_sliding"] = _NORM + """,
+    starts AS (
+      SELECT doc_id, ntext,
+             unnest(range(1, GREATEST(length(ntext), 1) + 1, 150)) AS s
+      FROM norm
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 150 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(length(substr(ntext, CAST(s AS INTEGER), 200)) AS BIGINT) AS chunk_len,
+           md5(substr(ntext, CAST(s AS INTEGER), 200)) AS chunk_fp
+    FROM starts
+"""
 
 ORACLE_SQL["sample_perplexity_mixture"] = f"""
 WITH scored AS (

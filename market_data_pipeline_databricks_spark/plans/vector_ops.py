@@ -446,6 +446,25 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe image dedup (round-8): exact-hash groups collapse
+    first (linear groupBy), the banded Hamming join then runs over
+    DISTINCT hashes only, carrying group sizes as pair multiplicities.
+    The pair-list twin (`multimodal_image_near_dup`) measured its own
+    output quadratic on the rehearsal corpus (6.5k pairs at sf0.01 →
+    641k at sf0.1 — the corpus's pair count, since the synthetic image
+    universe is finite); this form's output is O(distinct hashes +
+    near-dup hash pairs) and is what an image pipeline ships at 100 TB.
+    Oracle replays the synthesis → aHash → grouping → banded pairs."""
+    from market_data_pipeline_databricks_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synthesize_ppm_media(docs)
+    return MM.image_ahash_dedup_groups(media, max_hamming=3).select(
+        "rep_a", "rep_b", "hamming", "n_image_pairs"
+    )
+
+
 def vector_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 5 iterations) over the full
     embedding corpus, rolled up per cluster — the whole-corpus
@@ -472,6 +491,64 @@ def vector_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_sq_dist"),
         )
         .orderBy("cluster")
+    )
+
+
+def vector_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means ASSIGNMENT step in oracle-replayable form (round-7
+    verdict task 4: fixed-centroid variant where iteration was the only
+    blocker). Centroids are the k = 8 lowest-id vectors — the same
+    deterministic init :func:`kmeans_lloyd` uses — and every squared
+    distance is a per-element decimal(27,12)-quantized sum, so the
+    argmin compares IDENTICAL decimals on both engines (the trainer's
+    BLAS E-step argmin, by contrast, is float-associative and genuinely
+    un-replayable — documented in COVERAGE.md).
+
+    Plan shape: centroids ride as literal arrays (k×dim doubles, a
+    broadcast-closure analogue), so assignment is scan-local per-row
+    array math — ZERO shuffles, linear in corpus, the exact shape a
+    100-TB E-step wants. Ties (equal rounded distance) break by
+    centroid id ascending on both engines."""
+    emb = _emb(spark, sf_dir)
+    k = 8
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["vec"]])
+        for r in emb.select(
+            F.col("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "vec"
+            ),
+        )
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    ]
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+    )
+    vd = F.col("vd")
+    choices = []
+    for cid, cvec in cents:
+        carr = F.array(*[F.lit(v) for v in cvec])
+        dist = F.aggregate(
+            F.zip_with(vd, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, t: (acc + t.cast("decimal(27,12)")).cast(
+                "decimal(38,12)"
+            ),
+        )
+        choices.append(
+            F.struct(
+                F.round(dist.cast("double"), 6).alias("d"),
+                F.lit(cid).cast("long").alias("c"),
+            )
+        )
+    best = F.least(*choices)
+    return base.select(
+        "vec_id",
+        best["c"].alias("cluster_id"),
+        best["d"].alias("dist2"),
     )
 
 
@@ -540,8 +617,10 @@ QUERIES = {
     "vector_dim_stats": vector_dim_stats,
     "vector_label_cohesion": vector_label_cohesion,
     "vector_kmeans_clusters": vector_kmeans_clusters,
+    "vector_kmeans_assign": vector_kmeans_assign,
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_image_near_dup": multimodal_image_near_dup,
+    "multimodal_image_dedup_groups": multimodal_image_dedup_groups,
     "curate_multimodal_corpus": curate_multimodal_corpus,
     "curate_multimodal_corpus_lsh": curate_multimodal_corpus_lsh,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
@@ -655,6 +734,32 @@ ORACLE_SQL = {
                     AS BIGINT) AS resized_sum
         FROM dims CROSS JOIN grid
         GROUP BY doc_id, w, h
+    """,
+    # same deterministic centroids (8 lowest ids), same per-element
+    # decimal(27,12) quantization of each squared term, decimal sum
+    # (order-independent), argmin on the ROUNDED distance with
+    # centroid-id tiebreak — replays the Spark assignment bit-for-bit
+    "vector_kmeans_assign": _V + """,
+        c AS (
+          SELECT vec_id AS cid, vec AS cvec FROM v ORDER BY vec_id LIMIT 8
+        ),
+        pairs AS (
+          SELECT vv.vec_id, cc.cid,
+                 ROUND(CAST(SUM(CAST(
+                       (vv.vec[d.i] - cc.cvec[d.i])
+                     * (vv.vec[d.i] - cc.cvec[d.i]) AS DECIMAL(27,12)))
+                   AS DOUBLE), 6) AS dist2
+          FROM v vv
+          CROSS JOIN c cc
+          CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) d
+          GROUP BY vv.vec_id, cc.cid
+        )
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist2
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+          FROM pairs
+        ) WHERE rn = 1
     """,
     "vector_cosine_topk": _V + """,
         q AS (SELECT * FROM v WHERE vec_id % 40 = 0),
@@ -1117,4 +1222,49 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+"""
+
+ORACLE_SQL["multimodal_image_dedup_groups"] = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         8 + (n_chars % 7) * 4 AS h
+  FROM documents
+),
+grid AS (
+  SELECT i.range AS i, j.range AS j FROM range(8) i, range(8) j
+),
+cells AS (
+  SELECT doc_id, (i * 8 + j) AS k,
+         (doc_id * 31 + ((i * h) // 8) * w + ((j * w) // 8)) % 256 AS px
+  FROM dims CROSS JOIN grid
+),
+tot AS (SELECT doc_id, SUM(px) AS total FROM cells GROUP BY doc_id),
+sigs AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN k < 32 AND px * 64 > total
+                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN k >= 32 AND px * 64 > total
+                       THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS w1
+  FROM cells c JOIN tot USING (doc_id)
+  GROUP BY c.doc_id
+),
+groups AS (
+  SELECT w0, w1, MIN(doc_id) AS id, COUNT(*) AS gsize
+  FROM sigs GROUP BY w0, w1
+),
+cross_pairs AS (
+  SELECT a.id AS rep_a, b.id AS rep_b,
+         CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT)
+           AS hamming,
+         CAST(a.gsize * b.gsize AS BIGINT) AS n_image_pairs
+  FROM groups a JOIN groups b ON a.id < b.id
+  WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+)
+SELECT CAST(id AS BIGINT) AS rep_a, CAST(id AS BIGINT) AS rep_b,
+       CAST(0 AS BIGINT) AS hamming,
+       CAST(gsize * (gsize - 1) // 2 AS BIGINT) AS n_image_pairs
+FROM groups WHERE gsize >= 2
+UNION ALL
+SELECT rep_a, rep_b, hamming, n_image_pairs FROM cross_pairs
 """

@@ -149,6 +149,7 @@ def stream_gold_maintenance(
     gold_table: str = "gold_daily",
     computed_at=None,
     checkpoint_dir: str | None = None,
+    partition_by_year: bool = False,
 ) -> None:
     """Streaming incremental GOLD maintenance — the streaming twin of
     the reference's recompute-everything gold
@@ -175,10 +176,19 @@ def stream_gold_maintenance(
     the silver accumulated so far.
 
     Scale note: a parquet keyed upsert rewrites the partitions its keys
-    touch (Delta MERGE rewrites the matched files — same shape). On a
-    production table partition silver by a date-derived column so a
-    daily batch touches O(1) partitions, not the whole history; the
-    unpartitioned default here is sized for the testdata drive.
+    touch (Delta MERGE rewrites the matched files — same shape).
+    ``partition_by_year=True`` partitions BOTH tables by a derived
+    ``p_year = year(date)`` column (functionally determined by the
+    (symbol, date) key, so ``stable_partitions`` skips the prior-scan)
+    — a daily batch then rewrites O(touched years), not the whole
+    history. Measured at sf0.1 (BASELINE.md round-8): a one-day late
+    patch against 7 years of accumulated history (533k silver rows)
+    rewrites 2.31 of 18.81 MB — only the touched-year partitions of
+    silver+gold, 12 of 84 files — vs a full 18.99 MB rewrite
+    unpartitioned, 8.2× less write I/O. Wall at sf0.1 is
+    overhead-dominated (3-4 s either way; 84 small files), which is
+    why the unpartitioned default stays right for the testdata drive —
+    at production scale the rewrite volume is the cost, and it prunes.
     """
     from market_data_pipeline_databricks_spark.operators.gold import (
         gold_incremental,
@@ -209,8 +219,29 @@ def stream_gold_maintenance(
         # recompute runs downstream. Upserting on the grain makes the
         # whole sink idempotent end to end (and late corrections to an
         # already-seen (symbol, date) restate cleanly).
-        upsert_by_key(spark, batch, warehouse_dir, silver_table, ["symbol", "date"])
+        pcols = ["p_year"] if partition_by_year else None
+
+        def _p(df: DataFrame) -> DataFrame:
+            # derived partition column, added only at the sink boundary
+            # so the recompute algebra never sees it
+            return (
+                df.withColumn("p_year", F.year("date"))
+                if partition_by_year
+                else df
+            )
+
+        upsert_by_key(
+            spark,
+            _p(batch),
+            warehouse_dir,
+            silver_table,
+            ["symbol", "date"],
+            pcols,
+            stable_partitions=partition_by_year,
+        )
         silver = read_table(spark, warehouse_dir, silver_table)
+        if partition_by_year:
+            silver = silver.drop("p_year")
         fresh = gold_incremental(
             silver,
             existing_gold=None,  # unused on the fresh_only path
@@ -219,7 +250,13 @@ def stream_gold_maintenance(
             fresh_only=True,
         )
         upsert_by_key(
-            spark, fresh, warehouse_dir, gold_table, ["symbol", "date"]
+            spark,
+            _p(fresh),
+            warehouse_dir,
+            gold_table,
+            ["symbol", "date"],
+            pcols,
+            stable_partitions=partition_by_year,
         )
 
     q = (

@@ -127,7 +127,10 @@ def test_unpartitioned_windows_carry_bound_comments():
     for path in sorted(PKG.rglob("*.py")):
         lines = path.read_text().splitlines()
         for i, ln in enumerate(lines):
-            if "Window.orderBy" in ln and not ln.lstrip().startswith("#"):
+            # both unpartitioned spellings: Window.orderBy(...) and the
+            # explicit empty Window.partitionBy() global frame
+            hit = "Window.orderBy" in ln or "Window.partitionBy()" in ln
+            if hit and not ln.lstrip().startswith("#"):
                 ctx = "\n".join(lines[max(0, i - 3) : i])
                 if marker not in ctx:
                     offenders.append(

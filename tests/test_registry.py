@@ -22,6 +22,10 @@ WINDOW = 50
 PREVIOUSLY_UNCHECKED = [
     "sample_perplexity_mixture",
     "multimodal_image_near_dup",
+    "vector_kmeans_assign",
+    "sample_token_budget_mixture",
+    "text_chunk_sliding",
+    "multimodal_image_dedup_groups",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -66,10 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "vector_cosine_topk",
     "window_latest_snapshot_pruned",
     "window_rolling_range_avg",
-    "agg_dup_grain_detector",
-    "agg_grouping_sets_revenue",
-    "analyst_completeness",
-    "analyst_point_in_time",
 ]
 
 

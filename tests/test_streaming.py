@@ -256,3 +256,54 @@ def test_stream_cdc_incremental_equals_batch(spark):
         for r in TO.dedup_cdc_incremental(spark, sf).collect()
     }
     assert got == want and got
+
+
+def test_gold_maintenance_partitioned_equals_unpartitioned(spark, tmp_path):
+    """partition_by_year must be a pure layout choice: the gold table
+    produced through year-partitioned keyed upserts is row-identical to
+    the unpartitioned drive (and the derived p_year column stays a sink
+    artifact — silver rows fed to the recompute never see it)."""
+    from market_data_pipeline_databricks_spark.streaming.ingest import (
+        stream_gold_maintenance,
+    )
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    silver = (
+        li.groupBy(
+            F.col("l_suppkey").cast("string").alias("symbol"),
+            F.col("l_shipdate").cast("date").alias("date"),
+        )
+        .agg(
+            F.max("l_extendedprice").cast("double").alias("close"),
+            F.sum("l_quantity").cast("long").alias("volume"),
+        )
+        .withColumn("source", F.lit("lineitem"))
+    )
+    golds = {}
+    for mode in (False, True):
+        feed = str(tmp_path / f"feed_{mode}")
+        wh = str(tmp_path / f"wh_{mode}")
+        # two chunks so the partitioned path exercises a cross-batch
+        # upsert (second batch patches years the first already wrote)
+        silver.filter(F.col("date") < "1997-01-01").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        silver.filter(F.col("date") >= "1997-01-01").coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        fs = (
+            spark.readStream.schema(silver.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        stream_gold_maintenance(
+            fs,
+            wh,
+            computed_at=dt.datetime(2026, 1, 1),
+            partition_by_year=mode,
+        )
+        golds[mode] = spark.read.parquet(f"{wh}/gold_daily").select(
+            "symbol", "date", "close", "volume", "return_1d", "avg_volume_20d"
+        )
+    cols = ["symbol", "date", "close", "volume", "return_1d", "avg_volume_20d"]
+    assert _rows(golds[False], cols) == _rows(golds[True], cols)

@@ -1733,3 +1733,72 @@ def test_image_ahash_detects_identical_and_rejects_distinct(spark):
     }
     assert pairs.get((1, 2)) == 0, pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# Round 8: grouped image dedup, sliding chunker, token-budget mixture
+# ---------------------------------------------------------------------------
+
+
+def test_image_dedup_groups_encode_exactly_the_pair_list(docs):
+    """The grouped form must stand for EXACTLY the pair-list output:
+    Σ n_image_pairs over group rows == |image_ahash_near_duplicates|
+    (every exact-dup pair appears in the hamming-0 group rows, every
+    cross-hash near-dup pair in a rep-pair row, nothing else)."""
+    media = MM.synthesize_ppm_media(docs)
+    pair_count = MM.image_ahash_near_duplicates(media, max_hamming=3).count()
+    groups = MM.image_ahash_dedup_groups(media, max_hamming=3)
+    total = groups.agg(F.sum("n_image_pairs")).first()[0]
+    assert total == pair_count
+    # group rows must be far fewer than pair rows on a duplicated corpus
+    assert groups.count() < pair_count
+    # hamming-0 rows are exactly the self-pairs (rep_a == rep_b)
+    zero = groups.filter(F.col("hamming") == 0)
+    assert zero.filter(F.col("rep_a") != F.col("rep_b")).count() == 0
+
+
+def test_sliding_chunks_cover_text_and_overlap(spark):
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        text_chunk_sliding,
+    )
+
+    out = text_chunk_sliding(spark, SF)
+    rows = out.collect()
+    assert rows, "chunker must emit rows"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # stride-150 arithmetic grid, idx contiguous from 0
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.chunk_start == 1 + i * 150
+            assert 0 <= c.chunk_len <= 200
+        # consecutive chunks overlap by 50 chars unless the tail is short
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.chunk_start + a.chunk_len >= b.chunk_start, (
+                doc_id,
+                a,
+                b,
+            )  # no gaps: full coverage
+
+
+def test_token_budget_mixture_sums_to_budget(spark):
+    from market_data_pipeline_databricks_spark.plans.text_ops import (
+        sample_token_budget_mixture,
+    )
+
+    out = sample_token_budget_mixture(spark, SF).collect()
+    total_tokens = sum(r.n_tokens for r in out)
+    budget = total_tokens // 2
+    # largest-remainder: uncapped allocation sums to the budget EXACTLY
+    # (capping can only reduce it)
+    alloc = sum(r.alloc_tokens for r in out)
+    if not any(r.capped for r in out):
+        assert alloc == budget
+    else:
+        assert alloc <= budget
+    for r in out:
+        assert r.alloc_tokens <= 2 * r.n_tokens  # epoch cap holds
+        assert r.epochs <= 2.0
