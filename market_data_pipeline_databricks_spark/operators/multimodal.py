@@ -648,11 +648,16 @@ def image_ahash_dedup_groups(
             f"max_hamming {max_hamming} >= 4 bands — pigeonhole recall "
             "guarantee (and oracle equality) would not hold"
         )
+    from pyspark import StorageLevel
+
     ah = image_ahash_words(media)
+    # three consumers (both band-join sides + the exact-group rows) —
+    # persist the tiny distinct-hash frame so the PPM decode
+    # mapInPandas runs once, not three times (plan audit: 6 scans → 2)
     groups = ah.groupBy("w0", "w1").agg(
         F.min("media_id").alias("id"),
         F.count(F.lit(1)).alias("gsize"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [
         F.col("w0").bitwiseAND(F.lit(0xFFFF)).alias("b0"),
         F.shiftright(F.col("w0"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b1"),
@@ -708,3 +713,96 @@ def image_ahash_dedup_groups(
         F.expr("gsize * (gsize - 1) div 2").cast("long").alias("n_image_pairs"),
     )
     return exact.unionByName(cross)
+
+
+def image_ahash_probe(
+    corpus_sigs: DataFrame, batch_sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Incremental image dedup: probe a corpus aHash index with a new
+    batch of image signatures — the daily-crawl shape shared with the
+    text/CDC incremental family (batch probes static index; no
+    corpus×corpus term). Inputs are (media_id, w0, w1) signature
+    frames from :func:`image_ahash_words`; candidates come from
+    equi-joins on the 4×16-bit band values (pigeonhole recall exactly
+    1 for ``max_hamming`` ≤ 3), then the exact popcount filter.
+    Returns one row per BATCH image: (batch_id, n_corpus_matches,
+    min_hamming — NULL when no corpus image is within the radius).
+
+    Scale: the corpus side ships only (id, w0, w1, band) rows; join
+    volume is batch×bucket, linear in the batch for a well-spread
+    index (skewed hash buckets degrade it the same way any band join
+    degrades — the grouped form collapses exact-duplicate corpus
+    hashes first if that matters)."""
+    if max_hamming >= 4:
+        raise ValueError(
+            f"max_hamming {max_hamming} >= 4 bands — pigeonhole recall "
+            "guarantee (and oracle equality) would not hold"
+        )
+
+    def banded(sigs: DataFrame, pref: str) -> DataFrame:
+        band_cols = [
+            F.col("w0").bitwiseAND(F.lit(0xFFFF)).alias("b0"),
+            F.shiftright(F.col("w0"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b1"),
+            F.col("w1").bitwiseAND(F.lit(0xFFFF)).alias("b2"),
+            F.shiftright(F.col("w1"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b3"),
+        ]
+        sig = sigs.select(
+            F.col("media_id").alias(f"{pref}id"),
+            F.col("w0").alias(f"{pref}w0"),
+            F.col("w1").alias(f"{pref}w1"),
+            *band_cols,
+        )
+        return sig.select(
+            f"{pref}id",
+            f"{pref}w0",
+            f"{pref}w1",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.col(f"b{b}").alias("band_val"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("b"),
+        ).select(f"{pref}id", f"{pref}w0", f"{pref}w1", "b.band_id", "b.band_val")
+
+    from pyspark import StorageLevel
+
+    # batch signatures feed the band join AND the final left join —
+    # persist so the batch decode runs once
+    batch_sigs = batch_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    bq = banded(batch_sigs, "q")
+    bc = banded(corpus_sigs, "c")
+    matches = (
+        bq.join(bc, ["band_id", "band_val"])
+        .select(
+            "qid",
+            "cid",
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("cw0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("cw1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["qid", "cid"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    per_batch = matches.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_corpus_matches"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    return (
+        batch_sigs.select(F.col("media_id").alias("batch_id"))
+        .join(per_batch, F.col("batch_id") == F.col("qid"), "left")
+        .select(
+            "batch_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_corpus_matches"),
+            F.col("min_hamming").cast("long").alias("min_hamming"),
+        )
+    )

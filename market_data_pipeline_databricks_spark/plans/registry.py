@@ -44,11 +44,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fixed-stride sliding chunker, grouped image dedup — displace the
     # four r04 tail anchors (analyst_point_in_time,
     # analyst_completeness, agg_grouping_sets_revenue,
-    # agg_dup_grain_detector)
+    # agg_dup_grain_detector); batch-2 additions (incremental image
+    # dedup + streaming twin, cross-source contamination matrix)
+    # displace the three newest r03 anchors (vector_cosine_topk,
+    # window_latest_snapshot_pruned, window_rolling_range_avg)
     "vector_kmeans_assign",
     "sample_token_budget_mixture",
     "text_chunk_sliding",
     "multimodal_image_dedup_groups",
+    "multimodal_image_dedup_incremental",
+    "stream_image_dedup_incremental",
+    "text_cross_source_contamination",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -92,9 +98,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bpe_token_count",
     "text_decontaminate",
     "text_stats",
-    "vector_cosine_topk",
-    "window_latest_snapshot_pruned",
-    "window_rolling_range_avg",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

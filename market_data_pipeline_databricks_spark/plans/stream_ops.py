@@ -544,6 +544,66 @@ def stream_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def stream_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental IMAGE dedup — the crawl-drop pipeline as a
+    stream: new-batch documents (doc_id % 10 == 0) arrive in three
+    micro-batches (availableNow, one file per trigger); each batch
+    synthesizes+decodes ONLY its own images inside foreachBatch and
+    probes the STATIC corpus aHash band index built once up front
+    (localCheckpoint — foreachBatch closures re-evaluate lazy plans).
+    Accumulated output must equal the batch form
+    ``multimodal_image_dedup_incremental`` exactly, so it shares that
+    oracle — the stream==batch equality statement, same bar as the
+    CDC/gold-maintenance twins."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.operators import multimodal as MMX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    batch_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_sigs = MMX.image_ahash_words(
+        MMX.synthesize_ppm_media(docs.filter(F.col("doc_id") % 10 != 0))
+    ).localCheckpoint()
+    feed_dir = tempfile.mkdtemp(prefix=f"img_feed_{_NONCE}_")
+    out_dir = tempfile.mkdtemp(prefix=f"img_out_{_NONCE}_")
+    ckpt_dir = tempfile.mkdtemp(prefix=f"img_ckpt_{_NONCE}_")
+    for part in range(3):
+        batch_docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sigs = MMX.image_ahash_words(MMX.synthesize_ppm_media(batch_df))
+        MMX.image_ahash_probe(corpus_sigs, sigs, max_hamming=3).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    feed = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed_dir)
+    )
+    q = (
+        feed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    out = spark.read.parquet(out_dir).localCheckpoint()
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 QUERIES.update({"stream_cdc_incremental": stream_cdc_incremental})
 
 # streaming micro-batched probing must equal the batch incremental CDC
@@ -552,4 +612,18 @@ from market_data_pipeline_databricks_spark.plans import text_ops as _txo
 
 ORACLE_SQL.update(
     {"stream_cdc_incremental": _txo.ORACLE_SQL["dedup_cdc_incremental"]}
+)
+
+QUERIES.update({"stream_image_dedup_incremental": stream_image_dedup_incremental})
+
+# streaming probe must equal the batch incremental image dedup exactly
+# — shared oracle
+from market_data_pipeline_databricks_spark.plans import vector_ops as _vco
+
+ORACLE_SQL.update(
+    {
+        "stream_image_dedup_incremental": _vco.ORACLE_SQL[
+            "multimodal_image_dedup_incremental"
+        ]
+    }
 )

@@ -252,6 +252,74 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair that
+    shares at least one word 5-gram, the count of shared DISTINCT
+    shingles and both directional containments (shared/|a|, shared/|b|)
+    — the train/test-leakage dashboard generalized to all source pairs
+    (the per-document decontamination screens flag individual docs;
+    this reports WHICH corpora leak into which, the first question a
+    data-mixture owner asks).
+
+    Scale: per-source shingle sets collapse FIRST (distinct on
+    (source, shingle) — one shuffle, linear in corpus), so the
+    self-join on the shingle key fans out at most C(n_sources, 2) rows
+    per distinct shingle — bounded per shingle, linear overall; totals
+    are a tiny aggregate broadcast back onto the pair rows."""
+    docs = _docs(spark, sf_dir)
+    # join on the portable 60-bit shingle hash, not the string: the
+    # shuffle/join payload drops to 8-byte keys (measured 3.7x -> 1.3x
+    # per 10x at the sf1.0 rehearsal; md5 adds ~1.4 s constant at sf0.1) and the DuckDB oracle replays
+    # the exact same md5-derived hash, so counts stay bit-identical
+    # (60-bit collisions would hit both engines identically)
+    sh = docs.select(
+        "source",
+        F.explode(F.array_distinct(TX.shingles(F.col("text"), k=5))).alias(
+            "shingle"
+        ),
+    ).select("source", TX.portable_hash60(F.col("shingle")).alias("h")).distinct()
+    from pyspark import StorageLevel
+
+    # three consumers (totals + both self-join sides) — persist so the
+    # shingle explode + md5 run once (plan audit: 8 scans → 2)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_shingles",
+            F.round(
+                F.col("n_shared_shingles") / F.col("n_a").cast("double"), 6
+            ).alias("containment_in_a"),
+            F.round(
+                F.col("n_shared_shingles") / F.col("n_b").cast("double"), 6
+            ).alias("containment_in_b"),
+        )
+    )
+
+
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by predicted language: mean chars-per-BPE-
     token and BPE-tokens-per-word — the standard report for how
@@ -2552,6 +2620,7 @@ QUERIES = {
     "sample_perplexity_mixture": sample_perplexity_mixture,
     "sample_token_budget_mixture": sample_token_budget_mixture,
     "text_chunk_sliding": text_chunk_sliding,
+    "text_cross_source_contamination": text_cross_source_contamination,
     "text_curation_distill_report": text_curation_distill_report,
     "dedup_incremental_fuzzy_lsh": dedup_incremental_fuzzy_lsh,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -4866,6 +4935,41 @@ WHERE n_bpe_tokens > 0
 GROUP BY lang_pred
 """
 
+
+ORACLE_SQL["text_cross_source_contamination"] = _NORM + r""",
+    docs5 AS (
+      SELECT t.doc_id, d.source,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks)-4, 1) + 1),
+               i -> array_to_string(toks[i:least(i+4, len(toks))], ' ')
+             )) AS shingleset
+      FROM tok t JOIN documents d USING (doc_id)
+    ),
+    shs AS (
+      SELECT DISTINCT source, unnest(shingleset) AS shingle FROM docs5
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM shs
+    ),
+    totals AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+      FROM sh a JOIN sh b
+        ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared_shingles,
+           ROUND(CAST(n_shared_shingles AS DOUBLE) / ta.n, 6)
+             AS containment_in_a,
+           ROUND(CAST(n_shared_shingles AS DOUBLE) / tb.n, 6)
+             AS containment_in_b
+    FROM shared
+    JOIN totals ta ON ta.source = shared.source_a
+    JOIN totals tb ON tb.source = shared.source_b
+"""
 
 ORACLE_SQL["sample_token_budget_mixture"] = _NORM + """,
     per_source AS (

@@ -465,6 +465,27 @@ def multimodal_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def multimodal_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image dedup, batch form: the new crawl drop
+    (doc_id % 10 == 0) probes the static corpus aHash band index
+    (doc_id % 10 != 0) — one row per batch image with its corpus match
+    count and closest Hamming distance. The image analogue of the
+    text/CDC batch-probes-index incremental family; the streaming twin
+    (`stream_image_dedup_incremental`) must equal this exactly and
+    shares the oracle. Filters run BEFORE synthesis/decode, so only
+    needed images are decoded."""
+    from market_data_pipeline_databricks_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_sigs = MM.image_ahash_words(
+        MM.synthesize_ppm_media(docs.filter(F.col("doc_id") % 10 != 0))
+    )
+    batch_sigs = MM.image_ahash_words(
+        MM.synthesize_ppm_media(docs.filter(F.col("doc_id") % 10 == 0))
+    )
+    return MM.image_ahash_probe(corpus_sigs, batch_sigs, max_hamming=3)
+
+
 def vector_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 5 iterations) over the full
     embedding corpus, rolled up per cluster — the whole-corpus
@@ -621,6 +642,7 @@ QUERIES = {
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_image_near_dup": multimodal_image_near_dup,
     "multimodal_image_dedup_groups": multimodal_image_dedup_groups,
+    "multimodal_image_dedup_incremental": multimodal_image_dedup_incremental,
     "curate_multimodal_corpus": curate_multimodal_corpus,
     "curate_multimodal_corpus_lsh": curate_multimodal_corpus_lsh,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
@@ -1267,4 +1289,48 @@ SELECT CAST(id AS BIGINT) AS rep_a, CAST(id AS BIGINT) AS rep_b,
 FROM groups WHERE gsize >= 2
 UNION ALL
 SELECT rep_a, rep_b, hamming, n_image_pairs FROM cross_pairs
+"""
+
+ORACLE_SQL["multimodal_image_dedup_incremental"] = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + (doc_id % 5) * 4 AS w,
+         8 + (n_chars % 7) * 4 AS h
+  FROM documents
+),
+grid AS (
+  SELECT i.range AS i, j.range AS j FROM range(8) i, range(8) j
+),
+cells AS (
+  SELECT doc_id, (i * 8 + j) AS k,
+         (doc_id * 31 + ((i * h) // 8) * w + ((j * w) // 8)) % 256 AS px
+  FROM dims CROSS JOIN grid
+),
+tot AS (SELECT doc_id, SUM(px) AS total FROM cells GROUP BY doc_id),
+sigs AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN k < 32 AND px * 64 > total
+                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN k >= 32 AND px * 64 > total
+                       THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS w1
+  FROM cells c JOIN tot USING (doc_id)
+  GROUP BY c.doc_id
+),
+pairs AS (
+  SELECT b.doc_id AS bid,
+         CAST(bit_count(xor(b.w0, c.w0)) + bit_count(xor(b.w1, c.w1)) AS BIGINT)
+           AS h
+  FROM sigs b JOIN sigs c
+    ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+  WHERE bit_count(xor(b.w0, c.w0)) + bit_count(xor(b.w1, c.w1)) <= 3
+),
+agg AS (
+  SELECT bid, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(h) AS BIGINT) AS mh
+  FROM pairs GROUP BY bid
+)
+SELECT s.doc_id AS batch_id,
+       COALESCE(a.n, 0) AS n_corpus_matches,
+       a.mh AS min_hamming
+FROM sigs s LEFT JOIN agg a ON s.doc_id = a.bid
+WHERE s.doc_id % 10 = 0
 """

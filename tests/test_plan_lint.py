@@ -51,6 +51,7 @@ PANDAS_OK = {
     "multimodal_image_resize",
     "multimodal_image_near_dup",
     "multimodal_image_dedup_groups",  # same PPM-decode mapInPandas stage
+    "multimodal_image_dedup_incremental",  # same PPM-decode mapInPandas stage
     # r6 scale-adaptive similarity: matmul bucket hashing
     # (ArrowEvalPython) on the banded path, block-pair GEMM
     # (FlatMapCoGroupsInPandas) on the bulk-threshold exact path

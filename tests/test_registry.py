@@ -26,6 +26,9 @@ PREVIOUSLY_UNCHECKED = [
     "sample_token_budget_mixture",
     "text_chunk_sliding",
     "multimodal_image_dedup_groups",
+    "multimodal_image_dedup_incremental",
+    "stream_image_dedup_incremental",
+    "text_cross_source_contamination",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -67,9 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "text_bpe_token_count",
     "text_decontaminate",
     "text_stats",
-    "vector_cosine_topk",
-    "window_latest_snapshot_pruned",
-    "window_rolling_range_avg",
 ]
 
 

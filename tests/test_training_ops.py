@@ -1802,3 +1802,31 @@ def test_token_budget_mixture_sums_to_budget(spark):
     for r in out:
         assert r.alloc_tokens <= 2 * r.n_tokens  # epoch cap holds
         assert r.epochs <= 2.0
+
+
+def test_image_probe_matches_pairlist_cross_edges(docs):
+    """The incremental probe must report exactly the batch→corpus
+    edges of the full pair list: for each batch image, its pair-list
+    neighbors restricted to corpus ids."""
+    corpus_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    batch_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    media_all = MM.synthesize_ppm_media(docs)
+    pairs = MM.image_ahash_near_duplicates(media_all, max_hamming=3).collect()
+    expected = {}
+    for r in pairs:
+        for x, y in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            if x % 10 == 0 and y % 10 != 0:
+                n, mh = expected.get(x, (0, None))
+                expected[x] = (
+                    n + 1,
+                    r.hamming if mh is None else min(mh, r.hamming),
+                )
+    out = MM.image_ahash_probe(
+        MM.image_ahash_words(MM.synthesize_ppm_media(corpus_docs)),
+        MM.image_ahash_words(MM.synthesize_ppm_media(batch_docs)),
+        max_hamming=3,
+    ).collect()
+    got = {r.batch_id: (r.n_corpus_matches, r.min_hamming) for r in out}
+    assert set(got) == {r.doc_id for r in batch_docs.select("doc_id").collect()}
+    for bid, (n, mh) in got.items():
+        assert (n, mh) == expected.get(bid, (0, None)), bid
