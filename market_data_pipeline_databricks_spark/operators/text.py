@@ -612,3 +612,100 @@ def cdc_chunks(
         .filter(F.length("chunk_text") > 0)  # empty docs yield no chunks
         .withColumn("chunk_fp", F.md5("chunk_text"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.25,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus for a fixed set of
+    keyword queries — the inverted-index workload (Robertson & Zaragoza
+    2009, Lucene's idf form ln(1 + (N − df + ½)/(df + ½)) so scores
+    stay positive). No reference analog; LLM-pipeline extension (the
+    standard quality probe for "is this corpus searchable / which docs
+    dominate a term").
+
+    Scale shape: one tokenize+explode off the scan with the query-term
+    IN filter applied BEFORE the (doc, term) groupBy, so the posting
+    shuffle carries only matching terms; the posting table persists
+    because document frequency is a second consumer (a groupBy over
+    the already-distinct posting rows, ≤ |query vocab| result rows,
+    broadcast back) — without the persist Catalyst re-runs the corpus
+    tokenize for a 10-row aggregate. Corpus stats (N, Σdl) are a
+    1-row broadcast off a separate explode-free pass (size(split),
+    no shuffle). Per-term contributions round through decimal(27,12)
+    before the (query, doc) sum so the score is independent of
+    partial-sum order on any engine. Top-k is a single row_number
+    window per query: Spark's WindowGroupLimit rewrite runs a partial
+    top-k on the map side BEFORE the exchange, so the final per-query
+    task sorts ≤ k·n_input_partitions rows, never a whole posting
+    list (plan-audited; the hand-salted two-phase form costs one more
+    exchange for the same bound).
+
+    Float parity contract with the DuckDB oracle: k1 and b must be
+    exact binary fractions (defaults 1.25/0.75) so every constant
+    folds to the identical double on both engines; all arithmetic is
+    then IEEE ops over identical expression trees.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    q_rows = sorted(
+        {(int(qid), t) for qid, qtext in queries for t in qtext.split()}
+    )
+    qterms = spark.createDataFrame(q_rows, "query_id long, term string")
+    all_terms = sorted({t for _, t in q_rows})
+
+    lens = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    from pyspark import StorageLevel
+
+    # two consumers (scoring join + document frequency) — persist the
+    # small posting table (≤ |docs|·|qvocab| rows) so the corpus
+    # tokenize/explode runs once
+    tf = (
+        lens.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    denom = tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld / avgdl)
+    contrib = (idf * (tfd * F.lit(k1 + 1.0)) / denom).cast("decimal(27,12)")
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("c", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
+    )
+    # |queries| partitions, but WindowGroupLimit's map-side partial
+    # keeps ≤ k rows per (query, input partition) before the exchange
+    wglob = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wglob).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

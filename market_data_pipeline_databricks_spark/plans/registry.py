@@ -55,6 +55,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_image_dedup_incremental",
     "stream_image_dedup_incremental",
     "text_cross_source_contamination",
+    # batch-4 additions (BM25 retrieval, soft-dedup sampling mass,
+    # ORC/JSON sink→source roundtrips) displace the four newest r03
+    # anchors (text_stats, text_decontaminate, text_bpe_token_count,
+    # stream_tumbling_daily_counts)
+    "text_bm25_topk",
+    "sample_soft_dedup_weights",
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -94,10 +102,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_session_window_stats",
     "stream_sliding_window_counts",
     "stream_stream_click_attribution",
-    "stream_tumbling_daily_counts",
-    "text_bpe_token_count",
-    "text_decontaminate",
-    "text_stats",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

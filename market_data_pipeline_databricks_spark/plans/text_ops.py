@@ -1416,6 +1416,67 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed retrieval workload for text_bm25_topk — vocabulary words the
+# synthetic corpus actually contains, distinct terms per query
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "fast hash join"),
+    (2, "stream window agg"),
+    (3, "slow table scan merge"),
+]
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per keyword query (Okapi, Lucene idf) — the
+    inverted-index retrieval workload. Query-term filter runs before
+    the posting groupBy; df and corpus stats broadcast; top-k is the
+    salted two-phase rank (no single-task sort of a query's full
+    posting list). Scores sum through decimal(27,12) so the DuckDB
+    oracle replays every contribution bit-for-bit."""
+    return TX.bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
+
+
+def sample_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling mass per source (soft dedup): instead
+    of dropping exact duplicates, each doc gets weight 1/g where g is
+    its GLOBAL fingerprint-group size, and the report shows every
+    source's raw vs effective (duplication-discounted) token mass plus
+    the inflation ratio — the first table a mixture owner reads before
+    setting per-source sampling rates (a duplicated source's raw token
+    count overstates its real contribution).
+
+    Scale shape: one projection computes fp + token count off the
+    scan; group size is a COUNT window over the fp partition (one
+    shuffle, no self-join); the per-source rollup is a second shuffle
+    on ~|sources| keys. Weights sum through decimal(27,12) so the
+    aggregate is partial-sum-order independent and the DuckDB oracle
+    replays it exactly."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        "source",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.token_count(F.col("text")).alias("ntok"),
+    )
+    g = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    weighted = base.withColumn(
+        "eff", (F.col("ntok").cast("double") / g).cast("decimal(27,12)")
+    )
+    out = weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_unique"),
+        F.sum("ntok").cast("long").alias("raw_tokens"),
+        F.round(F.sum("eff").cast("double"), 6).alias("effective_tokens"),
+    )
+    return out.withColumn(
+        "dup_inflation",
+        F.round(
+            F.col("raw_tokens").cast("double") / F.col("effective_tokens"), 6
+        ),
+    )
+
+
 def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source document cap (keep ≤ 20 docs/source):
     the domain-balancing primitive that stops one crawl source from
@@ -2624,6 +2685,8 @@ QUERIES = {
     "text_curation_distill_report": text_curation_distill_report,
     "dedup_incremental_fuzzy_lsh": dedup_incremental_fuzzy_lsh,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_bm25_topk": text_bm25_topk,
+    "sample_soft_dedup_weights": sample_soft_dedup_weights,
     "sample_source_cap": sample_source_cap,
     "curate_chunk_corpus": curate_chunk_corpus,
     "curate_chunk_corpus_lsh": curate_chunk_corpus_lsh,
@@ -5047,4 +5110,77 @@ WHERE (('0x' || substr(md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) 
       < CASE WHEN avg_neg_logprob_kn > b2 THEN 100
              WHEN avg_neg_logprob_kn > b1 THEN 500
              ELSE 1000 END
+"""
+
+# Float-parity notes: k1=1.25, b=0.75, k1+1=2.25 are exact binary
+# fractions (DuckDB's DECIMAL literals cast to the identical doubles
+# Spark's float literals produce); every division/multiplication sits
+# in the same expression tree as the Spark side, so the doubles match
+# bit-for-bit before the decimal(27,12) quantization.
+ORACLE_SQL["text_bm25_topk"] = _NORM + r""",
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tok),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM lens)
+      WHERE term IN ('fast','hash','join','stream','window','agg',
+                     'slow','table','scan','merge')
+      GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    q(query_id, term) AS (
+      VALUES (1,'fast'),(1,'hash'),(1,'join'),
+             (2,'agg'),(2,'stream'),(2,'window'),
+             (3,'merge'),(3,'scan'),(3,'slow'),(3,'table')
+    ),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(
+               ln(1.0 + (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+               * (CAST(tf AS DOUBLE) * CAST(2.25 AS DOUBLE))
+               / (CAST(tf AS DOUBLE)
+                  + CAST(1.25 AS DOUBLE)
+                    * (CAST(0.25 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+                         / (CAST(sum_dl AS DOUBLE) / n_docs)))
+               AS DECIMAL(27,12)) AS c
+      FROM tf JOIN q USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rnk AS rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+"""
+
+ORACLE_SQL["sample_soft_dedup_weights"] = _NORM + r""",
+    base AS (
+      SELECT t.doc_id, d.source, md5(t.ntext) AS fp,
+             CAST(len(t.toks) AS BIGINT) AS ntok
+      FROM tok t JOIN documents d USING (doc_id)
+    ),
+    weighted AS (
+      SELECT source, fp, ntok,
+             CAST(CAST(ntok AS DOUBLE)
+                  / (COUNT(*) OVER (PARTITION BY fp))
+               AS DECIMAL(27,12)) AS eff
+      FROM base
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+             CAST(SUM(ntok) AS BIGINT) AS raw_tokens,
+             ROUND(CAST(SUM(eff) AS DOUBLE), 6) AS effective_tokens
+      FROM weighted GROUP BY source
+    )
+    SELECT *, ROUND(CAST(raw_tokens AS DOUBLE) / effective_tokens, 6)
+             AS dup_inflation
+    FROM agg
 """

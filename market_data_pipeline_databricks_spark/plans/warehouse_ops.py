@@ -407,3 +407,94 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Source/sink format roundtrips: the orders table leaves through a
+# non-parquet sink, comes back through the matching source, and must
+# aggregate identically to the parquet original (the DuckDB oracle
+# reads the parquet view, so any lossiness in the sink/source pair —
+# decimal precision, date encoding, null handling — breaks the hash).
+# Files are written per run under a pid-nonce tmp dir and removed
+# after a localCheckpoint pins the (tiny) aggregate.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_FMT_NONCE = f"f{_os.getpid()}"
+
+
+def _orders_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        "o_orderdate",
+    )
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_totalprice").cast("decimal(27,2)").alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    src = _orders_projection(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix=f"rt_{fmt}_{_FMT_NONCE}_")
+    try:
+        src.write.mode("overwrite").format(fmt).save(out_dir)
+        # JSON carries no schema — read back with the writer's schema
+        # (production contract: schema-on-read is pinned by the table
+        # DDL, never inferred); ORC embeds its schema but the explicit
+        # one asserts the same contract.
+        back = spark.read.format(fmt).schema(src.schema).load(out_dir)
+        return _roundtrip_agg(back).localCheckpoint()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC sink → ORC source → aggregate == parquet oracle
+    (columnar format parity: decimals, dates, predicate-compatible
+    statistics survive the trip)."""
+    return _format_roundtrip(spark, sf_dir, "orc")
+
+
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON-lines sink → schema-on-read JSON source →
+    aggregate == parquet oracle (text interchange parity: decimal
+    string forms and ISO dates parse back losslessly under the pinned
+    schema — the lake-landing-zone contract)."""
+    return _format_roundtrip(spark, sf_dir, "json")
+
+
+QUERIES.update(
+    {
+        "source_orc_roundtrip": source_orc_roundtrip,
+        "source_json_roundtrip": source_json_roundtrip,
+    }
+)
+
+_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+         AS total_price,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date
+FROM orders GROUP BY o_orderstatus
+"""
+
+ORACLE_SQL.update(
+    {
+        "source_orc_roundtrip": _ROUNDTRIP_SQL,
+        "source_json_roundtrip": _ROUNDTRIP_SQL,
+    }
+)

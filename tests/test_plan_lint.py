@@ -38,6 +38,8 @@ EAGER = {
     "text_curation_distill_report",  # MLlib fit at construction
     "vector_ann_quality_report",  # IVF training at construction
     "graph_frequent_itemsets",  # basket-stats action (n, max width) at construction
+    "source_orc_roundtrip",  # writes the roundtrip files at construction
+    "source_json_roundtrip",  # writes the roundtrip files at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these

@@ -29,6 +29,10 @@ PREVIOUSLY_UNCHECKED = [
     "multimodal_image_dedup_incremental",
     "stream_image_dedup_incremental",
     "text_cross_source_contamination",
+    "text_bm25_topk",
+    "sample_soft_dedup_weights",
+    "source_orc_roundtrip",
+    "source_json_roundtrip",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -66,10 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "stream_session_window_stats",
     "stream_sliding_window_counts",
     "stream_stream_click_attribution",
-    "stream_tumbling_daily_counts",
-    "text_bpe_token_count",
-    "text_decontaminate",
-    "text_stats",
 ]
 
 

@@ -1830,3 +1830,98 @@ def test_image_probe_matches_pairlist_cross_edges(docs):
     assert set(got) == {r.doc_id for r in batch_docs.select("doc_id").collect()}
     for bid, (n, mh) in got.items():
         assert (n, mh) == expected.get(bid, (0, None)), bid
+
+
+def test_bm25_matches_bruteforce(spark):
+    """BM25 scores and ranks on a hand-built corpus must equal a pure-
+    Python reference computation of the same Okapi/Lucene formula."""
+    import math
+
+    texts = {
+        1: "fast hash join fast fast",
+        2: "slow sort merge join",
+        3: "hash table scan",
+        4: "window agg stream stream",
+        5: "fast",
+        6: "the quick brown fox",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    queries = [(1, "fast hash"), (2, "stream join")]
+    out = TX.bm25_topk(df, queries, k=3).collect()
+
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.25, 0.75
+
+    def score(qterms, d):
+        s = 0.0
+        for t in set(qterms):
+            tf = toks[d].count(t)
+            if tf == 0:
+                continue
+            df_t = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+            dl = len(toks[d])
+            s += round(
+                idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)),
+                12,
+            )
+        return round(s, 6)
+
+    for qid, qtext in queries:
+        scored = sorted(
+            (
+                (score(qtext.split(), d), d)
+                for d in toks
+                if score(qtext.split(), d) > 0
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )[:3]
+        got = sorted(
+            [
+                (r.score, r.doc_id, r.rank)
+                for r in out
+                if r.query_id == qid
+            ],
+            key=lambda p: p[2],
+        )
+        assert [(s, d) for s, d, _ in got] == scored, (qid, got, scored)
+        assert [r for _, _, r in got] == list(range(1, len(scored) + 1))
+
+
+def test_soft_dedup_weights_invariants(spark):
+    """Effective token mass is raw mass discounted by GLOBAL duplicate
+    multiplicity: a doc duplicated across two sources contributes half
+    its tokens to each; unique docs contribute fully."""
+    from market_data_pipeline_databricks_spark.plans import text_ops as TO
+
+    rows = [
+        # doc duplicated across srcA and srcB (global g=2, 3 tokens)
+        (1, "srcA", "alpha beta gamma"),
+        (2, "srcB", "alpha beta gamma"),
+        # exact pair inside srcA (g=2, 2 tokens)
+        (3, "srcA", "delta epsilon"),
+        (4, "srcA", "delta epsilon"),
+        # unique (4 tokens)
+        (5, "srcB", "zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="softdedup_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r.source: r
+        for r in TO.sample_soft_dedup_weights(spark, d).collect()
+    }
+    a, b = out["srcA"], out["srcB"]
+    assert (a.n_docs, a.n_unique, a.raw_tokens) == (3, 2, 7)
+    assert (b.n_docs, b.n_unique, b.raw_tokens) == (2, 2, 7)
+    # srcA: 3/2 (shared with B) + 2/2 + 2/2 = 3.5 ; srcB: 3/2 + 4 = 5.5
+    assert a.effective_tokens == 3.5
+    assert b.effective_tokens == 5.5
+    assert a.dup_inflation == 2.0
+    assert b.dup_inflation == round(7 / 5.5, 6)
