@@ -63,6 +63,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sample_soft_dedup_weights",
     "source_orc_roundtrip",
     "source_json_roundtrip",
+    # batch-5 addition (z-order clustered layout drive) displaces
+    # stream_stream_click_attribution (next-stalest r03 anchor)
+    "scale_zorder_clustering",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -101,7 +104,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "skew_salted_join_orders",
     "stream_session_window_stats",
     "stream_sliding_window_counts",
-    "stream_stream_click_attribution",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

@@ -441,3 +441,93 @@ ORACLE_SQL.update(
     """,
     }
 )
+
+
+def scale_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-ZORDER-style layout drive: lineitem is rewritten
+    clustered by the Morton code of (l_orderkey, l_partkey), then a
+    conjunctive box predicate on BOTH keys reads the clustered copy
+    and aggregates. The box is computed from the key ranges in exact
+    integer arithmetic (min + span div 4 .. + span div 16), so the
+    DuckDB oracle replays the identical filter over the original
+    parquet — the z-rewrite must be a pure re-layout (any lost or
+    duplicated row breaks the hash). The pruning effect itself
+    (matches concentrate in few files vs. a hash layout touching all
+    of them) is pinned by tests/test_training_ops.py; at cluster scale
+    the same footer stats drive Delta/Iceberg file skipping.
+
+    EAGER: writes the clustered copy at construction (plan-linted via
+    its own test, like the other construction-time writers)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.operators.zorder import (
+        write_zordered,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    out_dir = tempfile.mkdtemp(prefix="zorder_li_")
+    try:
+        write_zordered(li, out_dir, "l_orderkey", "l_partkey", n_files=32)
+        z = spark.read.parquet(out_dir)
+        b = li.agg(
+            F.min("l_orderkey").alias("o_lo"),
+            F.max("l_orderkey").alias("o_hi"),
+            F.min("l_partkey").alias("p_lo"),
+            F.max("l_partkey").alias("p_hi"),
+        )
+        boxed = (
+            z.crossJoin(F.broadcast(b))
+            .filter(
+                F.col("l_orderkey").between(
+                    F.col("o_lo") + F.expr("(o_hi - o_lo) div 4"),
+                    F.col("o_lo")
+                    + F.expr("(o_hi - o_lo) div 4 + (o_hi - o_lo) div 16"),
+                )
+                & F.col("l_partkey").between(
+                    F.col("p_lo") + F.expr("(p_hi - p_lo) div 4"),
+                    F.col("p_lo")
+                    + F.expr("(p_hi - p_lo) div 4 + (p_hi - p_lo) div 16"),
+                )
+            )
+        )
+        return (
+            boxed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+                .cast("decimal(27,2)")
+                .alias("sum_price"),
+                F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+                .cast("decimal(27,2)")
+                .alias("sum_qty"),
+            )
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+QUERIES.update({"scale_zorder_clustering": scale_zorder_clustering})
+
+ORACLE_SQL.update(
+    {
+        "scale_zorder_clustering": """
+WITH b AS (
+  SELECT MIN(l_orderkey) AS o_lo, MAX(l_orderkey) AS o_hi,
+         MIN(l_partkey) AS p_lo, MAX(l_partkey) AS p_hi
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DECIMAL(27,2))
+         AS sum_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DECIMAL(27,2))
+         AS sum_qty
+FROM lineitem, b
+WHERE l_orderkey BETWEEN o_lo + (o_hi - o_lo) // 4
+                     AND o_lo + (o_hi - o_lo) // 4 + (o_hi - o_lo) // 16
+  AND l_partkey BETWEEN p_lo + (p_hi - p_lo) // 4
+                    AND p_lo + (p_hi - p_lo) // 4 + (p_hi - p_lo) // 16
+"""
+    }
+)

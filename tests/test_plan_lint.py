@@ -40,6 +40,7 @@ EAGER = {
     "graph_frequent_itemsets",  # basket-stats action (n, max width) at construction
     "source_orc_roundtrip",  # writes the roundtrip files at construction
     "source_json_roundtrip",  # writes the roundtrip files at construction
+    "scale_zorder_clustering",  # writes the clustered copy at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these

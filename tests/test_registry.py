@@ -33,6 +33,7 @@ PREVIOUSLY_UNCHECKED = [
     "sample_soft_dedup_weights",
     "source_orc_roundtrip",
     "source_json_roundtrip",
+    "scale_zorder_clustering",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -69,7 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "skew_salted_join_orders",
     "stream_session_window_stats",
     "stream_sliding_window_counts",
-    "stream_stream_click_attribution",
 ]
 
 

@@ -1925,3 +1925,61 @@ def test_soft_dedup_weights_invariants(spark):
     assert b.effective_tokens == 5.5
     assert a.dup_inflation == 2.0
     assert b.dup_inflation == round(7 / 5.5, 6)
+
+
+def test_zorder_layout_concentrates_box_matches(spark):
+    """The point of the z-layout: a two-key box predicate's matching
+    rows live in FEW files of the clustered copy, but are spread over
+    essentially ALL files of a hash-partitioned copy of the same data
+    — the footer-stats pruning win, measured."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.operators.zorder import (
+        write_zordered,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    zdir = tempfile.mkdtemp(prefix="zli_")
+    hdir = tempfile.mkdtemp(prefix="hli_")
+    try:
+        write_zordered(li, zdir, "l_orderkey", "l_partkey", n_files=32)
+        li.repartition(32, "l_orderkey").write.mode("overwrite").parquet(hdir)
+        lo, hi, plo, phi = li.agg(
+            F.min("l_orderkey"), F.max("l_orderkey"),
+            F.min("l_partkey"), F.max("l_partkey"),
+        ).first()
+        box = (
+            F.col("l_orderkey").between(
+                lo + (hi - lo) // 4, lo + (hi - lo) // 4 + (hi - lo) // 16
+            )
+            & F.col("l_partkey").between(
+                plo + (phi - plo) // 4,
+                plo + (phi - plo) // 4 + (phi - plo) // 16,
+            )
+        )
+
+        def files_touched(d):
+            return (
+                spark.read.parquet(d)
+                .filter(box)
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+
+        zn, hn = files_touched(zdir), files_touched(hdir)
+        # same rows either way (pure re-layout)
+        assert (
+            spark.read.parquet(zdir).filter(box).count()
+            == spark.read.parquet(hdir).filter(box).count()
+        )
+        # hash layout scatters the box across ~all 32 files; the
+        # z-layout needs only the files whose 2-D envelope meets it
+        assert hn >= 24, hn
+        assert zn <= hn // 3, (zn, hn)
+    finally:
+        shutil.rmtree(zdir, ignore_errors=True)
+        shutil.rmtree(hdir, ignore_errors=True)
