@@ -806,3 +806,43 @@ def image_ahash_probe(
             F.col("min_hamming").cast("long").alias("min_hamming"),
         )
     )
+
+
+WAV_ZC_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("zc", T.LongType(), True),
+    ]
+)
+
+
+def wav_zero_crossing_stats(media: DataFrame) -> DataFrame:
+    """REAL PCM parse + zero-crossing count over the binary column:
+    decode_wav chunk-walks the RIFF container, then the crossing count
+    is the number of sign transitions over the NONZERO samples
+    (quantization zeros are ignored — a zero sample sits at most
+    singly inside a crossing, so skipping it counts the crossing
+    exactly once). For the synthetic sine corpus this equals the
+    analytic ``floor((n−1)·2f/rate)`` bit-for-bit — the sample spacing
+    (≥0.025 cycles) dwarfs the int16 quantization zero band (~1.2e-5
+    cycles), two consecutive zeros are impossible, and (n−1)·2f/rate
+    is never an integer here ((n−1) is odd while the ratio needs a
+    32-divisible numerator) — which is what lets a DuckDB oracle replay
+    a real signal-processing decode as integer arithmetic. Arrow-
+    batched mapInPandas; bytes never enter a shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, zcs = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                x, _rate = decode_wav(bytes(content))
+                s = np.sign(x)
+                nz = s[s != 0]
+                zc = int(np.count_nonzero(nz[1:] != nz[:-1])) if nz.size else 0
+                ids.append(int(mid))
+                ns.append(int(len(x)))
+                zcs.append(zc)
+            yield pd.DataFrame({"media_id": ids, "n_samples": ns, "zc": zcs})
+
+    return media.mapInPandas(kernel, WAV_ZC_SCHEMA)

@@ -66,6 +66,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # batch-5 addition (z-order clustered layout drive) displaces
     # stream_stream_click_attribution (next-stalest r03 anchor)
     "scale_zorder_clustering",
+    # batch-6 addition (real-decode audio fingerprint dedup) displaces
+    # stream_sliding_window_counts
+    "multimodal_audio_near_dup",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -103,7 +106,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sample_train_test_split",
     "skew_salted_join_orders",
     "stream_session_window_stats",
-    "stream_sliding_window_counts",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

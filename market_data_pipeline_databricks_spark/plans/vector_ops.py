@@ -269,6 +269,46 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup by signal fingerprint, REAL decode: each document's
+    synthetic WAV is parsed back (RIFF chunk walk + PCM) and
+    fingerprinted by its zero-crossing rate — the classic cheap pitch
+    estimator — then clips collapse into frequency-bin duplicate
+    groups (clips of the same tone are re-recordings of the same
+    content at different lengths). The estimated frequency bin is
+    recovered from the crossing count by exact ceil-division (the ZC
+    estimate underestimates f by < rate/(2(n−1)) < the 25 Hz grid
+    spacing, so the unique grid point at or above the estimate IS the
+    source tone), which makes the whole pipeline — decode included —
+    replayable by the DuckDB oracle's analytic crossing count.
+    Output: one row per frequency bin with the duplicate-group facts.
+
+    Scale shape: decode is one Arrow mapInPandas pass (bytes never
+    shuffle); the group-by carries 3 integers per clip."""
+    from market_data_pipeline_databricks_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = MM.wav_zero_crossing_stats(MM.synthesize_wav_media(docs))
+    # k = ceil((zc·rate − 400(n−1)) / 50(n−1)); +200·den shift keeps the
+    # numerator positive so trunc-div == floor-div == ceil after the
+    # +den−1 adjustment, identically on both engines
+    k = F.expr(
+        "(zc*8000 - 400*(n_samples-1) + 200*(50*(n_samples-1))"
+        " + 50*(n_samples-1) - 1) div (50*(n_samples-1)) - 200"
+    )
+    binned = st.select(
+        "media_id", "n_samples", (F.lit(200) + F.lit(25) * k).alias("freq_hz")
+    )
+    return binned.groupBy(F.col("freq_hz").cast("long").alias("freq_hz")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.min("media_id").alias("rep_id"),
+        F.expr("count(1) * (count(1) - 1) div 2").cast("long").alias(
+            "n_dup_pairs"
+        ),
+        F.sum("n_samples").cast("long").alias("sum_samples"),
+    )
+
+
 def vector_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(label, dimension) centroid components of the embedding
     corpus — the k-means E-step statistic / class-prototype builder,
@@ -646,6 +686,7 @@ QUERIES = {
     "curate_multimodal_corpus": curate_multimodal_corpus,
     "curate_multimodal_corpus_lsh": curate_multimodal_corpus_lsh,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
+    "multimodal_audio_near_dup": multimodal_audio_near_dup,
     "vector_near_dup_pairs": vector_near_dup_pairs,
     "vector_ann_lsh_topk": vector_ann_lsh_topk,
     "vector_ann_near_dup_lsh": vector_ann_near_dup_lsh,
@@ -1333,4 +1374,26 @@ SELECT s.doc_id AS batch_id,
        a.mh AS min_hamming
 FROM sigs s LEFT JOIN agg a ON s.doc_id = a.bid
 WHERE s.doc_id % 10 = 0
+"""
+
+ORACLE_SQL["multimodal_audio_near_dup"] = """
+WITH st AS (
+  SELECT doc_id,
+         CAST(n_chars * 8 AS BIGINT) AS n_samples,
+         ((n_chars * 8 - 1) * 2 * (200 + (doc_id % 20) * 25)) // 8000 AS zc
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, n_samples,
+         200 + 25 * ((zc*8000 - 400*(n_samples-1) + 200*(50*(n_samples-1))
+                      + 50*(n_samples-1) - 1) // (50*(n_samples-1)) - 200)
+           AS freq_hz
+  FROM st
+)
+SELECT CAST(freq_hz AS BIGINT) AS freq_hz,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       MIN(doc_id) AS rep_id,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_dup_pairs,
+       CAST(SUM(n_samples) AS BIGINT) AS sum_samples
+FROM binned GROUP BY freq_hz
 """

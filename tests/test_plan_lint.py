@@ -51,6 +51,7 @@ PANDAS_OK = {
     "multimodal_frame_sample",
     "multimodal_feature_extract",
     "multimodal_wav_roundtrip",
+    "multimodal_audio_near_dup",  # same WAV-decode mapInPandas stage
     "multimodal_image_resize",
     "multimodal_image_near_dup",
     "multimodal_image_dedup_groups",  # same PPM-decode mapInPandas stage

@@ -34,6 +34,7 @@ PREVIOUSLY_UNCHECKED = [
     "source_orc_roundtrip",
     "source_json_roundtrip",
     "scale_zorder_clustering",
+    "multimodal_audio_near_dup",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -69,7 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "sample_train_test_split",
     "skew_salted_join_orders",
     "stream_session_window_stats",
-    "stream_sliding_window_counts",
 ]
 
 

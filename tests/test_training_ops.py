@@ -1983,3 +1983,18 @@ def test_zorder_layout_concentrates_box_matches(spark):
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
         shutil.rmtree(hdir, ignore_errors=True)
+
+
+def test_wav_zero_crossings_match_analytic(docs):
+    """The decoded zero-crossing count (zeros ignored) must equal the
+    analytic floor((n-1)*2f/rate) for every synthetic clip — the
+    identity that lets the audio-dedup oracle replay a real PCM decode
+    as integer arithmetic."""
+    st = MM.wav_zero_crossing_stats(MM.synthesize_wav_media(docs)).collect()
+    meta = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    assert len(st) == len(meta)
+    for r in st:
+        n = meta[r.media_id] * 8
+        f = 200 + (r.media_id % 20) * 25
+        assert r.n_samples == n
+        assert r.zc == ((n - 1) * 2 * f) // 8000, (r.media_id, r.zc)
