@@ -69,6 +69,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # batch-6 addition (real-decode audio fingerprint dedup) displaces
     # stream_sliding_window_counts
     "multimodal_audio_near_dup",
+    # batch-7 additions (right-to-erasure drive, schema-evolution
+    # landing) displace stream_session_window_stats and
+    # skew_salted_join_orders
+    "warehouse_erase_rtbf",
+    "source_schema_evolution",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -104,8 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pack_training_sequences",
     "quality_zscore_outliers",
     "sample_train_test_split",
-    "skew_salted_join_orders",
-    "stream_session_window_stats",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

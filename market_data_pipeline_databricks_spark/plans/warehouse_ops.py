@@ -498,3 +498,126 @@ ORACLE_SQL.update(
         "source_json_roundtrip": _ROUNDTRIP_SQL,
     }
 )
+
+
+def warehouse_erase_rtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure drive (GDPR hard delete): orders lands
+    year-partitioned in a throwaway warehouse, a deterministic key
+    batch (o_custkey % 97 == 0) is hard-deleted via the
+    partition-scoped erase (sources/writers.py:erase_keys — broadcast
+    key set, rewrite bounded by touched partitions, null-safe key
+    matching), and the post-erase table aggregates per status with the
+    audit count as a column. The DuckDB oracle replays the erase as a
+    plain anti-filter over the original table — any row the rewrite
+    lost, kept, or duplicated breaks the hash. EAGER (writes at
+    construction)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources import writers as W
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        "o_orderdate",
+    ).withColumn("p_year", F.year("o_orderdate"))
+    wh = tempfile.mkdtemp(prefix="rtbf_wh_")
+    try:
+        W.overwrite_table(orders, wh, "orders", ["p_year"])
+        keys = (
+            orders.filter(F.col("o_custkey") % 97 == 0)
+            .select("o_custkey")
+            .distinct()
+        )
+        n_erased = W.erase_keys(
+            spark, wh, "orders", keys, ["o_custkey"], ["p_year"]
+        )
+        back = spark.read.parquet(f"{wh}/orders")
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+            )
+            .withColumn("n_erased", F.lit(int(n_erased)).cast("long"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution landing drive: batch 1 (odd order keys) lands
+    WITHOUT o_orderpriority; batch 2 (even keys) arrives with the new
+    column and appends through the evolution-checked writer
+    (sources/writers.py:append_with_schema_evolution — name-aligned,
+    typed-NULL backfill, type mutations raise). The mergeSchema view
+    must show NULL priority exactly for batch-1 rows; the oracle
+    replays that from the original table. EAGER (writes at
+    construction)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources import writers as W
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    evolved = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    wh = tempfile.mkdtemp(prefix="schevo_wh_")
+    try:
+        W.append_with_schema_evolution(spark, base, wh, "orders_evo")
+        merged = W.append_with_schema_evolution(spark, evolved, wh, "orders_evo")
+        return (
+            merged.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+QUERIES.update(
+    {
+        "warehouse_erase_rtbf": warehouse_erase_rtbf,
+        "source_schema_evolution": source_schema_evolution,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "warehouse_erase_rtbf": """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+         AS sum_price,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey % 97 = 0) AS BIGINT)
+         AS n_erased
+FROM orders WHERE o_custkey % 97 <> 0
+GROUP BY o_orderstatus
+""",
+        "source_schema_evolution": """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END)
+            AS BIGINT) AS n_with_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+         AS sum_price
+FROM orders GROUP BY o_orderstatus
+""",
+    }
+)

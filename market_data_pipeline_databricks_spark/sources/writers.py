@@ -70,15 +70,29 @@ def _partition_tuple(row, partition_cols: list[str]) -> tuple[str, ...]:
     )
 
 
+def _fresh(small: DataFrame, cols: list[str]) -> DataFrame:
+    """Re-alias ``small``'s join columns to fresh names (and therefore
+    fresh expression IDs). When ``small`` DERIVES from the left frame —
+    ``erase_keys`` builds its touched-partition set from the table it
+    is erasing — ``df[c]`` and ``small[c]`` resolve to the SAME
+    attribute, the join condition degenerates to the trivially-true
+    ``c <=> c``, and the semi-join silently keeps every partition: the
+    erase stays CORRECT (the staged swap still only replaces touched
+    dirs) but rewrites the whole table into staging — the
+    bounded-rewrite contract broken without an error. Fresh aliases
+    make the condition refer to both sides unconditionally."""
+    return small.select([F.col(c).alias(f"__nss_{c}") for c in cols])
+
+
 def _null_safe_semi(df: DataFrame, small: DataFrame, cols: list[str]) -> DataFrame:
     """left-semi join on ``cols`` that also matches NULL = NULL (the
     plain on=cols join is null-unsafe, silently dropping NULL
     partitions from the affected set)."""
     cond = None
     for c in cols:
-        eq = df[c].eqNullSafe(small[c])
+        eq = df[c].eqNullSafe(F.col(f"__nss_{c}"))
         cond = eq if cond is None else (cond & eq)
-    return df.join(F.broadcast(small), cond, "left_semi")
+    return df.join(F.broadcast(_fresh(small, cols)), cond, "left_semi")
 
 
 def _null_safe_anti(df: DataFrame, small: DataFrame, cols: list[str]) -> DataFrame:
@@ -87,9 +101,9 @@ def _null_safe_anti(df: DataFrame, small: DataFrame, cols: list[str]) -> DataFra
     removed)."""
     cond = None
     for c in cols:
-        eq = df[c].eqNullSafe(small[c])
+        eq = df[c].eqNullSafe(F.col(f"__nss_{c}"))
         cond = eq if cond is None else (cond & eq)
-    return df.join(F.broadcast(small), cond, "left_anti")
+    return df.join(F.broadcast(_fresh(small, cols)), cond, "left_anti")
 
 
 def upsert_by_key(

@@ -41,6 +41,8 @@ EAGER = {
     "source_orc_roundtrip",  # writes the roundtrip files at construction
     "source_json_roundtrip",  # writes the roundtrip files at construction
     "scale_zorder_clustering",  # writes the clustered copy at construction
+    "warehouse_erase_rtbf",  # writes + erases the warehouse at construction
+    "source_schema_evolution",  # writes the evolving table at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these

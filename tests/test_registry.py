@@ -35,6 +35,8 @@ PREVIOUSLY_UNCHECKED = [
     "source_json_roundtrip",
     "scale_zorder_clustering",
     "multimodal_audio_near_dup",
+    "warehouse_erase_rtbf",
+    "source_schema_evolution",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -68,8 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "pack_training_sequences",
     "quality_zscore_outliers",
     "sample_train_test_split",
-    "skew_salted_join_orders",
-    "stream_session_window_stats",
 ]
 
 

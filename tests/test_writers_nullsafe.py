@@ -1,0 +1,35 @@
+"""Regression: the null-safe semi/anti joins must filter even when the
+small side DERIVES from the left frame (shared expression IDs). Before
+the fresh-alias fix, erase_keys' touched-partition semi-join resolved
+to the trivially-true `c <=> c` and kept every partition — a silent
+full-table staging rewrite on each partitioned erase."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.sources.writers import (
+    _null_safe_anti,
+    _null_safe_semi,
+)
+
+
+def test_null_safe_semi_filters_on_self_derived_small(spark):
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("p")
+    )
+    # small derives FROM df — the erase_keys shape
+    small = df.filter(F.col("id") < 3).select("p").distinct()  # p in {0,1,2}
+    out = _null_safe_semi(df, small, ["p"])
+    assert out.count() == 30  # not 100: the join must actually filter
+    anti = _null_safe_anti(df, small, ["p"])
+    assert anti.count() == 70
+
+
+def test_null_safe_semi_matches_null_partitions(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "id long, p string"
+    )
+    small = df.filter(F.col("id") == 2).select("p")  # the NULL partition
+    assert _null_safe_semi(df, small, ["p"]).count() == 2  # both NULLs
+    assert _null_safe_anti(df, small, ["p"]).count() == 2
