@@ -77,6 +77,16 @@ HEADLINE = [
     # a decode-batching or band-join regression would be
     # driver-invisible. Baseline 1.7 s at sf0.1 (BASELINE.md r8).
     "multimodal_image_dedup_groups",
+    # round-8 batch 3+: the inverted-index retrieval path (tokenize →
+    # filtered posting groupBy → broadcast-joined scoring → windowed
+    # top-k with map-side group limit), the cross-source shingle-hash
+    # contamination matrix, and the real-decode audio fingerprint —
+    # three new heavy shapes (posting join, hash self-join, Arrow
+    # decode) the driver bench would otherwise not cover. Baselines
+    # 1.5 / 0.9 / 1.1 s at sf0.1 (BASELINE.md r8).
+    "text_bm25_topk",
+    "text_cross_source_contamination",
+    "multimodal_audio_near_dup",
 ]
 
 

@@ -1287,6 +1287,13 @@ def text_curation_distill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kept, "doc_id", "left")
         .withColumn("label", F.coalesce("label", F.lit(0.0)))
     )
+    from pyspark import StorageLevel
+
+    # three downstream evaluations (the LBFGS fit + scoring both
+    # splits) each re-ran the full curation chain (~5 s of dedup
+    # pipeline) without this persist — measured 16→2.7 s warm at
+    # sf0.1; the frame is one row per doc with 8 doubles
+    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
     va = VectorAssembler(
         inputCols=[
             "f_quality",
