@@ -74,6 +74,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # skew_salted_join_orders
     "warehouse_erase_rtbf",
     "source_schema_evolution",
+    # batch-8 additions (snapshot time travel + COW merge, small-file
+    # compaction) displace quality_zscore_outliers and
+    # sample_train_test_split
+    "warehouse_time_travel",
+    "warehouse_compact_small_files",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -107,8 +112,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funcs_log_return_stats",
     "multimodal_wav_roundtrip",
     "pack_training_sequences",
-    "quality_zscore_outliers",
-    "sample_train_test_split",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

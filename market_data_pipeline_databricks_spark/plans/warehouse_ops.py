@@ -621,3 +621,135 @@ FROM orders GROUP BY o_orderstatus
 """,
     }
 )
+
+
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel drive over the snapshot table format
+    (sources/snapshots.py — versioned manifests over immutable
+    parquet, file-level copy-on-write MERGE): version 1 commits
+    orders; version 2 COW-merges a correction batch (+10.00 on every
+    o_orderkey % 50 == 0 order). The query reads BOTH versions through
+    their manifests and reports them side by side per status — proving
+    v1 still serves the pre-merge values after v2 commits (isolation +
+    time travel) and v2 shows exactly the corrections. The DuckDB
+    oracle reconstructs both versions from the original table, so a
+    merge that lost, duplicated, or cross-contaminated a row breaks
+    the hash. EAGER (commits at construction)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        commit_merge_keys,
+        read_version,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    tdir = tempfile.mkdtemp(prefix="ttravel_")
+    try:
+        commit_append(orders.repartition(8, "o_orderkey"), tdir)
+        batch = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(10.00).cast("decimal(12,2)"))
+            .cast("decimal(12,2)")
+            .alias("o_totalprice"),
+        )
+        commit_merge_keys(spark, tdir, batch, ["o_orderkey"])
+
+        def agg(df: DataFrame, tag: str) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_rows_{tag}"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .alias(f"sum_price_{tag}"),
+            )
+
+        out = agg(read_version(spark, tdir, 1), "v1").join(
+            agg(read_version(spark, tdir, 2), "v2"), "o_orderstatus"
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def warehouse_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction drive (sources/writers.py:compact_table):
+    orders lands year-partitioned but fragmented (50-way repartition →
+    ~50 files per year partition), compaction rewrites each partition
+    to ceil(bytes/target) files — one file per year at this scale —
+    and the post-compaction table must aggregate identically to the
+    original. n_files_after is emitted as a column: with every
+    partition far under the target size it equals the distinct year
+    count, which the oracle computes as a scalar subquery. EAGER
+    (writes + compacts at construction)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources import writers as W
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        F.year("o_orderdate").alias("p_year"),
+    )
+    wh = tempfile.mkdtemp(prefix="compact_wh_")
+    try:
+        orders.repartition(50).write.partitionBy("p_year").parquet(
+            f"{wh}/orders"
+        )
+        n_after = W.compact_table(
+            spark, wh, "orders", partition_cols=["p_year"]
+        )
+        back = spark.read.parquet(f"{wh}/orders")
+        return (
+            back.groupBy("p_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+            )
+            .withColumn("n_files_after", F.lit(int(n_after)).cast("long"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+QUERIES.update(
+    {
+        "warehouse_time_travel": warehouse_time_travel,
+        "warehouse_compact_small_files": warehouse_compact_small_files,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "warehouse_time_travel": """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_v1,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+         AS sum_price_v1,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_v2,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                + CASE WHEN o_orderkey % 50 = 0
+                       THEN CAST(10.00 AS DECIMAL(12,2))
+                       ELSE CAST(0.00 AS DECIMAL(12,2)) END)
+            AS DECIMAL(27,2)) AS sum_price_v2
+FROM orders GROUP BY o_orderstatus
+""",
+        "warehouse_compact_small_files": """
+SELECT CAST(year(o_orderdate) AS INT) AS p_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+         AS sum_price,
+       CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders) AS BIGINT)
+         AS n_files_after
+FROM orders GROUP BY 1
+""",
+    }
+)

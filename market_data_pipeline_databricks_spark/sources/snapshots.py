@@ -1,0 +1,149 @@
+"""Mini snapshot table format: versioned manifests over immutable
+parquet — time travel and file-level copy-on-write MERGE from plain
+DataFrame ops.
+
+The Delta/Iceberg core mechanic, rebuilt engine-side because
+delta-spark is uninstallable in this environment (BASELINE.md pip
+record; `sources/writers.py:merge_into_delta` activates when it lands):
+
+- data files are IMMUTABLE — every commit writes new files under
+  ``data/commit-<uuid>/`` and never touches existing ones;
+- a version is a JSON manifest ``v<N>.json`` listing exactly the data
+  files visible at that version — readers of version N are isolated
+  from later commits, and every old version stays readable until
+  expired (time travel);
+- MERGE is copy-on-write at FILE granularity: only files that contain
+  a matched key are rewritten (located with ``input_file_name()`` +
+  a broadcast key semi-join — one shuffle-free scan of the key
+  columns), untouched files carry over into the new manifest by
+  reference.
+
+Scale shape: manifests hold one path per data file (a 100-TB table at
+128 MB/file is ~800k entries — a driver-trivial JSON, same order as
+Delta's checkpoint); the COW rewrite reads only affected files, so a
+point-correction batch costs O(files-containing-matches), never
+O(table). Commit publication is an atomic rename of the manifest.
+
+Reference parity: extends the reference's MERGE/partitioned-DDL
+surface (notebooks/bronze/01_ingest_bronze.py:85-107) with the
+versioned-read semantics Delta gives it on Databricks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _manifest_path(table_dir: str, version: int) -> Path:
+    return Path(table_dir) / f"v{version}.json"
+
+
+def latest_version(table_dir: str) -> int:
+    """Highest committed version, 0 when the table does not exist."""
+    d = Path(table_dir)
+    if not d.exists():
+        return 0
+    versions = [
+        int(p.stem[1:])
+        for p in d.glob("v*.json")
+        if p.stem[1:].isdigit()
+    ]
+    return max(versions, default=0)
+
+
+def _read_manifest(table_dir: str, version: int) -> list[str]:
+    return json.loads(_manifest_path(table_dir, version).read_text())["files"]
+
+
+def _publish(table_dir: str, version: int, files: list[str]) -> None:
+    """Atomic manifest publication: write-to-temp + rename, so a reader
+    never observes a half-written version file."""
+    target = _manifest_path(table_dir, version)
+    tmp = target.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
+    tmp.write_text(json.dumps({"version": version, "files": sorted(files)}))
+    os.rename(tmp, target)
+
+
+def _write_commit_files(df: DataFrame, table_dir: str) -> list[str]:
+    commit_dir = Path(table_dir) / "data" / f"commit-{uuid.uuid4().hex[:8]}"
+    df.write.mode("error").parquet(str(commit_dir))
+    return [str(p) for p in commit_dir.glob("*.parquet")]
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: exactly the files the manifest lists — later
+    commits are invisible (the isolation half of time travel)."""
+    v = latest_version(table_dir) if version is None else version
+    return spark.read.parquet(*_read_manifest(table_dir, v))
+
+
+def commit_append(df: DataFrame, table_dir: str) -> int:
+    """Append commit: new files join the previous manifest's files by
+    reference. Returns the new version number."""
+    Path(table_dir).mkdir(parents=True, exist_ok=True)
+    prev = latest_version(table_dir)
+    prior_files = _read_manifest(table_dir, prev) if prev else []
+    new_files = _write_commit_files(df, table_dir)
+    _publish(table_dir, prev + 1, prior_files + new_files)
+    return prev + 1
+
+
+def commit_merge_keys(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Copy-on-write MERGE: rows whose ``key_cols`` match the batch are
+    replaced by the batch row; everything else survives. Only files
+    that CONTAIN a matched key are rewritten — located by scanning the
+    key columns with ``input_file_name()`` against the broadcast key
+    set — and unmatched files carry into the new manifest untouched,
+    so the rewrite is O(affected files). Old versions keep reading the
+    pre-merge files (they are never deleted here; expiry is a separate
+    retention decision). Returns the new version number."""
+    prev = latest_version(table_dir)
+    if prev == 0:
+        return commit_append(batch, table_dir)
+    prior_files = _read_manifest(table_dir, prev)
+    cur = spark.read.parquet(*prior_files).withColumn(
+        "__file__", F.input_file_name()
+    )
+    keys = batch.select(*key_cols).distinct()
+    # bounded collect: one row per data file that contains a matched
+    # key — the COW working set, never row-scaled
+    affected = [
+        r["__file__"]
+        for r in cur.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("__file__")
+        .distinct()
+        .collect()
+    ]
+    # input_file_name() yields file:// URIs; manifests hold plain paths
+    from urllib.parse import unquote, urlparse
+
+    affected_set = {unquote(urlparse(a).path) for a in affected}
+    untouched = [f for f in prior_files if f not in affected_set]
+    survivors = (
+        spark.read.parquet(*sorted(affected_set)).join(
+            F.broadcast(keys), key_cols, "left_anti"
+        )
+        if affected_set
+        else None
+    )
+    merged = (
+        survivors.unionByName(batch.select(*survivors.columns))
+        if survivors is not None
+        else batch
+    )
+    new_files = _write_commit_files(merged, table_dir)
+    _publish(table_dir, prev + 1, untouched + new_files)
+    return prev + 1

@@ -44,6 +44,11 @@ BOUNDED_COLLECTS = {
         1,
         "one row per touched partition (distinct partition tuples)",
     ),
+    ("sources/snapshots.py", "commit_merge_keys"): (
+        1,
+        "one row per data file containing a matched key (the COW "
+        "working set; manifests are file-scaled, never row-scaled)",
+    ),
 }
 
 

@@ -43,6 +43,8 @@ EAGER = {
     "scale_zorder_clustering",  # writes the clustered copy at construction
     "warehouse_erase_rtbf",  # writes + erases the warehouse at construction
     "source_schema_evolution",  # writes the evolving table at construction
+    "warehouse_time_travel",  # snapshot commits at construction
+    "warehouse_compact_small_files",  # writes + compacts at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these

@@ -37,6 +37,8 @@ PREVIOUSLY_UNCHECKED = [
     "multimodal_audio_near_dup",
     "warehouse_erase_rtbf",
     "source_schema_evolution",
+    "warehouse_time_travel",
+    "warehouse_compact_small_files",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -68,8 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "funcs_log_return_stats",
     "multimodal_wav_roundtrip",
     "pack_training_sequences",
-    "quality_zscore_outliers",
-    "sample_train_test_split",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Snapshot table format: isolation, time travel, and file-level
+copy-on-write MERGE (sources/snapshots.py)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.sources.snapshots import (
+    commit_append,
+    commit_merge_keys,
+    latest_version,
+    read_version,
+)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="snap_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_append_versions_and_isolation(spark, tdir):
+    assert latest_version(tdir) == 0
+    assert commit_append(_mk(spark, [(1, "a"), (2, "b")]), tdir) == 1
+    assert commit_append(_mk(spark, [(3, "c")]), tdir) == 2
+    # v1 readers never see the later commit
+    assert read_version(spark, tdir, 1).count() == 2
+    assert read_version(spark, tdir, 2).count() == 3
+    assert read_version(spark, tdir).count() == 3  # latest by default
+
+
+def test_merge_cow_replaces_and_time_travels(spark, tdir):
+    commit_append(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]), tdir)
+    v = commit_merge_keys(
+        spark, tdir, _mk(spark, [(2, "B2"), (9, "new")]), ["k"]
+    )
+    assert v == 2
+    got = {r.k: r.v for r in read_version(spark, tdir, 2).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    # time travel: v1 still reads the pre-merge state
+    old = {r.k: r.v for r in read_version(spark, tdir, 1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_rewrites_only_affected_files(spark, tdir):
+    # two single-file commits -> file boundaries we control
+    commit_append(_mk(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    commit_append(_mk(spark, [(10, "x"), (11, "y")]).coalesce(1), tdir)
+    before = set(json.loads((Path(tdir) / "v2.json").read_text())["files"])
+    commit_merge_keys(spark, tdir, _mk(spark, [(10, "X")]), ["k"])
+    after = set(json.loads((Path(tdir) / "v3.json").read_text())["files"])
+    carried = before & after
+    # the file holding keys {1,2} must carry over BY REFERENCE; only
+    # the file holding key 10 is rewritten
+    assert len(carried) == 1
+    kept = spark.read.parquet(*carried).collect()
+    assert {r.k for r in kept} == {1, 2}
+    assert {r.k: r.v for r in read_version(spark, tdir).collect()} == {
+        1: "a", 2: "b", 10: "X", 11: "y"
+    }
+
+
+def test_merge_on_empty_table_becomes_append(spark, tdir):
+    v = commit_merge_keys(spark, tdir, _mk(spark, [(5, "e")]), ["k"])
+    assert v == 1
+    assert read_version(spark, tdir).count() == 1
