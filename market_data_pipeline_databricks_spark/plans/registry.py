@@ -79,6 +79,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sample_train_test_split
     "warehouse_time_travel",
     "warehouse_compact_small_files",
+    # batch-9 addition (streaming COW commits == batch merge) displaces
+    # pack_training_sequences
+    "stream_snapshot_commits",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -111,7 +114,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funcs_ewma_close",
     "funcs_log_return_stats",
     "multimodal_wav_roundtrip",
-    "pack_training_sequences",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

@@ -627,3 +627,98 @@ ORACLE_SQL.update(
         ]
     }
 )
+
+
+def stream_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into the snapshot table format — the Structured-
+    Streaming-writes-a-versioned-table production shape: the
+    correction feed (o_orderkey % 50 == 0, +10.00 each) arrives in
+    three micro-batches (availableNow, one file per trigger) and each
+    batch COMMITS through the file-level copy-on-write merge
+    (sources/snapshots.py:commit_merge_keys) inside foreachBatch,
+    producing versions 2..4 over the version-1 base commit. The
+    correction keys are disjoint across micro-batches, so the final
+    version must equal ONE combined merge — this query therefore emits
+    the same (v1, latest) side-by-side aggregate as
+    ``warehouse_time_travel`` and SHARES its oracle: the stream==batch
+    equality statement for versioned commits."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        commit_merge_keys,
+        latest_version,
+        read_version,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    tdir = tempfile.mkdtemp(prefix=f"snapstream_{_NONCE}_")
+    feed_dir = tempfile.mkdtemp(prefix=f"snapfeed_{_NONCE}_")
+    ckpt_dir = tempfile.mkdtemp(prefix=f"snapckpt_{_NONCE}_")
+    try:
+        commit_append(orders.repartition(8, "o_orderkey"), tdir)
+        corrections = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(10.00).cast("decimal(12,2)"))
+            .cast("decimal(12,2)")
+            .alias("o_totalprice"),
+        )
+        for part in range(3):
+            corrections.filter(
+                F.col("o_orderkey") % 3 == part
+            ).coalesce(1).write.mode("append").parquet(feed_dir)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.take(1):
+                return
+            commit_merge_keys(
+                spark, tdir, batch_df.localCheckpoint(), ["o_orderkey"]
+            )
+
+        feed = (
+            spark.readStream.schema(corrections.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        def agg(df: DataFrame, tag: str) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_rows_{tag}"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .alias(f"sum_price_{tag}"),
+            )
+
+        out = agg(read_version(spark, tdir, 1), "v1").join(
+            agg(read_version(spark, tdir, latest_version(tdir)), "v2"),
+            "o_orderstatus",
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+QUERIES.update({"stream_snapshot_commits": stream_snapshot_commits})
+
+# micro-batched COW commits must land on the same final version as the
+# single batch merge — shared oracle with the time-travel drive
+from market_data_pipeline_databricks_spark.plans import warehouse_ops as _who
+
+ORACLE_SQL.update(
+    {"stream_snapshot_commits": _who.ORACLE_SQL["warehouse_time_travel"]}
+)

@@ -39,6 +39,7 @@ PREVIOUSLY_UNCHECKED = [
     "source_schema_evolution",
     "warehouse_time_travel",
     "warehouse_compact_small_files",
+    "stream_snapshot_commits",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -69,7 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "funcs_ewma_close",
     "funcs_log_return_stats",
     "multimodal_wav_roundtrip",
-    "pack_training_sequences",
 ]
 
 
