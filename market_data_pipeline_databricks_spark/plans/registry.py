@@ -82,6 +82,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # batch-9 addition (streaming COW commits == batch merge) displaces
     # pack_training_sequences
     "stream_snapshot_commits",
+    # batch-10 addition (oracle-replayed banding-recall evaluation)
+    # displaces multimodal_wav_roundtrip
+    "dedup_lsh_recall_report",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -113,7 +116,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_components",
     "funcs_ewma_close",
     "funcs_log_return_stats",
-    "multimodal_wav_roundtrip",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

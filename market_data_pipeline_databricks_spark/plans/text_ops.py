@@ -1423,6 +1423,43 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall evaluation: for every exact near-dup pair at or
+    above the MinHash threshold (truth = the rare-shingle-blocked
+    exact Jaccard path), did the 16×4 banded MinHash surface it? Per
+    exact-Jaccard decile: true pairs, found pairs, recall — the
+    dashboard a dedup owner reads before trusting LSH at 100 TB
+    (banding recall is 1−(1−s⁴)¹⁶ in theory; this measures it on the
+    actual corpus, estimate noise and skew-guard drops included).
+    Precision is deliberately NOT reported: the exact path only covers
+    rare-shingle-blocked pairs, so LSH extras can't be fairly judged
+    against it. Both constituent paths are oracle-replayable
+    (portable md5-derived hashes), so the DuckDB oracle replays the
+    ENTIRE evaluation — truth set, candidate set, join, buckets."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= F.lit(0.35)
+    )
+    found = (
+        dedup_minhash_near(spark, sf_dir)
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    j = exact.join(found, ["id_a", "id_b"], "left")
+    out = j.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("j_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_found"),
+    )
+    return out.withColumn(
+        "recall",
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_true_pairs"), 6
+        ),
+    )
+
+
 # fixed retrieval workload for text_bm25_topk — vocabulary words the
 # synthetic corpus actually contains, distinct terms per query
 _BM25_QUERIES: list[tuple[int, str]] = [
@@ -2694,6 +2731,7 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_bm25_topk": text_bm25_topk,
     "sample_soft_dedup_weights": sample_soft_dedup_weights,
+    "dedup_lsh_recall_report": dedup_lsh_recall_report,
     "sample_source_cap": sample_source_cap,
     "curate_chunk_corpus": curate_chunk_corpus,
     "curate_chunk_corpus_lsh": curate_chunk_corpus_lsh,
@@ -5190,4 +5228,25 @@ ORACLE_SQL["sample_soft_dedup_weights"] = _NORM + r""",
     SELECT *, ROUND(CAST(raw_tokens AS DOUBLE) / effective_tokens, 6)
              AS dup_inflation
     FROM agg
+"""
+
+# the recall evaluation composes the two already-portable oracles as
+# nested CTE subqueries — DuckDB replays truth set, candidate set,
+# join, and buckets
+ORACLE_SQL["dedup_lsh_recall_report"] = f"""
+WITH ex AS ({ORACLE_SQL["dedup_ngram_jaccard"]}),
+mh AS (SELECT DISTINCT id_a, id_b FROM ({ORACLE_SQL["dedup_minhash_near"]})),
+truth AS (SELECT * FROM ex WHERE jaccard >= CAST(0.35 AS DOUBLE)),
+joined AS (
+  SELECT t.jaccard, CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM truth t LEFT JOIN mh m ON t.id_a = m.id_a AND t.id_b = m.id_b
+),
+agg AS (
+  SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS j_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+         CAST(SUM(hit) AS BIGINT) AS n_found
+  FROM joined GROUP BY 1
+)
+SELECT *, ROUND(CAST(n_found AS DOUBLE) / n_true_pairs, 6) AS recall
+FROM agg
 """
