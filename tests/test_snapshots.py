@@ -75,3 +75,53 @@ def test_merge_on_empty_table_becomes_append(spark, tdir):
     v = commit_merge_keys(spark, tdir, _mk(spark, [(5, "e")]), ["k"])
     assert v == 1
     assert read_version(spark, tdir).count() == 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batch = st.lists(
+    st.tuples(st.integers(0, 15), st.text(alphabet="abc", min_size=1, max_size=3)),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda kv: kv[0],
+)
+_ops = st.lists(
+    st.tuples(st.sampled_from(["append", "merge"]), _batch),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_snapshot_commits_match_dict_model(spark, ops):
+    """Model-based: any sequence of append/merge commits must agree
+    with plain dict semantics at EVERY version — append keeps old rows
+    for duplicate keys (both visible), merge replaces them — and every
+    historical version must still read back its own model state."""
+    d = tempfile.mkdtemp(prefix="snapprop_")
+    try:
+        model_rows: list[tuple[int, str]] = []  # multiset of (k, v)
+        history = []
+        for op, batch in ops:
+            df = _mk(spark, batch)
+            if op == "append":
+                commit_append(df, d)
+                model_rows = model_rows + batch
+            else:
+                commit_merge_keys(spark, d, df, ["k"])
+                bkeys = {k for k, _ in batch}
+                model_rows = [r for r in model_rows if r[0] not in bkeys] + batch
+            history.append(sorted(model_rows))
+        for v, expect in enumerate(history, start=1):
+            got = sorted(
+                (r.k, r.v) for r in read_version(spark, d, v).collect()
+            )
+            assert got == expect, (v, got, expect)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1998,3 +1998,42 @@ def test_wav_zero_crossings_match_analytic(docs):
         f = 200 + (r.media_id % 20) * 25
         assert r.n_samples == n
         assert r.zc == ((n - 1) * 2 * f) // 8000, (r.media_id, r.zc)
+
+
+def test_zorder_morton_matches_reference(spark):
+    """The column-math Morton code must equal a plain-Python bit
+    interleave for a batch of randomized in-range key pairs (fixed
+    seed), including the min/max endpoints and the top-bucket clamp."""
+    import random
+
+    from market_data_pipeline_databricks_spark.operators.zorder import (
+        zorder_value,
+    )
+
+    rng = random.Random(8)
+    a_min, a_max = 100, 987_654
+    b_min, b_max = 1, 4_321
+    pairs = [(a_min, b_min), (a_max, b_max)] + [
+        (rng.randint(a_min, a_max), rng.randint(b_min, b_max))
+        for _ in range(1000)
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a",
+        "b",
+        zorder_value(
+            F.col("a"), F.lit(a_min), F.lit(a_max),
+            F.col("b"), F.lit(b_min), F.lit(b_max),
+        ).alias("z"),
+    )
+
+    def interleave(qa: int, qb: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((qa >> i) & 1) << (2 * i)
+            z |= ((qb >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in df.collect():
+        qa = min((r.a - a_min) * 65536 // (a_max - a_min + 1), 65535)
+        qb = min((r.b - b_min) * 65536 // (b_max - b_min + 1), 65535)
+        assert r.z == interleave(qa, qb), (r.a, r.b)
