@@ -85,6 +85,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # batch-10 addition (oracle-replayed banding-recall evaluation)
     # displaces multimodal_wav_roundtrip
     "dedup_lsh_recall_report",
+    # batch-11 addition (fully oracle-replayed fixed-centroid IVF ANN)
+    # displaces funcs_log_return_stats
+    "vector_ann_ivf_fixed_topk",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -115,7 +118,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "analyst_volatility_regime",
     "dedup_components",
     "funcs_ewma_close",
-    "funcs_log_return_stats",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

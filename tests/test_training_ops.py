@@ -2037,3 +2037,37 @@ def test_zorder_morton_matches_reference(spark):
         qa = min((r.a - a_min) * 65536 // (a_max - a_min + 1), 65535)
         qb = min((r.b - b_min) * 65536 // (b_max - b_min + 1), 65535)
         assert r.z == interleave(qa, qb), (r.a, r.b)
+
+
+def test_ivf_fixed_topk_recall_vs_bruteforce(spark, emb):
+    """The fixed-centroid IVF's top-5 must hit a recall floor against
+    exact brute-force top-5 (numpy) — nprobe=2 of 8 cells on this
+    corpus should recover most true neighbors; and every reported
+    distance must BE the true distance (probe only prunes, never
+    approximates the metric)."""
+    import numpy as np
+
+    from market_data_pipeline_databricks_spark.plans.vector_ops import (
+        vector_ann_ivf_fixed_topk,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    got = vector_ann_ivf_fixed_topk(spark, SF).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q, "no queries produced output"
+    hits = total = 0
+    for qid, rs in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.inf
+        true5 = set(ids[np.argsort(d2, kind="stable")[:5]].tolist())
+        for r in rs:
+            ni = int(np.where(ids == r.neighbor_id)[0][0])
+            assert abs(r.dist2 - d2[ni]) < 1e-4, (qid, r.neighbor_id)
+        hits += len({r.neighbor_id for r in rs} & true5)
+        total += 5
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
