@@ -603,3 +603,84 @@ ORACLE_SQL = {
         GROUP BY event_type
     """,
 }
+
+
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift screen — the standard "did this
+    column's distribution move between batches" monitor (credit-risk
+    lineage, now the go-to for feature/label drift): o_totalprice is
+    decile-bucketed over its GLOBAL range in exact integer arithmetic
+    (cents, fixed-width buckets, top-bucket clamp), split into
+    reference (< 1996) vs current (>= 1996) cohorts, and each bucket
+    reports its add-one-smoothed PSI contribution
+    (q − p)·ln(q/p). Σ contributions < 0.1 is the conventional
+    "stable" line. Deterministic end to end: integer bucketing, exact
+    count ratios, one ln per bucket — the DuckDB oracle replays every
+    contribution.
+
+    Scale shape: one projection + one 10-key groupBy; the range bounds
+    and cohort totals are 1-row broadcasts."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")).alias(
+            "is_cur"
+        ),
+    )
+    b = orders.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    bucketed = orders.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(9), F.expr("((cents - mn) * 10) div (mx - mn + 1)")
+        ).cast("long").alias("bucket"),
+        "is_cur",
+    )
+    cnt = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).cast("long").alias("n_ref"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p = (F.col("n_ref") + F.lit(1)).cast("double") / (F.col("tr") + F.lit(10))
+    q = (F.col("n_cur") + F.lit(1)).cast("double") / (F.col("tc") + F.lit(10))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((q - p) * F.log(q / p), 6).alias("psi_contrib"),
+    )
+
+
+QUERIES.update({"quality_psi_drift": quality_psi_drift})
+
+ORACLE_SQL.update(
+    {
+        "quality_psi_drift": """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         (o_orderdate >= DATE '1996-01-01') AS is_cur
+  FROM orders
+),
+b AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM o),
+bk AS (
+  SELECT LEAST(9, ((cents - mn) * 10) // (mx - mn + 1)) AS bucket, is_cur
+  FROM o, b
+),
+cnt AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket,
+         CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM bk GROUP BY 1
+),
+tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM cnt)
+SELECT bucket, n_ref, n_cur,
+       ROUND((CAST(n_cur + 1 AS DOUBLE) / (tc + 10)
+              - CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+             * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+                  / (CAST(n_ref + 1 AS DOUBLE) / (tr + 10))), 6)
+         AS psi_contrib
+FROM cnt, tot
+"""
+    }
+)

@@ -88,6 +88,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # batch-11 addition (fully oracle-replayed fixed-centroid IVF ANN)
     # displaces funcs_log_return_stats
     "vector_ann_ivf_fixed_topk",
+    # batch-12 addition (PSI distribution-drift screen) displaces
+    # funcs_ewma_close
+    "quality_psi_drift",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -117,7 +120,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "analyst_liquidity_screen",
     "analyst_volatility_regime",
     "dedup_components",
-    "funcs_ewma_close",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

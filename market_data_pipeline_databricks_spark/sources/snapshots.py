@@ -147,3 +147,29 @@ def commit_merge_keys(
     new_files = _write_commit_files(merged, table_dir)
     _publish(table_dir, prev + 1, untouched + new_files)
     return prev + 1
+
+
+def expire_versions(table_dir: str, keep_last: int = 1) -> tuple[int, int]:
+    """VACUUM: drop manifests older than the newest ``keep_last``
+    versions and delete every data file no retained version references.
+    Returns (versions_removed, files_deleted). Retained versions are
+    untouched — their manifests pin their files, so reads of any kept
+    version are unaffected (the retention/undrop trade every table
+    format documents). Driver-side work is manifest-scaled (file
+    lists), never row-scaled."""
+    latest = latest_version(table_dir)
+    if latest == 0:
+        return (0, 0)
+    keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    drop = [v for v in range(1, latest + 1) if v not in keep]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(table_dir, v))
+    files_deleted = 0
+    for v in drop:
+        for f in _read_manifest(table_dir, v):
+            if f not in referenced and Path(f).exists():
+                Path(f).unlink()
+                files_deleted += 1
+        _manifest_path(table_dir, v).unlink()
+    return (len(drop), files_deleted)

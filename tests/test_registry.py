@@ -42,6 +42,7 @@ PREVIOUSLY_UNCHECKED = [
     "stream_snapshot_commits",
     "dedup_lsh_recall_report",
     "vector_ann_ivf_fixed_topk",
+    "quality_psi_drift",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -69,7 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "analyst_liquidity_screen",
     "analyst_volatility_regime",
     "dedup_components",
-    "funcs_ewma_close",
 ]
 
 

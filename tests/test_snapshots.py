@@ -125,3 +125,30 @@ def test_snapshot_commits_match_dict_model(spark, ops):
             assert got == expect, (v, got, expect)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_expire_versions_keeps_retained_reads_intact(spark, tdir):
+    commit_append(_mk(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    commit_merge_keys(spark, tdir, _mk(spark, [(2, "B")]), ["k"])
+    commit_append(_mk(spark, [(3, "c")]).coalesce(1), tdir)
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        expire_versions,
+    )
+
+    removed, deleted = expire_versions(tdir, keep_last=2)
+    assert removed == 1
+    # v1's single file held keys {1,2}; the merge rewrote it, so no
+    # retained version references it and vacuum may delete it
+    assert deleted == 1
+    # retained versions still read their exact state
+    assert {r.k: r.v for r in read_version(spark, tdir, 3).collect()} == {
+        1: "a", 2: "B", 3: "c"
+    }
+    assert {r.k: r.v for r in read_version(spark, tdir, 2).collect()} == {
+        1: "a", 2: "B"
+    }
+    # the expired version is gone
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        read_version(spark, tdir, 1)
