@@ -558,6 +558,40 @@ def image_ahash_words(media: DataFrame, size: int = 8) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(kernel, AHASH_SCHEMA)
 
 
+def _ahash_banded(
+    sigs: DataFrame, id_col: str = "id", extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode an aHash signature frame (id, [extras], w0, w1) into its
+    4 disjoint 16-bit band rows (id, [extras], w0, w1, band_id,
+    band_val). ONE definition of the banding: the pigeonhole recall
+    guarantee (max_hamming ≤ 3 over 4 disjoint bands) and the oracle
+    equality both depend on every caller slicing the 64 bits the same
+    way — near-dup pair list, grouped dedup, and incremental probe all
+    route through here."""
+    band_cols = [
+        F.col("w0").bitwiseAND(F.lit(0xFFFF)).alias("b0"),
+        F.shiftright(F.col("w0"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b1"),
+        F.col("w1").bitwiseAND(F.lit(0xFFFF)).alias("b2"),
+        F.shiftright(F.col("w1"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b3"),
+    ]
+    keep = [id_col, *extra_cols, "w0", "w1"]
+    sig = sigs.select(*keep, *band_cols)
+    return sig.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"b{b}").alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(*keep, "b.band_id", "b.band_val")
+
+
 def image_ahash_near_duplicates(
     media: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
@@ -573,29 +607,9 @@ def image_ahash_near_duplicates(
             "guarantee (and oracle equality) would not hold"
         )
     ah = image_ahash_words(media)
-    band_cols = [
-        F.col("w0").bitwiseAND(F.lit(0xFFFF)).alias("b0"),
-        F.shiftright(F.col("w0"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b1"),
-        F.col("w1").bitwiseAND(F.lit(0xFFFF)).alias("b2"),
-        F.shiftright(F.col("w1"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b3"),
-    ]
-    sig = ah.select(F.col("media_id").alias("id"), "w0", "w1", *band_cols)
-    bands = sig.select(
-        "id",
-        "w0",
-        "w1",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.col(f"b{b}").alias("band_val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "w0", "w1", "b.band_id", "b.band_val")
+    bands = _ahash_banded(
+        ah.select(F.col("media_id").alias("id"), "w0", "w1")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -658,30 +672,7 @@ def image_ahash_dedup_groups(
         F.min("media_id").alias("id"),
         F.count(F.lit(1)).alias("gsize"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    band_cols = [
-        F.col("w0").bitwiseAND(F.lit(0xFFFF)).alias("b0"),
-        F.shiftright(F.col("w0"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b1"),
-        F.col("w1").bitwiseAND(F.lit(0xFFFF)).alias("b2"),
-        F.shiftright(F.col("w1"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b3"),
-    ]
-    sig = groups.select("id", "gsize", "w0", "w1", *band_cols)
-    bands = sig.select(
-        "id",
-        "gsize",
-        "w0",
-        "w1",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.col(f"b{b}").alias("band_val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "gsize", "w0", "w1", "b.band_id", "b.band_val")
+    bands = _ahash_banded(groups, extra_cols=("gsize",))
     a, b = bands.alias("a"), bands.alias("b")
     cross = (
         a.join(
@@ -740,34 +731,17 @@ def image_ahash_probe(
         )
 
     def banded(sigs: DataFrame, pref: str) -> DataFrame:
-        band_cols = [
-            F.col("w0").bitwiseAND(F.lit(0xFFFF)).alias("b0"),
-            F.shiftright(F.col("w0"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b1"),
-            F.col("w1").bitwiseAND(F.lit(0xFFFF)).alias("b2"),
-            F.shiftright(F.col("w1"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b3"),
-        ]
-        sig = sigs.select(
-            F.col("media_id").alias(f"{pref}id"),
+        # one shared banding definition (_ahash_banded), prefixed per
+        # join side
+        return _ahash_banded(
+            sigs.select(F.col("media_id").alias("id"), "w0", "w1")
+        ).select(
+            F.col("id").alias(f"{pref}id"),
             F.col("w0").alias(f"{pref}w0"),
             F.col("w1").alias(f"{pref}w1"),
-            *band_cols,
+            "band_id",
+            "band_val",
         )
-        return sig.select(
-            f"{pref}id",
-            f"{pref}w0",
-            f"{pref}w1",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.col(f"b{b}").alias("band_val"),
-                        )
-                        for b in range(4)
-                    ]
-                )
-            ).alias("b"),
-        ).select(f"{pref}id", f"{pref}w0", f"{pref}w1", "b.band_id", "b.band_val")
 
     from pyspark import StorageLevel
 

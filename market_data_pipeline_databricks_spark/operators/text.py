@@ -654,9 +654,19 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
+    import re as _re
+
     spark = df.sparkSession
+    # query text goes through the SAME normalization as the corpus
+    # (lowercase → strip punct → collapse whitespace): a raw split
+    # would leave "Fast hash-join" matching nothing while the postings
+    # hold {fast, hashjoin} — a silent zero-result query
+    def _norm_terms(qtext: str) -> list[str]:
+        t = _re.sub(r"\s+", " ", _re.sub(_PUNCT_CLASS, "", qtext.lower()))
+        return [w for w in t.strip().split(" ") if w]
+
     q_rows = sorted(
-        {(int(qid), t) for qid, qtext in queries for t in qtext.split()}
+        {(int(qid), t) for qid, qtext in queries for t in _norm_terms(qtext)}
     )
     qterms = spark.createDataFrame(q_rows, "query_id long, term string")
     all_terms = sorted({t for _, t in q_rows})

@@ -303,10 +303,14 @@ def graph_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     wider than ``max_basket`` (non-TPC-H data) fall back to MLlib
     FP-Growth with the same relative support — correctness preserved,
     the enumeration fan-out bound respected."""
+    from pyspark import StorageLevel
+
     li = _t(spark, sf_dir, "lineitem")
+    # two consumers (the stats action here + the mine below) — persist
+    # so the full-corpus collect_set groupBy runs once, not twice
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats = baskets.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.size("items")).alias("w")
     ).first()

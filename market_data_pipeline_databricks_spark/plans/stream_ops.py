@@ -570,38 +570,46 @@ def stream_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     feed_dir = tempfile.mkdtemp(prefix=f"img_feed_{_NONCE}_")
     out_dir = tempfile.mkdtemp(prefix=f"img_out_{_NONCE}_")
     ckpt_dir = tempfile.mkdtemp(prefix=f"img_ckpt_{_NONCE}_")
-    for part in range(3):
-        batch_docs.filter(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
-            "append"
-        ).parquet(feed_dir)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        sigs = MMX.image_ahash_words(MMX.synthesize_ppm_media(batch_df))
-        MMX.image_ahash_probe(corpus_sigs, sigs, max_hamming=3).write.mode(
-            "append"
-        ).parquet(out_dir)
-
-    feed = (
-        spark.readStream.schema(batch_docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(feed_dir)
-    )
-    q = (
-        feed.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
+        for part in range(3):
+            batch_docs.filter(F.col("doc_id") % 3 == part).coalesce(
+                1
+            ).write.mode("append").parquet(feed_dir)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.take(1):
+                return
+            sigs = MMX.image_ahash_words(MMX.synthesize_ppm_media(batch_df))
+            MMX.image_ahash_probe(corpus_sigs, sigs, max_hamming=3).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        feed = (
+            spark.readStream.schema(batch_docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
+        # an all-empty feed writes no parquet (every sink early-returns)
+        # — return an empty typed frame instead of a schema-inference
+        # error from the bare directory
+        import glob as _glob
+
+        if not _glob.glob(f"{out_dir}/*.parquet"):
+            return spark.createDataFrame(
+                [], "batch_id long, n_corpus_matches long, min_hamming long"
+            )
+        return spark.read.parquet(out_dir).localCheckpoint()
     finally:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
-    out = spark.read.parquet(out_dir).localCheckpoint()
-    shutil.rmtree(feed_dir, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 QUERIES.update({"stream_cdc_incremental": stream_cdc_incremental})

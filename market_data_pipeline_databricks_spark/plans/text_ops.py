@@ -171,16 +171,19 @@ def sample_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(w).over(wall).alias("w_total"),
         F.sum("n_tokens").over(wall).cast("long").alias("total_tokens"),
     ).withColumn("budget", F.expr("total_tokens div 2"))
+    # budget·w through decimal(38,0): the BIGINT product overflows at
+    # ~1e9 corpus tokens (budget ~5e8 × w ~3.2e10 > 2^63) — far below
+    # the advertised scale. The oracle mirrors with HUGEINT. div/% on
+    # the wide product land back in BIGINT (base_alloc ≤ budget).
     alloc = weighted.withColumn(
-        "prod", F.col("budget") * F.col("w")
+        "prod", F.col("budget").cast("decimal(38,0)") * F.col("w")
     ).select(
         "source",
         "n_tokens",
         "w",
         "budget",
-        # BIGINT floor division — no double roundtrip
-        F.expr("prod div w_total").alias("base_alloc"),
-        (F.col("prod") % F.col("w_total")).alias("rem"),
+        F.expr("CAST(prod div w_total AS BIGINT)").alias("base_alloc"),
+        F.expr("CAST(prod % w_total AS BIGINT)").alias("rem"),
     )
     # single-partition window: bounded — one row per source
     wrem = Window.orderBy(F.desc("rem"), F.asc("source"))
@@ -1472,10 +1475,12 @@ _BM25_QUERIES: list[tuple[int, str]] = [
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 per keyword query (Okapi, Lucene idf) — the
     inverted-index retrieval workload. Query-term filter runs before
-    the posting groupBy; df and corpus stats broadcast; top-k is the
-    salted two-phase rank (no single-task sort of a query's full
-    posting list). Scores sum through decimal(27,12) so the DuckDB
-    oracle replays every contribution bit-for-bit."""
+    the posting groupBy; df and corpus stats broadcast; top-k is ONE
+    row_number window per query riding Spark's map-side
+    WindowGroupLimit partial (no single-task sort of a query's full
+    posting list — see operators/text.py:bm25_topk for the plan
+    audit). Scores sum through decimal(27,12) so the DuckDB oracle
+    replays every contribution bit-for-bit."""
     return TX.bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=10)
 
 
@@ -5096,9 +5101,12 @@ ORACLE_SQL["sample_token_budget_mixture"] = _NORM + """,
       FROM per_source
     ),
     alloc AS (
+      -- HUGEINT product: BIGINT budget*w overflows at ~1e9 corpus
+      -- tokens (mirrors the Spark side's decimal(38,0))
       SELECT source, n_tokens, budget,
-             (budget * w) // w_total AS base_alloc,
-             (budget * w) % w_total AS rem
+             CAST((CAST(budget AS HUGEINT) * w) // w_total AS BIGINT)
+               AS base_alloc,
+             CAST((CAST(budget AS HUGEINT) * w) % w_total AS BIGINT) AS rem
       FROM weighted
     ),
     topped AS (

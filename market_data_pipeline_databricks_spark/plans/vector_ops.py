@@ -1335,7 +1335,10 @@ GROUP BY 1
 """
 
 
-ORACLE_SQL["multimodal_image_near_dup"] = """
+# ONE definition of the aHash synthesis replay (dims -> grid -> cells
+# -> tot -> sigs): three oracles build on it; a synthesis tweak edited
+# in one copy but not another would make an oracle silently wrong.
+_AHASH_SIGS = """
 WITH dims AS (
   SELECT doc_id,
          8 + (doc_id % 5) * 4 AS w,
@@ -1359,7 +1362,9 @@ sigs AS (
                        THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS w1
   FROM cells c JOIN tot USING (doc_id)
   GROUP BY c.doc_id
-)
+)"""
+
+ORACLE_SQL["multimodal_image_near_dup"] = _AHASH_SIGS + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT)
          AS hamming
@@ -1367,31 +1372,7 @@ FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
 """
 
-ORACLE_SQL["multimodal_image_dedup_groups"] = """
-WITH dims AS (
-  SELECT doc_id,
-         8 + (doc_id % 5) * 4 AS w,
-         8 + (n_chars % 7) * 4 AS h
-  FROM documents
-),
-grid AS (
-  SELECT i.range AS i, j.range AS j FROM range(8) i, range(8) j
-),
-cells AS (
-  SELECT doc_id, (i * 8 + j) AS k,
-         (doc_id * 31 + ((i * h) // 8) * w + ((j * w) // 8)) % 256 AS px
-  FROM dims CROSS JOIN grid
-),
-tot AS (SELECT doc_id, SUM(px) AS total FROM cells GROUP BY doc_id),
-sigs AS (
-  SELECT c.doc_id,
-         CAST(SUM(CASE WHEN k < 32 AND px * 64 > total
-                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS w0,
-         CAST(SUM(CASE WHEN k >= 32 AND px * 64 > total
-                       THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS w1
-  FROM cells c JOIN tot USING (doc_id)
-  GROUP BY c.doc_id
-),
+ORACLE_SQL["multimodal_image_dedup_groups"] = _AHASH_SIGS + """,
 groups AS (
   SELECT w0, w1, MIN(doc_id) AS id, COUNT(*) AS gsize
   FROM sigs GROUP BY w0, w1
@@ -1412,31 +1393,7 @@ UNION ALL
 SELECT rep_a, rep_b, hamming, n_image_pairs FROM cross_pairs
 """
 
-ORACLE_SQL["multimodal_image_dedup_incremental"] = """
-WITH dims AS (
-  SELECT doc_id,
-         8 + (doc_id % 5) * 4 AS w,
-         8 + (n_chars % 7) * 4 AS h
-  FROM documents
-),
-grid AS (
-  SELECT i.range AS i, j.range AS j FROM range(8) i, range(8) j
-),
-cells AS (
-  SELECT doc_id, (i * 8 + j) AS k,
-         (doc_id * 31 + ((i * h) // 8) * w + ((j * w) // 8)) % 256 AS px
-  FROM dims CROSS JOIN grid
-),
-tot AS (SELECT doc_id, SUM(px) AS total FROM cells GROUP BY doc_id),
-sigs AS (
-  SELECT c.doc_id,
-         CAST(SUM(CASE WHEN k < 32 AND px * 64 > total
-                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS w0,
-         CAST(SUM(CASE WHEN k >= 32 AND px * 64 > total
-                       THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS w1
-  FROM cells c JOIN tot USING (doc_id)
-  GROUP BY c.doc_id
-),
+ORACLE_SQL["multimodal_image_dedup_incremental"] = _AHASH_SIGS + """,
 pairs AS (
   SELECT b.doc_id AS bid,
          CAST(bit_count(xor(b.w0, c.w0)) + bit_count(xor(b.w1, c.w1)) AS BIGINT)

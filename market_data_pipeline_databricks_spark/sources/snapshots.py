@@ -44,6 +44,20 @@ def _manifest_path(table_dir: str, version: int) -> Path:
     return Path(table_dir) / f"v{version}.json"
 
 
+def _require_absolute(table_dir: str) -> None:
+    """A relative table_dir is inherently ambiguous: DataFrame writes
+    resolve it against the JVM's working directory while the manifest
+    I/O resolves it against the Python process's cwd — two different
+    places whenever either side chdirs. Refuse loudly instead of
+    writing data one place and manifests another."""
+    if not Path(table_dir).is_absolute():
+        raise ValueError(
+            f"snapshot table_dir must be absolute, got {table_dir!r} "
+            "(relative paths resolve differently on the JVM and Python "
+            "sides)"
+        )
+
+
 def latest_version(table_dir: str) -> int:
     """Highest committed version, 0 when the table does not exist."""
     d = Path(table_dir)
@@ -73,7 +87,11 @@ def _publish(table_dir: str, version: int, files: list[str]) -> None:
 def _write_commit_files(df: DataFrame, table_dir: str) -> list[str]:
     commit_dir = Path(table_dir) / "data" / f"commit-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(str(commit_dir))
-    return [str(p) for p in commit_dir.glob("*.parquet")]
+    # manifests hold RESOLVED absolute paths: the COW merge compares
+    # them against input_file_name() URIs, and a relative table_dir or
+    # symlinked cwd would otherwise make the set difference match
+    # nothing — every matched key silently kept AND rewritten
+    return [str(p.resolve()) for p in commit_dir.glob("*.parquet")]
 
 
 def read_version(
@@ -81,6 +99,7 @@ def read_version(
 ) -> DataFrame:
     """Snapshot read: exactly the files the manifest lists — later
     commits are invisible (the isolation half of time travel)."""
+    _require_absolute(table_dir)
     v = latest_version(table_dir) if version is None else version
     return spark.read.parquet(*_read_manifest(table_dir, v))
 
@@ -88,6 +107,7 @@ def read_version(
 def commit_append(df: DataFrame, table_dir: str) -> int:
     """Append commit: new files join the previous manifest's files by
     reference. Returns the new version number."""
+    _require_absolute(table_dir)
     Path(table_dir).mkdir(parents=True, exist_ok=True)
     prev = latest_version(table_dir)
     prior_files = _read_manifest(table_dir, prev) if prev else []
@@ -110,6 +130,12 @@ def commit_merge_keys(
     so the rewrite is O(affected files). Old versions keep reading the
     pre-merge files (they are never deleted here; expiry is a separate
     retention decision). Returns the new version number."""
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        _null_safe_anti,
+        _null_safe_semi,
+    )
+
+    _require_absolute(table_dir)
     prev = latest_version(table_dir)
     if prev == 0:
         return commit_append(batch, table_dir)
@@ -118,23 +144,32 @@ def commit_merge_keys(
         "__file__", F.input_file_name()
     )
     keys = batch.select(*key_cols).distinct()
+    # NULL-SAFE key matching (writers.py helpers): with plain equality
+    # a NULL-keyed batch row never replaces the existing NULL-keyed
+    # row — both silently survive the merge
     # bounded collect: one row per data file that contains a matched
     # key — the COW working set, never row-scaled
     affected = [
         r["__file__"]
-        for r in cur.join(F.broadcast(keys), key_cols, "left_semi")
+        for r in _null_safe_semi(cur, keys, key_cols)
         .select("__file__")
         .distinct()
         .collect()
     ]
-    # input_file_name() yields file:// URIs; manifests hold plain paths
+    # input_file_name() yields file:// URIs; manifests hold resolved
+    # plain paths — resolve both sides before differencing
     from urllib.parse import unquote, urlparse
 
-    affected_set = {unquote(urlparse(a).path) for a in affected}
-    untouched = [f for f in prior_files if f not in affected_set]
+    affected_set = {
+        str(Path(unquote(urlparse(a).path)).resolve()) for a in affected
+    }
+    prior_resolved = {f: str(Path(f).resolve()) for f in prior_files}
+    untouched = [
+        f for f in prior_files if prior_resolved[f] not in affected_set
+    ]
     survivors = (
-        spark.read.parquet(*sorted(affected_set)).join(
-            F.broadcast(keys), key_cols, "left_anti"
+        _null_safe_anti(
+            spark.read.parquet(*sorted(affected_set)), keys, key_cols
         )
         if affected_set
         else None

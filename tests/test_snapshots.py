@@ -152,3 +152,28 @@ def test_expire_versions_keeps_retained_reads_intact(spark, tdir):
 
     with _pt.raises(FileNotFoundError):
         read_version(spark, tdir, 1)
+
+
+def test_merge_replaces_null_keyed_row(spark, tdir):
+    """NULL-safe merge keys: a NULL-keyed batch row must REPLACE the
+    existing NULL-keyed row, not silently coexist with it."""
+    df = spark.createDataFrame([(None, "old"), (1, "a")], "k long, v string")
+    commit_append(df, tdir)
+    batch = spark.createDataFrame([(None, "new")], "k long, v string")
+    commit_merge_keys(spark, tdir, batch, ["k"])
+    got = sorted(
+        ((r.k, r.v) for r in read_version(spark, tdir).collect()),
+        key=lambda p: (p[0] is None, p[0] or 0),
+    )
+    assert got == [(1, "a"), (None, "new")], got
+
+
+def test_relative_table_dir_rejected(spark):
+    """A relative table_dir resolves against the JVM working dir for
+    data writes but the Python cwd for manifests — two different
+    places. The format refuses it loudly instead of splitting the
+    table across both."""
+    with pytest.raises(ValueError, match="absolute"):
+        commit_append(_mk(spark, [(1, "a")]), "relative_snap_dir")
+    with pytest.raises(ValueError, match="absolute"):
+        commit_merge_keys(spark, "relative_snap_dir", _mk(spark, [(1, "a")]), ["k"])

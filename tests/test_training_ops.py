@@ -2071,3 +2071,21 @@ def test_ivf_fixed_topk_recall_vs_bruteforce(spark, emb):
         hits += len({r.neighbor_id for r in rs} & true5)
         total += 5
     assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_bm25_normalizes_query_text(spark):
+    """Query text must pass through the same normalization as the
+    corpus: 'FAST hash!' scores identically to 'fast hash'."""
+    df = spark.createDataFrame(
+        [(1, "fast hash join"), (2, "slow merge"), (3, "fast fast")],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r.query_id, r.doc_id, r.score)
+        for r in TX.bm25_topk(df, [(1, "FAST hash!")], k=3).collect()
+    )
+    b = sorted(
+        (r.query_id, r.doc_id, r.score)
+        for r in TX.bm25_topk(df, [(1, "fast hash")], k=3).collect()
+    )
+    assert a == b and a, (a, b)
