@@ -91,6 +91,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # batch-12 addition (PSI distribution-drift screen) displaces
     # funcs_ewma_close
     "quality_psi_drift",
+    # batch-13 addition (change data feed between snapshot versions)
+    # displaces dedup_components
+    "warehouse_snapshot_cdc",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -119,7 +122,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- last green in r03
     "analyst_liquidity_screen",
     "analyst_volatility_regime",
-    "dedup_components",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

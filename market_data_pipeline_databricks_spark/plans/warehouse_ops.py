@@ -753,3 +753,76 @@ FROM orders GROUP BY 1
 """,
     }
 )
+
+
+def warehouse_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed BETWEEN TABLE VERSIONS — Delta's
+    ``table_changes()`` equivalent, composed from the snapshot format's
+    time-travel reads and the CDC diff operator: v1 commits orders, v2
+    COW-merges the +10.00 correction batch (o_orderkey % 50 == 0), and
+    the query diffs read_version(1) against read_version(2)
+    (operators/cdc.py:snapshot_diff — full-outer on the key, null-safe
+    change detection). The feed must contain EXACTLY the correction
+    rows tagged 'update' with their post-merge values: the oracle
+    reconstructs that set from the original table, so a phantom
+    insert/delete (a row the merge lost or duplicated) or a missed
+    update breaks the hash. EAGER (commits at construction)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.operators.cdc import (
+        snapshot_diff,
+    )
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        commit_merge_keys,
+        read_version,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    tdir = tempfile.mkdtemp(prefix="snapcdc_")
+    try:
+        commit_append(orders.repartition(8, "o_orderkey"), tdir)
+        batch = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(10.00).cast("decimal(12,2)"))
+            .cast("decimal(12,2)")
+            .alias("o_totalprice"),
+        )
+        commit_merge_keys(spark, tdir, batch, ["o_orderkey"])
+        feed = snapshot_diff(
+            read_version(spark, tdir, 1),
+            read_version(spark, tdir, 2),
+            ["o_orderkey"],
+            ["o_orderstatus", "o_totalprice"],
+        )
+        return feed.select(
+            "o_orderkey",
+            F.col("_op").alias("change_type"),
+            "o_orderstatus",
+            "o_totalprice",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+QUERIES.update({"warehouse_snapshot_cdc": warehouse_snapshot_cdc})
+
+ORACLE_SQL.update(
+    {
+        "warehouse_snapshot_cdc": """
+SELECT o_orderkey,
+       'update' AS change_type,
+       o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2))
+            + CAST(10.00 AS DECIMAL(12,2)) AS DECIMAL(12,2))
+         AS o_totalprice
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+    }
+)

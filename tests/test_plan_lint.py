@@ -44,6 +44,7 @@ EAGER = {
     "warehouse_erase_rtbf",  # writes + erases the warehouse at construction
     "source_schema_evolution",  # writes the evolving table at construction
     "warehouse_time_travel",  # snapshot commits at construction
+    "warehouse_snapshot_cdc",  # snapshot commits at construction
     "warehouse_compact_small_files",  # writes + compacts at construction
 }
 

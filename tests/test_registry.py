@@ -43,6 +43,7 @@ PREVIOUSLY_UNCHECKED = [
     "dedup_lsh_recall_report",
     "vector_ann_ivf_fixed_topk",
     "quality_psi_drift",
+    "warehouse_snapshot_cdc",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -69,7 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "window_stale_check",
     "analyst_liquidity_screen",
     "analyst_volatility_regime",
-    "dedup_components",
 ]
 
 
