@@ -94,6 +94,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # batch-13 addition (change data feed between snapshot versions)
     # displaces dedup_components
     "warehouse_snapshot_cdc",
+    # batch-14 addition (shuffle-free bucketed fact join, no-Exchange
+    # contract enforced in-query) displaces analyst_volatility_regime
+    "scale_bucketed_join",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -121,7 +124,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_stale_check",
     # -- last green in r03
     "analyst_liquidity_screen",
-    "analyst_volatility_regime",
 
     # -- displaced: the full r7 window (all 50 driver-green in
     # CORRECTNESS_r07.json) and every earlier window; all remain

@@ -531,3 +531,67 @@ WHERE l_orderkey BETWEEN o_lo + (o_hi - o_lo) // 4
 """
     }
 )
+
+
+def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located fact⋈fact join: orders and lineitem are
+    written as catalog tables BUCKETED by the join key (8 buckets,
+    sorted), so Catalyst plans the sort-merge join with NO Exchange on
+    either side — at 100 TB the shuffle of both fact sides is the
+    dominant join cost, and bucketing removes it at write time. The
+    no-shuffle property is enforced INSIDE the query (plan_has_shuffle
+    raises if the bucketed join ever plans an Exchange — a silent
+    regression would invalidate the scale claim), and the aggregate
+    must hash-match the oracle's plain join. EAGER (saveAsTable at
+    construction; tables are nonce-named and dropped afterward)."""
+    import uuid
+
+    from market_data_pipeline_databricks_spark.sources.bucketing import (
+        bucketed_join,
+        plan_has_shuffle,
+        write_bucketed,
+    )
+
+    nonce = uuid.uuid4().hex[:8]
+    lt, rt = f"b_orders_{nonce}", f"b_lineitem_{nonce}"
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    try:
+        write_bucketed(orders, lt, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        write_bucketed(li, rt, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        j = bucketed_join(spark, lt, rt, ["o_orderkey"])
+        if plan_has_shuffle(j):
+            raise RuntimeError(
+                "bucketed join planned a shuffle Exchange — the "
+                "co-located-join contract regressed"
+            )
+        return (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum("price").cast("decimal(27,2)").alias("sum_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+QUERIES.update({"scale_bucketed_join": scale_bucketed_join})
+
+ORACLE_SQL.update(
+    {
+        "scale_bucketed_join": """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+         AS sum_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o_orderpriority
+"""
+    }
+)

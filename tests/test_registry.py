@@ -44,6 +44,7 @@ PREVIOUSLY_UNCHECKED = [
     "vector_ann_ivf_fixed_topk",
     "quality_psi_drift",
     "warehouse_snapshot_cdc",
+    "scale_bucketed_join",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -69,7 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "window_rank_family",
     "window_stale_check",
     "analyst_liquidity_screen",
-    "analyst_volatility_regime",
 ]
 
 
