@@ -97,6 +97,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # batch-14 addition (shuffle-free bucketed fact join, no-Exchange
     # contract enforced in-query) displaces analyst_volatility_regime
     "scale_bucketed_join",
+    # batch-15 addition (fully oracle-replayed fixed-codebook PQ ADC)
+    # displaces analyst_liquidity_screen
+    "vector_ann_pq_fixed_topk",
     # -- last green in r02
     "agg_conditional_counts",
     "agg_coverage_report",
@@ -122,13 +125,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_lead_gap_to_next",
     "window_rank_family",
     "window_stale_check",
-    # -- last green in r03
-    "analyst_liquidity_screen",
 
     # -- displaced: the full r7 window (all 50 driver-green in
-    # CORRECTNESS_r07.json) and every earlier window; all remain
-    # verifiable via tools/check_oracle.py. New round-8 queries are
-    # never-checked and displace slots from the r04 tail upward.
+    # CORRECTNESS_r07.json), every earlier window, and (to round-8
+    # batch additions) the whole stalest r03/r04 tail; all remain
+    # verifiable via tools/check_oracle.py. The window is now 26
+    # never-driver-checked round-8 additions + 24 r02-green anchors.
 )
 
 

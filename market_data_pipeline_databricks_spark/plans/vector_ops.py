@@ -662,6 +662,153 @@ def vector_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN in fully ORACLE-REPLAYABLE form — the
+    fixed-codebook companion to the trained PQ (operators/pq.py,
+    rows-only: per-subspace k-means training is float-associative).
+    Codebooks are the per-subspace slices of the 16 lowest-id vectors
+    (m = 8 subspaces × 8 dims, 16 codes each); ENCODING is the
+    per-subspace argmin over decimal-quantized slice distances
+    (F.least over (rounded distance, code) structs — scan-local
+    literal math, zero shuffles); ADC search builds the per-query
+    lookup table engine-side in long format (query × subspace × code
+    distances, broadcast), scores every corpus code row with one join
+    + a decimal sum over its 8 subspace entries, and ranks exact top-5
+    per query (self excluded, (distance, id) tie-break). DuckDB
+    replays codebook construction, every code assignment, the LUT,
+    and the ADC ranking bit-for-bit.
+
+    This is the CORRECTNESS twin: quantization QUALITY belongs to the
+    trained PQ (whose own floor is recall ≥ 0.3 on these deliberately
+    hard near-uniform synthetic vectors, tests/test_pq.py). With
+    untrained lowest-id codebooks the fixed form measures recall@5
+    ≈ 0.17/0.23 (sf0.01/sf0.001) vs ≈ 0.01 random, and its selected
+    neighbors average ~0.8× the mean corpus distance — floored in
+    pytest; the oracle-hashed machinery, not the recall number, is
+    the contract here.
+
+    Scale shape: encoding touches each vector once against a literal
+    closure (the 32× footprint win PQ exists for); the ADC join ships
+    8 small integers per corpus vector and broadcasts a
+    |queries|·m·k-row LUT — the FAISS IndexPQ search shape as
+    DataFrame ops."""
+    from pyspark.sql import Window
+
+    m, dsub, kcodes = 8, 8, 16
+    emb = _emb(spark, sf_dir)
+    cb_rows = (
+        emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "vec"
+            ),
+        )
+        .orderBy("vec_id")
+        .limit(kcodes)
+        .collect()
+    )
+    # cbs[s][c] = 8-dim codeword: subspace-s slice of the c-th
+    # lowest-id vector (code ids follow lowest-id order)
+    cbs = [
+        [
+            [float(x) for x in r["vec"][s * dsub : (s + 1) * dsub]]
+            for r in cb_rows
+        ]
+        for s in range(m)
+    ]
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
+    )
+
+    def _dec_dist(slice_col, cw):
+        carr = F.array(*[F.lit(v) for v in cw])
+        return F.aggregate(
+            F.zip_with(slice_col, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, t: (acc + t.cast("decimal(27,12)")).cast(
+                "decimal(38,12)"
+            ),
+        )
+
+    code_cols = []
+    for s in range(m):
+        sl = F.slice(F.col("vd"), s * dsub + 1, dsub)
+        choices = [
+            F.struct(
+                F.round(_dec_dist(sl, cbs[s][c]).cast("double"), 6).alias("d"),
+                F.lit(c).cast("int").alias("c"),
+            )
+            for c in range(kcodes)
+        ]
+        code_cols.append(F.least(*choices)["c"].alias(f"c{s}"))
+    codes_long = base.select("vec_id", *code_cols).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.col(f"c{s}").alias("code"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.s", "e.code")
+
+    cw_entries = [
+        F.struct(
+            F.lit(s).cast("int").alias("s"),
+            F.lit(c).cast("int").alias("code"),
+            F.array(*[F.lit(v) for v in cbs[s][c]]).alias("cw"),
+        )
+        for s in range(m)
+        for c in range(kcodes)
+    ]
+    lut = (
+        base.filter(F.col("vec_id") % 97 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("vd").alias("qvd"),
+            F.explode(F.array(*cw_entries)).alias("e"),
+        )
+        .select(
+            "qid",
+            F.col("e.s").alias("s"),
+            F.col("e.code").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("qvd"), F.col("e.s") * dsub + 1, dsub),
+                    F.col("e.cw"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("decimal(38,12)"),
+                lambda acc, t: (acc + t.cast("decimal(27,12)")).cast(
+                    "decimal(38,12)"
+                ),
+            ).alias("dq"),
+        )
+    )
+    adc = (
+        codes_long.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("dq").cast("double"), 6).alias("adc_dist2"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist2",
+            "rank",
+        )
+    )
+
+
 def vector_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k-means ASSIGNMENT step in oracle-replayable form (round-7
     verdict task 4: fixed-centroid variant where iteration was the only
@@ -759,6 +906,7 @@ QUERIES = {
     "vector_kmeans_clusters": vector_kmeans_clusters,
     "vector_kmeans_assign": vector_kmeans_assign,
     "vector_ann_ivf_fixed_topk": vector_ann_ivf_fixed_topk,
+    "vector_ann_pq_fixed_topk": vector_ann_pq_fixed_topk,
     "multimodal_image_resize": multimodal_image_resize,
     "multimodal_image_near_dup": multimodal_image_near_dup,
     "multimodal_image_dedup_groups": multimodal_image_dedup_groups,
@@ -1487,5 +1635,52 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY qid ORDER BY dist2, nid) AS rn
   FROM dist
+) WHERE rn <= 5
+"""
+
+ORACLE_SQL["vector_ann_pq_fixed_topk"] = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec
+  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT 16)
+),
+sub AS (SELECT UNNEST(range(0, 8)) AS s),
+dim AS (SELECT UNNEST(range(1, 9)) AS i),
+encdist AS (
+  SELECT vv.vec_id, sub.s, cb.cid,
+         CAST(SUM(CAST(
+               (vv.vec[sub.s * 8 + dim.i] - cb.vec[sub.s * 8 + dim.i])
+             * (vv.vec[sub.s * 8 + dim.i] - cb.vec[sub.s * 8 + dim.i])
+           AS DECIMAL(27,12))) AS DECIMAL(38,12)) AS dd
+  FROM v vv CROSS JOIN sub CROSS JOIN cb CROSS JOIN dim
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id, s
+      ORDER BY ROUND(CAST(dd AS DOUBLE), 6), cid) AS rn
+    FROM encdist
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS qid, s, cid AS code, dd AS dq
+  FROM encdist WHERE vec_id % 97 = 0
+),
+adc AS (
+  SELECT l.qid, c.vec_id AS nid,
+         ROUND(CAST(SUM(l.dq) AS DOUBLE), 6) AS adc_dist2
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+  WHERE c.vec_id <> l.qid
+  GROUP BY 1, 2
+)
+SELECT qid AS query_id, nid AS neighbor_id, adc_dist2,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY adc_dist2, nid) AS rn
+  FROM adc
 ) WHERE rn <= 5
 """

@@ -45,6 +45,7 @@ PREVIOUSLY_UNCHECKED = [
     "quality_psi_drift",
     "warehouse_snapshot_cdc",
     "scale_bucketed_join",
+    "vector_ann_pq_fixed_topk",
     "agg_conditional_counts",
     "agg_coverage_report",
     "agg_cube_order_stats",
@@ -69,7 +70,6 @@ PREVIOUSLY_UNCHECKED = [
     "window_lead_gap_to_next",
     "window_rank_family",
     "window_stale_check",
-    "analyst_liquidity_screen",
 ]
 
 
