@@ -26,111 +26,73 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-8 window. Standing rule since round 2: never-checked
-    # beats twice-green. After the round-7 rotation closed the backlog,
-    # the only two oracle-backed queries without a driver row are the
-    # post-window r7 additions below — they lead (VERDICT r7 task 1).
-    # With the backlog empty the rotation policy degrades gracefully to
-    # STALEST-GREEN-FIRST: the remaining slots are exactly the
-    # oracle-backed queries whose most recent green driver row is
-    # oldest (24 last green in r02, 20 in r03 — computed from
-    # CORRECTNESS_r01..r07.json), so every query's last-verified age
-    # stays bounded as rounds accumulate. Four round-8 additions
-    # displaced the four stale-r04 anchors.
-    "sample_perplexity_mixture",
-    "multimodal_image_near_dup",
-    # round-8 additions (never-checked): oracle-replayed k-means
-    # assignment argmin, largest-remainder token-budget allocator,
-    # fixed-stride sliding chunker, grouped image dedup — displace the
-    # four r04 tail anchors (analyst_point_in_time,
-    # analyst_completeness, agg_grouping_sets_revenue,
-    # agg_dup_grain_detector); batch-2 additions (incremental image
-    # dedup + streaming twin, cross-source contamination matrix)
-    # displace the three newest r03 anchors (vector_cosine_topk,
-    # window_latest_snapshot_pruned, window_rolling_range_avg)
-    "vector_kmeans_assign",
-    "sample_token_budget_mixture",
-    "text_chunk_sliding",
-    "multimodal_image_dedup_groups",
-    "multimodal_image_dedup_incremental",
-    "stream_image_dedup_incremental",
-    "text_cross_source_contamination",
-    # batch-4 additions (BM25 retrieval, soft-dedup sampling mass,
-    # ORC/JSON sink→source roundtrips) displace the four newest r03
-    # anchors (text_stats, text_decontaminate, text_bpe_token_count,
-    # stream_tumbling_daily_counts)
-    "text_bm25_topk",
-    "sample_soft_dedup_weights",
+    # -- round-9 window. Standing rule: never-hash-green beats
+    # stalest-green. The 8 queries below are the CORRECTNESS_r08
+    # hash-RED rows (rows+schema-green, hash-red — the EAGER
+    # localCheckpoint-over-deleted-tempdir returns, VERDICT r8 "What's
+    # wrong" #1). Round 9 converted every one to a materialized
+    # LocalRelation return (plans/_eager.py) and they lead the window
+    # until each holds a full-green driver row (VERDICT r9 task 2).
     "source_orc_roundtrip",
     "source_json_roundtrip",
-    # batch-5 addition (z-order clustered layout drive) displaces
-    # stream_stream_click_attribution (next-stalest r03 anchor)
-    "scale_zorder_clustering",
-    # batch-6 addition (real-decode audio fingerprint dedup) displaces
-    # stream_sliding_window_counts
-    "multimodal_audio_near_dup",
-    # batch-7 additions (right-to-erasure drive, schema-evolution
-    # landing) displace stream_session_window_stats and
-    # skew_salted_join_orders
-    "warehouse_erase_rtbf",
     "source_schema_evolution",
-    # batch-8 additions (snapshot time travel + COW merge, small-file
-    # compaction) displace quality_zscore_outliers and
-    # sample_train_test_split
+    "scale_zorder_clustering",
     "warehouse_time_travel",
     "warehouse_compact_small_files",
-    # batch-9 addition (streaming COW commits == batch merge) displaces
-    # pack_training_sequences
     "stream_snapshot_commits",
-    # batch-10 addition (oracle-replayed banding-recall evaluation)
-    # displaces multimodal_wav_roundtrip
-    "dedup_lsh_recall_report",
-    # batch-11 addition (fully oracle-replayed fixed-centroid IVF ANN)
-    # displaces funcs_log_return_stats
-    "vector_ann_ivf_fixed_topk",
-    # batch-12 addition (PSI distribution-drift screen) displaces
-    # funcs_ewma_close
-    "quality_psi_drift",
-    # batch-13 addition (change data feed between snapshot versions)
-    # displaces dedup_components
     "warehouse_snapshot_cdc",
-    # batch-14 addition (shuffle-free bucketed fact join, no-Exchange
-    # contract enforced in-query) displaces analyst_volatility_regime
-    "scale_bucketed_join",
-    # batch-15 addition (fully oracle-replayed fixed-codebook PQ ADC)
-    # displaces analyst_liquidity_screen
-    "vector_ann_pq_fixed_topk",
-    # -- last green in r02
-    "agg_conditional_counts",
-    "agg_coverage_report",
-    "agg_cube_order_stats",
-    "agg_distinct_suppliers",
-    "agg_monthly_revenue",
-    "agg_rollup_revenue",
-    "dedup_ngram_jaccard",
-    "filter_date_interval",
-    "filter_greatest_least",
-    "join_anti_customers_without_orders",
-    "join_semi_customers_with_orders",
-    "pivot_qty_by_status",
-    "sample_stratified_events",
-    "scalar_json_extract",
-    "scalar_string_kitchen",
-    "set_except_intersect_buyers",
-    "text_fingerprint_groups",
-    "text_lang_id",
-    "window_gap_detection",
-    "window_jump_check",
-    "window_latest_event_per_user",
-    "window_lead_gap_to_next",
-    "window_rank_family",
-    "window_stale_check",
+    # -- stalest-green fill (computed from CORRECTNESS_r01..r08:
+    # last green r03 first, then r04, alphabetical within a round;
+    # the full r8 window went green in r08 and rotates out).
+    # last green in r03:
+    "analyst_liquidity_screen",
+    "analyst_volatility_regime",
+    "dedup_components",
+    "funcs_ewma_close",
+    "funcs_log_return_stats",
+    "multimodal_wav_roundtrip",
+    "pack_training_sequences",
+    "quality_zscore_outliers",
+    "sample_train_test_split",
+    "skew_salted_join_orders",
+    "stream_session_window_stats",
+    "stream_sliding_window_counts",
+    "stream_stream_click_attribution",
+    "stream_tumbling_daily_counts",
+    "text_bpe_token_count",
+    "text_decontaminate",
+    "text_stats",
+    "vector_cosine_topk",
+    "window_latest_snapshot_pruned",
+    "window_rolling_range_avg",
+    # last green in r04 (first 22 alphabetically fill to exactly 50):
+    "agg_dup_grain_detector",
+    "agg_grouping_sets_revenue",
+    "analyst_completeness",
+    "analyst_point_in_time",
+    "analyst_single_key_recent",
+    "analyst_threshold_alerts",
+    "curate_chunk_corpus",
+    "curate_multimodal_corpus",
+    "dedup_exact_survivors",
+    "dedup_incremental_batch",
+    "events_funnel",
+    "events_retention_cohorts",
+    "filter_case_classification",
+    "filter_scalar_subquery_latest",
+    "funcs_market_beta",
+    "join_full_outer_reconcile",
+    "join_range_volatility_expansion",
+    "join_revenue_by_nation",
+    "multimodal_frame_sample",
+    "sample_source_cap",
+    "sample_split_leakage",
+    "sample_training_shuffle",
 
-    # -- displaced: the full r7 window (all 50 driver-green in
-    # CORRECTNESS_r07.json), every earlier window, and (to round-8
-    # batch additions) the whole stalest r03/r04 tail; all remain
-    # verifiable via tools/check_oracle.py. The window is now 26
-    # never-driver-checked round-8 additions + 24 r02-green anchors.
+    # -- displaced: the full r8 window (42 green in CORRECTNESS_r08;
+    # its 8 red rows are re-pinned at the head above) and everything
+    # greener than the r04 tail; all remain verifiable via
+    # tools/check_oracle.py.
 )
 
 

@@ -14,6 +14,7 @@ from market_data_pipeline_databricks_spark.operators.skew import (
     salted_agg,
     salted_join,
 )
+from market_data_pipeline_databricks_spark.plans._eager import materialize
 from market_data_pipeline_databricks_spark.plans.relational import _t
 
 
@@ -493,7 +494,7 @@ def scale_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         )
-        return (
+        return materialize(
             boxed.agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
@@ -503,7 +504,7 @@ def scale_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(27,2)")
                 .alias("sum_qty"),
             )
-        ).localCheckpoint()
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -568,13 +569,12 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucketed join planned a shuffle Exchange — the "
                 "co-located-join contract regressed"
             )
-        return (
+        return materialize(
             j.groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_items"),
                 F.sum("price").cast("decimal(27,2)").alias("sum_price"),
             )
-            .localCheckpoint()
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")

@@ -18,6 +18,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from market_data_pipeline_databricks_spark.plans._eager import (
+    keepalive_dir,
+    materialize,
+)
 from market_data_pipeline_databricks_spark.streaming.ingest import run_available_now
 from market_data_pipeline_databricks_spark.streaming.stateful import (
     running_user_totals,
@@ -416,7 +420,11 @@ def stream_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("source", F.lit("lineitem"))
     )
     feed_dir = tempfile.mkdtemp(prefix=f"gold_feed_{_NONCE}_")
-    wh = tempfile.mkdtemp(prefix=f"gold_wh_{_NONCE}_")
+    # gold output is row-scaled (one row per symbol-day — millions at
+    # sf1.0), so it cannot be collect-materialized; the warehouse dir
+    # lives for the process lifetime instead and the returned lazy
+    # scan stays recomputable (plans/_eager.py)
+    wh = keepalive_dir(f"gold_wh_{_NONCE}_")
     # four date-ordered drops — each lands as its own file(s); batch
     # boundaries are irrelevant to correctness (the cutoff algebra is
     # order-safe), only to the per-batch work profile
@@ -440,9 +448,8 @@ def stream_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = spark.read.parquet(f"{wh}/gold_daily")
     out = gold.select(
         "symbol", "date", "close", "volume", "return_1d", "avg_volume_20d"
-    ).localCheckpoint()  # materialize before the temp dirs vanish
+    )
     shutil.rmtree(feed_dir, ignore_errors=True)
-    shutil.rmtree(wh, ignore_errors=True)
     return out
 
 
@@ -538,7 +545,7 @@ def stream_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
-    out = spark.read.parquet(out_dir).localCheckpoint()
+    out = materialize(spark.read.parquet(out_dir))
     shutil.rmtree(feed_dir, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return out
@@ -605,7 +612,7 @@ def stream_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             return spark.createDataFrame(
                 [], "batch_id long, n_corpus_matches long, min_hamming long"
             )
-        return spark.read.parquet(out_dir).localCheckpoint()
+        return materialize(spark.read.parquet(out_dir))
     finally:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         shutil.rmtree(feed_dir, ignore_errors=True)
@@ -714,7 +721,7 @@ def stream_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg(read_version(spark, tdir, latest_version(tdir)), "v2"),
             "o_orderstatus",
         )
-        return out.localCheckpoint()
+        return materialize(out)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
         shutil.rmtree(feed_dir, ignore_errors=True)

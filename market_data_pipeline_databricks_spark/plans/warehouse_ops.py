@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from market_data_pipeline_databricks_spark.plans._eager import materialize
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -416,7 +418,8 @@ ORACLE_SQL.update(
 # reads the parquet view, so any lossiness in the sink/source pair —
 # decimal precision, date encoding, null handling — breaks the hash).
 # Files are written per run under a pid-nonce tmp dir and removed
-# after a localCheckpoint pins the (tiny) aggregate.
+# after the (tiny) aggregate is materialized as a LocalRelation
+# (plans/_eager.py — no checkpoint/tempdir dependence survives).
 # ---------------------------------------------------------------------------
 
 import os as _os
@@ -455,7 +458,7 @@ def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         # DDL, never inferred); ORC embeds its schema but the explicit
         # one asserts the same contract.
         back = spark.read.format(fmt).schema(src.schema).load(out_dir)
-        return _roundtrip_agg(back).localCheckpoint()
+        return materialize(_roundtrip_agg(back))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -535,14 +538,13 @@ def warehouse_erase_rtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, wh, "orders", keys, ["o_custkey"], ["p_year"]
         )
         back = spark.read.parquet(f"{wh}/orders")
-        return (
+        return materialize(
             back.groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
             )
             .withColumn("n_erased", F.lit(int(n_erased)).cast("long"))
-            .localCheckpoint()
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -578,14 +580,13 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         W.append_with_schema_evolution(spark, base, wh, "orders_evo")
         merged = W.append_with_schema_evolution(spark, evolved, wh, "orders_evo")
-        return (
+        return materialize(
             merged.groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.count("o_orderpriority").cast("long").alias("n_with_priority"),
                 F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
             )
-            .localCheckpoint()
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -672,7 +673,7 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = agg(read_version(spark, tdir, 1), "v1").join(
             agg(read_version(spark, tdir, 2), "v2"), "o_orderstatus"
         )
-        return out.localCheckpoint()
+        return materialize(out)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 
@@ -707,14 +708,13 @@ def warehouse_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame
             spark, wh, "orders", partition_cols=["p_year"]
         )
         back = spark.read.parquet(f"{wh}/orders")
-        return (
+        return materialize(
             back.groupBy("p_year")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
             )
             .withColumn("n_files_after", F.lit(int(n_after)).cast("long"))
-            .localCheckpoint()
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -801,12 +801,14 @@ def warehouse_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["o_orderkey"],
             ["o_orderstatus", "o_totalprice"],
         )
-        return feed.select(
-            "o_orderkey",
-            F.col("_op").alias("change_type"),
-            "o_orderstatus",
-            "o_totalprice",
-        ).localCheckpoint()
+        return materialize(
+            feed.select(
+                "o_orderkey",
+                F.col("_op").alias("change_type"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 

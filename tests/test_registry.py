@@ -13,63 +13,65 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# The round-8 rotation, as an EXPLICIT literal (not
+# The round-9 rotation, as an EXPLICIT literal (not
 # list(registry.DRIVER_WINDOW)): the point of this guard is that an
 # accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
 # aliasing the registry value made the lockstep check trivially true
-# (round-6 advice). 2 never-driver-checked names lead, then the 48
-# stalest-green queries (last green r02/r03/r04) — see registry.py.
+# (round-6 advice). The 8 CORRECTNESS_r08 hash-RED queries lead
+# (never-hash-green beats stalest-green; converted to materialized
+# returns this round), then the 42 stalest-green queries (20 last
+# green r03, 22 last green r04) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
-    "sample_perplexity_mixture",
-    "multimodal_image_near_dup",
-    "vector_kmeans_assign",
-    "sample_token_budget_mixture",
-    "text_chunk_sliding",
-    "multimodal_image_dedup_groups",
-    "multimodal_image_dedup_incremental",
-    "stream_image_dedup_incremental",
-    "text_cross_source_contamination",
-    "text_bm25_topk",
-    "sample_soft_dedup_weights",
     "source_orc_roundtrip",
     "source_json_roundtrip",
-    "scale_zorder_clustering",
-    "multimodal_audio_near_dup",
-    "warehouse_erase_rtbf",
     "source_schema_evolution",
+    "scale_zorder_clustering",
     "warehouse_time_travel",
     "warehouse_compact_small_files",
     "stream_snapshot_commits",
-    "dedup_lsh_recall_report",
-    "vector_ann_ivf_fixed_topk",
-    "quality_psi_drift",
     "warehouse_snapshot_cdc",
-    "scale_bucketed_join",
-    "vector_ann_pq_fixed_topk",
-    "agg_conditional_counts",
-    "agg_coverage_report",
-    "agg_cube_order_stats",
-    "agg_distinct_suppliers",
-    "agg_monthly_revenue",
-    "agg_rollup_revenue",
-    "dedup_ngram_jaccard",
-    "filter_date_interval",
-    "filter_greatest_least",
-    "join_anti_customers_without_orders",
-    "join_semi_customers_with_orders",
-    "pivot_qty_by_status",
-    "sample_stratified_events",
-    "scalar_json_extract",
-    "scalar_string_kitchen",
-    "set_except_intersect_buyers",
-    "text_fingerprint_groups",
-    "text_lang_id",
-    "window_gap_detection",
-    "window_jump_check",
-    "window_latest_event_per_user",
-    "window_lead_gap_to_next",
-    "window_rank_family",
-    "window_stale_check",
+    "analyst_liquidity_screen",
+    "analyst_volatility_regime",
+    "dedup_components",
+    "funcs_ewma_close",
+    "funcs_log_return_stats",
+    "multimodal_wav_roundtrip",
+    "pack_training_sequences",
+    "quality_zscore_outliers",
+    "sample_train_test_split",
+    "skew_salted_join_orders",
+    "stream_session_window_stats",
+    "stream_sliding_window_counts",
+    "stream_stream_click_attribution",
+    "stream_tumbling_daily_counts",
+    "text_bpe_token_count",
+    "text_decontaminate",
+    "text_stats",
+    "vector_cosine_topk",
+    "window_latest_snapshot_pruned",
+    "window_rolling_range_avg",
+    "agg_dup_grain_detector",
+    "agg_grouping_sets_revenue",
+    "analyst_completeness",
+    "analyst_point_in_time",
+    "analyst_single_key_recent",
+    "analyst_threshold_alerts",
+    "curate_chunk_corpus",
+    "curate_multimodal_corpus",
+    "dedup_exact_survivors",
+    "dedup_incremental_batch",
+    "events_funnel",
+    "events_retention_cohorts",
+    "filter_case_classification",
+    "filter_scalar_subquery_latest",
+    "funcs_market_beta",
+    "join_full_outer_reconcile",
+    "join_range_volatility_expansion",
+    "join_revenue_by_nation",
+    "multimodal_frame_sample",
+    "sample_source_cap",
+    "sample_split_leakage",
+    "sample_training_shuffle",
 ]
 
 
