@@ -687,109 +687,113 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest; the oracle-hashed machinery, not the recall number, is
     the contract here.
 
-    Scale shape: encoding touches each vector once against a literal
-    closure (the 32× footprint win PQ exists for); the ADC join ships
-    8 small integers per corpus vector and broadcasts a
+    Scale shape: encoding touches each vector once against a
+    broadcast codebook (the 32× footprint win PQ exists for); the ADC
+    join ships 8 small integers per corpus vector and broadcasts a
     |queries|·m·k-row LUT — the FAISS IndexPQ search shape as
-    DataFrame ops."""
+    DataFrame ops.
+
+    Plan note (round-9 verdict task 4): the original encode evaluated
+    m·k = 128 interpreted decimal HOF folds per vector (Spark runs
+    ``aggregate``/``zip_with`` lambdas outside codegen — 10.5 s at
+    sf0.1 for 2k vectors, the slowest per-row query in the registry).
+    Because decimal addition is EXACT, the fold is associative, so the
+    same distances are now computed by exploding each vector to its 8
+    subspace slices, broadcast-joining the 128-row (s, code, y0..y7)
+    codebook, and summing the 8 per-dim terms as one chained codegen
+    expression — no dim-level fan-out, one argmin groupBy over
+    n·m·k rows, bit-identical results (pinned by the unchanged
+    oracle), measured ~5× faster."""
     from pyspark.sql import Window
 
     m, dsub, kcodes = 8, 8, 16
     emb = _emb(spark, sf_dir)
+    # collect the raw float vectors and widen driver-side: Python
+    # float(float32) is the same exact widening as the engine's
+    # float→double cast, and skipping the interpreted transform-HOF
+    # projection saves >1 s of the old collect
     cb_rows = (
-        emb.select(
-            "vec_id",
-            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-                "vec"
-            ),
-        )
-        .orderBy("vec_id")
-        .limit(kcodes)
-        .collect()
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(kcodes).collect()
     )
     # cbs[s][c] = 8-dim codeword: subspace-s slice of the c-th
     # lowest-id vector (code ids follow lowest-id order)
     cbs = [
         [
-            [float(x) for x in r["vec"][s * dsub : (s + 1) * dsub]]
+            [float(x) for x in r["embedding"][s * dsub : (s + 1) * dsub]]
             for r in cb_rows
         ]
         for s in range(m)
     ]
-    base = emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vd"),
-    )
-
-    def _dec_dist(slice_col, cw):
-        carr = F.array(*[F.lit(v) for v in cw])
-        return F.aggregate(
-            F.zip_with(slice_col, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("decimal(38,12)"),
-            lambda acc, t: (acc + t.cast("decimal(27,12)")).cast(
-                "decimal(38,12)"
-            ),
-        )
-
-    code_cols = []
-    for s in range(m):
-        sl = F.slice(F.col("vd"), s * dsub + 1, dsub)
-        choices = [
-            F.struct(
-                F.round(_dec_dist(sl, cbs[s][c]).cast("double"), 6).alias("d"),
-                F.lit(c).cast("int").alias("c"),
-            )
+    base = emb.select("vec_id", "embedding")
+    # codebook wide-long: one row per (subspace, code) with the 8
+    # codeword dims as columns — m·k = 128 rows, broadcast
+    cb_long = spark.createDataFrame(
+        [
+            (s, c, *cbs[s][c])
+            for s in range(m)
             for c in range(kcodes)
-        ]
-        code_cols.append(F.least(*choices)["c"].alias(f"c{s}"))
-    codes_long = base.select("vec_id", *code_cols).select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("int").alias("s"),
-                        F.col(f"c{s}").alias("code"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", "e.s", "e.code")
+        ],
+        "s int, code int, "
+        + ", ".join(f"y{j} double" for j in range(dsub)),
+    )
 
-    cw_entries = [
-        F.struct(
-            F.lit(s).cast("int").alias("s"),
-            F.lit(c).cast("int").alias("code"),
-            F.array(*[F.lit(v) for v in cbs[s][c]]).alias("cw"),
+    def _term_dists(df, id_col):
+        """(id, s, code, dist): per-subspace decimal distance of every
+        row's slice to every codeword. Slice elements are indexed
+        straight off the float array and widened (exact — no
+        interpreted transform-HOF in the hot path); each term is the
+        double (x−y)² cast decimal(27,12) — identical to the fold's
+        per-element cast — and the 8 terms sum as one chained (exact)
+        decimal add inside codegen; rows fan out only m·k per
+        vector."""
+        sub = df.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("s"),
+                            *[
+                                F.col("embedding")[s * dsub + j]
+                                .cast("double")
+                                .alias(f"x{j}")
+                                for j in range(dsub)
+                            ],
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        ).select(id_col, "e.*")
+        term = lambda j: (
+            (F.col(f"x{j}") - F.col(f"y{j}"))
+            * (F.col(f"x{j}") - F.col(f"y{j}"))
+        ).cast("decimal(27,12)")
+        dist = term(0)
+        for j in range(1, dsub):
+            dist = dist + term(j)
+        return sub.join(F.broadcast(cb_long), ["s"]).select(
+            id_col, "s", "code", dist.alias("dist")
         )
-        for s in range(m)
-        for c in range(kcodes)
-    ]
-    lut = (
-        base.filter(F.col("vec_id") % 97 == 0)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("vd").alias("qvd"),
-            F.explode(F.array(*cw_entries)).alias("e"),
-        )
-        .select(
-            "qid",
-            F.col("e.s").alias("s"),
-            F.col("e.code").alias("code"),
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("qvd"), F.col("e.s") * dsub + 1, dsub),
-                    F.col("e.cw"),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0).cast("decimal(38,12)"),
-                lambda acc, t: (acc + t.cast("decimal(27,12)")).cast(
-                    "decimal(38,12)"
-                ),
-            ).alias("dq"),
+
+    codes_long = (
+        _term_dists(base, "vec_id")
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(F.col("dist").cast("double"), 6).alias("d"),
+                    F.col("code").alias("c"),
+                )
+            )["c"].alias("code")
         )
     )
+    lut = _term_dists(
+        base.filter(F.col("vec_id") % 97 == 0).withColumnRenamed(
+            "vec_id", "qid"
+        ),
+        "qid",
+    ).select("qid", "s", "code", F.col("dist").alias("dq"))
     adc = (
         codes_long.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("qid"))
