@@ -662,16 +662,19 @@ def image_ahash_dedup_groups(
             f"max_hamming {max_hamming} >= 4 bands — pigeonhole recall "
             "guarantee (and oracle equality) would not hold"
         )
-    from pyspark import StorageLevel
-
     ah = image_ahash_words(media)
     # three consumers (both band-join sides + the exact-group rows) —
     # persist the tiny distinct-hash frame so the PPM decode
-    # mapInPandas runs once, not three times (plan audit: 6 scans → 2)
-    groups = ah.groupBy("w0", "w1").agg(
-        F.min("media_id").alias("id"),
-        F.count(F.lit(1)).alias("gsize"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # mapInPandas runs once, not three times (plan audit: 6 scans → 2);
+    # tracked: outlives the call, caching.release_tracked() frees it
+    from market_data_pipeline_databricks_spark.caching import persist_tracked
+
+    groups = persist_tracked(
+        ah.groupBy("w0", "w1").agg(
+            F.min("media_id").alias("id"),
+            F.count(F.lit(1)).alias("gsize"),
+        )
+    )
     bands = _ahash_banded(groups, extra_cols=("gsize",))
     a, b = bands.alias("a"), bands.alias("b")
     cross = (
@@ -743,11 +746,12 @@ def image_ahash_probe(
             "band_val",
         )
 
-    from pyspark import StorageLevel
+    from market_data_pipeline_databricks_spark.caching import persist_tracked
 
     # batch signatures feed the band join AND the final left join —
-    # persist so the batch decode runs once
-    batch_sigs = batch_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # persist so the batch decode runs once; tracked: outlives the
+    # call, caching.release_tracked() frees it
+    batch_sigs = persist_tracked(batch_sigs)
     bq = banded(batch_sigs, "q")
     bc = banded(corpus_sigs, "c")
     matches = (

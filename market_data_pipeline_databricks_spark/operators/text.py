@@ -677,17 +677,18 @@ def bm25_topk(
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    from pyspark import StorageLevel
+    from market_data_pipeline_databricks_spark.caching import persist_tracked
 
     # two consumers (scoring join + document frequency) — persist the
     # small posting table (≤ |docs|·|qvocab| rows) so the corpus
-    # tokenize/explode runs once
-    tf = (
+    # tokenize/explode runs once; tracked: it must outlive the call
+    # (lazy return), callers release via caching.release_tracked()
+    tf = persist_tracked(
         lens.select("doc_id", "dl", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(all_terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")

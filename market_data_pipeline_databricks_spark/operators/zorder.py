@@ -37,14 +37,23 @@ def zorder_value(
 ) -> Column:
     """32-bit Morton code of two integer keys, each quantized to 16
     bits over its [min, max] range: ``floor((x − min)·2¹⁶ / span)``.
-    The double division is exact for key spans < 2³⁷; beyond that a
-    rare last-ulp quantization flip can move a row one z-bucket — the
-    code orders the LAYOUT only, never a query result, so that is a
-    (negligible) clustering perturbation, not a correctness issue."""
-    a_span = a_max.cast("long") - a_min.cast("long") + F.lit(1)
-    b_span = b_max.cast("long") - b_min.cast("long") + F.lit(1)
-    qa = F.floor(((a.cast("long") - a_min.cast("long")) * F.lit(65536)) / a_span)
-    qb = F.floor(((b.cast("long") - b_min.cast("long")) * F.lit(65536)) / b_span)
+    The (x − min)·2¹⁶ product runs in decimal(20,0)·2¹⁶ (≤ 25 digits),
+    so it cannot wrap even for full-long key spans — in LongType
+    arithmetic spans ≥ 2⁴⁷ silently overflowed (non-ANSI wraparound)
+    and scrambled the layout. The decimal quotient keeps ≥ 6
+    fractional digits before the floor, so a rare last-digit rounding
+    flip can still move a row one z-bucket — the code orders the
+    LAYOUT only, never a query result, so that is a (negligible)
+    clustering perturbation, not a correctness issue."""
+    # subtract in decimal as well: a full-int64 key range would
+    # overflow even the long span/offset subtraction
+    dec = lambda c: c.cast("long").cast("decimal(20,0)")
+    a_span = dec(a_max) - dec(a_min) + F.lit(1)
+    b_span = dec(b_max) - dec(b_min) + F.lit(1)
+    da = dec(a) - dec(a_min)
+    db = dec(b) - dec(b_min)
+    qa = F.floor((da * F.lit(65536)) / a_span)
+    qb = F.floor((db * F.lit(65536)) / b_span)
     # clamp the max element into the top bucket
     qa = F.least(qa, F.lit(65535)).cast("long")
     qb = F.least(qb, F.lit(65535)).cast("long")

@@ -281,11 +281,12 @@ def text_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFra
             "shingle"
         ),
     ).select("source", TX.portable_hash60(F.col("shingle")).alias("h")).distinct()
-    from pyspark import StorageLevel
+    from market_data_pipeline_databricks_spark.caching import persist_tracked
 
     # three consumers (totals + both self-join sides) — persist so the
-    # shingle explode + md5 run once (plan audit: 8 scans → 2)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # shingle explode + md5 run once (plan audit: 8 scans → 2);
+    # tracked: outlives the call, caching.release_tracked() frees it
+    sh = persist_tracked(sh)
     totals = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -1290,13 +1291,14 @@ def text_curation_distill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kept, "doc_id", "left")
         .withColumn("label", F.coalesce("label", F.lit(0.0)))
     )
-    from pyspark import StorageLevel
 
     # three downstream evaluations (the LBFGS fit + scoring both
     # splits) each re-ran the full curation chain (~5 s of dedup
     # pipeline) without this persist — measured 16→2.7 s warm at
     # sf0.1; the frame is one row per doc with 8 doubles
-    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+    from market_data_pipeline_databricks_spark.caching import persist_tracked
+
+    feat = persist_tracked(feat)
     va = VectorAssembler(
         inputCols=[
             "f_quality",

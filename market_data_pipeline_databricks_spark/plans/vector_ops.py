@@ -276,12 +276,18 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator — then clips collapse into frequency-bin duplicate
     groups (clips of the same tone are re-recordings of the same
     content at different lengths). The estimated frequency bin is
-    recovered from the crossing count by exact ceil-division (the ZC
-    estimate underestimates f by < rate/(2(n−1)) < the 25 Hz grid
-    spacing, so the unique grid point at or above the estimate IS the
-    source tone), which makes the whole pipeline — decode included —
-    replayable by the DuckDB oracle's analytic crossing count.
-    Output: one row per frequency bin with the duplicate-group facts.
+    recovered from the crossing count by exact ceil-division: the ZC
+    estimate underestimates f by < rate/(2(n−1)), which is below the
+    25 Hz grid spacing only for n_samples > 161 — i.e. docs with
+    n_chars ≥ 20 under the synthesizer's length mapping. Within that
+    precondition the unique grid point at or above the estimate IS the
+    source tone; for shorter clips the recovered bin can sit below the
+    true tone (both engines share the formula, so the oracle stays
+    green, but the dedup grouping is then nominal rather than
+    acoustic — the shipped documents corpus satisfies the bound).
+    Either way the whole pipeline — decode included — is replayable by
+    the DuckDB oracle's analytic crossing count. Output: one row per
+    frequency bin with the duplicate-group facts.
 
     Scale shape: decode is one Arrow mapInPandas pass (bytes never
     shuffle); the group-by carries 3 integers per clip."""

@@ -22,7 +22,12 @@ Scale shape: manifests hold one path per data file (a 100-TB table at
 128 MB/file is ~800k entries — a driver-trivial JSON, same order as
 Delta's checkpoint); the COW rewrite reads only affected files, so a
 point-correction batch costs O(files-containing-matches), never
-O(table). Commit publication is an atomic rename of the manifest.
+O(table). Commit publication is CREATE-EXCLUSIVE: the manifest is
+written to a temp file and hard-linked into place, so of two
+concurrent writers racing to commit the same version number exactly
+one wins and the loser gets :class:`ConcurrentCommitError` — the same
+optimistic-concurrency contract Delta/Iceberg give (a plain rename
+would silently overwrite the winner: a lost commit).
 
 Reference parity: extends the reference's MERGE/partitioned-DDL
 surface (notebooks/bronze/01_ingest_bronze.py:85-107) with the
@@ -38,6 +43,19 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first. The optimistic-
+    concurrency loser: re-read ``latest_version`` and retry the commit
+    against the new base (or surface the conflict)."""
+
+
+class DuplicateKeyBatchError(ValueError):
+    """A MERGE batch carried multiple rows for the same key — Delta's
+    'multiple source rows matched' error. Applying it would insert all
+    duplicates (the anti-join removes the old row once, then every
+    batch copy lands); dedupe the batch first."""
 
 
 def _manifest_path(table_dir: str, version: int) -> Path:
@@ -76,12 +94,24 @@ def _read_manifest(table_dir: str, version: int) -> list[str]:
 
 
 def _publish(table_dir: str, version: int, files: list[str]) -> None:
-    """Atomic manifest publication: write-to-temp + rename, so a reader
-    never observes a half-written version file."""
+    """Atomic + EXCLUSIVE manifest publication: write-to-temp, then
+    ``os.link`` into place. link(2) fails with EEXIST when the target
+    exists, so a reader never observes a half-written version file AND
+    two writers racing to the same version number cannot both win —
+    the loser raises :class:`ConcurrentCommitError` instead of
+    silently replacing the winner's commit (which a rename would)."""
     target = _manifest_path(table_dir, version)
     tmp = target.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
     tmp.write_text(json.dumps({"version": version, "files": sorted(files)}))
-    os.rename(tmp, target)
+    try:
+        os.link(tmp, target)
+    except FileExistsError as exc:
+        raise ConcurrentCommitError(
+            f"version {version} of {table_dir} was committed by a "
+            "concurrent writer — re-read latest_version() and retry"
+        ) from exc
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _write_commit_files(df: DataFrame, table_dir: str) -> list[str]:
@@ -129,13 +159,34 @@ def commit_merge_keys(
     set — and unmatched files carry into the new manifest untouched,
     so the rewrite is O(affected files). Old versions keep reading the
     pre-merge files (they are never deleted here; expiry is a separate
-    retention decision). Returns the new version number."""
+    retention decision). Returns the new version number.
+
+    The batch must hold at most ONE row per key: a duplicate-keyed
+    batch raises :class:`DuplicateKeyBatchError` (Delta MERGE's
+    'multiple source rows matched' error) — otherwise the anti-join
+    removes the old row once and every duplicate batch row would land.
+    The check is one key-column aggregate over the batch (batch-scaled,
+    never table-scaled)."""
     from market_data_pipeline_databricks_spark.sources.writers import (
         _null_safe_anti,
         _null_safe_semi,
     )
 
     _require_absolute(table_dir)
+    # groupBy keeps NULL keys (countDistinct would drop them), so the
+    # uniqueness check is null-safe; only the key columns are scanned
+    dup = (
+        batch.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .first()
+    )
+    if dup is not None:
+        raise DuplicateKeyBatchError(
+            f"merge batch has {dup['n']} rows for key "
+            f"{tuple(dup[k] for k in key_cols)!r} — one row per key "
+            "required (Delta MERGE multiple-source-match semantics)"
+        )
     prev = latest_version(table_dir)
     if prev == 0:
         return commit_append(batch, table_dir)

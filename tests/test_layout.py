@@ -82,3 +82,33 @@ def test_zorder_values_no_shuffle_and_bounded(spark):
     ).collect()[0]
     assert rows.lo >= 0
     assert rows.hi < 1 << (4 * 2)
+
+
+def test_zorder_value_survives_huge_key_spans(spark):
+    """Key spans ≥ 2^47 used to wrap the (x − min)·65536 LongType
+    multiply (non-ANSI silent overflow), scrambling the Morton layout.
+    The decimal quantization path must keep codes non-negative and the
+    quantized buckets monotone across the span."""
+    from market_data_pipeline_databricks_spark.operators.zorder import (
+        zorder_value,
+    )
+
+    lo, hi = -(1 << 62), (1 << 62)  # span ≈ 2^63
+    pts = [lo, lo // 2, 0, hi // 2, hi]
+    df = spark.createDataFrame([(a, 0) for a in pts], "a long, b long")
+    out = (
+        df.select(
+            "a",
+            zorder_value(
+                F.col("a"), F.lit(lo), F.lit(hi),
+                F.col("b"), F.lit(0), F.lit(0),
+            ).alias("z"),
+        )
+        .orderBy("a")
+        .collect()
+    )
+    zs = [r.z for r in out]
+    assert all(z >= 0 for z in zs), zs
+    # b is constant, so z is the dilated a-bucket: strictly increasing
+    # sample points across a 2^63 span must land in increasing buckets
+    assert zs == sorted(zs) and len(set(zs)) == len(zs), zs

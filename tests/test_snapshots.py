@@ -177,3 +177,60 @@ def test_relative_table_dir_rejected(spark):
         commit_append(_mk(spark, [(1, "a")]), "relative_snap_dir")
     with pytest.raises(ValueError, match="absolute"):
         commit_merge_keys(spark, "relative_snap_dir", _mk(spark, [(1, "a")]), ["k"])
+
+
+def test_concurrent_commit_loser_raises(spark, tdir):
+    """Two writers racing to the same version number: exactly one wins.
+    Simulated by publishing a manifest for the version a second commit
+    is about to claim — the second _publish must fail loudly (a rename
+    would silently overwrite the first writer's commit: a lost commit),
+    and the winner's manifest must survive byte-for-byte."""
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        _publish,
+    )
+
+    commit_append(_mk(spark, [(1, "a")]), tdir)
+    winner = (Path(tdir) / "v1.json").read_text()
+    with pytest.raises(ConcurrentCommitError, match="version 1"):
+        _publish(tdir, 1, ["/other/file.parquet"])
+    assert (Path(tdir) / "v1.json").read_text() == winner
+    # the loser's temp file must not leak
+    assert not list(Path(tdir).glob("*.tmp-*"))
+
+
+def test_merge_duplicate_key_batch_raises(spark, tdir):
+    """A batch with two rows for one key must be rejected (Delta MERGE
+    'multiple source rows matched'): applying it would anti-join the
+    old row away once and then land BOTH batch copies."""
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        DuplicateKeyBatchError,
+    )
+
+    commit_append(_mk(spark, [(1, "a"), (2, "b")]), tdir)
+    with pytest.raises(DuplicateKeyBatchError, match="2 rows"):
+        commit_merge_keys(
+            spark, tdir, _mk(spark, [(2, "B2"), (2, "B3")]), ["k"]
+        )
+    # the table is untouched: no new version, same contents
+    assert latest_version(tdir) == 1
+    assert {r.k: r.v for r in read_version(spark, tdir).collect()} == {
+        1: "a",
+        2: "b",
+    }
+
+
+def test_merge_duplicate_null_key_batch_raises(spark, tdir):
+    """The uniqueness check must be null-safe: two NULL-keyed batch
+    rows are duplicates of each other (countDistinct-style checks drop
+    NULL groups and would let them through)."""
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        DuplicateKeyBatchError,
+    )
+
+    commit_append(_mk(spark, [(1, "a")]), tdir)
+    dup_null = spark.createDataFrame(
+        [(None, "n1"), (None, "n2")], "k long, v string"
+    )
+    with pytest.raises(DuplicateKeyBatchError):
+        commit_merge_keys(spark, tdir, dup_null, ["k"])
