@@ -41,6 +41,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "warehouse_compact_small_files",
     "stream_snapshot_commits",
     "warehouse_snapshot_cdc",
+    # -- round-9 additions (never-checked): Ed-Join edit-distance
+    # fuzzy dedup (blocked == brute-force oracle) and the dynamic-
+    # partition-pruning drive (DPP contract enforced in-query) —
+    # displace the two newest r04 tail anchors (sample_split_leakage,
+    # sample_training_shuffle)
+    "dedup_edit_distance_qgram",
+    "scale_dynamic_partition_pruning",
     # -- stalest-green fill (computed from CORRECTNESS_r01..r08:
     # last green r03 first, then r04, alphabetical within a round;
     # the full r8 window went green in r08 and rotates out).
@@ -86,8 +93,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_revenue_by_nation",
     "multimodal_frame_sample",
     "sample_source_cap",
-    "sample_split_leakage",
-    "sample_training_shuffle",
 
     # -- displaced: the full r8 window (42 green in CORRECTNESS_r08;
     # its 8 red rows are re-pinned at the head above) and everything

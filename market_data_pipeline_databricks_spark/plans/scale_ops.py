@@ -595,3 +595,81 @@ GROUP BY o_orderpriority
 """
     }
 )
+
+
+def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning drive: orders lands YEAR-partitioned
+    in a throwaway warehouse, then joins a small filtered dimension
+    (the odd order-years) on the partition column. Catalyst must plan
+    the fact scan with a ``dynamicpruningexpression`` partition filter
+    — the runtime mechanism that lets a 100-TB partitioned fact table
+    skip every partition the dimension filter excludes WITHOUT a
+    static predicate (the star-schema scale feature Spark ships for
+    exactly this shape). The DPP property is enforced IN-QUERY (like
+    the bucketed no-Exchange contract): if the planned scan carries no
+    dynamic pruning filter the query raises instead of silently
+    degrading to a full scan. The DuckDB oracle replays the join as a
+    plain year-parity filter, so hash equality also proves the pruned
+    scan lost no rows. EAGER (writes the partitioned warehouse at
+    construction; returns a materialized LocalRelation)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.plans._eager import (
+        materialize as _mat,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        F.year("o_orderdate").alias("p_year"),
+    )
+    wh = tempfile.mkdtemp(prefix="dpp_wh_")
+    try:
+        orders.write.partitionBy("p_year").parquet(f"{wh}/orders")
+        fact = spark.read.parquet(f"{wh}/orders")
+        dim = (
+            orders.select("p_year")
+            .distinct()
+            .filter(F.col("p_year") % 2 == 1)
+            .select(F.col("p_year").alias("dim_year"))
+        )
+        joined = fact.join(
+            F.broadcast(dim), fact.p_year == dim.dim_year
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in plan.lower():
+            raise RuntimeError(
+                "partitioned fact scan planned WITHOUT a dynamic "
+                "partition pruning filter — the DPP contract regressed "
+                "(full scan at 100 TB)"
+            )
+        return _mat(
+            joined.groupBy("p_year")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+            )
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+QUERIES.update(
+    {"scale_dynamic_partition_pruning": scale_dynamic_partition_pruning}
+)
+
+ORACLE_SQL.update(
+    {
+        "scale_dynamic_partition_pruning": """
+SELECT CAST(year(o_orderdate) AS INT) AS p_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+         AS sum_price
+FROM orders
+WHERE year(o_orderdate) % 2 = 1
+GROUP BY 1
+"""
+    }
+)

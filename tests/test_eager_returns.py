@@ -46,6 +46,7 @@ CONSTRUCTION_WRITERS = (
     "warehouse_snapshot_cdc",
     "scale_zorder_clustering",
     "scale_bucketed_join",
+    "scale_dynamic_partition_pruning",
     "stream_gold_incremental",
     "stream_cdc_incremental",
     "stream_image_dedup_incremental",

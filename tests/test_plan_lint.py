@@ -47,6 +47,7 @@ EAGER = {
     "warehouse_snapshot_cdc",  # snapshot commits at construction
     "scale_bucketed_join",  # saveAsTable + plan check at construction
     "warehouse_compact_small_files",  # writes + compacts at construction
+    "scale_dynamic_partition_pruning",  # writes the partitioned warehouse at construction
 }
 
 # Arrow-batched Python is the sanctioned slow path for exactly these

@@ -1,0 +1,57 @@
+"""Round-9 additions: Ed-Join edit-distance dedup and the DPP drive."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_edit_distance_qgram_equals_brute_force(spark):
+    """The prefix/count-filter chain must be LOSSLESS: the blocked
+    plan's pairs equal the all-pairs levenshtein <= 4 ground truth."""
+    got = sorted(
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in entrymod.queries()["dedup_edit_distance_qgram"](
+            spark, SF
+        ).collect()
+    )
+    keys = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.substring("text", 1, 64).alias("key"))
+    )
+    a = keys.select(F.col("doc_id").alias("id_a"), F.col("key").alias("ka"))
+    b = keys.select(F.col("doc_id").alias("id_b"), F.col("key").alias("kb"))
+    truth = sorted(
+        (r.id_a, r.id_b, r.d)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("d", F.levenshtein("ka", "kb").cast("long"))
+        .filter(F.col("d") <= 4)
+        .collect()
+    )
+    assert got == truth and len(truth) > 0
+
+
+def test_edit_distance_banded_threshold_semantics(spark):
+    """levenshtein(a, b, K) returns -1 beyond K; the query must never
+    emit a distance outside [0, K]."""
+    rows = entrymod.queries()["dedup_edit_distance_qgram"](spark, SF).collect()
+    assert all(0 <= r.edit_dist <= 4 for r in rows)
+
+
+def test_dpp_contract_raises_when_pruning_disabled(spark):
+    """The in-query DPP assertion must fail loudly if dynamic partition
+    pruning is off (a silent full scan at 100 TB), and pass with it on."""
+    fn = entrymod.queries()["scale_dynamic_partition_pruning"]
+    assert fn(spark, SF).count() > 0  # normal path: DPP planned
+    key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        with pytest.raises(RuntimeError, match="dynamic"):
+            fn(spark, SF)
+    finally:
+        spark.conf.set(key, old)

@@ -30,6 +30,8 @@ PREVIOUSLY_UNCHECKED = [
     "warehouse_compact_small_files",
     "stream_snapshot_commits",
     "warehouse_snapshot_cdc",
+    "dedup_edit_distance_qgram",
+    "scale_dynamic_partition_pruning",
     "analyst_liquidity_screen",
     "analyst_volatility_regime",
     "dedup_components",
@@ -70,8 +72,6 @@ PREVIOUSLY_UNCHECKED = [
     "join_revenue_by_nation",
     "multimodal_frame_sample",
     "sample_source_cap",
-    "sample_split_leakage",
-    "sample_training_shuffle",
 ]
 
 
