@@ -87,6 +87,12 @@ HEADLINE = [
     "text_bm25_topk",
     "text_cross_source_contamination",
     "multimodal_audio_near_dup",
+    # round-9: the Ed-Join blocked edit-distance path (q-gram prefix
+    # candidates + threshold-banded levenshtein verify) is the newest
+    # heavy similarity shape — un-benched, a candidate-explosion or
+    # banded-verify regression (69 s unbanded) would be
+    # driver-invisible. Baseline 5.7 s warm at sf0.1 (BASELINE.md r9).
+    "dedup_edit_distance_qgram",
 ]
 
 
