@@ -72,7 +72,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vector_cosine_topk",
     "window_latest_snapshot_pruned",
     "window_rolling_range_avg",
-    # last green in r04 (first 22 alphabetically fill to exactly 50):
+    # last green in r04 (the 2 round-9 additions above displaced the
+    # two newest, so the first 20 alphabetically fill to exactly 50):
     "agg_dup_grain_detector",
     "agg_grouping_sets_revenue",
     "analyst_completeness",

@@ -615,10 +615,6 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil
     import tempfile
 
-    from market_data_pipeline_databricks_spark.plans._eager import (
-        materialize as _mat,
-    )
-
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -645,7 +641,7 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
                 "partition pruning filter — the DPP contract regressed "
                 "(full scan at 100 TB)"
             )
-        return _mat(
+        return materialize(
             joined.groupBy("p_year")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -5274,8 +5274,18 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
        max(|Ga|,|Gb|) − q·K elements, so each doc's first
        q·K + 1 = 17 elements in a GLOBAL rarest-first order must
        overlap in ≥ 1 element for any qualifying pair (prefix filter —
-       sound, never drops a true pair; rarest-first keeps posting
-       lists short by construction);
+       sound, never drops a true pair, PROVIDED the bound is
+       positive: max(len_a, len_b) ≥ q·(K+1) = 20 (then ed ≤ K also
+       forces min_len ≥ 16 ≥ q, so both sides have grams). Pairs
+       where both keys are shorter get no q-gram guarantee at all, so
+       keys of length ≤ 23 are ALSO routed to an exhaustive
+       short-bucket branch, and the pair space partitions on
+       greatest(len): pairs with greatest ≥ 24 come from the prefix
+       branch (bound holds with margin), pairs with greatest ≤ 23
+       have both members in the short bucket. The union is exactly
+       the brute-force result for any corpus, not just long-doc ones;
+       the short bucket is all-pairs only over genuinely short docs —
+       a bounded, usually tiny population at scale);
     3. candidates: self-join of the 17-element prefixes on (gram, occ)
        with id_a < id_b, distinct;
     4. exact verify: length filter |la−lb| ≤ K, then one
@@ -5302,11 +5312,16 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     L, Q, K = 64, 4, 4
     prefix_len = Q * K + 1
+    short_max = 23  # greatest(len) <= 23 pairs go to the short bucket
     keys = _docs(spark, sf_dir).select(
         "doc_id", F.substring("text", 1, L).alias("key")
     )
     el = (
-        keys.select(
+        # len >= Q guard: shorter keys have no q-grams (and
+        # F.sequence would count DOWNWARD, emitting bogus positions);
+        # every pair involving them lands in the short bucket anyway
+        keys.filter(F.length("key") >= Q)
+        .select(
             "doc_id",
             "key",
             F.explode(
@@ -5354,9 +5369,35 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     kb = keys.select(
         F.col("doc_id").alias("id_b"), F.col("key").alias("key_b")
     )
-    return (
+    long_pairs = (
         cand.join(ka, "id_a")
         .join(kb, "id_b")
+        .filter(
+            F.greatest(F.length("key_a"), F.length("key_b"))
+            > F.lit(short_max)
+        )
+    )
+    # short bucket: exhaustive over keys <= short_max chars — the only
+    # branch where the q-gram bound gives no guarantee. Non-equi
+    # self-join compiles to a broadcast nested loop over the (tiny)
+    # short population, never a corpus cartesian.
+    shortk = keys.filter(F.length("key") <= short_max)
+    short_pairs = (
+        shortk.select(
+            F.col("doc_id").alias("id_a"), F.col("key").alias("key_a")
+        )
+        .join(
+            F.broadcast(
+                shortk.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("key").alias("key_b"),
+                )
+            ),
+            F.col("id_a") < F.col("id_b"),
+        )
+    )
+    return (
+        long_pairs.unionByName(short_pairs)
         .filter(
             F.abs(F.length("key_a") - F.length("key_b")) <= F.lit(K)
         )

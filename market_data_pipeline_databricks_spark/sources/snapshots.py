@@ -101,17 +101,37 @@ def _publish(table_dir: str, version: int, files: list[str]) -> None:
     the loser raises :class:`ConcurrentCommitError` instead of
     silently replacing the winner's commit (which a rename would)."""
     target = _manifest_path(table_dir, version)
+    payload = json.dumps({"version": version, "files": sorted(files)})
     tmp = target.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
-    tmp.write_text(json.dumps({"version": version, "files": sorted(files)}))
+    tmp.write_text(payload)
     try:
         os.link(tmp, target)
+        return
     except FileExistsError as exc:
         raise ConcurrentCommitError(
             f"version {version} of {table_dir} was committed by a "
             "concurrent writer — re-read latest_version() and retry"
         ) from exc
+    except OSError:
+        # filesystem without hard links (exFAT/VFAT, some NFS/FUSE
+        # mounts): fall back to O_EXCL create — the name claim stays
+        # atomic-exclusive (the conflict loser still raises below);
+        # only the full-content-at-first-sight property degrades, and
+        # only on these filesystems
+        pass
     finally:
         tmp.unlink(missing_ok=True)
+    try:
+        fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as exc:
+        raise ConcurrentCommitError(
+            f"version {version} of {table_dir} was committed by a "
+            "concurrent writer — re-read latest_version() and retry"
+        ) from exc
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
 
 
 def _write_commit_files(df: DataFrame, table_dir: str) -> list[str]:

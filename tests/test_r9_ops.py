@@ -55,3 +55,47 @@ def test_dpp_contract_raises_when_pruning_disabled(spark):
             fn(spark, SF)
     finally:
         spark.conf.set(key, old)
+
+
+def test_edit_distance_qgram_short_keys_lossless(spark, tmp_path):
+    """Round-9 review finding: the q-gram count bound is vacuous when
+    the longer key has <= q*K grams, so short keys get an exhaustive
+    bucket. Synthetic corpus with no-shared-gram short pairs (e.g.
+    'aaaa' vs 'bbbb', ed=4) and boundary lengths must still equal
+    brute force."""
+    texts = [
+        "aaaa", "bbbb",            # ed 4, zero shared 4-grams
+        "ab", "cd",                # ed 2, below gram length q=4
+        "x" * 20, "y" * 18,        # boundary: around the bound limit
+        "hello world padding 23c", # len 23 (short bucket edge)
+        "hello world padding 23x",
+        "z" * 24, "z" * 22,        # straddle the bucket boundary
+        "the quick brown fox jumps over the lazy dog again and more!",
+        "the quick brown fox jumps over the lazy dog again and more?",
+    ]
+    rows = [(i, t, "en", "syn", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    d = str(tmp_path / "synth")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    got = sorted(
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in entrymod.queries()["dedup_edit_distance_qgram"](
+            spark, d
+        ).collect()
+    )
+    keys = docs.select("doc_id", F.substring("text", 1, 64).alias("key"))
+    a = keys.select(F.col("doc_id").alias("id_a"), F.col("key").alias("ka"))
+    b = keys.select(F.col("doc_id").alias("id_b"), F.col("key").alias("kb"))
+    truth = sorted(
+        (r.id_a, r.id_b, r.d)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("d", F.levenshtein("ka", "kb").cast("long"))
+        .filter(F.col("d") <= 4)
+        .collect()
+    )
+    assert got == truth
+    # the synthetic corpus must actually exercise the short bucket
+    assert any(p for p in truth if len(texts[p[0]]) <= 23 and len(texts[p[1]]) <= 23)

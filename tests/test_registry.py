@@ -19,8 +19,9 @@ WINDOW = 50
 # aliasing the registry value made the lockstep check trivially true
 # (round-6 advice). The 8 CORRECTNESS_r08 hash-RED queries lead
 # (never-hash-green beats stalest-green; converted to materialized
-# returns this round), then the 42 stalest-green queries (20 last
-# green r03, 22 last green r04) — see registry.py.
+# returns this round), then the 2 never-checked round-9 additions,
+# then the 40 stalest-green queries (20 last green r03, 20 last
+# green r04) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "source_orc_roundtrip",
     "source_json_roundtrip",

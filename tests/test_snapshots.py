@@ -234,3 +234,25 @@ def test_merge_duplicate_null_key_batch_raises(spark, tdir):
     )
     with pytest.raises(DuplicateKeyBatchError):
         commit_merge_keys(spark, tdir, dup_null, ["k"])
+
+
+def test_publish_falls_back_without_hardlink_support(spark, tdir, monkeypatch):
+    """Filesystems without hard links (exFAT, some NFS/FUSE mounts)
+    raise EPERM/EOPNOTSUPP from os.link; _publish must fall back to an
+    O_EXCL create that still commits AND still raises
+    ConcurrentCommitError for the racing loser."""
+    import errno
+    import os as _os
+
+    from market_data_pipeline_databricks_spark.sources import snapshots as S
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(S.os, "link", no_link)
+    v = commit_append(_mk(spark, [(1, "a"), (2, "b")]), tdir)
+    assert v == 1
+    assert read_version(spark, tdir, 1).count() == 2
+    with pytest.raises(S.ConcurrentCommitError, match="version 1"):
+        S._publish(tdir, 1, ["/other/file.parquet"])
+    assert not list(Path(tdir).glob("*.tmp-*"))
