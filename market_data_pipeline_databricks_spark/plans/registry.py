@@ -48,6 +48,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # sample_training_shuffle)
     "dedup_edit_distance_qgram",
     "scale_dynamic_partition_pruning",
+    # round-9 batch 2 (never-checked): streaming-state audit via the
+    # Spark 4 statestore reader — displaces sample_source_cap
+    "stream_state_store_audit",
     # -- stalest-green fill (computed from CORRECTNESS_r01..r08:
     # last green r03 first, then r04, alphabetical within a round;
     # the full r8 window went green in r08 and rotates out).
@@ -93,7 +96,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_range_volatility_expansion",
     "join_revenue_by_nation",
     "multimodal_frame_sample",
-    "sample_source_cap",
 
     # -- displaced: the full r8 window (42 green in CORRECTNESS_r08;
     # its 8 red rows are re-pinned at the head above) and everything

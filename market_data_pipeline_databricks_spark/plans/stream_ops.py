@@ -737,3 +737,83 @@ from market_data_pipeline_databricks_spark.plans import warehouse_ops as _who
 ORACLE_SQL.update(
     {"stream_snapshot_commits": _who.ORACLE_SQL["warehouse_time_travel"]}
 )
+
+
+def stream_state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store AUDIT via Spark 4's ``statestore`` reader: a
+    streaming aggregation (orders per status: decimal revenue + count)
+    runs to completion over three micro-batches (availableNow, one
+    file per trigger), then the query reads the aggregation's
+    INTERNAL STATE back out of the checkpoint with
+    ``spark.read.format("statestore")`` — the ops-tooling surface for
+    inspecting what a stateful stream actually holds — and emits it.
+    The state rows must equal the batch GROUP BY over the same input
+    (the DuckDB oracle), which proves end-to-end that three
+    incremental state updates composed to exactly the full aggregate
+    INSIDE the state store, not just at the sink: a stronger
+    exactly-once statement than sink equality (a sink can hide a
+    wrong-then-rewritten state; the store cannot).
+
+    Scale shape: state is one row per group per shuffle partition —
+    the reader scans checkpoint files, never the input; on a 100-TB
+    pipeline this is the constant-size audit that validates a
+    long-running job's state without reprocessing. EAGER (runs the
+    stream at construction; returns a materialized LocalRelation)."""
+    import shutil
+    import tempfile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    src = tempfile.mkdtemp(prefix=f"ssaudit_src_{_NONCE}_")
+    ck = tempfile.mkdtemp(prefix=f"ssaudit_ck_{_NONCE}_")
+    try:
+        for part in range(3):
+            orders.filter(F.col("o_orderkey") % 3 == part).select(
+                "o_orderstatus", "p"
+            ).coalesce(1).write.mode("append").parquet(src)
+        feed = (
+            spark.readStream.schema("o_orderstatus string, p decimal(12,2)")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = feed.groupBy("o_orderstatus").agg(
+            F.sum("p").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        st = spark.read.format("statestore").load(ck)
+        return materialize(
+            st.select(
+                F.col("key.o_orderstatus").alias("o_orderstatus"),
+                F.col("value.sum").cast("decimal(27,2)").alias("sum_price"),
+                F.col("value.count").cast("long").alias("n_rows"),
+            )
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+QUERIES.update({"stream_state_store_audit": stream_state_store_audit})
+
+ORACLE_SQL.update(
+    {
+        "stream_state_store_audit": """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+         AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders GROUP BY o_orderstatus
+"""
+    }
+)

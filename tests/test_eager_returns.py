@@ -51,6 +51,7 @@ CONSTRUCTION_WRITERS = (
     "stream_cdc_incremental",
     "stream_image_dedup_incremental",
     "stream_snapshot_commits",
+    "stream_state_store_audit",
 )
 
 SF = "/root/testdata/sf0.001"

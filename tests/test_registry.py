@@ -33,6 +33,7 @@ PREVIOUSLY_UNCHECKED = [
     "warehouse_snapshot_cdc",
     "dedup_edit_distance_qgram",
     "scale_dynamic_partition_pruning",
+    "stream_state_store_audit",
     "analyst_liquidity_screen",
     "analyst_volatility_regime",
     "dedup_components",
@@ -72,7 +73,6 @@ PREVIOUSLY_UNCHECKED = [
     "join_range_volatility_expansion",
     "join_revenue_by_nation",
     "multimodal_frame_sample",
-    "sample_source_cap",
 ]
 
 
