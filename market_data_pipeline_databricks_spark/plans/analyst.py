@@ -684,3 +684,71 @@ FROM cnt, tot
 """
     }
 )
+
+
+def quality_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization + k-anonymity generalization — the
+    compliance transform a training-data pipeline applies before
+    customer-derived records may enter a corpus:
+
+    - ``pseudo_id``: salted SHA-256 of the direct identifier
+      (deterministic — the same person joins across tables — but
+      irreversible without the pepper; rotate the pepper to unlink);
+    - ``name_masked``: structural redaction keeping only the
+      non-identifying prefix;
+    - ``bal_bucket``: the quasi-identifier generalized to $1000 bands
+      (k-anonymity style: coarse enough that bands are populated);
+    - ``k_ok``: per (segment, band) group size ≥ 5 — the k-anonymity
+      audit bit a release gate would enforce.
+
+    Both engines compute the identical SHA-256 (lowercase hex on
+    both), and bucketing divides the SAME ieee double by 1000.0 before
+    FLOOR, so the quasi-identifier generalization is bit-replayable.
+
+    Scale shape: pure per-row projections + one window count over the
+    (segment, band) grid — no UDFs, no shuffle beyond the count; runs
+    where the data lives, which is the point for data that must not
+    be collected to a driver."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment", "bal_bucket")
+    return (
+        c.select(
+            F.sha2(
+                F.concat(F.lit("pepper-2026:"), F.col("c_name")), 256
+            ).alias("pseudo_id"),
+            F.concat(F.substring("c_name", 1, 9), F.lit("#########")).alias(
+                "name_masked"
+            ),
+            F.col("c_nationkey").cast("int").alias("nation_key"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0))
+            .cast("long")
+            .alias("bal_bucket"),
+            "c_mktsegment",
+        )
+        .withColumn(
+            "k_ok", (F.count(F.lit(1)).over(w) >= F.lit(5)).cast("boolean")
+        )
+    )
+
+
+QUERIES.update({"quality_pii_pseudonymize": quality_pii_pseudonymize})
+
+ORACLE_SQL.update(
+    {
+        "quality_pii_pseudonymize": """
+WITH p AS (
+  SELECT sha256('pepper-2026:' || c_name) AS pseudo_id,
+         substr(c_name, 1, 9) || '#########' AS name_masked,
+         CAST(c_nationkey AS INT) AS nation_key,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         c_mktsegment
+  FROM customer
+)
+SELECT *,
+       COUNT(*) OVER (PARTITION BY c_mktsegment, bal_bucket) >= 5 AS k_ok
+FROM p
+"""
+    }
+)

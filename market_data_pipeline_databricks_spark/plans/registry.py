@@ -51,6 +51,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-9 batch 2 (never-checked): streaming-state audit via the
     # Spark 4 statestore reader — displaces sample_source_cap
     "stream_state_store_audit",
+    # round-9 batch 3 (never-checked): salted-SHA pseudonymization +
+    # k-anonymity audit — displaces multimodal_frame_sample
+    "quality_pii_pseudonymize",
     # -- stalest-green fill (computed from CORRECTNESS_r01..r08:
     # last green r03 first, then r04, alphabetical within a round;
     # the full r8 window went green in r08 and rotates out).
@@ -75,8 +78,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vector_cosine_topk",
     "window_latest_snapshot_pruned",
     "window_rolling_range_avg",
-    # last green in r04 (the 2 round-9 additions above displaced the
-    # two newest, so the first 20 alphabetically fill to exactly 50):
+    # last green in r04 (the 4 round-9 additions above displaced the
+    # four newest, so the first 18 alphabetically fill to exactly 50):
     "agg_dup_grain_detector",
     "agg_grouping_sets_revenue",
     "analyst_completeness",
@@ -95,7 +98,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_full_outer_reconcile",
     "join_range_volatility_expansion",
     "join_revenue_by_nation",
-    "multimodal_frame_sample",
 
     # -- displaced: the full r8 window (42 green in CORRECTNESS_r08;
     # its 8 red rows are re-pinned at the head above) and everything
