@@ -99,3 +99,74 @@ def test_edit_distance_qgram_short_keys_lossless(spark, tmp_path):
     assert got == truth
     # the synthetic corpus must actually exercise the short bucket
     assert any(p for p in truth if len(texts[p[0]]) <= 23 and len(texts[p[1]]) <= 23)
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Cross-restart state continuity: run a stateful availableNow
+    aggregation over file A, STOP, land files B and C, resume with the
+    SAME checkpoint — the second run must process only B and C (no
+    double-count of A), and the state store must end exactly equal to
+    the batch aggregate of A+B+C. This is the exactly-once statement
+    ACROSS restarts, not just within one run."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    full = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+
+    def run_stream():
+        feed = spark.readStream.schema(
+            "o_orderstatus string, p decimal(12,2)"
+        ).parquet(src)
+        agg = feed.groupBy("o_orderstatus").agg(
+            F.sum("p").alias("sum_price"), F.count(F.lit(1)).alias("n_rows")
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q.lastProgress
+
+    # run 1: only file A exists
+    full.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderstatus", "p"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    # files B and C land while the query is DOWN
+    for part in (1, 2):
+        full.filter(F.col("o_orderkey") % 3 == part).select(
+            "o_orderstatus", "p"
+        ).coalesce(1).write.mode("append").parquet(src)
+    # run 2: same checkpoint — resumes from the recorded offset
+    prog = run_stream()
+    assert prog["numInputRows"] > 0  # it did process the new files
+
+    got = {
+        (r.k, str(r.s), r.n)
+        for r in spark.read.format("statestore")
+        .load(ck)
+        .select(
+            F.col("key.o_orderstatus").alias("k"),
+            F.col("value.sum").cast("decimal(27,2)").alias("s"),
+            F.col("value.count").alias("n"),
+        )
+        .collect()
+    }
+    want = {
+        (r.k, str(r.s), r.n)
+        for r in full.groupBy(F.col("o_orderstatus").alias("k"))
+        .agg(
+            F.sum("p").cast("decimal(27,2)").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
