@@ -752,3 +752,125 @@ FROM p
 """
     }
 )
+
+
+def quality_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-constraint validation in one pass — the dbt-test /
+    Delta-constraint surface as a single query: every table contract
+    the warehouse relies on, each evaluated to a (constraint,
+    n_checked, n_violations) row:
+
+    - ``orders_pk_unique``: o_orderkey is a primary key;
+    - ``orders_custkey_not_null``: required column;
+    - ``orders_fk_customer``: referential integrity orders→customer
+      (broadcast anti-join count — the dim is the small side);
+    - ``lineitem_fk_orders``: referential integrity lineitem→orders;
+    - ``orders_status_domain``: accepted-values set {O, F, P};
+    - ``lineitem_qty_positive``: range check.
+
+    Scale shape: each row is one aggregate over the violating subset —
+    the FK checks are anti-join counts that broadcast the key side
+    when it fits and shuffle otherwise; nothing materializes violating
+    rows (counts only), so the audit output is constant-size no matter
+    the table. A release gate reads one small frame instead of running
+    six ad-hoc queries."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def row(name, checked, violations):
+        return checked.select(
+            F.lit(name).alias("constraint"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+        ).crossJoin(
+            violations.select(
+                F.count(F.lit(1)).cast("long").alias("n_violations")
+            )
+        )
+
+    pk_dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    parts = [
+        row("orders_pk_unique", o, pk_dups),
+        row(
+            "orders_custkey_not_null",
+            o,
+            o.filter(F.col("o_custkey").isNull()),
+        ),
+        row(
+            "orders_fk_customer",
+            o,
+            o.join(
+                F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+                "o_custkey",
+                "left_anti",
+            ),
+        ),
+        row(
+            "lineitem_fk_orders",
+            li,
+            li.join(
+                o.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+                "left_anti",
+            ),
+        ),
+        row(
+            "orders_status_domain",
+            o,
+            o.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+        ),
+        row(
+            "lineitem_qty_positive",
+            li,
+            li.filter(~(F.col("l_quantity") > 0)),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES.update({"quality_constraint_suite": quality_constraint_suite})
+
+ORACLE_SQL.update(
+    {
+        "quality_constraint_suite": """
+SELECT 'orders_pk_unique' AS constraint,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'orders_fk_customer',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders_status_domain',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_qty_positive',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE NOT (l_quantity > 0)) AS BIGINT)
+"""
+    }
+)

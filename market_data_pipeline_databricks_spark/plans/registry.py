@@ -54,6 +54,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-9 batch 3 (never-checked): salted-SHA pseudonymization +
     # k-anonymity audit — displaces multimodal_frame_sample
     "quality_pii_pseudonymize",
+    # round-9 batch 4 (never-checked): one-pass declared-constraint
+    # validation suite — displaces join_revenue_by_nation
+    "quality_constraint_suite",
     # -- stalest-green fill (computed from CORRECTNESS_r01..r08:
     # last green r03 first, then r04, alphabetical within a round;
     # the full r8 window went green in r08 and rotates out).
@@ -78,8 +81,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vector_cosine_topk",
     "window_latest_snapshot_pruned",
     "window_rolling_range_avg",
-    # last green in r04 (the 4 round-9 additions above displaced the
-    # four newest, so the first 18 alphabetically fill to exactly 50):
+    # last green in r04 (the 5 round-9 additions above displaced the
+    # five newest, so the first 17 alphabetically fill to exactly 50):
     "agg_dup_grain_detector",
     "agg_grouping_sets_revenue",
     "analyst_completeness",
@@ -97,7 +100,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funcs_market_beta",
     "join_full_outer_reconcile",
     "join_range_volatility_expansion",
-    "join_revenue_by_nation",
 
     # -- displaced: the full r8 window (42 green in CORRECTNESS_r08;
     # its 8 red rows are re-pinned at the head above) and everything

@@ -95,3 +95,57 @@ def test_construction_writers_is_superset_of_converted_set():
     qs = entrymod.queries()
     missing = [n for n in CONSTRUCTION_WRITERS if n not in qs]
     assert not missing, f"stale CONSTRUCTION_WRITERS entries: {missing}"
+
+
+def test_materialize_roundtrip_property(spark):
+    """Property: materialize() preserves values and schema exactly for
+    the types EAGER queries emit (strings with unicode, longs at the
+    int64 edges, decimals, dates, doubles incl. non-dyadic values,
+    NULLs). Hypothesis drives the row content."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from market_data_pipeline_databricks_spark.plans._eager import materialize
+
+    cents = st.integers(min_value=-10**15, max_value=10**15)
+    row = st.tuples(
+        st.one_of(st.none(), st.text(max_size=12)),
+        st.one_of(
+            st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)
+        ),
+        st.one_of(
+            st.none(), cents.map(lambda c: Decimal(c).scaleb(-2))
+        ),
+        st.one_of(
+            st.none(),
+            st.dates(min_value=dt.date(1, 1, 1), max_value=dt.date(9999, 12, 31)),
+        ),
+        st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(row, max_size=8))
+    def check(rows):
+        schema = (
+            "s string, l long, d decimal(27,2), dt date, f double"
+        )
+        src = spark.createDataFrame(rows, schema)
+        out = materialize(src)
+        assert out.schema == src.schema
+        assert sorted(map(repr, out.collect())) == sorted(
+            map(repr, src.collect())
+        )
+
+    check()
+
+
+def test_materialize_caps_row_count(spark):
+    import pytest
+
+    from market_data_pipeline_databricks_spark.plans._eager import materialize
+
+    with pytest.raises(ValueError, match="row-scaled"):
+        materialize(spark.range(100), max_rows=99)
+    assert materialize(spark.range(100), max_rows=100).count() == 100

@@ -19,8 +19,8 @@ WINDOW = 50
 # aliasing the registry value made the lockstep check trivially true
 # (round-6 advice). The 8 CORRECTNESS_r08 hash-RED queries lead
 # (never-hash-green beats stalest-green; converted to materialized
-# returns this round), then the 4 never-checked round-9 additions,
-# then the 38 stalest-green queries (20 last green r03, 18 last
+# returns this round), then the 5 never-checked round-9 additions,
+# then the 37 stalest-green queries (20 last green r03, 17 last
 # green r04) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "source_orc_roundtrip",
@@ -35,6 +35,7 @@ PREVIOUSLY_UNCHECKED = [
     "scale_dynamic_partition_pruning",
     "stream_state_store_audit",
     "quality_pii_pseudonymize",
+    "quality_constraint_suite",
     "analyst_liquidity_screen",
     "analyst_volatility_regime",
     "dedup_components",
@@ -72,7 +73,6 @@ PREVIOUSLY_UNCHECKED = [
     "funcs_market_beta",
     "join_full_outer_reconcile",
     "join_range_volatility_expansion",
-    "join_revenue_by_nation",
 ]
 
 
