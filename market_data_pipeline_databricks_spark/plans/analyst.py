@@ -709,8 +709,6 @@ def quality_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (segment, band) grid — no UDFs, no shuffle beyond the count; runs
     where the data lives, which is the point for data that must not
     be collected to a driver."""
-    from pyspark.sql.window import Window
-
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment", "bal_bucket")
     return (
@@ -755,84 +753,96 @@ FROM p
 
 
 def quality_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared-constraint validation in one pass — the dbt-test /
-    Delta-constraint surface as a single query: every table contract
-    the warehouse relies on, each evaluated to a (constraint,
-    n_checked, n_violations) row:
+    """Declared-constraint validation — the dbt-test / Delta-constraint
+    surface as a single query: every table contract the warehouse
+    relies on, each evaluated to a (constraint, n_checked,
+    n_violations) row:
 
-    - ``orders_pk_unique``: o_orderkey is a primary key;
+    - ``orders_pk_unique``: o_orderkey is a primary key (violations =
+      excess rows beyond the distinct key count);
     - ``orders_custkey_not_null``: required column;
     - ``orders_fk_customer``: referential integrity orders→customer
-      (broadcast anti-join count — the dim is the small side);
+      (anti-join count; AQE picks broadcast vs shuffle by the key
+      side's actual size — no forced hint, so the check degrades to a
+      shuffle anti-join instead of a broadcast OOM when the dimension
+      outgrows the limit);
     - ``lineitem_fk_orders``: referential integrity lineitem→orders;
     - ``orders_status_domain``: accepted-values set {O, F, P};
     - ``lineitem_qty_positive``: range check.
 
-    Scale shape: each row is one aggregate over the violating subset —
-    the FK checks are anti-join counts that broadcast the key side
-    when it fits and shuffle otherwise; nothing materializes violating
-    rows (counts only), so the audit output is constant-size no matter
-    the table. A release gate reads one small frame instead of running
-    six ad-hoc queries."""
+    Plan shape: ALL of a table's row-level checks fold into ONE
+    aggregate scan (count, not-null, domain, and pk-excess via
+    count-distinct together), the two FK checks are anti-join counts,
+    and the five 1-row aggregates cross-assemble into a single row
+    that explodes to the six output rows — each source subtree is
+    evaluated exactly once (orders: 2 scans total, lineitem: 2),
+    nothing materializes violating rows, and the audit output is
+    constant-size no matter the table."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem")
 
-    def row(name, checked, violations):
-        return checked.select(
+    zero = F.lit(0).cast("long")
+    o_base = o.agg(
+        F.count(F.lit(1)).cast("long").alias("o_n"),
+        F.coalesce(
+            F.sum(F.col("o_custkey").isNull().cast("long")), zero
+        ).alias("o_v_nn"),
+        F.coalesce(
+            F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")),
+            zero,
+        ).alias("o_v_dom"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("o_v_pk"),
+    )
+    fk_o = (
+        o.select("o_custkey")
+        .join(
+            c.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o_v_fk"))
+    )
+    li_base = li.agg(
+        F.count(F.lit(1)).cast("long").alias("li_n"),
+        F.coalesce(
+            F.sum((~(F.col("l_quantity") > 0)).cast("long")), zero
+        ).alias("li_v_qty"),
+    )
+    fk_li = (
+        li.select("l_orderkey")
+        .join(
+            o.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("li_v_fk"))
+    )
+
+    def entry(name, checked, violations):
+        return F.struct(
             F.lit(name).alias("constraint"),
-            F.count(F.lit(1)).cast("long").alias("n_checked"),
-        ).crossJoin(
-            violations.select(
-                F.count(F.lit(1)).cast("long").alias("n_violations")
-            )
+            F.col(checked).alias("n_checked"),
+            F.col(violations).alias("n_violations"),
         )
 
-    pk_dups = (
-        o.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
+    assembled = (
+        o_base.crossJoin(fk_o).crossJoin(li_base).crossJoin(fk_li)
     )
-    parts = [
-        row("orders_pk_unique", o, pk_dups),
-        row(
-            "orders_custkey_not_null",
-            o,
-            o.filter(F.col("o_custkey").isNull()),
-        ),
-        row(
-            "orders_fk_customer",
-            o,
-            o.join(
-                F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
-                "o_custkey",
-                "left_anti",
-            ),
-        ),
-        row(
-            "lineitem_fk_orders",
-            li,
-            li.join(
-                o.select(F.col("o_orderkey").alias("l_orderkey")),
-                "l_orderkey",
-                "left_anti",
-            ),
-        ),
-        row(
-            "orders_status_domain",
-            o,
-            o.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
-        ),
-        row(
-            "lineitem_qty_positive",
-            li,
-            li.filter(~(F.col("l_quantity") > 0)),
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return assembled.select(
+        F.explode(
+            F.array(
+                entry("orders_pk_unique", "o_n", "o_v_pk"),
+                entry("orders_custkey_not_null", "o_n", "o_v_nn"),
+                entry("orders_fk_customer", "o_n", "o_v_fk"),
+                entry("lineitem_fk_orders", "li_n", "li_v_fk"),
+                entry("orders_status_domain", "o_n", "o_v_dom"),
+                entry("lineitem_qty_positive", "li_n", "li_v_qty"),
+            )
+        ).alias("e")
+    ).select("e.*")
 
 
 QUERIES.update({"quality_constraint_suite": quality_constraint_suite})
@@ -842,9 +852,8 @@ ORACLE_SQL.update(
         "quality_constraint_suite": """
 SELECT 'orders_pk_unique' AS constraint,
        CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked,
-       CAST((SELECT COUNT(*) FROM (
-          SELECT o_orderkey FROM orders GROUP BY o_orderkey
-          HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+            AS BIGINT) AS n_violations
 UNION ALL
 SELECT 'orders_custkey_not_null',
        CAST((SELECT COUNT(*) FROM orders) AS BIGINT),

@@ -128,10 +128,22 @@ def _publish(table_dir: str, version: int, files: list[str]) -> None:
             f"version {version} of {table_dir} was committed by a "
             "concurrent writer — re-read latest_version() and retry"
         ) from exc
-    with os.fdopen(fd, "w") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+    except BaseException:
+        # a failed write must not leave a claimed-but-truncated
+        # manifest at the final name: latest_version() would count the
+        # version as committed, readers would crash on it, and every
+        # retry would raise ConcurrentCommitError forever — unclaim
+        # the name so the commit can be retried
+        try:
+            os.unlink(target)
+        except OSError:
+            pass
+        raise
 
 
 def _write_commit_files(df: DataFrame, table_dir: str) -> list[str]:

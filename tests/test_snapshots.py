@@ -256,3 +256,35 @@ def test_publish_falls_back_without_hardlink_support(spark, tdir, monkeypatch):
     with pytest.raises(S.ConcurrentCommitError, match="version 1"):
         S._publish(tdir, 1, ["/other/file.parquet"])
     assert not list(Path(tdir).glob("*.tmp-*"))
+
+
+def test_publish_fallback_unclaims_on_failed_write(spark, tdir, monkeypatch):
+    """A failed payload write on the O_EXCL fallback path must not
+    leave a truncated manifest at the final name — that would count
+    the version as committed forever (latest_version globs it) while
+    every retry raises ConcurrentCommitError."""
+    import errno
+    import os as _os
+
+    from market_data_pipeline_databricks_spark.sources import snapshots as S
+
+    monkeypatch.setattr(
+        S.os,
+        "link",
+        lambda *a, **k: (_ for _ in ()).throw(
+            OSError(errno.EPERM, "no hardlinks")
+        ),
+    )
+    real_fsync = _os.fsync
+    monkeypatch.setattr(
+        S.os,
+        "fsync",
+        lambda fd: (_ for _ in ()).throw(OSError(errno.ENOSPC, "disk full")),
+    )
+    with pytest.raises(OSError, match="disk full"):
+        S._publish(tdir, 1, ["/f.parquet"])
+    assert latest_version(tdir) == 0  # version 1 was NOT claimed
+    # retry after the failure succeeds (the name is free again)
+    monkeypatch.setattr(S.os, "fsync", real_fsync)
+    S._publish(tdir, 1, ["/f.parquet"])
+    assert latest_version(tdir) == 1
