@@ -5378,24 +5378,34 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # short bucket: exhaustive over keys <= short_max chars — the only
-    # branch where the q-gram bound gives no guarantee. Non-equi
-    # self-join compiles to a broadcast nested loop over the (tiny)
-    # short population, never a corpus cartesian.
-    shortk = keys.filter(F.length("key") <= short_max)
-    short_pairs = (
-        shortk.select(
-            F.col("doc_id").alias("id_a"), F.col("key").alias("key_a")
-        )
-        .join(
-            F.broadcast(
-                shortk.select(
-                    F.col("doc_id").alias("id_b"),
-                    F.col("key").alias("key_b"),
-                )
-            ),
-            F.col("id_a") < F.col("id_b"),
-        )
+    # branch where the q-gram bound gives no guarantee. Blocked on
+    # LENGTH BANDS of width K+1 (ed <= K forces |Δlen| <= K, so a true
+    # pair's bands differ by at most 1; the probe side emits band-1,
+    # band, band+1 and the join is a plain hash equi-join): no forced
+    # broadcast (no 8 GB wall on a short-heavy corpus), shuffle
+    # partitioned by band, and the within-band quadratic is confined
+    # to same-length-class short keys — the documented price of
+    # exactness below the q-gram bound, never a corpus cartesian.
+    shortk = keys.filter(F.length("key") <= short_max).withColumn(
+        "band", F.expr(f"length(key) div {K + 1}")
     )
+    probe = shortk.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.explode(
+            F.array(
+                F.col("band") - 1, F.col("band"), F.col("band") + 1
+            )
+        ).alias("band"),
+    )
+    short_pairs = probe.join(
+        shortk.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("key").alias("key_b"),
+            "band",
+        ),
+        "band",
+    ).filter(F.col("id_a") < F.col("id_b")).drop("band")
     return (
         long_pairs.unionByName(short_pairs)
         .filter(
