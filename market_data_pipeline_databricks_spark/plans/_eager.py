@@ -15,8 +15,11 @@ Two sanctioned return shapes replace it:
 
 - :func:`materialize` — for the common case: the query output is a
   tiny aggregate/feed (1 to a few thousand rows). Collect once and
-  rebuild as a ``LocalRelation`` DataFrame: the values live inside
-  the logical plan itself, so evaluation is pure, deterministic and
+  rebuild via ``createDataFrame``: in classic mode the rows are held
+  as a JVM-side parallelized collection (``ParallelCollectionRDD`` —
+  eagerly read into memory, owned by the plan, re-evaluable any
+  number of times), and under Spark Connect they travel inline as a
+  ``LocalRelation``. Either way evaluation is pure, deterministic and
   repeatable with no checkpoint, tempdir, or block-manager
   dependence. The collect is bounded by ``max_rows`` with an
   in-chain ``limit`` (driver-memory contract, tests/test_collect_lint).

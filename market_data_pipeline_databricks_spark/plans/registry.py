@@ -31,7 +31,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # hash-RED rows (rows+schema-green, hash-red — the EAGER
     # localCheckpoint-over-deleted-tempdir returns, VERDICT r8 "What's
     # wrong" #1). Round 9 converted every one to a materialized
-    # LocalRelation return (plans/_eager.py) and they lead the window
+    # materialized-rows return (plans/_eager.py) and they lead the window
     # until each holds a full-green driver row (VERDICT r9 task 2).
     "source_orc_roundtrip",
     "source_json_roundtrip",

@@ -758,7 +758,8 @@ def stream_state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reader scans checkpoint files, never the input; on a 100-TB
     pipeline this is the constant-size audit that validates a
     long-running job's state without reprocessing. EAGER (runs the
-    stream at construction; returns a materialized LocalRelation)."""
+    stream at construction; returns a materialized driver-held row
+    set — plans/_eager.py)."""
     import shutil
     import tempfile
 

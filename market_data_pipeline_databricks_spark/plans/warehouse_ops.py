@@ -418,7 +418,7 @@ ORACLE_SQL.update(
 # reads the parquet view, so any lossiness in the sink/source pair —
 # decimal precision, date encoding, null handling — breaks the hash).
 # Files are written per run under a pid-nonce tmp dir and removed
-# after the (tiny) aggregate is materialized as a LocalRelation
+# after the (tiny) aggregate is materialized to JVM-held rows
 # (plans/_eager.py — no checkpoint/tempdir dependence survives).
 # ---------------------------------------------------------------------------
 

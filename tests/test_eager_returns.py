@@ -4,7 +4,7 @@ CORRECTNESS_r08 recorded 8 construction-time-writing registry queries
 rows+schema-green but hash-RED: each returned a ``localCheckpoint()``
 handle whose backing temp dir had already been ``rmtree``d, so the
 result was unreproducible outside the builder's block-manager state.
-The fix (plans/_eager.py) returns LocalRelation-materialized rows for
+The fix (plans/_eager.py) returns materialized JVM-held rows for
 bounded outputs and keepalive-dir lazy scans for row-scaled ones.
 
 This test makes the contract executable for EVERY registry query that
