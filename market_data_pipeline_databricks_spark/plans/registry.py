@@ -57,6 +57,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-9 batch 4 (never-checked): one-pass declared-constraint
     # validation suite — displaces join_revenue_by_nation
     "quality_constraint_suite",
+    # round-9 batch 5 (never-checked): governed view (row-level
+    # security + in-place column masks) — displaces
+    # join_range_volatility_expansion
+    "warehouse_row_level_security",
     # -- stalest-green fill (computed from CORRECTNESS_r01..r08:
     # last green r03 first, then r04, alphabetical within a round;
     # the full r8 window went green in r08 and rotates out).
@@ -81,8 +85,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vector_cosine_topk",
     "window_latest_snapshot_pruned",
     "window_rolling_range_avg",
-    # last green in r04 (the 5 round-9 additions above displaced the
-    # five newest, so the first 17 alphabetically fill to exactly 50):
+    # last green in r04 (the 6 round-9 additions above displaced the
+    # six newest, so the first 16 alphabetically fill to exactly 50):
     "agg_dup_grain_detector",
     "agg_grouping_sets_revenue",
     "analyst_completeness",
@@ -99,7 +103,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_scalar_subquery_latest",
     "funcs_market_beta",
     "join_full_outer_reconcile",
-    "join_range_volatility_expansion",
 
     # -- displaced: the full r8 window (42 green in CORRECTNESS_r08;
     # its 8 red rows are re-pinned at the head above) and everything

@@ -828,3 +828,68 @@ FROM orders WHERE o_orderkey % 50 = 0
 """
     }
 )
+
+
+def warehouse_row_level_security(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security + column masking as a governed view
+    (sources/access.py — the Lakeguard-style plan-rewrite policy
+    layer): the "EMEA analyst" principal sees ONLY Europe-region
+    customers, with the customer name replaced by a salted SHA-256
+    pseudonym and the balance generalized to $1000 bands — the masks
+    substitute IN PLACE before any consumer logic, so nothing
+    downstream of the view can observe a raw value. The query then
+    aggregates per nation over the governed view; the DuckDB oracle
+    replays filter + masks + rollup, so a policy that leaked a row or
+    a raw value breaks the hash.
+
+    Scale shape: the row filter is an ordinary predicate (rides
+    Catalyst pushdown to the scan), the masks are ordinary expressions
+    (sha2/floor — no UDF tax), and nation broadcasts; policy costs
+    nothing the equivalent hand-written query wouldn't."""
+    from market_data_pipeline_databricks_spark.sources.access import (
+        Policy,
+        masked_bucket,
+        masked_hash,
+        secured_view,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("c_name", "c_acctbal", "n_name", "n_regionkey")
+    emea = Policy(
+        row_filter="n_regionkey = 3",
+        column_masks={
+            "c_name": masked_hash("c_name", "gov-2026"),
+            "c_acctbal": masked_bucket("c_acctbal", 1000),
+        },
+    )
+    v = secured_view(base, emea)
+    return v.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("c_name").cast("long").alias("n_principals"),
+        F.sum("c_acctbal").cast("long").alias("sum_bal_band"),
+    )
+
+
+QUERIES.update({"warehouse_row_level_security": warehouse_row_level_security})
+
+ORACLE_SQL.update(
+    {
+        "warehouse_row_level_security": """
+WITH v AS (
+  SELECT n.n_name,
+         sha256('gov-2026:' || c_name) AS c_name_m,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) * 1000 AS bal_m
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = 3
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_name_m) AS BIGINT) AS n_principals,
+       CAST(SUM(bal_m) AS BIGINT) AS sum_bal_band
+FROM v GROUP BY n_name
+"""
+    }
+)

@@ -1,0 +1,77 @@
+"""Fine-grained access control: row-level security + column masking
+applied as plan rewrites over a DataFrame — the governed-view layer a
+multi-tenant lakehouse puts between raw tables and analysts (the
+pattern SIGMOD'25's Databricks Lakeguard describes: enforce policy in
+the query plan, not in copies of the data).
+
+Design stance:
+
+- a :class:`Policy` is DATA (a row-filter SQL predicate + per-column
+  mask expressions keyed by the principal's grants), so policies can
+  live in a catalog table and be audited;
+- :func:`secured_view` rewrites the plan: the row filter composes
+  into the scan (Catalyst pushes it down like any predicate — policy
+  enforcement rides predicate pushdown for free, which is what makes
+  this viable at 100 TB), and masked columns are REPLACED by their
+  mask expression so the original value never appears downstream of
+  the view — a consumer cannot select around the mask;
+- deny-by-default: masking a column the principal lacks replaces it
+  even in derived expressions because the rewrite happens before any
+  consumer logic is applied.
+
+The engine-side mask expressions are ordinary Columns (sha2, bucket,
+literal redaction), so a governed view stays fully
+Catalyst-optimizable — no UDF tax for policy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Policy:
+    """One principal's access to one table.
+
+    ``row_filter``: SQL boolean expression over the table's columns
+    (``None`` = all rows). ``column_masks``: column name → SQL
+    expression computing the masked replacement (may reference the
+    original column). Unlisted columns pass through."""
+
+    row_filter: str | None = None
+    column_masks: dict[str, str] = field(default_factory=dict)
+
+
+def secured_view(df: DataFrame, policy: Policy) -> DataFrame:
+    """Apply ``policy`` to ``df``: filter rows, then replace each
+    masked column IN PLACE (same name, masked value) so downstream
+    consumers — joins, aggregates, exports — can never observe the
+    raw value. Raises ``ValueError`` for masks on unknown columns
+    (a policy typo must not silently leave a column unmasked)."""
+    unknown = [c for c in policy.column_masks if c not in df.columns]
+    if unknown:
+        raise ValueError(
+            f"policy masks unknown columns {unknown}; table has "
+            f"{df.columns} — refusing to apply a partial policy"
+        )
+    out = df
+    if policy.row_filter is not None:
+        out = out.filter(F.expr(policy.row_filter))
+    for col, mask_sql in policy.column_masks.items():
+        out = out.withColumn(col, F.expr(mask_sql))
+    return out
+
+
+def masked_hash(col: str, pepper: str) -> str:
+    """Convenience mask: salted SHA-256 pseudonym (deterministic for
+    joins, irreversible without the pepper)."""
+    return f"sha2(concat('{pepper}:', {col}), 256)"
+
+
+def masked_bucket(col: str, width: int) -> str:
+    """Convenience mask: numeric generalization to ``width``-sized
+    bands (k-anonymity-style coarsening)."""
+    return f"CAST(FLOOR({col} / {width}.0) AS BIGINT) * {width}"

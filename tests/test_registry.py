@@ -19,8 +19,8 @@ WINDOW = 50
 # aliasing the registry value made the lockstep check trivially true
 # (round-6 advice). The 8 CORRECTNESS_r08 hash-RED queries lead
 # (never-hash-green beats stalest-green; converted to materialized
-# returns this round), then the 5 never-checked round-9 additions,
-# then the 37 stalest-green queries (20 last green r03, 17 last
+# returns this round), then the 6 never-checked round-9 additions,
+# then the 36 stalest-green queries (20 last green r03, 16 last
 # green r04) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "source_orc_roundtrip",
@@ -36,6 +36,7 @@ PREVIOUSLY_UNCHECKED = [
     "stream_state_store_audit",
     "quality_pii_pseudonymize",
     "quality_constraint_suite",
+    "warehouse_row_level_security",
     "analyst_liquidity_screen",
     "analyst_volatility_regime",
     "dedup_components",
@@ -72,7 +73,6 @@ PREVIOUSLY_UNCHECKED = [
     "filter_scalar_subquery_latest",
     "funcs_market_beta",
     "join_full_outer_reconcile",
-    "join_range_volatility_expansion",
 ]
 
 
