@@ -775,7 +775,8 @@ def quality_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-distinct together), the two FK checks are anti-join counts,
     and the five 1-row aggregates cross-assemble into a single row
     that explodes to the six output rows — each source subtree is
-    evaluated exactly once (orders: 2 scans total, lineitem: 2),
+    evaluated exactly once (orders appears in 3 subtrees: its combined
+    aggregate plus one side of each FK anti-join; lineitem in 2),
     nothing materializes violating rows, and the audit output is
     constant-size no matter the table."""
     o = _t(spark, sf_dir, "orders")

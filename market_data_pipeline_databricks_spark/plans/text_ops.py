@@ -5382,10 +5382,15 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LENGTH BANDS of width K+1 (ed <= K forces |Δlen| <= K, so a true
     # pair's bands differ by at most 1; the probe side emits band-1,
     # band, band+1 and the join is a plain hash equi-join): no forced
-    # broadcast (no 8 GB wall on a short-heavy corpus), shuffle
-    # partitioned by band, and the within-band quadratic is confined
-    # to same-length-class short keys — the documented price of
-    # exactness below the q-gram bound, never a corpus cartesian.
+    # broadcast (no 8 GB wall on a short-heavy corpus), and the
+    # within-band quadratic is confined to same-length-class short
+    # keys — the documented price of exactness below the q-gram
+    # bound, never a corpus cartesian. Because there are only ~5
+    # distinct bands, the join key is SALTED (build side: one salt
+    # from the doc id; probe side: replicated across all salts) so a
+    # short-heavy corpus spreads each band's quadratic across
+    # band×salt reducers instead of one task.
+    n_salt = 8
     shortk = keys.filter(F.length("key") <= short_max).withColumn(
         "band", F.expr(f"length(key) div {K + 1}")
     )
@@ -5397,15 +5402,23 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("band") - 1, F.col("band"), F.col("band") + 1
             )
         ).alias("band"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(i).cast("int") for i in range(n_salt)])
+        ).alias("salt"),
     )
     short_pairs = probe.join(
         shortk.select(
             F.col("doc_id").alias("id_b"),
             F.col("key").alias("key_b"),
             "band",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
+            .cast("int")
+            .alias("salt"),
         ),
-        "band",
-    ).filter(F.col("id_a") < F.col("id_b")).drop("band")
+        ["band", "salt"],
+    ).filter(F.col("id_a") < F.col("id_b")).drop("band", "salt")
     return (
         long_pairs.unionByName(short_pairs)
         .filter(

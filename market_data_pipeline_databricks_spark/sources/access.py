@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,11 +46,15 @@ class Policy:
 
 
 def secured_view(df: DataFrame, policy: Policy) -> DataFrame:
-    """Apply ``policy`` to ``df``: filter rows, then replace each
+    """Apply ``policy`` to ``df``: filter rows, then replace every
     masked column IN PLACE (same name, masked value) so downstream
     consumers — joins, aggregates, exports — can never observe the
-    raw value. Raises ``ValueError`` for masks on unknown columns
-    (a policy typo must not silently leave a column unmasked)."""
+    raw value. All masks are applied in ONE projection over the
+    original row, so a mask expression referencing another masked
+    column sees the RAW value (as the Policy contract states) and the
+    result never depends on dict insertion order. Raises
+    ``ValueError`` for masks on unknown columns (a policy typo must
+    not silently leave a column unmasked)."""
     unknown = [c for c in policy.column_masks if c not in df.columns]
     if unknown:
         raise ValueError(
@@ -60,15 +64,31 @@ def secured_view(df: DataFrame, policy: Policy) -> DataFrame:
     out = df
     if policy.row_filter is not None:
         out = out.filter(F.expr(policy.row_filter))
-    for col, mask_sql in policy.column_masks.items():
-        out = out.withColumn(col, F.expr(mask_sql))
+    if policy.column_masks:
+        out = out.select(
+            *[
+                F.expr(policy.column_masks[c]).alias(c)
+                if c in policy.column_masks
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
     return out
+
+
+def _sql_str_literal(s: str) -> str:
+    """Escape ``s`` as a SQL single-quoted string literal. Policies
+    are DATA (loaded from catalog tables), so a pepper containing a
+    quote must become a literal, never spliced syntax — an unescaped
+    quote in the SECURITY layer would be an injection vector that
+    could close the literal and reference the raw column."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def masked_hash(col: str, pepper: str) -> str:
     """Convenience mask: salted SHA-256 pseudonym (deterministic for
     joins, irreversible without the pepper)."""
-    return f"sha2(concat('{pepper}:', {col}), 256)"
+    return f"sha2(concat({_sql_str_literal(pepper + ':')}, {col}), 256)"
 
 
 def masked_bucket(col: str, width: int) -> str:

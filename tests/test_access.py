@@ -72,3 +72,39 @@ def test_row_filter_rides_pushdown(spark, tmp_path):
     v = secured_view(df, Policy(row_filter="region = 'EU'"))
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "EqualTo(region,EU)" in plan, plan
+
+
+def test_pepper_with_quotes_is_a_literal_not_syntax(spark):
+    """Policies are data: a pepper containing quotes/backslashes must
+    become a SQL literal, never spliced syntax (injection into the
+    security layer)."""
+    from market_data_pipeline_databricks_spark.sources.access import (
+        _sql_str_literal,
+    )
+
+    for pepper in ("it's-secret", "a'||name||'", "back\\slash'y"):
+        v = secured_view(
+            _base(spark),
+            Policy(column_masks={"name": masked_hash("name", pepper)}),
+        )
+        got = {r.name for r in v.collect()}
+        assert all(len(x) == 64 for x in got)  # always a sha2 hex, never raw
+        # the literal round-trips exactly through the SQL parser
+        lit = spark.sql(f"SELECT {_sql_str_literal(pepper)} AS p").first().p
+        assert lit == pepper
+
+
+def test_masks_see_original_values_order_independent(spark):
+    """A mask referencing ANOTHER masked column must see the RAW
+    value, regardless of dict insertion order."""
+    for order in (("name", "balance"), ("balance", "name")):
+        masks = {}
+        for c in order:
+            masks[c] = (
+                masked_hash("name", "p1")
+                if c == "name"
+                else "balance + length(name)"  # length of RAW name
+            )
+        v = secured_view(_base(spark), Policy(column_masks=masks))
+        r = {x.id: x for x in v.collect()}
+        assert r[1].balance == 1234.56 + len("alice"), order
