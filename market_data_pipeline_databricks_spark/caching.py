@@ -25,10 +25,19 @@ per consumed query keeps the registry at O(persists per query)."""
 
 from __future__ import annotations
 
+import contextlib
+import threading
+from collections.abc import Iterator
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+# _LIVE is process-global: concurrent queries registering persists
+# while another caller releases must not corrupt the list or release
+# a frame the mutating thread is about to return. The lock covers the
+# registry only — unpersist() itself is JVM-side and thread-safe.
+_LOCK = threading.Lock()
 
 
 def persist_tracked(
@@ -36,19 +45,53 @@ def persist_tracked(
 ) -> DataFrame:
     """``df.persist(level)`` + register for :func:`release_tracked`."""
     df.persist(level)
-    _LIVE.append(df)
+    with _LOCK:
+        _LIVE.append(df)
     return df
 
 
 def release_tracked() -> int:
     """Unpersist every tracked frame; returns how many were released.
-    Safe to call repeatedly (the registry empties each call)."""
+    Safe to call repeatedly (the registry empties each call).
+
+    Global by design (the bench/session-reset hammer): one caller's
+    release drops EVERY tracked persist, including another in-flight
+    query's — in multi-threaded sessions prefer :func:`caching_scope`,
+    which releases only its own persists."""
+    with _LOCK:
+        live = list(_LIVE)
+        _LIVE.clear()
     released = 0
-    for df in _LIVE:
+    for df in live:
         try:
             df.unpersist()
             released += 1
         except Exception:  # session already stopped — nothing to free
             pass
-    _LIVE.clear()
     return released
+
+
+@contextlib.contextmanager
+def caching_scope(
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> Iterator:
+    """Scoped alternative to the global registry for concurrent
+    callers: ``with caching_scope() as persist:`` yields a
+    ``persist(df)`` function; every frame persisted through it is
+    unpersisted when the scope exits — and ONLY those frames, so one
+    query's cleanup can never drop a concurrent query's cache."""
+    scoped: list[DataFrame] = []
+
+    def persist(df: DataFrame) -> DataFrame:
+        df.persist(level)
+        scoped.append(df)
+        return df
+
+    try:
+        yield persist
+    finally:
+        for df in scoped:
+            try:
+                df.unpersist()
+            except Exception:
+                pass

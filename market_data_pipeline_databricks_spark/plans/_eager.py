@@ -4,39 +4,39 @@ EAGER queries do their real work at construction time (write a
 warehouse, run an availableNow stream, commit snapshot versions) into
 per-run temp dirs that are removed before the function returns. Round
 8 showed that returning a ``localCheckpoint()`` handle over those
-deleted dirs is fragile under the correctness driver: the handle's
-lineage is truncated and its backing files are gone, so any
-re-evaluation outside the builder's block-manager state (new plan,
-evicted blocks, deferred hashing) has nothing to recompute from —
-CORRECTNESS_r08 recorded 8 such queries rows+schema-green but
-hash-RED (VERDICT r8 "What's wrong" #1).
+deleted dirs is fragile under the correctness driver (CORRECTNESS_r08:
+8 such queries rows+schema-green but hash-RED); round 9 showed that a
+``materialize()`` (collect → ``createDataFrame``, a LogicalRDD-backed
+plan) return fails the driver's hash the same way even though the
+values are multiset-exact (CORRECTNESS_r09: all 10 EAGER returns
+hash-RED while all 252 parquet-rooted lazy plans hash green). The
+driver's hash protocol only accepts plans rooted in the testdata
+parquet.
 
-Two sanctioned return shapes replace it:
+The round-10 contract (VERDICT r9 task 1) therefore separates the
+*proof* from the *return value*:
 
-- :func:`materialize` — for the common case: the query output is a
-  tiny aggregate/feed (1 to a few thousand rows). Collect once and
-  rebuild via ``createDataFrame``: in classic mode the rows are held
-  as a JVM-side parallelized collection (``ParallelCollectionRDD`` —
-  eagerly read into memory, owned by the plan, re-evaluable any
-  number of times), and under Spark Connect they travel inline as a
-  ``LocalRelation``. Either way evaluation is pure, deterministic and
-  repeatable with no checkpoint, tempdir, or block-manager
-  dependence. The collect is bounded by ``max_rows`` with an
-  in-chain ``limit`` (driver-memory contract, tests/test_collect_lint).
+- the construction drive still runs in full (write, stream, commit);
+- :func:`checked_lazy` asserts IN-QUERY that the constructed result
+  equals a lazy oracle-equivalent twin recomputed purely from the
+  original ``/root/testdata`` parquet (one-shuffle multiset diff;
+  any lost/duplicated/mutated row raises ``ConstructionMismatchError``
+  → the driver records ``err`` → still a hard red signal);
+- the *twin* is what gets returned — indistinguishable from every
+  other lazy registry plan, recomputable forever, no checkpoint,
+  tempdir, or driver-held rows.
 
-- keep the backing dir alive for the process lifetime (see
-  :func:`keepalive_dir`) and return a plain lazy scan — for the rare
-  row-scaled output (``stream_gold_incremental``: one row per
-  symbol-day, millions at sf1.0) where collecting to the driver
-  would itself be the scale bug. ``atexit`` removes the dirs at
-  interpreter exit; per-process accumulation is bounded by calls ×
-  result size, which for these queries is the size of the result the
-  caller is about to consume anyway.
+:func:`materialize` remains for bounded intra-query materialization
+(e.g. feeding a foreachBatch closure); :func:`keepalive_dir` remains
+for callers that must return a scan over constructed files (none in
+the registry since round 10 — ``release_keepalive`` reclaims dirs in
+long sessions).
 
 tests/test_eager_returns.py asserts the contract over every
-construction-time-writing registry query: returned plans contain no
-``ExistingRDD`` (checkpoint root) and every ``inputFiles()`` path
-still exists.
+construction-time-writing registry query: returned plans are rooted
+only in testdata parquet, and a sabotaged construction makes
+``checked_lazy`` raise (mutation test), so the proof stays
+load-bearing.
 """
 
 from __future__ import annotations
@@ -46,6 +46,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Default cap for materialized EAGER outputs. The largest known
 # producer is warehouse_snapshot_cdc at sf1.0 (1 row per corrected
@@ -74,12 +75,70 @@ def materialize(df: DataFrame, max_rows: int = MAX_MATERIALIZED_ROWS) -> DataFra
     return spark.createDataFrame(rows, df.schema)
 
 
+class ConstructionMismatchError(AssertionError):
+    """A construction drive's result diverged from its lazy
+    oracle-equivalent recomputation — the roundtrip/COW/DPP/state
+    semantics the query exists to prove are broken."""
+
+
+def checked_lazy(
+    constructed: DataFrame,
+    lazy_twin: DataFrame,
+    label: str,
+    sample: int = 5,
+) -> DataFrame:
+    """Enforce a construction drive's semantics, then return the lazy
+    oracle-equivalent plan.
+
+    ``constructed`` is the result read back from the construction's
+    own artifacts (a written warehouse, snapshot versions, a stream's
+    sink/state); ``lazy_twin`` recomputes the same result purely from
+    the immutable source parquet. The two are compared as exact row
+    MULTISETS in one distributed job (union with +1/−1 side weights →
+    hash-aggregate on every column → any nonzero delta is a row the
+    construction lost, duplicated, or mutated). On mismatch this
+    raises :class:`ConstructionMismatchError` with sample offending
+    rows; on match it returns ``lazy_twin`` — a plan rooted only in
+    the source parquet, so the caller may delete every construction
+    artifact and the returned frame stays recomputable forever.
+
+    Scale note: the diff is a single hash-aggregate shuffle over
+    2×|result| rows — distributed, never collected, safe even for
+    row-scaled results (``stream_gold_incremental``: millions of rows
+    at sf1.0). NaN and NULL group as equal to themselves, matching
+    the multiset-equality the driver's oracle gate checks.
+    """
+    c_sig = [(f.name, f.dataType) for f in constructed.schema.fields]
+    t_sig = [(f.name, f.dataType) for f in lazy_twin.schema.fields]
+    if c_sig != t_sig:
+        raise ConstructionMismatchError(
+            f"{label}: constructed schema {c_sig} != lazy twin schema "
+            f"{t_sig} — the twin must mirror the construction exactly"
+        )
+    cols = constructed.columns
+    delta = (
+        constructed.withColumn("_side", F.lit(1))
+        .unionByName(lazy_twin.withColumn("_side", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("_side").alias("_delta"))
+        .filter(F.col("_delta") != 0)
+    )
+    bad = delta.take(sample)
+    if bad:
+        raise ConstructionMismatchError(
+            f"{label}: construction result diverged from the lazy "
+            f"recomputation over the source parquet — sample rows "
+            f"(_delta>0 = only in construction, <0 = only in twin): "
+            f"{bad}"
+        )
+    return lazy_twin
+
+
 _KEEPALIVE_DIRS: list[str] = []
 
 
 def _cleanup_keepalive() -> None:
-    for d in _KEEPALIVE_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
+    release_keepalive()
 
 
 atexit.register(_cleanup_keepalive)
@@ -88,7 +147,21 @@ atexit.register(_cleanup_keepalive)
 def keepalive_dir(prefix: str) -> str:
     """A temp dir that survives until interpreter exit (not removed by
     the creating query), so a lazy scan returned over it stays
-    recomputable for the whole process lifetime."""
+    recomputable for the whole process lifetime. Long-lived sessions
+    can reclaim the space early with :func:`release_keepalive` once
+    every frame scanned over the dirs has been consumed."""
     d = tempfile.mkdtemp(prefix=prefix)
     _KEEPALIVE_DIRS.append(d)
     return d
+
+
+def release_keepalive() -> int:
+    """Remove every keepalive dir created so far and return how many
+    were reclaimed. Any DataFrame still scanning one of the dirs
+    becomes unreadable — call only after those results are consumed
+    (the companion of ``caching.release_tracked`` for on-disk state)."""
+    n = len(_KEEPALIVE_DIRS)
+    for d in _KEEPALIVE_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _KEEPALIVE_DIRS.clear()
+    return n

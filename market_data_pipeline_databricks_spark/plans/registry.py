@@ -26,13 +26,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-9 window. Standing rule: never-hash-green beats
-    # stalest-green. The 8 queries below are the CORRECTNESS_r08
-    # hash-RED rows (rows+schema-green, hash-red — the EAGER
-    # localCheckpoint-over-deleted-tempdir returns, VERDICT r8 "What's
-    # wrong" #1). Round 9 converted every one to a materialized
-    # materialized-rows return (plans/_eager.py) and they lead the window
-    # until each holds a full-green driver row (VERDICT r9 task 2).
+    # -- round-10 window. Standing rule: never-hash-green beats
+    # stalest-green. The 10 queries below are the union of every
+    # CORRECTNESS_r01..r09 row that has NEVER held a full-green driver
+    # hash — exactly the construction-time-writing (EAGER) queries
+    # (VERDICT r9 "What's wrong" #1). Round 10 converted every one to
+    # return a LAZY parquet-rooted oracle-equivalent twin, with the
+    # construction semantics enforced by an in-query multiset-equality
+    # assertion (plans/_eager.py:checked_lazy) — the returned plan is
+    # now indistinguishable from the 252 always-green lazy plans.
     "source_orc_roundtrip",
     "source_json_roundtrip",
     "source_schema_evolution",
@@ -41,73 +43,57 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "warehouse_compact_small_files",
     "stream_snapshot_commits",
     "warehouse_snapshot_cdc",
-    # -- round-9 additions (never-checked): Ed-Join edit-distance
-    # fuzzy dedup (blocked == brute-force oracle) and the dynamic-
-    # partition-pruning drive (DPP contract enforced in-query) —
-    # displace the two newest r04 tail anchors (sample_split_leakage,
-    # sample_training_shuffle)
-    "dedup_edit_distance_qgram",
     "scale_dynamic_partition_pruning",
-    # round-9 batch 2 (never-checked): streaming-state audit via the
-    # Spark 4 statestore reader — displaces sample_source_cap
     "stream_state_store_audit",
-    # round-9 batch 3 (never-checked): salted-SHA pseudonymization +
-    # k-anonymity audit — displaces multimodal_frame_sample
-    "quality_pii_pseudonymize",
-    # round-9 batch 4 (never-checked): one-pass declared-constraint
-    # validation suite — displaces join_revenue_by_nation
-    "quality_constraint_suite",
-    # round-9 batch 5 (never-checked): governed view (row-level
-    # security + in-place column masks) — displaces
-    # join_range_volatility_expansion
-    "warehouse_row_level_security",
-    # -- stalest-green fill (computed from CORRECTNESS_r01..r08:
-    # last green r03 first, then r04, alphabetical within a round;
-    # the full r8 window went green in r08 and rotates out).
-    # last green in r03:
-    "analyst_liquidity_screen",
-    "analyst_volatility_regime",
-    "dedup_components",
-    "funcs_ewma_close",
-    "funcs_log_return_stats",
-    "multimodal_wav_roundtrip",
-    "pack_training_sequences",
-    "quality_zscore_outliers",
-    "sample_train_test_split",
-    "skew_salted_join_orders",
-    "stream_session_window_stats",
-    "stream_sliding_window_counts",
-    "stream_stream_click_attribution",
-    "stream_tumbling_daily_counts",
-    "text_bpe_token_count",
-    "text_decontaminate",
-    "text_stats",
-    "vector_cosine_topk",
-    "window_latest_snapshot_pruned",
-    "window_rolling_range_avg",
-    # last green in r04 (the 6 round-9 additions above displaced the
-    # six newest, so the first 16 alphabetically fill to exactly 50):
-    "agg_dup_grain_detector",
-    "agg_grouping_sets_revenue",
-    "analyst_completeness",
-    "analyst_point_in_time",
-    "analyst_single_key_recent",
-    "analyst_threshold_alerts",
-    "curate_chunk_corpus",
-    "curate_multimodal_corpus",
-    "dedup_exact_survivors",
-    "dedup_incremental_batch",
-    "events_funnel",
-    "events_retention_cohorts",
-    "filter_case_classification",
-    "filter_scalar_subquery_latest",
-    "funcs_market_beta",
-    "join_full_outer_reconcile",
+    # -- stalest-green fill (computed from CORRECTNESS_r01..r09):
+    # the 24 queries last green in r04 (incl. the anchors the r9
+    # additions displaced), then the first 16 alphabetically of the
+    # r05 cohort — exactly 50 slots.
+    "join_range_volatility_expansion",
+    "join_revenue_by_nation",
+    "multimodal_frame_sample",
+    "sample_source_cap",
+    "sample_split_leakage",
+    "sample_training_shuffle",
+    "scale_exact_percentiles",
+    "scale_winsorized_stats",
+    "sort_topk_orders",
+    "stream_dedup_within_watermark",
+    "stream_static_enrich_nation",
+    "text_bigram_vocab",
+    "text_chunk_overlap",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "union_all_check_streams",
+    "unpivot_part_price_bands",
+    "vector_label_centroids",
+    "vector_label_noise_screen",
+    "vector_near_dup_pairs",
+    "vector_quantize_int8",
+    "window_latest_snapshot_per_supplier",
+    "window_sessionization",
+    # last green in r05:
+    "agg_q11_important_stock",
+    "agg_q13_customer_distribution",
+    "agg_q14_promo_revenue_pct",
+    "agg_q16_supplier_part_counts",
+    "agg_q6_forecast_revenue",
+    "dedup_component_survivors",
+    "dedup_representative_survivors",
+    "events_ab_test_lift",
+    "events_conversion_survival",
+    "events_cuped_adjustment",
+    "events_markov_transitions",
+    "events_session_stats",
+    "funcs_bollinger_bands",
+    "join_asof_forward_quotes",
+    "join_asof_nearest_quotes",
+    "join_q10_returned_items",
 
-    # -- displaced: the full r8 window (42 green in CORRECTNESS_r08;
-    # its 8 red rows are re-pinned at the head above) and everything
-    # greener than the r04 tail; all remain verifiable via
-    # tools/check_oracle.py.
+    # -- displaced: everything greener than the r05 tail (the r9
+    # window went green in r09 except its 10 re-pinned reds); all
+    # remain verifiable via tools/check_oracle.py.
 )
 
 

@@ -14,7 +14,7 @@ from market_data_pipeline_databricks_spark.operators.skew import (
     salted_agg,
     salted_join,
 )
-from market_data_pipeline_databricks_spark.plans._eager import materialize
+from market_data_pipeline_databricks_spark.plans._eager import checked_lazy
 from market_data_pipeline_databricks_spark.plans.relational import _t
 
 
@@ -479,9 +479,9 @@ def scale_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_partkey").alias("p_lo"),
             F.max("l_partkey").alias("p_hi"),
         )
-        boxed = (
-            z.crossJoin(F.broadcast(b))
-            .filter(
+
+        def boxed_agg(df: DataFrame) -> DataFrame:
+            boxed = df.crossJoin(F.broadcast(b)).filter(
                 F.col("l_orderkey").between(
                     F.col("o_lo") + F.expr("(o_hi - o_lo) div 4"),
                     F.col("o_lo")
@@ -493,9 +493,7 @@ def scale_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("(p_hi - p_lo) div 4 + (p_hi - p_lo) div 16"),
                 )
             )
-        )
-        return materialize(
-            boxed.agg(
+            return boxed.agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
                 .cast("decimal(27,2)")
@@ -504,6 +502,9 @@ def scale_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(27,2)")
                 .alias("sum_qty"),
             )
+
+        return checked_lazy(
+            boxed_agg(z), boxed_agg(li), "scale_zorder_clustering"
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -569,12 +570,17 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bucketed join planned a shuffle Exchange — the "
                 "co-located-join contract regressed"
             )
-        return materialize(
-            j.groupBy("o_orderpriority")
-            .agg(
+
+        def agg(df: DataFrame) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
                 F.count(F.lit(1)).cast("long").alias("n_items"),
                 F.sum("price").cast("decimal(27,2)").alias("sum_price"),
             )
+
+        return checked_lazy(
+            agg(j),
+            agg(orders.join(li, "o_orderkey")),
+            "scale_bucketed_join",
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
@@ -642,12 +648,17 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
                 "partition pruning filter — the DPP contract regressed "
                 "(full scan at 100 TB)"
             )
-        return materialize(
-            joined.groupBy("p_year")
-            .agg(
+
+        def agg(df: DataFrame) -> DataFrame:
+            return df.groupBy("p_year").agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
             )
+
+        return checked_lazy(
+            agg(joined),
+            agg(orders.filter(F.col("p_year") % 2 == 1)),
+            "scale_dynamic_partition_pruning",
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)

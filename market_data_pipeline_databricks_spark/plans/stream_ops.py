@@ -18,10 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from market_data_pipeline_databricks_spark.plans._eager import (
-    keepalive_dir,
-    materialize,
-)
+from market_data_pipeline_databricks_spark.plans._eager import checked_lazy
 from market_data_pipeline_databricks_spark.streaming.ingest import run_available_now
 from market_data_pipeline_databricks_spark.streaming.stateful import (
     running_user_totals,
@@ -419,38 +416,52 @@ def stream_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("source", F.lit("lineitem"))
     )
+    from market_data_pipeline_databricks_spark.operators.gold import (
+        gold_features,
+    )
+
     feed_dir = tempfile.mkdtemp(prefix=f"gold_feed_{_NONCE}_")
-    # gold output is row-scaled (one row per symbol-day — millions at
-    # sf1.0), so it cannot be collect-materialized; the warehouse dir
-    # lives for the process lifetime instead and the returned lazy
-    # scan stays recomputable (plans/_eager.py)
-    wh = keepalive_dir(f"gold_wh_{_NONCE}_")
-    # four date-ordered drops — each lands as its own file(s); batch
-    # boundaries are irrelevant to correctness (the cutoff algebra is
-    # order-safe), only to the per-batch work profile
-    bounds = ["1995-01-01", "1996-07-01", "1997-07-01"]
-    chunks = [
-        silver.filter(F.col("date") < bounds[0]),
-        silver.filter((F.col("date") >= bounds[0]) & (F.col("date") < bounds[1])),
-        silver.filter((F.col("date") >= bounds[1]) & (F.col("date") < bounds[2])),
-        silver.filter(F.col("date") >= bounds[2]),
-    ]
-    for c in chunks:
-        c.coalesce(1).write.mode("append").parquet(feed_dir)
-    feed = (
-        spark.readStream.schema(silver.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(feed_dir)
-    )
-    stream_gold_maintenance(
-        feed, wh, computed_at=datetime(2026, 1, 1, 0, 0)
-    )
-    gold = spark.read.parquet(f"{wh}/gold_daily")
-    out = gold.select(
-        "symbol", "date", "close", "volume", "return_1d", "avg_volume_20d"
-    )
-    shutil.rmtree(feed_dir, ignore_errors=True)
-    return out
+    wh = tempfile.mkdtemp(prefix=f"gold_wh_{_NONCE}_")
+    try:
+        # four date-ordered drops — each lands as its own file(s); batch
+        # boundaries are irrelevant to correctness (the cutoff algebra is
+        # order-safe), only to the per-batch work profile
+        bounds = ["1995-01-01", "1996-07-01", "1997-07-01"]
+        chunks = [
+            silver.filter(F.col("date") < bounds[0]),
+            silver.filter(
+                (F.col("date") >= bounds[0]) & (F.col("date") < bounds[1])
+            ),
+            silver.filter(
+                (F.col("date") >= bounds[1]) & (F.col("date") < bounds[2])
+            ),
+            silver.filter(F.col("date") >= bounds[2]),
+        ]
+        for c in chunks:
+            c.coalesce(1).write.mode("append").parquet(feed_dir)
+        feed = (
+            spark.readStream.schema(silver.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+        ts = datetime(2026, 1, 1, 0, 0)
+        stream_gold_maintenance(feed, wh, computed_at=ts)
+        gold = spark.read.parquet(f"{wh}/gold_daily")
+        cols = [
+            "symbol", "date", "close", "volume", "return_1d", "avg_volume_20d"
+        ]
+        # the gold output is row-scaled (one row per symbol-day —
+        # millions at sf1.0): checked_lazy's diff is a distributed
+        # hash-aggregate, never a driver collect, so the stream==batch
+        # proof stays scale-safe and the warehouse dir can be freed
+        return checked_lazy(
+            gold.select(*cols),
+            gold_features(silver, computed_at=ts).select(*cols),
+            "stream_gold_incremental",
+        )
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 QUERIES.update({"stream_gold_incremental": stream_gold_incremental})
@@ -543,12 +554,22 @@ def stream_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         q.awaitTermination()
+        # the accumulated micro-batch output must equal the batch form
+        # exactly (shared oracle) — assert it in-query and return the
+        # batch form's lazy parquet-rooted plan
+        from market_data_pipeline_databricks_spark.plans import (
+            text_ops as _txo_local,
+        )
+
+        return checked_lazy(
+            spark.read.parquet(out_dir),
+            _txo_local.dedup_cdc_incremental(spark, sf_dir),
+            "stream_cdc_incremental",
+        )
     finally:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
-    out = materialize(spark.read.parquet(out_dir))
-    shutil.rmtree(feed_dir, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def stream_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,16 +624,23 @@ def stream_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         q.awaitTermination()
+        from market_data_pipeline_databricks_spark.plans import (
+            vector_ops as _vco_local,
+        )
+
+        twin = _vco_local.multimodal_image_dedup_incremental(spark, sf_dir)
         # an all-empty feed writes no parquet (every sink early-returns)
-        # — return an empty typed frame instead of a schema-inference
-        # error from the bare directory
+        # — compare an empty typed frame instead of hitting a
+        # schema-inference error on the bare directory
         import glob as _glob
 
         if not _glob.glob(f"{out_dir}/*.parquet"):
-            return spark.createDataFrame(
-                [], "batch_id long, n_corpus_matches long, min_hamming long"
-            )
-        return materialize(spark.read.parquet(out_dir))
+            constructed = spark.createDataFrame([], twin.schema)
+        else:
+            constructed = spark.read.parquet(out_dir)
+        return checked_lazy(
+            constructed, twin, "stream_image_dedup_incremental"
+        )
     finally:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         shutil.rmtree(feed_dir, ignore_errors=True)
@@ -721,7 +749,13 @@ def stream_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg(read_version(spark, tdir, latest_version(tdir)), "v2"),
             "o_orderstatus",
         )
-        return materialize(out)
+        from market_data_pipeline_databricks_spark.plans.warehouse_ops import (
+            _time_travel_twin,
+        )
+
+        return checked_lazy(
+            out, _time_travel_twin(spark, sf_dir), "stream_snapshot_commits"
+        )
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
         shutil.rmtree(feed_dir, ignore_errors=True)
@@ -793,12 +827,18 @@ def stream_state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         st = spark.read.format("statestore").load(ck)
-        return materialize(
+        twin = orders.groupBy("o_orderstatus").agg(
+            F.sum("p").cast("decimal(27,2)").alias("sum_price"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        return checked_lazy(
             st.select(
                 F.col("key.o_orderstatus").alias("o_orderstatus"),
                 F.col("value.sum").cast("decimal(27,2)").alias("sum_price"),
                 F.col("value.count").cast("long").alias("n_rows"),
-            )
+            ),
+            twin,
+            "stream_state_store_audit",
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)

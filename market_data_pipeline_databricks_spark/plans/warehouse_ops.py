@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from market_data_pipeline_databricks_spark.plans._eager import materialize
+from market_data_pipeline_databricks_spark.plans._eager import checked_lazy
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -417,9 +417,11 @@ ORACLE_SQL.update(
 # aggregate identically to the parquet original (the DuckDB oracle
 # reads the parquet view, so any lossiness in the sink/source pair —
 # decimal precision, date encoding, null handling — breaks the hash).
-# Files are written per run under a pid-nonce tmp dir and removed
-# after the (tiny) aggregate is materialized to JVM-held rows
-# (plans/_eager.py — no checkpoint/tempdir dependence survives).
+# Files are written per run under a pid-nonce tmp dir; the read-back
+# aggregate is asserted equal to the same aggregate over the original
+# parquet IN-QUERY, and the parquet-rooted twin is what gets returned
+# (plans/_eager.py:checked_lazy — no checkpoint/tempdir dependence
+# survives, and a lossy sink/source pair raises instead of returning).
 # ---------------------------------------------------------------------------
 
 import os as _os
@@ -458,7 +460,11 @@ def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         # DDL, never inferred); ORC embeds its schema but the explicit
         # one asserts the same contract.
         back = spark.read.format(fmt).schema(src.schema).load(out_dir)
-        return materialize(_roundtrip_agg(back))
+        return checked_lazy(
+            _roundtrip_agg(back),
+            _roundtrip_agg(src),
+            f"source_{fmt}_roundtrip",
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -538,13 +544,26 @@ def warehouse_erase_rtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, wh, "orders", keys, ["o_custkey"], ["p_year"]
         )
         back = spark.read.parquet(f"{wh}/orders")
-        return materialize(
-            back.groupBy("o_orderstatus")
-            .agg(
+
+        def agg(df: DataFrame) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
             )
-            .withColumn("n_erased", F.lit(int(n_erased)).cast("long"))
+
+        erased_ct = (
+            orders.filter(F.col("o_custkey") % 97 == 0)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_erased"))
+        )
+        twin = agg(orders.filter(F.col("o_custkey") % 97 != 0)).crossJoin(
+            F.broadcast(erased_ct)
+        )
+        return checked_lazy(
+            agg(back).withColumn(
+                "n_erased", F.lit(int(n_erased)).cast("long")
+            ),
+            twin,
+            "warehouse_erase_rtbf",
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -580,13 +599,25 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         W.append_with_schema_evolution(spark, base, wh, "orders_evo")
         merged = W.append_with_schema_evolution(spark, evolved, wh, "orders_evo")
-        return materialize(
-            merged.groupBy("o_orderstatus")
-            .agg(
+        twin = orders.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(
+                F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderpriority"))
+            )
+            .cast("long")
+            .alias("n_with_priority"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("decimal(27,2)")
+            .alias("sum_price"),
+        )
+        return checked_lazy(
+            merged.groupBy("o_orderstatus").agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.count("o_orderpriority").cast("long").alias("n_with_priority"),
                 F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
-            )
+            ),
+            twin,
+            "source_schema_evolution",
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -622,6 +653,32 @@ FROM orders GROUP BY o_orderstatus
 """,
     }
 )
+
+
+def _time_travel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy parquet-rooted recomputation of the (v1, v2) side-by-side
+    aggregate that ``warehouse_time_travel`` / ``stream_snapshot_commits``
+    construct through snapshot commits: v1 is the raw orders table, v2
+    applies the +10.00 correction to every o_orderkey % 50 == 0 order."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    corrected = (
+        F.when(
+            F.col("o_orderkey") % 50 == 0,
+            (F.col("o_totalprice") + F.lit(10.00).cast("decimal(12,2)"))
+            .cast("decimal(12,2)"),
+        )
+        .otherwise(F.col("o_totalprice"))
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_v1"),
+        F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price_v1"),
+        F.count(F.lit(1)).cast("long").alias("n_rows_v2"),
+        F.sum(corrected).cast("decimal(27,2)").alias("sum_price_v2"),
+    )
 
 
 def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,7 +730,9 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = agg(read_version(spark, tdir, 1), "v1").join(
             agg(read_version(spark, tdir, 2), "v2"), "o_orderstatus"
         )
-        return materialize(out)
+        return checked_lazy(
+            out, _time_travel_twin(spark, sf_dir), "warehouse_time_travel"
+        )
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 
@@ -708,13 +767,22 @@ def warehouse_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame
             spark, wh, "orders", partition_cols=["p_year"]
         )
         back = spark.read.parquet(f"{wh}/orders")
-        return materialize(
-            back.groupBy("p_year")
-            .agg(
+
+        def agg(df: DataFrame) -> DataFrame:
+            return df.groupBy("p_year").agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
             )
-            .withColumn("n_files_after", F.lit(int(n_after)).cast("long"))
+
+        nf = orders.agg(
+            F.countDistinct("p_year").cast("long").alias("n_files_after")
+        )
+        return checked_lazy(
+            agg(back).withColumn(
+                "n_files_after", F.lit(int(n_after)).cast("long")
+            ),
+            agg(orders).crossJoin(F.broadcast(nf)),
+            "warehouse_compact_small_files",
         )
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -801,13 +869,23 @@ def warehouse_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["o_orderkey"],
             ["o_orderstatus", "o_totalprice"],
         )
-        return materialize(
+        twin = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+            "o_orderkey",
+            F.lit("update").alias("change_type"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(10.00).cast("decimal(12,2)"))
+            .cast("decimal(12,2)")
+            .alias("o_totalprice"),
+        )
+        return checked_lazy(
             feed.select(
                 "o_orderkey",
                 F.col("_op").alias("change_type"),
                 "o_orderstatus",
                 "o_totalprice",
-            )
+            ),
+            twin,
+            "warehouse_snapshot_cdc",
         )
     finally:
         shutil.rmtree(tdir, ignore_errors=True)

@@ -54,7 +54,16 @@ def secured_view(df: DataFrame, policy: Policy) -> DataFrame:
     column sees the RAW value (as the Policy contract states) and the
     result never depends on dict insertion order. Raises
     ``ValueError`` for masks on unknown columns (a policy typo must
-    not silently leave a column unmasked)."""
+    not silently leave a column unmasked).
+
+    A mask may change the column's DATA TYPE while keeping its name:
+    ``masked_hash`` yields a string whatever the source type, and
+    ``masked_bucket`` yields BIGINT (e.g. a DECIMAL balance becomes
+    its BIGINT band). This is deliberate — the masked value is a
+    different domain and silently casting it back could overflow or
+    re-coarsen — but schema-sensitive consumers of a governed view
+    (writers with declared DDL, unions with the raw table) must read
+    the VIEW's schema, not the base table's."""
     unknown = [c for c in policy.column_masks if c not in df.columns]
     if unknown:
         raise ValueError(
@@ -93,5 +102,16 @@ def masked_hash(col: str, pepper: str) -> str:
 
 def masked_bucket(col: str, width: int) -> str:
     """Convenience mask: numeric generalization to ``width``-sized
-    bands (k-anonymity-style coarsening)."""
-    return f"CAST(FLOOR({col} / {width}.0) AS BIGINT) * {width}"
+    bands (k-anonymity-style coarsening).
+
+    NOTE the mask changes the column's TYPE to BIGINT (like
+    ``masked_hash`` produces a string) — see :func:`secured_view`.
+    Raises ``ValueError`` for ``width <= 0``: a policy typo in the
+    security layer must fail loudly, not silently NULL the column
+    (width=0 divides by zero) or emit nonsense buckets (negative)."""
+    w = int(width)
+    if w <= 0:
+        raise ValueError(
+            f"masked_bucket width must be a positive integer, got {width!r}"
+        )
+    return f"CAST(FLOOR({col} / {w}.0) AS BIGINT) * {w}"

@@ -93,6 +93,22 @@ def _read_manifest(table_dir: str, version: int) -> list[str]:
     return json.loads(_manifest_path(table_dir, version).read_text())["files"]
 
 
+def _fsync_dir(path) -> None:
+    """fsync a directory so a just-created entry (the manifest link)
+    survives a crash; best-effort on filesystems that reject O_RDONLY
+    dir fds (the data write itself is already fsynced)."""
+    try:
+        fd = os.open(str(path), os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _publish(table_dir: str, version: int, files: list[str]) -> None:
     """Atomic + EXCLUSIVE manifest publication: write-to-temp, then
     ``os.link`` into place. link(2) fails with EEXIST when the target
@@ -103,9 +119,17 @@ def _publish(table_dir: str, version: int, files: list[str]) -> None:
     target = _manifest_path(table_dir, version)
     payload = json.dumps({"version": version, "files": sorted(files)})
     tmp = target.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
-    tmp.write_text(payload)
+    # durability BEFORE the name claim: fsync the bytes (and after the
+    # link, the directory entry) so a crash cannot leave a claimed
+    # v{n}.json with unflushed content — the committed-but-unreadable
+    # state the O_EXCL fallback below already guards against
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
         os.link(tmp, target)
+        _fsync_dir(target.parent)
         return
     except FileExistsError as exc:
         raise ConcurrentCommitError(
@@ -133,6 +157,7 @@ def _publish(table_dir: str, version: int, files: list[str]) -> None:
             f.write(payload)
             f.flush()
             os.fsync(f.fileno())
+        _fsync_dir(target.parent)
     except BaseException:
         # a failed write must not leave a claimed-but-truncated
         # manifest at the final name: latest_version() would count the

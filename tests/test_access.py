@@ -108,3 +108,16 @@ def test_masks_see_original_values_order_independent(spark):
         v = secured_view(_base(spark), Policy(column_masks=masks))
         r = {x.id: x for x in v.collect()}
         assert r[1].balance == 1234.56 + len("alice"), order
+
+
+def test_masked_bucket_rejects_nonpositive_width():
+    import pytest
+
+    from market_data_pipeline_databricks_spark.sources.access import (
+        masked_bucket,
+    )
+
+    with pytest.raises(ValueError, match="positive"):
+        masked_bucket("c_acctbal", 0)
+    with pytest.raises(ValueError, match="positive"):
+        masked_bucket("c_acctbal", -100)

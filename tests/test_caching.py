@@ -43,3 +43,45 @@ def test_query_layer_persists_are_released(spark):
     df = entrymod.queries()["text_bm25_topk"](spark, "/root/testdata/sf0.001")
     df.count()
     assert caching.release_tracked() >= 1
+
+
+def test_caching_scope_releases_only_its_own(spark):
+    """A scope exit must not drop persists from the global registry or
+    a sibling scope (the advisor's concurrent-release hazard)."""
+    from market_data_pipeline_databricks_spark import caching
+
+    outer = caching.persist_tracked(spark.range(5))
+    with caching.caching_scope() as persist:
+        inner = persist(spark.range(7))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # scope released its own
+    assert outer.storageLevel.useMemory      # global persist untouched
+    assert caching.release_tracked() == 1
+
+
+def test_release_tracked_is_thread_safe(spark):
+    """Concurrent persist/release must neither corrupt the registry
+    nor double-release (lock contract)."""
+    import threading
+
+    from market_data_pipeline_databricks_spark import caching
+
+    caching.release_tracked()
+    errors = []
+
+    def worker(i):
+        try:
+            for _ in range(10):
+                caching.persist_tracked(spark.range(i + 1))
+                caching.release_tracked()
+        except Exception as e:  # pragma: no cover - failure reporter
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    caching.release_tracked()

@@ -13,15 +13,14 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# The round-9 rotation, as an EXPLICIT literal (not
+# The round-10 rotation, as an EXPLICIT literal (not
 # list(registry.DRIVER_WINDOW)): the point of this guard is that an
 # accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
 # aliasing the registry value made the lockstep check trivially true
-# (round-6 advice). The 8 CORRECTNESS_r08 hash-RED queries lead
-# (never-hash-green beats stalest-green; converted to materialized
-# returns this round), then the 6 never-checked round-9 additions,
-# then the 36 stalest-green queries (20 last green r03, 16 last
-# green r04) — see registry.py.
+# (round-6 advice). The 10 never-hash-green EAGER queries lead
+# (never-hash-green beats stalest-green; converted to lazy
+# checked_lazy returns this round), then the 40 stalest-green queries
+# (24 last green r04, 16 last green r05) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "source_orc_roundtrip",
     "source_json_roundtrip",
@@ -31,48 +30,48 @@ PREVIOUSLY_UNCHECKED = [
     "warehouse_compact_small_files",
     "stream_snapshot_commits",
     "warehouse_snapshot_cdc",
-    "dedup_edit_distance_qgram",
     "scale_dynamic_partition_pruning",
     "stream_state_store_audit",
-    "quality_pii_pseudonymize",
-    "quality_constraint_suite",
-    "warehouse_row_level_security",
-    "analyst_liquidity_screen",
-    "analyst_volatility_regime",
-    "dedup_components",
-    "funcs_ewma_close",
-    "funcs_log_return_stats",
-    "multimodal_wav_roundtrip",
-    "pack_training_sequences",
-    "quality_zscore_outliers",
-    "sample_train_test_split",
-    "skew_salted_join_orders",
-    "stream_session_window_stats",
-    "stream_sliding_window_counts",
-    "stream_stream_click_attribution",
-    "stream_tumbling_daily_counts",
-    "text_bpe_token_count",
-    "text_decontaminate",
-    "text_stats",
-    "vector_cosine_topk",
-    "window_latest_snapshot_pruned",
-    "window_rolling_range_avg",
-    "agg_dup_grain_detector",
-    "agg_grouping_sets_revenue",
-    "analyst_completeness",
-    "analyst_point_in_time",
-    "analyst_single_key_recent",
-    "analyst_threshold_alerts",
-    "curate_chunk_corpus",
-    "curate_multimodal_corpus",
-    "dedup_exact_survivors",
-    "dedup_incremental_batch",
-    "events_funnel",
-    "events_retention_cohorts",
-    "filter_case_classification",
-    "filter_scalar_subquery_latest",
-    "funcs_market_beta",
-    "join_full_outer_reconcile",
+    "join_range_volatility_expansion",
+    "join_revenue_by_nation",
+    "multimodal_frame_sample",
+    "sample_source_cap",
+    "sample_split_leakage",
+    "sample_training_shuffle",
+    "scale_exact_percentiles",
+    "scale_winsorized_stats",
+    "sort_topk_orders",
+    "stream_dedup_within_watermark",
+    "stream_static_enrich_nation",
+    "text_bigram_vocab",
+    "text_chunk_overlap",
+    "text_repetition_score",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "union_all_check_streams",
+    "unpivot_part_price_bands",
+    "vector_label_centroids",
+    "vector_label_noise_screen",
+    "vector_near_dup_pairs",
+    "vector_quantize_int8",
+    "window_latest_snapshot_per_supplier",
+    "window_sessionization",
+    "agg_q11_important_stock",
+    "agg_q13_customer_distribution",
+    "agg_q14_promo_revenue_pct",
+    "agg_q16_supplier_part_counts",
+    "agg_q6_forecast_revenue",
+    "dedup_component_survivors",
+    "dedup_representative_survivors",
+    "events_ab_test_lift",
+    "events_conversion_survival",
+    "events_cuped_adjustment",
+    "events_markov_transitions",
+    "events_session_stats",
+    "funcs_bollinger_bands",
+    "join_asof_forward_quotes",
+    "join_asof_nearest_quotes",
+    "join_q10_returned_items",
 ]
 
 
