@@ -5267,35 +5267,41 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     find every document pair whose 64-char key prefix is within
     Levenshtein distance K=4, WITHOUT the all-pairs join. Chain:
 
-    1. q-gram elements: positional 4-grams, with an occurrence index
+    1. q-gram elements: positional 10-grams, with an occurrence index
        per (doc, gram) so duplicate grams become distinct SET elements
        (multiset intersection == set intersection on (gram, occ));
     2. count-filter bound: ed(a,b) ≤ K ⇒ the keys share ≥
        max(|Ga|,|Gb|) − q·K elements, so each doc's first
-       q·K + 1 = 17 elements in a GLOBAL rarest-first order must
+       q·K + 1 = 41 elements in a GLOBAL rarest-first order must
        overlap in ≥ 1 element for any qualifying pair (prefix filter —
        sound, never drops a true pair, PROVIDED the bound is
-       positive: max(len_a, len_b) ≥ q·(K+1) = 20 (then ed ≤ K also
-       forces min_len ≥ 16 ≥ q, so both sides have grams). Pairs
+       positive: max(len_a, len_b) ≥ q·(K+1) = 50 (then ed ≤ K also
+       forces min_len ≥ 46 ≥ q, so both sides have grams). Pairs
        where both keys are shorter get no q-gram guarantee at all, so
-       keys of length ≤ 23 are ALSO routed to an exhaustive
+       keys of length ≤ 49 are ALSO routed to an exhaustive
        short-bucket branch, and the pair space partitions on
-       greatest(len): pairs with greatest ≥ 24 come from the prefix
-       branch (bound holds with margin), pairs with greatest ≤ 23
+       greatest(len): pairs with greatest ≥ 50 come from the prefix
+       branch (bound holds with margin), pairs with greatest ≤ 49
        have both members in the short bucket. The union is exactly
        the brute-force result for any corpus, not just long-doc ones;
        the short bucket is all-pairs only over genuinely short docs —
        a bounded, usually tiny population at scale);
-    3. candidates: self-join of the 17-element prefixes on (gram, occ)
+    3. candidates: self-join of the 41-element prefixes on (gram, occ)
        with id_a < id_b, distinct;
     4. exact verify: length filter |la−lb| ≤ K, then one
        THRESHOLD-BANDED ``levenshtein(a, b, K)`` per candidate —
        Spark's bounded form runs the O(K·n) diagonal band with early
        exit (returns −1 beyond K) instead of the full O(n²) matrix, a
-       ~26× verify cheapening at K=4, n=64 (measured 69 s → 5.7 s warm at
-       sf0.1: this corpus' tiny word vocabulary makes prefixes
-       collide, so ~23% of all pairs survive to verification and the
-       verify term dominates).
+       ~26× verify cheapening at K=4, n=64.
+
+    q is a MEASURED choice (round 10): this corpus' tiny word
+    vocabulary makes short grams collide, so candidate counts at
+    (sf0.1, sf1.0) were 2.92M/127M for q=4 (×43.7 per ×10 docs — the
+    round-9 3.4× per-10× runtime flag) but 0.82M/14.2M for q=10
+    (×17), giving 2.3× less sf0.1 wall time and a 1.69× per-10×
+    runtime ratio — back inside the ≤3× banded budget. The true
+    output itself grows ×12.2 per ×10 docs here (dup families scale
+    with the corpus), a floor no lossless join can beat.
 
     The DuckDB oracle runs the BRUTE-FORCE all-pairs form — hash
     equality proves the entire filter chain lossless, the strongest
@@ -5310,9 +5316,9 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix length stays q·K + 1 regardless of corpus size."""
     from pyspark.sql.window import Window
 
-    L, Q, K = 64, 4, 4
+    L, Q, K = 64, 10, 4
     prefix_len = Q * K + 1
-    short_max = 23  # greatest(len) <= 23 pairs go to the short bucket
+    short_max = Q * (K + 1) - 1  # greatest(len) <= 49 -> short bucket
     keys = _docs(spark, sf_dir).select(
         "doc_id", F.substring("text", 1, L).alias("key")
     )
@@ -5339,8 +5345,13 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     gfreq = el.groupBy("gram", "occ").agg(
         F.count(F.lit(1)).alias("freq")
     )
+    # NOT force-broadcast: at q=10 the distinct-gram table scales with
+    # the corpus (long grams are near-unique), so a forced broadcast
+    # would be the 100-TB bug; AQE still converts the join when the
+    # table is actually small. Measured at sf0.1: the shuffle join
+    # costs ~0.4 s over a broadcast — noise against the candidate cut.
     prefix = (
-        el.join(F.broadcast(gfreq), ["gram", "occ"])
+        el.join(gfreq, ["gram", "occ"])
         .withColumn(
             "rn",
             F.row_number().over(
@@ -5385,7 +5396,7 @@ def dedup_edit_distance_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast (no 8 GB wall on a short-heavy corpus), and the
     # within-band quadratic is confined to same-length-class short
     # keys — the documented price of exactness below the q-gram
-    # bound, never a corpus cartesian. Because there are only ~5
+    # bound, never a corpus cartesian. Because there are only ~10
     # distinct bands, the join key is SALTED (build side: one salt
     # from the doc id; probe side: replicated across all salts) so a
     # short-heavy corpus spreads each band's quadratic across

@@ -709,7 +709,18 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook, and summing the 8 per-dim terms as one chained codegen
     expression — no dim-level fan-out, one argmin groupBy over
     n·m·k rows, bit-identical results (pinned by the unchanged
-    oracle), measured ~5× faster."""
+    oracle), measured ~5× faster.
+
+    Round-10 (verdict task 6, measured 5.4 s → 2.95 s same-session,
+    bit-identical): (a) the ADC no longer fans codes out n·m long and
+    re-aggregates — the per-vector codes and the per-query LUT each
+    pre-aggregate into ONE map column, the pairing is a broadcast
+    nested-loop over n·|q| rows, and the 8 subspace terms sum as one
+    chained map-lookup expression (one shuffle and an 8× join fan-out
+    gone); (b) the corpus repartitions to the session parallelism
+    before the decimal explode — the driver corpus is a single parquet
+    file, so the encode arm otherwise runs on ONE core until its first
+    shuffle (harmless on a real multi-file table, decisive here)."""
     from pyspark.sql import Window
 
     m, dsub, kcodes = 8, 8, 16
@@ -730,7 +741,9 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for s in range(m)
     ]
-    base = emb.select("vec_id", "embedding")
+    base = emb.select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # codebook wide-long: one row per (subspace, code) with the 8
     # codeword dims as columns — m·k = 128 rows, broadcast
     cb_long = spark.createDataFrame(
@@ -782,7 +795,9 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col, "s", "code", dist.alias("dist")
         )
 
-    codes_long = (
+    # per-vector code MAP (s -> code): the argmin stays a groupBy over
+    # n·m·k rows; the map pre-aggregation replaces the n·m long format
+    codes_map = (
         _term_dists(base, "vec_id")
         .groupBy("vec_id", "s")
         .agg(
@@ -793,18 +808,50 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )["c"].alias("code")
         )
+        .groupBy("vec_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("s", "code"))
+            ).alias("cm")
+        )
     )
-    lut = _term_dists(
-        base.filter(F.col("vec_id") % 97 == 0).withColumnRenamed(
-            "vec_id", "qid"
-        ),
+    # per-query LUT as ONE map column keyed s·k + code (m·k = 128
+    # entries per query), broadcast whole
+    lut_map = (
+        _term_dists(
+            base.filter(F.col("vec_id") % 97 == 0).withColumnRenamed(
+                "vec_id", "qid"
+            ),
+            "qid",
+        )
+        .groupBy("qid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("s") * kcodes + F.col("code")).alias("k"),
+                        F.col("dist").alias("v"),
+                    )
+                )
+            ).alias("qm")
+        )
+    )
+    # ADC: broadcast nested-loop pairing (n × |q| rows — the IndexPQ
+    # linear scan) + one chained decimal expression of 8 map lookups;
+    # decimal addition is exact, so regrouping the sum is bit-identical
+    # to the former join-then-aggregate form (pinned by the oracle)
+    paired = codes_map.crossJoin(F.broadcast(lut_map)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    acc = F.element_at("qm", F.lit(0) * kcodes + F.element_at("cm", F.lit(0)))
+    for s in range(1, m):
+        acc = acc + F.element_at(
+            "qm", F.lit(s) * kcodes + F.element_at("cm", F.lit(s))
+        )
+    adc = paired.select(
         "qid",
-    ).select("qid", "s", "code", F.col("dist").alias("dq"))
-    adc = (
-        codes_long.join(F.broadcast(lut), ["s", "code"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.round(F.sum("dq").cast("double"), 6).alias("adc_dist2"))
+        "vec_id",
+        F.round(acc.cast("double"), 6).alias("adc_dist2"),
     )
     w = Window.partitionBy("qid").orderBy("adc_dist2", "vec_id")
     return (

@@ -64,12 +64,14 @@ def test_edit_distance_qgram_short_keys_lossless(spark, tmp_path):
     'aaaa' vs 'bbbb', ed=4) and boundary lengths must still equal
     brute force."""
     texts = [
-        "aaaa", "bbbb",            # ed 4, zero shared 4-grams
-        "ab", "cd",                # ed 2, below gram length q=4
-        "x" * 20, "y" * 18,        # boundary: around the bound limit
-        "hello world padding 23c", # len 23 (short bucket edge)
+        "aaaa", "bbbb",            # ed 4, zero shared grams
+        "ab", "cd",                # ed 2, below gram length
+        "x" * 20, "y" * 18,        # short: no q-gram guarantee
+        "hello world padding 23c", # short-bucket interior
         "hello world padding 23x",
-        "z" * 24, "z" * 22,        # straddle the bucket boundary
+        "z" * 24, "z" * 22,        # same band, within ed K
+        "m" * 49, "m" * 47,        # short-bucket EDGE at q=10 (<=49)
+        "n" * 50, "n" * 46,        # straddle: greatest=50 -> prefix branch
         "the quick brown fox jumps over the lazy dog again and more!",
         "the quick brown fox jumps over the lazy dog again and more?",
     ]
