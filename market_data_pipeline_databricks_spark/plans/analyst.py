@@ -884,3 +884,66 @@ SELECT 'lineitem_qty_positive',
 """
     }
 )
+
+
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the forensic DQ
+    check a finance pipeline runs on any value column humans could
+    have fabricated (fabricated figures under-use leading 1s and 2s;
+    naturally multiplicative amounts follow log10(1+1/d)). Emits one
+    row per leading digit: observed count, observed share, the Benford
+    expectation, and a >1%-absolute-deviation flag.
+
+    Determinism: the digit comes from the decimal's STRING form (both
+    engines print DECIMAL(12,2) without leading zeros or exponent), so
+    no log10-at-a-power-boundary float hazard; counts are exact ints,
+    the total rides a window SUM over the 9 digit rows (exact), and
+    all per-row float math (share, deviation) runs on identical bits.
+    Scale: one scan, one 9-group aggregate, a 9-row window — free."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_digit = (
+        o.select(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+                1,
+                1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    total = F.sum("n_orders").over(Window.partitionBy())
+    share = F.col("n_orders").cast("double") / total.cast("double")
+    benford_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return per_digit.select(
+        "digit",
+        "n_orders",
+        F.round(share, 6).alias("obs_share"),
+        F.round(benford_p, 6).alias("benford_p"),
+        (F.abs(share - benford_p) > 0.01).alias("deviates"),
+    )
+
+
+QUERIES.update({"quality_benford_audit": quality_benford_audit})
+
+ORACLE_SQL.update(
+    {
+        "quality_benford_audit": """
+WITH per_digit AS (
+  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+           AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT digit, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER () AS DOUBLE), 6) AS obs_share,
+       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+       abs(CAST(n_orders AS DOUBLE) / CAST(SUM(n_orders) OVER () AS DOUBLE)
+           - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) > 0.01 AS deviates
+FROM per_digit
+"""
+    }
+)

@@ -995,3 +995,98 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def funcs_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series return CORRELATION MATRIX (upper triangle) over a
+    fixed 8-series universe — the risk-model building block beside the
+    single-factor ``funcs_market_beta`` (a desk estimates pairwise
+    co-movement for portfolio variance, not just factor loadings).
+
+    Shape: daily returns per series (one suppkey window), then a
+    DAY-keyed self-join pairs the aligned return vectors (fan-out is
+    |universe|² per day, bounded by the explicit universe filter — at
+    100 TB the universe selection is the knob, the join stays day-
+    keyed so no series ever collides with the whole corpus), and one
+    (a, b) groupBy folds the component sums. Correlation derives from
+    decimal-cast component sums (Σx, Σy, Σxy, Σx², Σy²) like the beta
+    query — order-exact bits in both engines, so the 6-dp round
+    cannot flake (round-3 advice, same rationale). Zero variance on
+    either axis → NULL correlation (native corr semantics); pairs
+    need ≥ 30 aligned days (estimation floor)."""
+    daily = _daily(spark, sf_dir).filter(F.col("suppkey") <= 8)
+    w = Window.partitionBy("suppkey").orderBy("day")
+    r = daily.withColumn(
+        "ret", F.col("close") / F.lag("close").over(w) - 1
+    ).filter(F.col("ret").isNotNull())
+    a = r.select(
+        F.col("suppkey").alias("sk_a"), "day", F.col("ret").alias("ra")
+    )
+    b = r.select(
+        F.col("suppkey").alias("sk_b"), "day", F.col("ret").alias("rb")
+    )
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(27,12)")).cast("double")
+
+    comp = (
+        a.join(b, "day")
+        .filter(F.col("sk_a") < F.col("sk_b"))
+        .groupBy("sk_a", "sk_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            dsum(F.col("ra")).alias("sx"),
+            dsum(F.col("rb")).alias("sy"),
+            dsum(F.col("ra") * F.col("rb")).alias("sxy"),
+            dsum(F.col("ra") * F.col("ra")).alias("sxx"),
+            dsum(F.col("rb") * F.col("rb")).alias("syy"),
+        )
+        .filter(F.col("n_days") >= 30)
+    )
+    n = F.col("n_days").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary))
+    return comp.select(
+        "sk_a",
+        "sk_b",
+        "n_days",
+        F.round(corr, 6).alias("ret_corr"),
+    )
+
+
+QUERIES.update({"funcs_pairwise_correlation": funcs_pairwise_correlation})
+
+ORACLE_SQL.update(
+    {
+        "funcs_pairwise_correlation": _DAILY_CTE + """
+        , r AS (
+          SELECT suppkey, day,
+                 close / LAG(close) OVER (PARTITION BY suppkey ORDER BY day) - 1 AS ret
+          FROM daily WHERE suppkey <= 8
+        ),
+        rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+        comp AS (
+          SELECT a.suppkey AS sk_a, b.suppkey AS sk_b,
+                 COUNT(*) AS n_days,
+                 CAST(SUM(CAST(a.ret AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(b.ret AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(a.ret * b.ret AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(a.ret * a.ret AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(b.ret * b.ret AS DECIMAL(27,12))) AS DOUBLE) AS syy
+          FROM rr a JOIN rr b ON a.day = b.day AND a.suppkey < b.suppkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 30
+        )
+        SELECT sk_a, sk_b, n_days,
+               ROUND(CASE WHEN CAST(n_days AS DOUBLE) * sxx - sx * sx > 0
+                           AND CAST(n_days AS DOUBLE) * syy - sy * sy > 0
+                     THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                          / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                                 * (CAST(n_days AS DOUBLE) * syy - sy * sy))
+                     END, 6) AS ret_corr
+        FROM comp
+    """,
+    }
+)

@@ -971,3 +971,118 @@ FROM v GROUP BY n_name
 """
     }
 )
+
+
+def warehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / retention drive over the snapshot format
+    (sources/snapshots.py:expire_versions — the Delta VACUUM +
+    ``delta.logRetentionDuration`` pair): v1 commits orders, v2 and v3
+    COW-merge two disjoint correction batches (+10.00 on
+    o_orderkey % 50 == 0, then +5.00 on % 70 == 0 — keys divisible by
+    both take both), then retention keeps ONLY the latest version.
+    The audit enforces, in-query:
+
+    - time travel to the expired v1 must now FAIL (its manifest is
+      gone — reading it would mean retention lied);
+    - the vacuum must report exactly 2 expired versions and must have
+      physically deleted at least one unreferenced data file;
+    - the retained latest version must still read EXACTLY the
+      twice-corrected table — pinned by the checked_lazy multiset
+      diff against the lazy recomputation from the source parquet
+      (a vacuum that deleted a still-referenced file surfaces here as
+      missing rows → ConstructionMismatchError → driver err).
+
+    Scale: expire_versions is manifest-scaled driver work (file path
+    sets), never row-scaled; the reads are ordinary manifest-pinned
+    parquet scans. EAGER (commits + vacuums at construction; returns
+    the lazy parquet-rooted twin per the round-10 return discipline)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        commit_merge_keys,
+        expire_versions,
+        latest_version,
+        read_version,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    tdir = tempfile.mkdtemp(prefix="vacuum_")
+    try:
+        commit_append(orders.repartition(8, "o_orderkey"), tdir)
+
+        def correction(mod: int, delta: str) -> None:
+            base = read_version(spark, tdir, latest_version(tdir))
+            batch = base.filter(F.col("o_orderkey") % mod == 0).select(
+                "o_orderkey",
+                "o_orderstatus",
+                (F.col("o_totalprice") + F.lit(delta).cast("decimal(12,2)"))
+                .cast("decimal(12,2)")
+                .alias("o_totalprice"),
+            )
+            commit_merge_keys(spark, tdir, batch.localCheckpoint(), ["o_orderkey"])
+
+        correction(50, "10.00")
+        correction(70, "5.00")
+        versions_removed, files_deleted = expire_versions(tdir, keep_last=1)
+        if versions_removed != 2 or files_deleted < 1:
+            raise RuntimeError(
+                f"vacuum contract regressed: expired {versions_removed} "
+                f"versions (want 2), deleted {files_deleted} files (want >=1)"
+            )
+        try:
+            read_version(spark, tdir, 1).take(1)
+        except Exception:
+            pass  # expected: v1 is expired, its manifest is gone
+        else:
+            raise RuntimeError(
+                "time travel to the EXPIRED v1 still works after vacuum — "
+                "retention did not drop the manifest"
+            )
+        latest = read_version(spark, tdir, latest_version(tdir))
+        constructed = latest.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+        )
+        corrected = (
+            F.col("o_totalprice")
+            + F.when(
+                F.col("o_orderkey") % 50 == 0, F.lit("10.00").cast("decimal(12,2)")
+            ).otherwise(F.lit("0.00").cast("decimal(12,2)"))
+            + F.when(
+                F.col("o_orderkey") % 70 == 0, F.lit("5.00").cast("decimal(12,2)")
+            ).otherwise(F.lit("0.00").cast("decimal(12,2)"))
+        ).cast("decimal(12,2)")
+        twin = orders.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(corrected).cast("decimal(27,2)").alias("sum_price"),
+        )
+        return checked_lazy(constructed, twin, "warehouse_vacuum_audit")
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+QUERIES.update({"warehouse_vacuum_audit": warehouse_vacuum_audit})
+
+ORACLE_SQL.update(
+    {
+        "warehouse_vacuum_audit": """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                + CASE WHEN o_orderkey % 50 = 0
+                       THEN CAST(10.00 AS DECIMAL(12,2))
+                       ELSE CAST(0.00 AS DECIMAL(12,2)) END
+                + CASE WHEN o_orderkey % 70 = 0
+                       THEN CAST(5.00 AS DECIMAL(12,2))
+                       ELSE CAST(0.00 AS DECIMAL(12,2)) END
+            AS DECIMAL(12,2))) AS DECIMAL(27,2)) AS sum_price
+FROM orders GROUP BY o_orderstatus
+"""
+    }
+)

@@ -47,6 +47,7 @@ CONSTRUCTION_WRITERS = (
     "warehouse_time_travel",
     "warehouse_compact_small_files",
     "warehouse_snapshot_cdc",
+    "warehouse_vacuum_audit",
     "scale_zorder_clustering",
     "scale_bucketed_join",
     "scale_dynamic_partition_pruning",

@@ -1,0 +1,121 @@
+"""Round-10 additions: vacuum audit, pairwise correlation, Benford."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_vacuum_audit_runs_and_matches_contract(spark):
+    out = entrymod.queries()["warehouse_vacuum_audit"](spark, SF).collect()
+    assert len(out) == 3  # one row per order status
+    assert all(r.n_rows > 0 for r in out)
+
+
+def test_vacuum_audit_raises_when_retention_lies(spark, monkeypatch):
+    """Sabotage: expire_versions reports the wrong expiry count — the
+    in-query contract must raise, not return a plausible frame."""
+    from market_data_pipeline_databricks_spark.plans import warehouse_ops
+    from market_data_pipeline_databricks_spark.sources import snapshots
+
+    real = snapshots.expire_versions
+
+    def lying(table_dir, keep_last=1):
+        real(table_dir, keep_last)
+        return (1, 0)
+
+    monkeypatch.setattr(snapshots, "expire_versions", lying)
+    with pytest.raises(RuntimeError, match="vacuum contract"):
+        warehouse_ops.warehouse_vacuum_audit(spark, SF)
+
+
+def test_vacuum_audit_raises_when_expired_version_readable(spark, monkeypatch):
+    """Sabotage: retention keeps every manifest (no-op vacuum that
+    still reports success) — time travel to v1 then still works and
+    the audit must refuse."""
+    from market_data_pipeline_databricks_spark.plans import warehouse_ops
+    from market_data_pipeline_databricks_spark.sources import snapshots
+
+    monkeypatch.setattr(
+        snapshots, "expire_versions", lambda table_dir, keep_last=1: (2, 1)
+    )
+    with pytest.raises(RuntimeError, match="EXPIRED v1"):
+        warehouse_ops.warehouse_vacuum_audit(spark, SF)
+
+
+def test_pairwise_correlation_bounds_and_grain(spark):
+    rows = entrymod.queries()["funcs_pairwise_correlation"](
+        spark, SF
+    ).collect()
+    assert rows, "expected at least one qualifying pair"
+    for r in rows:
+        assert r.sk_a < r.sk_b
+        assert r.n_days >= 30
+        if r.ret_corr is not None:
+            assert -1.0 <= r.ret_corr <= 1.0
+    # upper triangle: no duplicate unordered pair
+    pairs = [(r.sk_a, r.sk_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_pairwise_correlation_perfect_on_identical_series(spark, tmp_path):
+    """Two series with identical return paths must correlate at 1.0,
+    an inverted pair at a strictly negative value (anti-moving prices
+    do not mean -1 simple returns, just negative co-movement)."""
+    import datetime as dt
+
+    rows = []
+    base = dt.date(2025, 1, 1)
+    for i in range(40):
+        d = base + dt.timedelta(days=i)
+        px = 100.0 + (i % 7) * 3  # non-constant, repeating pattern
+        rows.append((1, d, px, 10))
+        rows.append((2, d, px * 2, 10))      # scaled copy: identical returns
+        rows.append((3, d, 400.0 - px, 10))  # inverted path
+    df = spark.createDataFrame(
+        rows, "l_suppkey long, l_shipdate date, l_extendedprice double, l_quantity long"
+    )
+    d = str(tmp_path / "synth")
+    df.write.parquet(f"{d}/lineitem.parquet")
+    got = {
+        (r.sk_a, r.sk_b): r.ret_corr
+        for r in entrymod.queries()["funcs_pairwise_correlation"](
+            spark, d
+        ).collect()
+    }
+    assert got[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+    assert got[(1, 3)] < 0
+
+
+def test_benford_audit_shares_sum_to_one(spark):
+    rows = entrymod.queries()["quality_benford_audit"](spark, SF).collect()
+    digits = sorted(r.digit for r in rows)
+    assert set(digits) <= {str(i) for i in range(1, 10)}
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    # Benford expectations are fixed constants
+    for r in rows:
+        if r.digit == "1":
+            assert r.benford_p == pytest.approx(0.301030, abs=1e-6)
+
+
+def test_benford_audit_flags_fabricated_uniform_digits(spark, tmp_path):
+    """A fabricated ledger with uniform leading digits must trip the
+    deviation flag on digit 1 (11.1% observed vs 30.1% expected)."""
+    rows = [
+        (i, "O", float(d) * 1000 + 7, "1996-01-01")
+        for i, d in enumerate(list(range(1, 10)) * 20)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    d = str(tmp_path / "synth")
+    df.write.parquet(f"{d}/orders.parquet")
+    got = {
+        r.digit: r
+        for r in entrymod.queries()["quality_benford_audit"](spark, d).collect()
+    }
+    assert got["1"].deviates and got["1"].obs_share == pytest.approx(1 / 9, abs=1e-6)
