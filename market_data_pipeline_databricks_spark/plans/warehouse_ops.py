@@ -1086,3 +1086,122 @@ FROM orders GROUP BY o_orderstatus
 """
     }
 )
+
+
+def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish drive (sources/snapshots.py:stage_append /
+    read_staged / publish_staged — the Iceberg WAP / Delta staging
+    workflow): v1 commits orders; a late-arriving batch (re-keyed
+    copies of every o_orderkey % 100 == 0 order, +1.00, keys offset
+    past the current max so the append is collision-free) is STAGED
+    behind a branch manifest that published readers cannot see; the
+    audit then runs against the staged read and the publish only
+    happens after it passes. In-query contract:
+
+    - isolation: while staged, ``latest_version`` must still be 1
+      (a staged batch that leaks into the published table defeats the
+      entire workflow — raises);
+    - audit: the staged batch must carry no internal duplicate keys
+      and no key overlap with v1 (raises on either — the audit HALTS
+      a bad publish, it does not warn);
+    - the published v2 must read EXACTLY orders ∪ batch — pinned by
+      the checked_lazy multiset diff against the lazy recomputation.
+
+    The discard path (audit fails → staged files physically removed,
+    published table untouched) is pinned by tests/test_r10_ops.py.
+    EAGER (stages + publishes at construction; returns the lazy
+    parquet-rooted twin per the round-10 return discipline)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        latest_version,
+        publish_staged,
+        read_staged,
+        read_version,
+        stage_append,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    tdir = tempfile.mkdtemp(prefix="wap_")
+    try:
+        commit_append(orders.repartition(8, "o_orderkey"), tdir)
+        # offset past the max by ONE: the testdata contains key 0
+        # (0 % 100 == 0), which a bare +max would map onto max itself
+        mx = orders.agg(F.max("o_orderkey")).first()[0]
+        batch = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+            (F.col("o_orderkey") + F.lit(int(mx) + 1)).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit("1.00").cast("decimal(12,2)"))
+            .cast("decimal(12,2)")
+            .alias("o_totalprice"),
+        )
+        stage_append(batch, tdir, "late_arrivals")
+        if latest_version(tdir) != 1:
+            raise RuntimeError(
+                "WAP isolation regressed: staging changed the published "
+                "version"
+            )
+        staged = read_staged(spark, tdir, "late_arrivals")
+        n_staged = staged.count()
+        n_keys = staged.select("o_orderkey").distinct().count()
+        n_overlap = staged.join(
+            read_version(spark, tdir, 1), "o_orderkey", "left_semi"
+        ).count()
+        if n_keys != n_staged or n_overlap != 0:
+            raise RuntimeError(
+                f"WAP audit failed: {n_staged} staged rows, {n_keys} "
+                f"distinct keys, {n_overlap} keys colliding with v1"
+            )
+        published = publish_staged(tdir, "late_arrivals")
+        constructed = (
+            read_version(spark, tdir, published)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+            )
+        )
+        twin_all = orders.select("o_orderstatus", "o_totalprice").unionByName(
+            orders.filter(F.col("o_orderkey") % 100 == 0).select(
+                "o_orderstatus",
+                (F.col("o_totalprice") + F.lit("1.00").cast("decimal(12,2)"))
+                .cast("decimal(12,2)")
+                .alias("o_totalprice"),
+            )
+        )
+        twin = twin_all.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+        )
+        return checked_lazy(constructed, twin, "warehouse_write_audit_publish")
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+QUERIES.update({"warehouse_write_audit_publish": warehouse_write_audit_publish})
+
+ORACLE_SQL.update(
+    {
+        "warehouse_write_audit_publish": """
+WITH allrows AS (
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              + CAST(1.00 AS DECIMAL(12,2)) AS DECIMAL(12,2))
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_totalprice) AS DECIMAL(27,2)) AS sum_price
+FROM allrows GROUP BY o_orderstatus
+"""
+    }
+)

@@ -316,3 +316,78 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> tuple[int, int]:
                 files_deleted += 1
         _manifest_path(table_dir, v).unlink()
     return (len(drop), files_deleted)
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (WAP): stage data files behind an invisible
+# branch manifest, audit the staged read, then publish atomically —
+# the Iceberg WAP / Delta staging workflow on this snapshot format.
+# ---------------------------------------------------------------------------
+
+
+def _staging_path(table_dir: str, branch: str) -> Path:
+    if not branch or any(c in branch for c in "/\\"):
+        raise ValueError(f"invalid staging branch name {branch!r}")
+    return Path(table_dir) / f"staging-{branch}.json"
+
+
+def stage_append(df: DataFrame, table_dir: str, branch: str) -> int:
+    """Stage an append WITHOUT publishing: data files land under the
+    table's data dir, referenced only by ``staging-{branch}.json`` —
+    ``latest_version``/``read_version`` glob ``v*.json`` and never see
+    them, so readers are isolated until :func:`publish_staged`.
+    Returns the number of staged files. One staged branch per name
+    (re-staging the same branch raises — discard first)."""
+    _require_absolute(table_dir)
+    Path(table_dir).mkdir(parents=True, exist_ok=True)
+    sp = _staging_path(table_dir, branch)
+    if sp.exists():
+        raise ConcurrentCommitError(
+            f"branch {branch!r} already has staged files — publish or "
+            "discard them first"
+        )
+    files = _write_commit_files(df, table_dir)
+    sp.write_text(json.dumps({"branch": branch, "files": sorted(files)}))
+    return len(files)
+
+
+def read_staged(spark: SparkSession, table_dir: str, branch: str) -> DataFrame:
+    """The staged batch alone (the audit surface): exactly the files
+    the staging manifest lists."""
+    _require_absolute(table_dir)
+    files = json.loads(_staging_path(table_dir, branch).read_text())["files"]
+    return spark.read.parquet(*files)
+
+
+def publish_staged(table_dir: str, branch: str) -> int:
+    """Atomically publish the staged append as the next version: the
+    new manifest references the current latest version's files PLUS
+    the staged files (append semantics compose with any commits that
+    landed between stage and publish), via the same exclusive
+    :func:`_publish` every commit uses. The staging manifest is
+    removed on success. Returns the published version number."""
+    _require_absolute(table_dir)
+    sp = _staging_path(table_dir, branch)
+    staged = json.loads(sp.read_text())["files"]
+    prev = latest_version(table_dir)
+    prior_files = _read_manifest(table_dir, prev) if prev else []
+    _publish(table_dir, prev + 1, prior_files + staged)
+    sp.unlink()
+    return prev + 1
+
+
+def discard_staged(table_dir: str, branch: str) -> int:
+    """Audit failed: delete the staged data files (they are referenced
+    by no published manifest) and the staging manifest. Returns the
+    number of files removed."""
+    _require_absolute(table_dir)
+    sp = _staging_path(table_dir, branch)
+    files = json.loads(sp.read_text())["files"]
+    removed = 0
+    for f in files:
+        p = Path(f)
+        if p.exists():
+            p.unlink()
+            removed += 1
+    sp.unlink()
+    return removed

@@ -48,6 +48,7 @@ CONSTRUCTION_WRITERS = (
     "warehouse_compact_small_files",
     "warehouse_snapshot_cdc",
     "warehouse_vacuum_audit",
+    "warehouse_write_audit_publish",
     "scale_zorder_clustering",
     "scale_bucketed_join",
     "scale_dynamic_partition_pruning",

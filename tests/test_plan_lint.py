@@ -46,6 +46,7 @@ EAGER = {
     "warehouse_time_travel",  # snapshot commits at construction
     "warehouse_snapshot_cdc",  # snapshot commits at construction
     "warehouse_vacuum_audit",  # commits + vacuums at construction
+    "warehouse_write_audit_publish",  # stages + publishes at construction
     "scale_bucketed_join",  # saveAsTable + plan check at construction
     "warehouse_compact_small_files",  # writes + compacts at construction
     "scale_dynamic_partition_pruning",  # writes the partitioned warehouse at construction

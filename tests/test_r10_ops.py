@@ -119,3 +119,99 @@ def test_benford_audit_flags_fabricated_uniform_digits(spark, tmp_path):
         for r in entrymod.queries()["quality_benford_audit"](spark, d).collect()
     }
     assert got["1"].deviates and got["1"].obs_share == pytest.approx(1 / 9, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish
+# ---------------------------------------------------------------------------
+
+
+def test_wap_query_runs(spark):
+    out = entrymod.queries()["warehouse_write_audit_publish"](
+        spark, SF
+    ).collect()
+    assert len(out) == 3 and all(r.n_rows > 0 for r in out)
+
+
+def test_wap_staging_is_isolated_and_publish_composes(spark, tmp_path):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        latest_version,
+        publish_staged,
+        read_staged,
+        read_version,
+        stage_append,
+    )
+
+    tdir = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    commit_append(base, tdir)
+    staged_batch = spark.createDataFrame([(3, "c")], "k long, v string")
+    n_files = stage_append(staged_batch, tdir, "br")
+    assert n_files >= 1
+    # isolation: published latest unchanged, staged invisible to reads
+    assert latest_version(tdir) == 1
+    assert read_version(spark, tdir, 1).count() == 2
+    assert read_staged(spark, tdir, "br").count() == 1
+    # a commit landing BETWEEN stage and publish still composes
+    commit_append(spark.createDataFrame([(4, "d")], "k long, v string"), tdir)
+    v = publish_staged(tdir, "br")
+    assert v == 3
+    rows = {r.k for r in read_version(spark, tdir, 3).collect()}
+    assert rows == {1, 2, 3, 4}
+    # v2 (pre-publish) still excludes the staged row: time travel intact
+    assert {r.k for r in read_version(spark, tdir, 2).collect()} == {1, 2, 4}
+
+
+def test_wap_discard_removes_staged_files(spark, tmp_path):
+    import glob
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        discard_staged,
+        latest_version,
+        stage_append,
+    )
+
+    tdir = str(tmp_path / "t")
+    commit_append(spark.createDataFrame([(1, "a")], "k long, v string"), tdir)
+    before = set(glob.glob(f"{tdir}/data/*/*.parquet"))
+    stage_append(
+        spark.createDataFrame([(9, "x")], "k long, v string"), tdir, "bad"
+    )
+    assert discard_staged(tdir, "bad") >= 1
+    # published files untouched, staged files physically gone
+    assert set(glob.glob(f"{tdir}/data/*/*.parquet")) == before
+    assert latest_version(tdir) == 1
+
+
+def test_wap_double_stage_same_branch_raises(spark, tmp_path):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        commit_append,
+        stage_append,
+    )
+
+    tdir = str(tmp_path / "t")
+    commit_append(spark.createDataFrame([(1, "a")], "k long, v string"), tdir)
+    df = spark.createDataFrame([(2, "b")], "k long, v string")
+    stage_append(df, tdir, "br")
+    with pytest.raises(ConcurrentCommitError, match="staged"):
+        stage_append(df, tdir, "br")
+
+
+def test_wap_audit_failure_raises_in_query(spark, monkeypatch):
+    """Sabotage: the staged read returns a batch with a key that
+    collides with v1 — the audit must halt the publish."""
+    from market_data_pipeline_databricks_spark.plans import warehouse_ops
+    from market_data_pipeline_databricks_spark.sources import snapshots
+
+    real = snapshots.read_staged
+
+    def colliding(spark_, table_dir, branch):
+        # pretend the staged batch contains the published table's rows
+        return snapshots.read_version(spark_, table_dir, 1)
+
+    monkeypatch.setattr(snapshots, "read_staged", colliding)
+    with pytest.raises(RuntimeError, match="WAP audit failed"):
+        warehouse_ops.warehouse_write_audit_publish(spark, SF)
