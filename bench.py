@@ -93,6 +93,11 @@ HEADLINE = [
     # banded-verify regression (69 s unbanded) would be
     # driver-invisible. Baseline 5.7 s warm at sf0.1 (BASELINE.md r9).
     "dedup_edit_distance_qgram",
+    # round-10: the pairwise-correlation matrix adds the day-keyed
+    # self-join + decimal component-sum shape (a return-aligned pair
+    # fan-out the other headliners don't exercise); a universe-filter
+    # or join-order regression would otherwise be driver-invisible.
+    "funcs_pairwise_correlation",
 ]
 
 

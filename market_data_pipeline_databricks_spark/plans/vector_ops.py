@@ -711,16 +711,23 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·m·k rows, bit-identical results (pinned by the unchanged
     oracle), measured ~5× faster.
 
-    Round-10 (verdict task 6, measured 5.4 s → 2.95 s same-session,
-    bit-identical): (a) the ADC no longer fans codes out n·m long and
-    re-aggregates — the per-vector codes and the per-query LUT each
-    pre-aggregate into ONE map column, the pairing is a broadcast
-    nested-loop over n·|q| rows, and the 8 subspace terms sum as one
-    chained map-lookup expression (one shuffle and an 8× join fan-out
-    gone); (b) the corpus repartitions to the session parallelism
-    before the decimal explode — the driver corpus is a single parquet
-    file, so the encode arm otherwise runs on ONE core until its first
-    shuffle (harmless on a real multi-file table, decisive here)."""
+    Round-10 (verdict task 6, measured 5.4 s → 2.63 s same-session at
+    sf0.1, bit-identical): (a) the ADC no longer fans codes out n·m
+    long and re-aggregates — the per-vector codes and the per-query
+    LUT each pre-aggregate into ONE position-indexed ARRAY column
+    (arrays, not maps: Spark's map element_at linear-scans the keys,
+    an array index is O(1) — the map variant measured 2.95/18.1 s at
+    sf0.1/sf1.0 vs the array's 2.63/12.8 s), the pairing is a
+    broadcast nested-loop over n·|q| rows, and the 8 subspace terms
+    sum as one chained array-lookup expression; (b) the corpus
+    repartitions to the session parallelism before the decimal explode
+    — the driver corpus is a single parquet file, so the encode arm
+    otherwise runs on ONE core until its first shuffle. Full measured
+    matrix (sf0.1/sf1.0): old join form 5.43/13.9, join+repartition
+    3.46/10.3, map 2.95/18.1, array 2.63/12.8 — the twin's cost is
+    O(n·|q|) = O(n²/97) BY DESIGN (the query set samples the corpus),
+    so every form is quadratic per 10×; the sf0.1 target and the
+    trained IVF-PQ (the pruned scale path) govern the choice."""
     from pyspark.sql import Window
 
     m, dsub, kcodes = 8, 8, 16
@@ -795,9 +802,10 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col, "s", "code", dist.alias("dist")
         )
 
-    # per-vector code MAP (s -> code): the argmin stays a groupBy over
-    # n·m·k rows; the map pre-aggregation replaces the n·m long format
-    codes_map = (
+    # per-vector code ARRAY indexed by subspace (array_sort on the
+    # (s, code) structs orders by s): the argmin stays a groupBy over
+    # n·m·k rows; the array pre-aggregation replaces the n·m long form
+    codes_arr = (
         _term_dists(base, "vec_id")
         .groupBy("vec_id", "s")
         .agg(
@@ -810,14 +818,16 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id")
         .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("s", "code"))
-            ).alias("cm")
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x["code"],
+            ).alias("carr")
         )
     )
-    # per-query LUT as ONE map column keyed s·k + code (m·k = 128
-    # entries per query), broadcast whole
-    lut_map = (
+    # per-query LUT as ONE array column positioned by s·k + code
+    # (m·k = 128 entries per query), broadcast whole; array index
+    # lookups are O(1) where map element_at linear-scans the keys
+    lut_arr = (
         _term_dists(
             base.filter(F.col("vec_id") % 97 == 0).withColumnRenamed(
                 "vec_id", "qid"
@@ -826,27 +836,33 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("qid")
         .agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        (F.col("s") * kcodes + F.col("code")).alias("k"),
-                        F.col("dist").alias("v"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("s") * kcodes + F.col("code")).alias("k"),
+                            F.col("dist").alias("v"),
+                        )
                     )
-                )
-            ).alias("qm")
+                ),
+                lambda x: x["v"],
+            ).alias("qarr")
         )
     )
     # ADC: broadcast nested-loop pairing (n × |q| rows — the IndexPQ
-    # linear scan) + one chained decimal expression of 8 map lookups;
-    # decimal addition is exact, so regrouping the sum is bit-identical
-    # to the former join-then-aggregate form (pinned by the oracle)
-    paired = codes_map.crossJoin(F.broadcast(lut_map)).filter(
+    # linear scan) + one chained decimal expression of 8 array lookups
+    # (1-based element_at); decimal addition is exact, so regrouping
+    # the sum is bit-identical to the former join-then-aggregate form
+    # (pinned by the oracle). The transform/array_sort HOFs run once
+    # per AGGREGATED row (n + |q| rows), not in the n·|q| hot loop —
+    # the interpreted-HOF tax the encode rewrite avoids does not apply
+    paired = codes_arr.crossJoin(F.broadcast(lut_arr)).filter(
         F.col("vec_id") != F.col("qid")
     )
-    acc = F.element_at("qm", F.lit(0) * kcodes + F.element_at("cm", F.lit(0)))
+    acc = F.element_at("qarr", F.element_at("carr", 1) + F.lit(1))
     for s in range(1, m):
         acc = acc + F.element_at(
-            "qm", F.lit(s) * kcodes + F.element_at("cm", F.lit(s))
+            "qarr", F.element_at("carr", s + 1) + F.lit(s * kcodes + 1)
         )
     adc = paired.select(
         "qid",
