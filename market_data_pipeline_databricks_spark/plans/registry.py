@@ -45,9 +45,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "warehouse_snapshot_cdc",
     "scale_dynamic_partition_pruning",
     "stream_state_store_audit",
+    # -- round-10 additions (never-checked): standing rule — a new
+    # oracle-backed query takes a window slot the round it lands, so
+    # an oracle-parity defect cannot stay driver-invisible
+    "warehouse_vacuum_audit",
+    "warehouse_write_audit_publish",
+    "quality_benford_audit",
+    "funcs_pairwise_correlation",
     # -- stalest-green fill (computed from CORRECTNESS_r01..r09):
     # the 24 queries last green in r04 (incl. the anchors the r9
-    # additions displaced), then the first 16 alphabetically of the
+    # additions displaced), then the first 12 alphabetically of the
     # r05 cohort — exactly 50 slots.
     "join_range_volatility_expansion",
     "join_revenue_by_nation",
@@ -86,10 +93,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_cuped_adjustment",
     "events_markov_transitions",
     "events_session_stats",
-    "funcs_bollinger_bands",
-    "join_asof_forward_quotes",
-    "join_asof_nearest_quotes",
-    "join_q10_returned_items",
 
     # -- displaced: everything greener than the r05 tail (the r9
     # window went green in r09 except its 10 re-pinned reds); all

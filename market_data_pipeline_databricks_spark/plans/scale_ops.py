@@ -617,8 +617,9 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
     degrading to a full scan. The DuckDB oracle replays the join as a
     plain year-parity filter, so hash equality also proves the pruned
     scan lost no rows. EAGER (writes the partitioned warehouse at
-    construction; returns a materialized driver-held row set —
-    plans/_eager.py)."""
+    construction; returns the lazy parquet-rooted twin, with the
+    drive's result asserted equal in-query — plans/_eager.py:
+    checked_lazy)."""
     import shutil
     import tempfile
 

@@ -792,8 +792,9 @@ def stream_state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reader scans checkpoint files, never the input; on a 100-TB
     pipeline this is the constant-size audit that validates a
     long-running job's state without reprocessing. EAGER (runs the
-    stream at construction; returns a materialized driver-held row
-    set — plans/_eager.py)."""
+    stream at construction; returns the lazy parquet-rooted twin,
+    with the state rows asserted equal in-query — plans/_eager.py:
+    checked_lazy)."""
     import shutil
     import tempfile
 

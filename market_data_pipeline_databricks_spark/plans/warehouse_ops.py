@@ -1148,15 +1148,21 @@ def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
                 "version"
             )
         staged = read_staged(spark, tdir, "late_arrivals")
-        n_staged = staged.count()
-        n_keys = staged.select("o_orderkey").distinct().count()
+        # one aggregate job for row/key counts, one semi-join job for
+        # the overlap — the audit never scans the staged batch a third
+        # time (this is the construction hot path)
+        stats = staged.agg(
+            F.count(F.lit(1)).alias("n_staged"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        ).first()
         n_overlap = staged.join(
             read_version(spark, tdir, 1), "o_orderkey", "left_semi"
         ).count()
-        if n_keys != n_staged or n_overlap != 0:
+        if stats["n_keys"] != stats["n_staged"] or n_overlap != 0:
             raise RuntimeError(
-                f"WAP audit failed: {n_staged} staged rows, {n_keys} "
-                f"distinct keys, {n_overlap} keys colliding with v1"
+                f"WAP audit failed: {stats['n_staged']} staged rows, "
+                f"{stats['n_keys']} distinct keys, {n_overlap} keys "
+                "colliding with v1"
             )
         published = publish_staged(tdir, "late_arrivals")
         constructed = (

@@ -109,9 +109,14 @@ def masked_bucket(col: str, width: int) -> str:
     Raises ``ValueError`` for ``width <= 0``: a policy typo in the
     security layer must fail loudly, not silently NULL the column
     (width=0 divides by zero) or emit nonsense buckets (negative)."""
-    w = int(width)
-    if w <= 0:
+    if (
+        isinstance(width, bool)
+        or not isinstance(width, int)
+        or width <= 0
+    ):
         raise ValueError(
-            f"masked_bucket width must be a positive integer, got {width!r}"
+            f"masked_bucket width must be a positive integer, got {width!r} "
+            "— a non-integral or boolean width silently changes the "
+            "generalization the policy declared"
         )
-    return f"CAST(FLOOR({col} / {w}.0) AS BIGINT) * {w}"
+    return f"CAST(FLOOR({col} / {width}.0) AS BIGINT) * {width}"

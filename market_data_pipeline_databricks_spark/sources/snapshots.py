@@ -109,20 +109,19 @@ def _fsync_dir(path) -> None:
         os.close(fd)
 
 
-def _publish(table_dir: str, version: int, files: list[str]) -> None:
-    """Atomic + EXCLUSIVE manifest publication: write-to-temp, then
-    ``os.link`` into place. link(2) fails with EEXIST when the target
-    exists, so a reader never observes a half-written version file AND
-    two writers racing to the same version number cannot both win —
-    the loser raises :class:`ConcurrentCommitError` instead of
-    silently replacing the winner's commit (which a rename would)."""
-    target = _manifest_path(table_dir, version)
-    payload = json.dumps({"version": version, "files": sorted(files)})
+def _exclusive_write(target: Path, payload: str, conflict_msg: str) -> None:
+    """Atomic + EXCLUSIVE + DURABLE claim of ``target`` with
+    ``payload``: write-to-temp with fsync, then ``os.link`` into place
+    (link(2) fails with EEXIST when the target exists), directory
+    fsync after the claim. Of two racing writers exactly one wins; the
+    loser raises :class:`ConcurrentCommitError` with ``conflict_msg``.
+    A reader can never observe a half-written file at the final name.
+    Used by version manifests and staging manifests alike."""
     tmp = target.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
     # durability BEFORE the name claim: fsync the bytes (and after the
     # link, the directory entry) so a crash cannot leave a claimed
-    # v{n}.json with unflushed content — the committed-but-unreadable
-    # state the O_EXCL fallback below already guards against
+    # manifest with unflushed content — the committed-but-unreadable
+    # state the O_EXCL fallback below also guards against
     with open(tmp, "w") as f:
         f.write(payload)
         f.flush()
@@ -132,10 +131,7 @@ def _publish(table_dir: str, version: int, files: list[str]) -> None:
         _fsync_dir(target.parent)
         return
     except FileExistsError as exc:
-        raise ConcurrentCommitError(
-            f"version {version} of {table_dir} was committed by a "
-            "concurrent writer — re-read latest_version() and retry"
-        ) from exc
+        raise ConcurrentCommitError(conflict_msg) from exc
     except OSError:
         # filesystem without hard links (exFAT/VFAT, some NFS/FUSE
         # mounts): fall back to O_EXCL create — the name claim stays
@@ -148,10 +144,7 @@ def _publish(table_dir: str, version: int, files: list[str]) -> None:
     try:
         fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
     except FileExistsError as exc:
-        raise ConcurrentCommitError(
-            f"version {version} of {table_dir} was committed by a "
-            "concurrent writer — re-read latest_version() and retry"
-        ) from exc
+        raise ConcurrentCommitError(conflict_msg) from exc
     try:
         with os.fdopen(fd, "w") as f:
             f.write(payload)
@@ -169,6 +162,20 @@ def _publish(table_dir: str, version: int, files: list[str]) -> None:
         except OSError:
             pass
         raise
+
+
+def _publish(table_dir: str, version: int, files: list[str]) -> None:
+    """Atomic + EXCLUSIVE manifest publication via
+    :func:`_exclusive_write`: two writers racing to the same version
+    number cannot both win — the loser raises
+    :class:`ConcurrentCommitError` instead of silently replacing the
+    winner's commit (which a rename would)."""
+    _exclusive_write(
+        _manifest_path(table_dir, version),
+        json.dumps({"version": version, "files": sorted(files)}),
+        f"version {version} of {table_dir} was committed by a "
+        "concurrent writer — re-read latest_version() and retry",
+    )
 
 
 def _write_commit_files(df: DataFrame, table_dir: str) -> list[str]:
@@ -336,18 +343,24 @@ def stage_append(df: DataFrame, table_dir: str, branch: str) -> int:
     table's data dir, referenced only by ``staging-{branch}.json`` —
     ``latest_version``/``read_version`` glob ``v*.json`` and never see
     them, so readers are isolated until :func:`publish_staged`.
-    Returns the number of staged files. One staged branch per name
-    (re-staging the same branch raises — discard first)."""
+    Returns the number of staged files. One staged branch per name:
+    the manifest is claimed with the same create-exclusive durable
+    write as version manifests, so of two concurrent stagers exactly
+    one wins (the loser raises :class:`ConcurrentCommitError` and its
+    already-written data files are reclaimable by a later
+    :func:`discard_staged`-style sweep — they are referenced nowhere)
+    and a crash mid-write can never leave truncated JSON at the
+    claimed name."""
     _require_absolute(table_dir)
     Path(table_dir).mkdir(parents=True, exist_ok=True)
     sp = _staging_path(table_dir, branch)
-    if sp.exists():
-        raise ConcurrentCommitError(
-            f"branch {branch!r} already has staged files — publish or "
-            "discard them first"
-        )
     files = _write_commit_files(df, table_dir)
-    sp.write_text(json.dumps({"branch": branch, "files": sorted(files)}))
+    _exclusive_write(
+        sp,
+        json.dumps({"branch": branch, "files": sorted(files)}),
+        f"branch {branch!r} already has staged files — publish or "
+        "discard them first",
+    )
     return len(files)
 
 
@@ -359,34 +372,60 @@ def read_staged(spark: SparkSession, table_dir: str, branch: str) -> DataFrame:
     return spark.read.parquet(*files)
 
 
+def _retained_files(table_dir: str) -> set[str]:
+    """Every data file referenced by any still-published manifest."""
+    referenced: set[str] = set()
+    d = Path(table_dir)
+    for mp in d.glob("v*.json"):
+        if mp.stem[1:].isdigit():
+            referenced.update(json.loads(mp.read_text())["files"])
+    return referenced
+
+
 def publish_staged(table_dir: str, branch: str) -> int:
     """Atomically publish the staged append as the next version: the
     new manifest references the current latest version's files PLUS
     the staged files (append semantics compose with any commits that
     landed between stage and publish), via the same exclusive
     :func:`_publish` every commit uses. The staging manifest is
-    removed on success. Returns the published version number."""
+    removed AFTER the publish; if a previous attempt crashed in that
+    window (version published, staging manifest left behind), the
+    retry detects the staged files already referenced by the latest
+    manifest, removes the leftover marker, and returns that version —
+    idempotent, never double-appending. Returns the published
+    version number."""
     _require_absolute(table_dir)
     sp = _staging_path(table_dir, branch)
     staged = json.loads(sp.read_text())["files"]
     prev = latest_version(table_dir)
     prior_files = _read_manifest(table_dir, prev) if prev else []
+    if staged and set(staged) <= set(prior_files):
+        # crash-retry: a previous publish_staged died between _publish
+        # and unlink — the staged files are already live in the latest
+        # version, so only the leftover marker needs removing
+        sp.unlink()
+        return prev
     _publish(table_dir, prev + 1, prior_files + staged)
     sp.unlink()
     return prev + 1
 
 
 def discard_staged(table_dir: str, branch: str) -> int:
-    """Audit failed: delete the staged data files (they are referenced
-    by no published manifest) and the staging manifest. Returns the
-    number of files removed."""
+    """Audit failed: delete the staged data files and the staging
+    manifest. Returns the number of files removed. Files that a
+    published manifest references are NEVER deleted (a crashed
+    publish_staged can leave a stale staging marker whose files are
+    already live — deleting them would corrupt the published table);
+    for such a marker this is a pure cleanup that removes only the
+    marker."""
     _require_absolute(table_dir)
     sp = _staging_path(table_dir, branch)
     files = json.loads(sp.read_text())["files"]
+    referenced = _retained_files(table_dir)
     removed = 0
     for f in files:
         p = Path(f)
-        if p.exists():
+        if f not in referenced and p.exists():
             p.unlink()
             removed += 1
     sp.unlink()

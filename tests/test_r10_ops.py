@@ -215,3 +215,64 @@ def test_wap_audit_failure_raises_in_query(spark, monkeypatch):
     monkeypatch.setattr(snapshots, "read_staged", colliding)
     with pytest.raises(RuntimeError, match="WAP audit failed"):
         warehouse_ops.warehouse_write_audit_publish(spark, SF)
+
+
+def test_wap_publish_retry_after_crash_is_idempotent(spark, tmp_path):
+    """Crash window: publish succeeded but the staging marker was not
+    removed. A retried publish must detect the already-published files
+    and return the existing version instead of double-appending; a
+    discard must refuse to delete the now-referenced files."""
+    import json
+    from pathlib import Path
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        discard_staged,
+        latest_version,
+        publish_staged,
+        read_version,
+        stage_append,
+    )
+
+    tdir = str(tmp_path / "t")
+    commit_append(spark.createDataFrame([(1, "a")], "k long, v string"), tdir)
+    stage_append(
+        spark.createDataFrame([(2, "b")], "k long, v string"), tdir, "br"
+    )
+    marker = Path(tdir) / "staging-br.json"
+    leftover = marker.read_text()
+    v = publish_staged(tdir, "br")
+    assert v == 2 and read_version(spark, tdir, 2).count() == 2
+    # simulate the crash leftover and retry the publish
+    marker.write_text(leftover)
+    assert publish_staged(tdir, "br") == 2  # idempotent, no v3
+    assert latest_version(tdir) == 2
+    assert read_version(spark, tdir, 2).count() == 2
+    # simulate the leftover again: discard must not delete LIVE files
+    marker.write_text(leftover)
+    assert discard_staged(tdir, "br") == 0
+    assert read_version(spark, tdir, 2).count() == 2
+    assert not marker.exists()
+
+
+def test_wap_stage_manifest_claim_is_exclusive(spark, tmp_path):
+    """The staging manifest is claimed create-exclusively: a stale or
+    concurrent claim surfaces as ConcurrentCommitError even if the
+    exists() pre-check would have raced (the manifest appears between
+    check and write)."""
+    from pathlib import Path
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        commit_append,
+        stage_append,
+    )
+
+    tdir = str(tmp_path / "t")
+    commit_append(spark.createDataFrame([(1, "a")], "k long, v string"), tdir)
+    # an existing claim (any content) must make stage_append lose
+    (Path(tdir) / "staging-br.json").write_text("{}")
+    with pytest.raises(ConcurrentCommitError, match="staged"):
+        stage_append(
+            spark.createDataFrame([(2, "b")], "k long, v string"), tdir, "br"
+        )

@@ -19,8 +19,9 @@ WINDOW = 50
 # aliasing the registry value made the lockstep check trivially true
 # (round-6 advice). The 10 never-hash-green EAGER queries lead
 # (never-hash-green beats stalest-green; converted to lazy
-# checked_lazy returns this round), then the 40 stalest-green queries
-# (24 last green r04, 16 last green r05) — see registry.py.
+# checked_lazy returns this round), then the 4 never-checked round-10
+# additions, then the 36 stalest-green queries (24 last green r04,
+# 12 last green r05) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "source_orc_roundtrip",
     "source_json_roundtrip",
@@ -32,6 +33,10 @@ PREVIOUSLY_UNCHECKED = [
     "warehouse_snapshot_cdc",
     "scale_dynamic_partition_pruning",
     "stream_state_store_audit",
+    "warehouse_vacuum_audit",
+    "warehouse_write_audit_publish",
+    "quality_benford_audit",
+    "funcs_pairwise_correlation",
     "join_range_volatility_expansion",
     "join_revenue_by_nation",
     "multimodal_frame_sample",
@@ -68,10 +73,6 @@ PREVIOUSLY_UNCHECKED = [
     "events_cuped_adjustment",
     "events_markov_transitions",
     "events_session_stats",
-    "funcs_bollinger_bands",
-    "join_asof_forward_quotes",
-    "join_asof_nearest_quotes",
-    "join_q10_returned_items",
 ]
 
 
