@@ -682,3 +682,83 @@ GROUP BY 1
 """
     }
 )
+
+
+def scale_global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL row ranking WITHOUT the single-partition window — the
+    two-pass technique for the classic Spark scale killer: a
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY plans
+    every row through ONE task (Catalyst inserts a SinglePartition
+    Exchange), which at 100 TB is an executor-OOM, not a query. The
+    distributed equivalent:
+
+    1. range-repartition on the total order (price DESC, key — the
+       unique tie-break makes the order TOTAL, so range boundaries
+       cannot split equal rows and the result is invariant to the
+       sampled boundary placement);
+    2. per-partition local ROW_NUMBER (spark_partition_id is the
+       window key — range partition ids are monotone with the global
+       order, and AQE coalescing merges only ADJACENT ranges so the
+       monotonicity survives);
+    3. per-partition counts → cumulative offsets (one row per
+       partition — a driver-trivial frame) broadcast back;
+       global_rank = offset + local_rank.
+
+    The oracle IS the single-partition form (DuckDB sorts centrally),
+    so hash equality proves the stitched ranks equal the global sort
+    exactly — every row, not just the top-k (``sort_topk_orders``
+    covers the TakeOrdered shape; this covers full-table ranking, the
+    export/backfill shape where every row needs its position)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    parts = spark.sparkContext.defaultParallelism
+    ranged = orders.repartitionByRange(
+        parts, F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    local = ranged.withColumn("lrank", F.row_number().over(lw))
+    # offsets: one row per range partition — cumulative count of all
+    # EARLIER partitions (tiny frame; its own window is single-
+    # partition over |parts| rows, which is the point: the mono-
+    # partition cost is paid on parts rows, never on the table)
+    ow = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(ow), F.lit(0)))
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("offset") + F.col("lrank")).cast("long").alias(
+                "global_rank"
+            ),
+        )
+    )
+
+
+QUERIES.update({"scale_global_rank_twopass": scale_global_rank_twopass})
+
+ORACLE_SQL.update(
+    {
+        "scale_global_rank_twopass": """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
+       ) AS BIGINT) AS global_rank
+FROM orders
+"""
+    }
+)

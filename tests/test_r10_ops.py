@@ -276,3 +276,43 @@ def test_wap_stage_manifest_claim_is_exclusive(spark, tmp_path):
         stage_append(
             spark.createDataFrame([(2, "b")], "k long, v string"), tdir, "br"
         )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass global rank
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_twopass_is_a_permutation_and_matches_window(spark):
+    from pyspark.sql import Window
+
+    out = entrymod.queries()["scale_global_rank_twopass"](spark, SF)
+    rows = out.collect()
+    n = len(rows)
+    assert sorted(r.global_rank for r in rows) == list(range(1, n + 1))
+    # equality with the mono-partition window form (the thing the
+    # two-pass exists to avoid running at scale)
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("p")
+    )
+    w = Window.orderBy(F.desc("p"), F.asc("o_orderkey"))
+    truth = {
+        r.o_orderkey: r.rk
+        for r in orders.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {r.o_orderkey: r.global_rank for r in rows}
+    assert got == truth
+
+
+def test_global_rank_twopass_table_window_is_distributed(spark):
+    """The table-scaled window must be keyed on the range partition id
+    — a plan whose ONLY window is unpartitioned would be the
+    single-task shape the query exists to avoid. (The tiny offsets
+    window over |parts| rows is allowed to be single-partition.)"""
+    plan = (
+        entrymod.queries()["scale_global_rank_twopass"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pid" in plan  # the local window's partition key survives
