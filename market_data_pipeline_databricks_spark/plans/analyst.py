@@ -914,6 +914,8 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
+    # single-partition window: bounded — the input is the per-digit
+    # aggregate, at most 9 rows (leading digits 1..9)
     total = F.sum("n_orders").over(Window.partitionBy())
     share = F.col("n_orders").cast("double") / total.cast("double")
     benford_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
