@@ -727,10 +727,10 @@ def scale_global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EARLIER partitions (tiny frame; its own window is single-
     # partition over |parts| rows, which is the point: the mono-
     # partition cost is paid on parts rows, never on the table)
-    # single-partition window: bounded — the input is the per-range-
-    # partition count frame, exactly |parts| rows (that is the point:
-    # mono-partition cost on parts rows, never on the table)
     ow = (
+        # single-partition window: bounded — the input is the per-range-
+        # partition count frame, exactly |parts| rows (that is the
+        # point: mono-partition cost on parts rows, never on the table)
         Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
