@@ -52,9 +52,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "warehouse_write_audit_publish",
     "quality_benford_audit",
     "funcs_pairwise_correlation",
+    "scale_global_rank_twopass",
     # -- stalest-green fill (computed from CORRECTNESS_r01..r09):
     # the 24 queries last green in r04 (incl. the anchors the r9
-    # additions displaced), then the first 12 alphabetically of the
+    # additions displaced), then the first 11 alphabetically of the
     # r05 cohort — exactly 50 slots.
     "join_range_volatility_expansion",
     "join_revenue_by_nation",
@@ -92,7 +93,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_conversion_survival",
     "events_cuped_adjustment",
     "events_markov_transitions",
-    "events_session_stats",
 
     # -- displaced: everything greener than the r05 tail (the r9
     # window went green in r09 except its 10 re-pinned reds); all

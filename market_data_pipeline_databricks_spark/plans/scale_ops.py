@@ -723,10 +723,7 @@ def scale_global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     local = ranged.withColumn("lrank", F.row_number().over(lw))
-    # offsets: one row per range partition — cumulative count of all
-    # EARLIER partitions (tiny frame; its own window is single-
-    # partition over |parts| rows, which is the point: the mono-
-    # partition cost is paid on parts rows, never on the table)
+    # offsets: cumulative count of all EARLIER range partitions
     ow = (
         # single-partition window: bounded — the input is the per-range-
         # partition count frame, exactly |parts| rows (that is the

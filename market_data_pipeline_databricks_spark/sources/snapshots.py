@@ -346,14 +346,21 @@ def stage_append(df: DataFrame, table_dir: str, branch: str) -> int:
     Returns the number of staged files. One staged branch per name:
     the manifest is claimed with the same create-exclusive durable
     write as version manifests, so of two concurrent stagers exactly
-    one wins (the loser raises :class:`ConcurrentCommitError` and its
-    already-written data files are reclaimable by a later
-    :func:`discard_staged`-style sweep — they are referenced nowhere)
-    and a crash mid-write can never leave truncated JSON at the
-    claimed name."""
+    one wins, the loser raises :class:`ConcurrentCommitError`, and a
+    crash mid-write can never leave truncated JSON at the claimed
+    name. An existing claim fast-fails BEFORE the batch is written
+    (no data files wasted in the common case); a true write/write
+    race still loses at the exclusive claim, leaking at most that
+    loser's one batch of unreferenced files under ``data/`` — bounded
+    by the batch, reclaimable by deleting files no manifest lists."""
     _require_absolute(table_dir)
     Path(table_dir).mkdir(parents=True, exist_ok=True)
     sp = _staging_path(table_dir, branch)
+    if sp.exists():
+        raise ConcurrentCommitError(
+            f"branch {branch!r} already has staged files — publish or "
+            "discard them first"
+        )
     files = _write_commit_files(df, table_dir)
     _exclusive_write(
         sp,
@@ -390,21 +397,34 @@ def publish_staged(table_dir: str, branch: str) -> int:
     :func:`_publish` every commit uses. The staging manifest is
     removed AFTER the publish; if a previous attempt crashed in that
     window (version published, staging manifest left behind), the
-    retry detects the staged files already referenced by the latest
-    manifest, removes the leftover marker, and returns that version —
-    idempotent, never double-appending. Returns the published
-    version number."""
+    retry detects the staged files already referenced by SOME retained
+    manifest (not just the latest — an intervening COW merge moves
+    them out of the head version without unpublishing them), removes
+    the leftover marker, and returns the current version — idempotent,
+    never double-appending. If retention has meanwhile EXPIRED the
+    version holding the staged files (some staged files no longer on
+    disk), the retry raises instead of publishing a manifest that
+    references deleted files — discard the stale marker. Returns the
+    published version number."""
     _require_absolute(table_dir)
     sp = _staging_path(table_dir, branch)
     staged = json.loads(sp.read_text())["files"]
     prev = latest_version(table_dir)
     prior_files = _read_manifest(table_dir, prev) if prev else []
-    if staged and set(staged) <= set(prior_files):
+    if staged and set(staged) <= _retained_files(table_dir):
         # crash-retry: a previous publish_staged died between _publish
-        # and unlink — the staged files are already live in the latest
-        # version, so only the leftover marker needs removing
+        # and unlink — the staged files are already live in a
+        # published version, so only the leftover marker needs removing
         sp.unlink()
         return prev
+    missing = [f for f in staged if not Path(f).exists()]
+    if missing:
+        raise ConcurrentCommitError(
+            f"staging marker for branch {branch!r} is stale: "
+            f"{len(missing)} staged file(s) no longer exist (a crashed "
+            "publish followed by retention expiry) — discard_staged "
+            "the marker instead of publishing deleted files"
+        )
     _publish(table_dir, prev + 1, prior_files + staged)
     sp.unlink()
     return prev + 1

@@ -309,10 +309,18 @@ def test_global_rank_twopass_table_window_is_distributed(spark):
     — a plan whose ONLY window is unpartitioned would be the
     single-task shape the query exists to avoid. (The tiny offsets
     window over |parts| rows is allowed to be single-partition.)"""
+    import re
+
     plan = (
         entrymod.queries()["scale_global_rank_twopass"](spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "pid" in plan  # the local window's partition key survives
+    # the table-scaled row_number's windowspecdefinition must be KEYED
+    # on pid — a bare substring check on "pid" would pass even if the
+    # window reverted to the unpartitioned single-task shape (pid still
+    # appears in the projection and join key)
+    assert re.search(r"row_number\(\) windowspecdefinition\(pid#", plan), (
+        "table-scaled window is not keyed on the range partition id"
+    )

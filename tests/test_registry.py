@@ -19,9 +19,9 @@ WINDOW = 50
 # aliasing the registry value made the lockstep check trivially true
 # (round-6 advice). The 10 never-hash-green EAGER queries lead
 # (never-hash-green beats stalest-green; converted to lazy
-# checked_lazy returns this round), then the 4 never-checked round-10
-# additions, then the 36 stalest-green queries (24 last green r04,
-# 12 last green r05) — see registry.py.
+# checked_lazy returns this round), then the 5 never-checked round-10
+# additions, then the 35 stalest-green queries (24 last green r04,
+# 11 last green r05) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "source_orc_roundtrip",
     "source_json_roundtrip",
@@ -37,6 +37,7 @@ PREVIOUSLY_UNCHECKED = [
     "warehouse_write_audit_publish",
     "quality_benford_audit",
     "funcs_pairwise_correlation",
+    "scale_global_rank_twopass",
     "join_range_volatility_expansion",
     "join_revenue_by_nation",
     "multimodal_frame_sample",
@@ -72,7 +73,6 @@ PREVIOUSLY_UNCHECKED = [
     "events_conversion_survival",
     "events_cuped_adjustment",
     "events_markov_transitions",
-    "events_session_stats",
 ]
 
 
