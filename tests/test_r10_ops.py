@@ -324,3 +324,26 @@ def test_global_rank_twopass_table_window_is_distributed(spark):
     assert re.search(r"row_number\(\) windowspecdefinition\(pid#", plan), (
         "table-scaled window is not keyed on the range partition id"
     )
+
+
+def test_wap_publish_refuses_stale_marker_with_deleted_files(spark, tmp_path):
+    """A staging marker whose files retention already deleted must make
+    publish_staged raise instead of publishing dead file references."""
+    import json
+    from pathlib import Path
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        commit_append,
+        publish_staged,
+    )
+
+    tdir = str(tmp_path / "t")
+    commit_append(spark.createDataFrame([(1, "a")], "k long, v string"), tdir)
+    (Path(tdir) / "staging-br.json").write_text(
+        json.dumps(
+            {"branch": "br", "files": [str(tmp_path / "gone.parquet")]}
+        )
+    )
+    with pytest.raises(ConcurrentCommitError, match="stale"):
+        publish_staged(tdir, "br")
