@@ -21,6 +21,19 @@ from market_data_pipeline_databricks_spark.operators.graph import (
 from market_data_pipeline_databricks_spark.plans.relational import _t
 
 
+def _li_pairs(spark: SparkSession, sf_dir: str):
+    """(orderkey, partkey) scan for edge extraction, spread across the
+    session parallelism when the single-file corpus yields one input
+    split (otherwise the distinct's partial phase runs on ONE core —
+    the BASELINE r10 spread rule; a multi-file table skips the
+    branch)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    target = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < target:
+        li = li.repartition(target)
+    return li
+
+
 def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 parts by PageRank over the co-purchase graph (parts
     linked when they appear in the same order), 3 iterations, damping
@@ -34,7 +47,7 @@ def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL(27,12), so the DuckDB oracle (the same recurrence
     unrolled as nested CTEs) derives bit-identical doubles.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    li = _li_pairs(spark, sf_dir)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     nodes = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node")
@@ -509,7 +522,7 @@ def graph_part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage truncation, cost bounded by edge count per level. The
     oracle is the same expansion unrolled as two frontier CTEs (no
     recursion needed at a fixed hop budget)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _li_pairs(spark, sf_dir)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     seeds = (
         _t(spark, sf_dir, "part")
