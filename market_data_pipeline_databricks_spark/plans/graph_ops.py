@@ -22,16 +22,21 @@ from market_data_pipeline_databricks_spark.plans.relational import _t
 
 
 def _li_pairs(spark: SparkSession, sf_dir: str):
-    """(orderkey, partkey) scan for edge extraction, spread across the
-    session parallelism when the single-file corpus yields one input
-    split (otherwise the distinct's partial phase runs on ONE core —
-    the BASELINE r10 spread rule; a multi-file table skips the
-    branch)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    target = spark.sparkContext.defaultParallelism
-    if li.rdd.getNumPartitions() < target:
-        li = li.repartition(target)
-    return li
+    """(orderkey, partkey) scan for edge/basket extraction, spread
+    across the session parallelism when the single-file corpus yields
+    one input split (otherwise the opening distinct/groupBy's partial
+    phase runs on ONE core — the BASELINE r10 spread rule; a real
+    multi-file table skips the branch). Shared by every graph query
+    that scans lineitem — see plans/_spread.py."""
+    from market_data_pipeline_databricks_spark.plans._spread import (
+        spread_to_parallelism,
+    )
+
+    path = f"{sf_dir}/lineitem.parquet"
+    return spread_to_parallelism(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        cache_key=path,
+    )
 
 
 def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,7 +164,7 @@ def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_plan_lint.py's per-query invariants."""
     from pyspark import StorageLevel
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _li_pairs(spark, sf_dir)
     e = (
         cooccurrence_edges(li, "l_orderkey", "l_partkey")
         .filter(F.col("src") < F.col("dst"))
@@ -235,7 +240,7 @@ def graph_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out bounded by basket width; the n_baskets total joins in as a
     1-row broadcast computed in the same plan (no plan-build action).
     Ratios are int/int doubles — deterministic on both engines."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _li_pairs(spark, sf_dir)
     baskets = li.select(
         F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
     ).distinct()
@@ -318,7 +323,7 @@ def graph_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the enumeration fan-out bound respected."""
     from pyspark import StorageLevel
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _li_pairs(spark, sf_dir)
     # two consumers (the stats action here + the mine below) — persist
     # so the full-corpus collect_set groupBy runs once, not twice
     baskets = li.groupBy("l_orderkey").agg(

@@ -17,21 +17,15 @@ from market_data_pipeline_databricks_spark.operators import text as TX
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # The driver corpora are SINGLE parquet files, so the scan yields
-    # one input split and every text op runs on ONE core until its
-    # first shuffle (BASELINE.md r9 observation; measured r10: the six
-    # heavy doc headliners total 28.9 s -> 23.2 s with the spread, the
-    # chunking query alone 3.7 s -> 1.25 s). Spread ONLY when the scan
-    # is under-partitioned: on a real multi-file table the condition is
-    # false and no corpus-wide shuffle is added. Repartition never
-    # changes values — every doc query is partitioning-invariant
-    # (content-addressed hashes/buckets; pinned by the sampling
-    # invariance pytests).
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df
+    # conditional spread: single-file corpora otherwise run every text
+    # op's first stage on ONE core (measured r10: six heavy doc
+    # headliners 28.9 s -> 23.2 s; chunking 3x) — see plans/_spread.py
+    from market_data_pipeline_databricks_spark.plans._spread import (
+        spread_to_parallelism,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    return spread_to_parallelism(spark.read.parquet(path), cache_key=path)
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

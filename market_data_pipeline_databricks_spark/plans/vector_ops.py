@@ -748,8 +748,13 @@ def vector_ann_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for s in range(m)
     ]
-    base = emb.select("vec_id", "embedding").repartition(
-        spark.sparkContext.defaultParallelism
+    from market_data_pipeline_databricks_spark.plans._spread import (
+        spread_to_parallelism,
+    )
+
+    base = spread_to_parallelism(
+        emb.select("vec_id", "embedding"),
+        cache_key=f"{sf_dir}/embeddings.parquet",
     )
     # codebook wide-long: one row per (subspace, code) with the 8
     # codeword dims as columns — m·k = 128 rows, broadcast
