@@ -2,19 +2,29 @@
 
 EAGER queries do their real work at construction time (write a
 warehouse, run an availableNow stream, commit snapshot versions) into
-per-run temp dirs that are removed before the function returns. Round
-8 showed that returning a ``localCheckpoint()`` handle over those
-deleted dirs is fragile under the correctness driver (CORRECTNESS_r08:
-8 such queries rows+schema-green but hash-RED); round 9 showed that a
-``materialize()`` (collect → ``createDataFrame``, a LogicalRDD-backed
-plan) return fails the driver's hash the same way even though the
-values are multiset-exact (CORRECTNESS_r09: all 10 EAGER returns
-hash-RED while all 252 parquet-rooted lazy plans hash green). The
-driver's hash protocol only accepts plans rooted in the testdata
-parquet.
+per-run temp dirs that are removed before the function returns.
 
-The round-10 contract (VERDICT r9 task 1) therefore separates the
-*proof* from the *return value*:
+History of the r8-r10 hash-RED investigation, so the wrong theories are
+never re-derived: rounds 8 and 9 blamed the EAGER *return plumbing*
+(r8: localCheckpoint over deleted dirs; r9: "the driver's hash only
+accepts testdata-parquet-rooted plans", which motivated this module's
+round-10 checked_lazy conversion). Round 10 falsified both: every
+converted query returned a pure lazy parquet-rooted plan and STILL
+hashed red — including scale_global_rank_twopass, which never writes
+anything. The judge's differential (VERDICT r10) found the real cause:
+the driver's value hash canonicalizes DecimalType through a
+trailing-zero-dropping (float-like) form on one side only, so any
+final DecimalType output column fails the moment a value ends in 0;
+the EAGER family was exactly the family written "decimal-exact", which
+made the plumbing theories look right. timestamp_ntz output columns are
+the same hazard class. The fix (round 11): decimals stay INTERNAL to
+the plan (exact arithmetic); the final projection casts to DOUBLE on
+both the Spark and the DuckDB-oracle side — the encoding all 252
+always-green queries use. tools/lint_schemas.py + tests/
+test_schema_lint.py enforce this for every oracle-backed query.
+
+The checked_lazy return discipline below is kept on its own merits —
+it separates the *proof* from the *return value*:
 
 - the construction drive still runs in full (write, stream, commit);
 - :func:`checked_lazy` asserts IN-QUERY that the constructed result
@@ -116,6 +126,23 @@ def checked_lazy(
             f"{t_sig} — the twin must mirror the construction exactly"
         )
     cols = constructed.columns
+    for reserved in ("_side", "_delta"):
+        if reserved in cols:
+            raise ValueError(
+                f"{label}: column {reserved!r} collides with checked_lazy's "
+                "diff bookkeeping — withColumn would silently replace it and "
+                "the multiset proof would compare the wrong data; rename it"
+            )
+    unsupported = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in constructed.schema.fields
+        if f.dataType.typeName() == "map"
+    ]
+    if unsupported:
+        raise ValueError(
+            f"{label}: map-typed columns cannot be GROUP BY keys in the "
+            f"multiset diff: {unsupported} — restructure to array<struct>"
+        )
     delta = (
         constructed.withColumn("_side", F.lit(1))
         .unionByName(lazy_twin.withColumn("_side", F.lit(-1)))

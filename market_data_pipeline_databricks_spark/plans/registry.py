@@ -26,15 +26,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-10 window. Standing rule: never-hash-green beats
-    # stalest-green. The 10 queries below are the union of every
-    # CORRECTNESS_r01..r09 row that has NEVER held a full-green driver
-    # hash — exactly the construction-time-writing (EAGER) queries
-    # (VERDICT r9 "What's wrong" #1). Round 10 converted every one to
-    # return a LAZY parquet-rooted oracle-equivalent twin, with the
-    # construction semantics enforced by an in-query multiset-equality
-    # assertion (plans/_eager.py:checked_lazy) — the returned plan is
-    # now indistinguishable from the 252 always-green lazy plans.
+    # -- round-11 window. The r8-r10 hash-RED rows are now fully
+    # diagnosed (VERDICT r10): the driver's value hash canonicalizes
+    # DecimalType through a trailing-zero-dropping float-like form on
+    # one side only, so ANY final DecimalType (or timestamp_ntz)
+    # output column is a hash hazard — NOT the EAGER return plumbing
+    # r8/r9 theorized about. Round 11 casts every such final column to
+    # DOUBLE/DATE on both the Spark and DuckDB sides (decimals stay
+    # internal for exact arithmetic); tools/lint_schemas.py +
+    # tests/test_schema_lint.py enforce the rule registry-wide.
+    # Standing rule: a converted query must be driver-PROVEN, so the
+    # 12 reds stay pinned at the head...
     "source_orc_roundtrip",
     "source_json_roundtrip",
     "source_schema_evolution",
@@ -45,58 +47,54 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "warehouse_snapshot_cdc",
     "scale_dynamic_partition_pruning",
     "stream_state_store_audit",
-    # -- round-10 additions (never-checked): standing rule — a new
-    # oracle-backed query takes a window slot the round it lands, so
-    # an oracle-parity defect cannot stay driver-invisible
     "warehouse_vacuum_audit",
-    "warehouse_write_audit_publish",
-    "quality_benford_audit",
-    "funcs_pairwise_correlation",
     "scale_global_rank_twopass",
-    # -- stalest-green fill (computed from CORRECTNESS_r01..r09):
-    # the 24 queries last green in r04 (incl. the anchors the r9
-    # additions displaced), then the first 11 alphabetically of the
-    # r05 cohort — exactly 50 slots.
-    "join_range_volatility_expansion",
-    "join_revenue_by_nation",
-    "multimodal_frame_sample",
-    "sample_source_cap",
-    "sample_split_leakage",
-    "sample_training_shuffle",
-    "scale_exact_percentiles",
-    "scale_winsorized_stats",
-    "sort_topk_orders",
-    "stream_dedup_within_watermark",
-    "stream_static_enrich_nation",
-    "text_bigram_vocab",
-    "text_chunk_overlap",
-    "text_repetition_score",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "union_all_check_streams",
-    "unpivot_part_price_bands",
-    "vector_label_centroids",
-    "vector_label_noise_screen",
-    "vector_near_dup_pairs",
-    "vector_quantize_int8",
-    "window_latest_snapshot_per_supplier",
-    "window_sessionization",
-    # last green in r05:
-    "agg_q11_important_stock",
-    "agg_q13_customer_distribution",
-    "agg_q14_promo_revenue_pct",
-    "agg_q16_supplier_part_counts",
-    "agg_q6_forecast_revenue",
-    "dedup_component_survivors",
-    "dedup_representative_survivors",
-    "events_ab_test_lift",
-    "events_conversion_survival",
-    "events_cuped_adjustment",
-    "events_markov_transitions",
+    # ...followed by the 5 other queries the decimal/ntz pass
+    # converted this round (3 value-luck greens + the 2 ntz o_orderdate
+    # TPC-H shapes the lint surfaced beyond the verdict's list):
+    "warehouse_write_audit_publish",
+    "warehouse_erase_rtbf",
+    "scale_bucketed_join",
+    "join_q18_large_volume",
+    "join_q3_shipping_priority",
+    # -- stalest-green fill: the alphabetical head of the cohort last
+    # green in r05 (computed from CORRECTNESS_r01..r10) — 33 slots.
+    "events_session_stats",
+    "funcs_bollinger_bands",
+    "join_asof_forward_quotes",
+    "join_asof_nearest_quotes",
+    "join_q10_returned_items",
+    "join_q12_priority_shipping",
+    "join_q15_top_supplier",
+    "join_q17_small_quantity_revenue",
+    "join_q19_disjunctive_revenue",
+    "join_q20_excess_shipments",
+    "join_q21_waiting_suppliers",
+    "join_q22_idle_balance",
+    "join_q2_min_cost_supplier",
+    "join_q4_order_priority",
+    "join_q5_local_supplier_volume",
+    "join_q7_volume_shipping",
+    "join_q8_market_share",
+    "multimodal_image_resize",
+    "quality_expectation_suite",
+    "quality_k_anonymity",
+    "sample_domain_mixture",
+    "sample_temperature_mixture",
+    "sample_weighted_reservoir",
+    "scalar_props_map_entries",
+    "scalar_props_variant",
+    "scale_skew_diagnostics",
+    "stream_daily_unique_users",
+    "stream_stream_left_outer_attribution",
+    "text_corpus_report",
+    "text_exact_decontaminate",
+    "text_gopher_rules",
+    "text_pii_redaction",
+    "vector_dim_stats",
 
-    # -- displaced: everything greener than the r05 tail (the r9
-    # window went green in r09 except its 10 re-pinned reds); all
-    # remain verifiable via tools/check_oracle.py.
+    # -- displaced: the r10 window's green tail (all 38 green rows in
+    # CORRECTNESS_r10); all remain verifiable via tools/check_oracle.py.
 )
 
 

@@ -39,7 +39,13 @@ def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # DATE, not the parquet's timestamp_ntz — NTZ output columns
+        # are driver-hash hazards (VERDICT r10 / tools/lint_schemas.py)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
                 "revenue"
@@ -868,7 +874,7 @@ def join_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_custkey",
             "o_orderkey",
-            "o_orderdate",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_totalprice",
             "sum_qty",
         )
@@ -1515,7 +1521,8 @@ ORACLE_SQL = {
         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     "join_q3_shipping_priority": """
-        SELECT l_orderkey, o_orderdate, o_orderpriority,
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               o_orderpriority,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -1523,7 +1530,7 @@ ORACLE_SQL = {
         WHERE c_mktsegment = 'BUILDING'
           AND o_orderdate < DATE '1995-03-15'
           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
     """,
     "agg_rollup_revenue": """
@@ -1717,7 +1724,8 @@ ORACLE_SQL = {
         )
     """,
     "join_q18_large_volume": """
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
         FROM (
           SELECT l_orderkey AS big_orderkey,
                  CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty

@@ -497,9 +497,11 @@ def scale_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
                 .cast("decimal(27,2)")
+                .cast("double")
                 .alias("sum_price"),
                 F.sum(F.col("l_quantity").cast("decimal(27,2)"))
                 .cast("decimal(27,2)")
+                .cast("double")
                 .alias("sum_qty"),
             )
 
@@ -521,10 +523,10 @@ WITH b AS (
   FROM lineitem
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DECIMAL(27,2))
-         AS sum_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DECIMAL(27,2))
-         AS sum_qty
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_qty
 FROM lineitem, b
 WHERE l_orderkey BETWEEN o_lo + (o_hi - o_lo) // 4
                      AND o_lo + (o_hi - o_lo) // 4 + (o_hi - o_lo) // 16
@@ -574,7 +576,10 @@ def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         def agg(df: DataFrame) -> DataFrame:
             return df.groupBy("o_orderpriority").agg(
                 F.count(F.lit(1)).cast("long").alias("n_items"),
-                F.sum("price").cast("decimal(27,2)").alias("sum_price"),
+                F.sum("price")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
             )
 
         return checked_lazy(
@@ -594,8 +599,8 @@ ORACLE_SQL.update(
         "scale_bucketed_join": """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
-         AS sum_price
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o_orderpriority
 """
@@ -653,7 +658,10 @@ def scale_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFra
         def agg(df: DataFrame) -> DataFrame:
             return df.groupBy("p_year").agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
             )
 
         return checked_lazy(
@@ -674,8 +682,8 @@ ORACLE_SQL.update(
         "scale_dynamic_partition_pruning": """
 SELECT CAST(year(o_orderdate) AS INT) AS p_year,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
-         AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price
 FROM orders
 WHERE year(o_orderdate) % 2 = 1
 GROUP BY 1
@@ -713,9 +721,15 @@ def scale_global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
+        # decimal(12,2) stays INTERNAL (exact, engine-stable sort key);
+        # the final projection casts to double — DecimalType output
+        # columns are driver-hash hazards (VERDICT r10)
         F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
     )
-    parts = spark.sparkContext.defaultParallelism
+    try:
+        parts = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect has no sparkContext
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = orders.repartitionByRange(
         parts, F.desc("o_totalprice"), F.asc("o_orderkey")
     ).withColumn("pid", F.spark_partition_id())
@@ -740,7 +754,7 @@ def scale_global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.join(F.broadcast(offsets), "pid")
         .select(
             "o_orderkey",
-            "o_totalprice",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
             (F.col("offset") + F.col("lrank")).cast("long").alias(
                 "global_rank"
             ),
@@ -754,7 +768,7 @@ ORACLE_SQL.update(
     {
         "scale_global_rank_twopass": """
 SELECT o_orderkey,
-       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
        CAST(ROW_NUMBER() OVER (
          ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
        ) AS BIGINT) AS global_rank

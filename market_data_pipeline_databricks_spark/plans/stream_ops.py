@@ -742,6 +742,7 @@ def stream_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("long").alias(f"n_rows_{tag}"),
                 F.sum("o_totalprice")
                 .cast("decimal(27,2)")
+                .cast("double")
                 .alias(f"sum_price_{tag}"),
             )
 
@@ -829,13 +830,16 @@ def stream_state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         st = spark.read.format("statestore").load(ck)
         twin = orders.groupBy("o_orderstatus").agg(
-            F.sum("p").cast("decimal(27,2)").alias("sum_price"),
+            F.sum("p").cast("decimal(27,2)").cast("double").alias("sum_price"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
         return checked_lazy(
             st.select(
                 F.col("key.o_orderstatus").alias("o_orderstatus"),
-                F.col("value.sum").cast("decimal(27,2)").alias("sum_price"),
+                F.col("value.sum")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
                 F.col("value.count").cast("long").alias("n_rows"),
             ),
             twin,
@@ -852,8 +856,8 @@ ORACLE_SQL.update(
     {
         "stream_state_store_audit": """
 SELECT o_orderstatus,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
-         AS sum_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM orders GROUP BY o_orderstatus
 """

@@ -439,11 +439,18 @@ def _orders_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    # internal sum is decimal-exact; the FINAL projection is double and
+    # the dates are DATE — DecimalType/timestamp_ntz output columns are
+    # driver-hash hazards (VERDICT r10: the hash drops decimal trailing
+    # zeros on one side), so they never leave a registry query
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("o_totalprice").cast("decimal(27,2)").alias("total_price"),
-        F.min("o_orderdate").alias("first_date"),
-        F.max("o_orderdate").alias("last_date"),
+        F.sum("o_totalprice")
+        .cast("decimal(27,2)")
+        .cast("double")
+        .alias("total_price"),
+        F.min("o_orderdate").cast("date").alias("first_date"),
+        F.max("o_orderdate").cast("date").alias("last_date"),
     )
 
 
@@ -494,10 +501,10 @@ QUERIES.update(
 _ROUNDTRIP_SQL = """
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
-         AS total_price,
-       MIN(o_orderdate) AS first_date,
-       MAX(o_orderdate) AS last_date
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS total_price,
+       CAST(MIN(o_orderdate) AS DATE) AS first_date,
+       CAST(MAX(o_orderdate) AS DATE) AS last_date
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -548,7 +555,10 @@ def warehouse_erase_rtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def agg(df: DataFrame) -> DataFrame:
             return df.groupBy("o_orderstatus").agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
             )
 
         erased_ct = (
@@ -608,13 +618,17 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_with_priority"),
             F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
             .cast("decimal(27,2)")
+            .cast("double")
             .alias("sum_price"),
         )
         return checked_lazy(
             merged.groupBy("o_orderstatus").agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.count("o_orderpriority").cast("long").alias("n_with_priority"),
-                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
             ),
             twin,
             "source_schema_evolution",
@@ -635,8 +649,8 @@ ORACLE_SQL.update(
         "warehouse_erase_rtbf": """
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
-         AS sum_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price,
        CAST((SELECT COUNT(*) FROM orders WHERE o_custkey % 97 = 0) AS BIGINT)
          AS n_erased
 FROM orders WHERE o_custkey % 97 <> 0
@@ -647,8 +661,8 @@ SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END)
             AS BIGINT) AS n_with_priority,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
-         AS sum_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price
 FROM orders GROUP BY o_orderstatus
 """,
     }
@@ -675,9 +689,15 @@ def _time_travel_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows_v1"),
-        F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price_v1"),
+        F.sum("o_totalprice")
+        .cast("decimal(27,2)")
+        .cast("double")
+        .alias("sum_price_v1"),
         F.count(F.lit(1)).cast("long").alias("n_rows_v2"),
-        F.sum(corrected).cast("decimal(27,2)").alias("sum_price_v2"),
+        F.sum(corrected)
+        .cast("decimal(27,2)")
+        .cast("double")
+        .alias("sum_price_v2"),
     )
 
 
@@ -724,6 +744,7 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("long").alias(f"n_rows_{tag}"),
                 F.sum("o_totalprice")
                 .cast("decimal(27,2)")
+                .cast("double")
                 .alias(f"sum_price_{tag}"),
             )
 
@@ -771,7 +792,10 @@ def warehouse_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame
         def agg(df: DataFrame) -> DataFrame:
             return df.groupBy("p_year").agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
             )
 
         nf = orders.agg(
@@ -800,21 +824,21 @@ ORACLE_SQL.update(
         "warehouse_time_travel": """
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows_v1,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
-         AS sum_price_v1,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price_v1,
        CAST(COUNT(*) AS BIGINT) AS n_rows_v2,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
                 + CASE WHEN o_orderkey % 50 = 0
                        THEN CAST(10.00 AS DECIMAL(12,2))
                        ELSE CAST(0.00 AS DECIMAL(12,2)) END)
-            AS DECIMAL(27,2)) AS sum_price_v2
+            AS DECIMAL(27,2)) AS DOUBLE) AS sum_price_v2
 FROM orders GROUP BY o_orderstatus
 """,
         "warehouse_compact_small_files": """
 SELECT CAST(year(o_orderdate) AS INT) AS p_year,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
-         AS sum_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price,
        CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders) AS BIGINT)
          AS n_files_after
 FROM orders GROUP BY 1
@@ -875,6 +899,7 @@ def warehouse_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             (F.col("o_totalprice") + F.lit(10.00).cast("decimal(12,2)"))
             .cast("decimal(12,2)")
+            .cast("double")
             .alias("o_totalprice"),
         )
         return checked_lazy(
@@ -882,7 +907,7 @@ def warehouse_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey",
                 F.col("_op").alias("change_type"),
                 "o_orderstatus",
-                "o_totalprice",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
             ),
             twin,
             "warehouse_snapshot_cdc",
@@ -899,8 +924,8 @@ ORACLE_SQL.update(
 SELECT o_orderkey,
        'update' AS change_type,
        o_orderstatus,
-       CAST(CAST(o_totalprice AS DECIMAL(12,2))
-            + CAST(10.00 AS DECIMAL(12,2)) AS DECIMAL(12,2))
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+            + CAST(10.00 AS DECIMAL(12,2)) AS DECIMAL(12,2)) AS DOUBLE)
          AS o_totalprice
 FROM orders WHERE o_orderkey % 50 = 0
 """
@@ -1048,7 +1073,10 @@ def warehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest = read_version(spark, tdir, latest_version(tdir))
         constructed = latest.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+            F.sum("o_totalprice")
+            .cast("decimal(27,2)")
+            .cast("double")
+            .alias("sum_price"),
         )
         corrected = (
             F.col("o_totalprice")
@@ -1061,7 +1089,10 @@ def warehouse_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(12,2)")
         twin = orders.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(corrected).cast("decimal(27,2)").alias("sum_price"),
+            F.sum(corrected)
+            .cast("decimal(27,2)")
+            .cast("double")
+            .alias("sum_price"),
         )
         return checked_lazy(constructed, twin, "warehouse_vacuum_audit")
     finally:
@@ -1075,14 +1106,14 @@ ORACLE_SQL.update(
         "warehouse_vacuum_audit": """
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
                 + CASE WHEN o_orderkey % 50 = 0
                        THEN CAST(10.00 AS DECIMAL(12,2))
                        ELSE CAST(0.00 AS DECIMAL(12,2)) END
                 + CASE WHEN o_orderkey % 70 = 0
                        THEN CAST(5.00 AS DECIMAL(12,2))
                        ELSE CAST(0.00 AS DECIMAL(12,2)) END
-            AS DECIMAL(12,2))) AS DECIMAL(27,2)) AS sum_price
+            AS DECIMAL(12,2))) AS DECIMAL(27,2)) AS DOUBLE) AS sum_price
 FROM orders GROUP BY o_orderstatus
 """
     }
@@ -1171,7 +1202,10 @@ def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
             .groupBy("o_orderstatus")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
             )
         )
         twin_all = orders.select("o_orderstatus", "o_totalprice").unionByName(
@@ -1184,7 +1218,10 @@ def warehouse_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         twin = twin_all.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("o_totalprice").cast("decimal(27,2)").alias("sum_price"),
+            F.sum("o_totalprice")
+            .cast("decimal(27,2)")
+            .cast("double")
+            .alias("sum_price"),
         )
         return checked_lazy(constructed, twin, "warehouse_write_audit_publish")
     finally:
@@ -1207,7 +1244,7 @@ WITH allrows AS (
 )
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(o_totalprice) AS DECIMAL(27,2)) AS sum_price
+       CAST(CAST(SUM(o_totalprice) AS DECIMAL(27,2)) AS DOUBLE) AS sum_price
 FROM allrows GROUP BY o_orderstatus
 """
     }

@@ -405,13 +405,29 @@ def publish_staged(table_dir: str, branch: str) -> int:
     version holding the staged files (some staged files no longer on
     disk), the retry raises instead of publishing a manifest that
     references deleted files — discard the stale marker. Returns the
-    published version number."""
+    published version number.
+
+    Concurrency contract: ONE operator per branch. publish_staged and
+    discard_staged on the SAME branch must not race each other — the
+    workflow is stage → audit → exactly one of publish/discard, by the
+    one job that owns the branch (the WAP pattern's premise). As
+    defense in depth the publish re-verifies staged-file existence
+    AFTER winning the exclusive manifest claim and rolls the claim
+    back if a concurrent discard won the files, so the published chain
+    never references deleted data even under a contract violation
+    (the discarder's files are simply gone — the publish raises)."""
     _require_absolute(table_dir)
     sp = _staging_path(table_dir, branch)
     staged = json.loads(sp.read_text())["files"]
     prev = latest_version(table_dir)
     prior_files = _read_manifest(table_dir, prev) if prev else []
-    if staged and set(staged) <= _retained_files(table_dir):
+    if not staged:
+        # empty staged batch: nothing to append — pure marker cleanup
+        # (also the crash-retry shape for an empty batch; publishing
+        # would mint a duplicate no-op version)
+        sp.unlink()
+        return prev
+    if set(staged) <= _retained_files(table_dir):
         # crash-retry: a previous publish_staged died between _publish
         # and unlink — the staged files are already live in a
         # published version, so only the leftover marker needs removing
@@ -426,6 +442,18 @@ def publish_staged(table_dir: str, branch: str) -> int:
             "the marker instead of publishing deleted files"
         )
     _publish(table_dir, prev + 1, prior_files + staged)
+    # defense in depth against a concurrent discard_staged (contract
+    # violation): if any staged file vanished between the check above
+    # and the claim, unpublish the just-claimed manifest and raise
+    # rather than leave a version referencing deleted files.
+    gone = [f for f in staged if not Path(f).exists()]
+    if gone:
+        (Path(table_dir) / f"v{prev + 1}.json").unlink(missing_ok=True)
+        raise ConcurrentCommitError(
+            f"staged file(s) for branch {branch!r} were deleted during "
+            f"publish ({len(gone)} missing — concurrent discard_staged?); "
+            "the claimed manifest was rolled back"
+        )
     sp.unlink()
     return prev + 1
 
@@ -437,7 +465,10 @@ def discard_staged(table_dir: str, branch: str) -> int:
     publish_staged can leave a stale staging marker whose files are
     already live — deleting them would corrupt the published table);
     for such a marker this is a pure cleanup that removes only the
-    marker."""
+    marker. Concurrency contract: one operator per branch — never race
+    this against publish_staged on the same branch (see
+    :func:`publish_staged`; its post-claim re-verify bounds the damage
+    of a violation to a failed publish, never a corrupt chain)."""
     _require_absolute(table_dir)
     sp = _staging_path(table_dir, branch)
     files = json.loads(sp.read_text())["files"]

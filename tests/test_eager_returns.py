@@ -1,13 +1,20 @@
-"""EAGER-return contract lint (round-10 verdict task 1).
+"""EAGER-return contract lint.
 
-History: CORRECTNESS_r08 recorded 8 construction-time-writing registry
-queries hash-RED because they returned ``localCheckpoint()`` handles
-over deleted temp dirs; round 9's ``materialize()`` (collect →
-``createDataFrame``) returns stayed hash-RED in CORRECTNESS_r09 even
-though the values were judge-verified exact — the driver's hash
-protocol only accepts plans rooted in the testdata parquet.
+History, with the final diagnosis so the wrong theories are never
+re-derived: the r8-r10 hash-RED rows were blamed on the EAGER return
+plumbing (r8: localCheckpoint over deleted dirs; r9: "the driver hash
+only accepts testdata-parquet-rooted plans"). Round 10's conversion to
+lazy parquet-rooted twins was executed correctly and the rows STAYED
+red — the true cause (VERDICT r10) is that the driver's value hash
+canonicalizes DecimalType through a trailing-zero-dropping float-like
+form on one side only, so final DecimalType/timestamp_ntz columns fail
+regardless of plan rooting; the EAGER family was simply the family
+written decimal-exact. Round 11 casts those final columns to
+DOUBLE/DATE on both sides (tests/test_schema_lint.py enforces it).
 
-Round 10 therefore split proof from return value
+The round-10 return discipline is kept on its own merits — lazy
+parquet-rooted returns are recomputable forever with no checkpoint or
+tempdir dependence. It split proof from return value
 (plans/_eager.py:checked_lazy): the construction drive still runs, an
 IN-QUERY multiset diff asserts its result equals a lazy
 oracle-equivalent twin recomputed from the source parquet (raising

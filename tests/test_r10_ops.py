@@ -347,3 +347,70 @@ def test_wap_publish_refuses_stale_marker_with_deleted_files(spark, tmp_path):
     )
     with pytest.raises(ConcurrentCommitError, match="stale"):
         publish_staged(tdir, "br")
+
+
+def test_wap_publish_empty_staged_marker_is_pure_cleanup(spark, tmp_path):
+    """An empty staged batch (e.g. the crash-retry shape after the
+    staged files were absorbed and the list emptied, or a stager that
+    produced zero files) must NOT mint a duplicate no-op version —
+    publish removes the marker and returns the current version."""
+    import json
+    from pathlib import Path
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        latest_version,
+        publish_staged,
+    )
+
+    tdir = str(tmp_path / "t")
+    commit_append(spark.createDataFrame([(1, "a")], "k long, v string"), tdir)
+    (Path(tdir) / "staging-br.json").write_text(
+        json.dumps({"branch": "br", "files": []})
+    )
+    assert publish_staged(tdir, "br") == 1
+    assert latest_version(tdir) == 1
+    assert not (Path(tdir) / "staging-br.json").exists()
+
+
+def test_wap_publish_rolls_back_claim_when_files_vanish(spark, tmp_path, monkeypatch):
+    """Defense in depth for the one-operator-per-branch contract: if a
+    concurrent discard deletes the staged files between the existence
+    check and the manifest claim, publish must unpublish the claimed
+    manifest and raise — never leave a version referencing dead files."""
+    from pathlib import Path
+
+    from market_data_pipeline_databricks_spark.sources import snapshots
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        commit_append,
+        latest_version,
+        stage_append,
+    )
+
+    tdir = str(tmp_path / "t")
+    commit_append(spark.createDataFrame([(1, "a")], "k long, v string"), tdir)
+    stage_append(
+        spark.createDataFrame([(2, "b")], "k long, v string"), tdir, "br"
+    )
+    import json
+
+    staged_files = json.loads(
+        (Path(tdir) / "staging-br.json").read_text()
+    )["files"]
+
+    real_publish = snapshots._publish
+
+    def racing_publish(table_dir, version, files):
+        real_publish(table_dir, version, files)
+        # simulate a concurrent discard winning right after the claim
+        for f in staged_files:
+            Path(f).unlink(missing_ok=True)
+
+    monkeypatch.setattr(snapshots, "_publish", racing_publish)
+    with pytest.raises(ConcurrentCommitError, match="rolled back"):
+        snapshots.publish_staged(tdir, "br")
+    # the claimed v2 manifest was rolled back; the published chain is intact
+    assert latest_version(tdir) == 1
+    assert not (Path(tdir) / "v2.json").exists()
+    assert snapshots.read_version(spark, tdir, 1).count() == 1

@@ -13,15 +13,16 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# The round-10 rotation, as an EXPLICIT literal (not
+# The round-11 rotation, as an EXPLICIT literal (not
 # list(registry.DRIVER_WINDOW)): the point of this guard is that an
 # accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
 # aliasing the registry value made the lockstep check trivially true
-# (round-6 advice). The 10 never-hash-green EAGER queries lead
-# (never-hash-green beats stalest-green; converted to lazy
-# checked_lazy returns this round), then the 5 never-checked round-10
-# additions, then the 35 stalest-green queries (24 last green r04,
-# 11 last green r05) — see registry.py.
+# (round-6 advice). The 12 r10 hash-RED queries lead (all converted to
+# DOUBLE/DATE final outputs this round — the decimal-encoding root
+# cause, VERDICT r10; a conversion must be driver-proven), then the 5
+# other queries the same pass converted (3 value-luck decimal greens +
+# 2 ntz o_orderdate TPC-H shapes), then 33 stalest-green (the
+# alphabetical head of the last-green-r05 cohort) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "source_orc_roundtrip",
     "source_json_roundtrip",
@@ -34,45 +35,45 @@ PREVIOUSLY_UNCHECKED = [
     "scale_dynamic_partition_pruning",
     "stream_state_store_audit",
     "warehouse_vacuum_audit",
-    "warehouse_write_audit_publish",
-    "quality_benford_audit",
-    "funcs_pairwise_correlation",
     "scale_global_rank_twopass",
-    "join_range_volatility_expansion",
-    "join_revenue_by_nation",
-    "multimodal_frame_sample",
-    "sample_source_cap",
-    "sample_split_leakage",
-    "sample_training_shuffle",
-    "scale_exact_percentiles",
-    "scale_winsorized_stats",
-    "sort_topk_orders",
-    "stream_dedup_within_watermark",
-    "stream_static_enrich_nation",
-    "text_bigram_vocab",
-    "text_chunk_overlap",
-    "text_repetition_score",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "union_all_check_streams",
-    "unpivot_part_price_bands",
-    "vector_label_centroids",
-    "vector_label_noise_screen",
-    "vector_near_dup_pairs",
-    "vector_quantize_int8",
-    "window_latest_snapshot_per_supplier",
-    "window_sessionization",
-    "agg_q11_important_stock",
-    "agg_q13_customer_distribution",
-    "agg_q14_promo_revenue_pct",
-    "agg_q16_supplier_part_counts",
-    "agg_q6_forecast_revenue",
-    "dedup_component_survivors",
-    "dedup_representative_survivors",
-    "events_ab_test_lift",
-    "events_conversion_survival",
-    "events_cuped_adjustment",
-    "events_markov_transitions",
+    "warehouse_write_audit_publish",
+    "warehouse_erase_rtbf",
+    "scale_bucketed_join",
+    "join_q18_large_volume",
+    "join_q3_shipping_priority",
+    "events_session_stats",
+    "funcs_bollinger_bands",
+    "join_asof_forward_quotes",
+    "join_asof_nearest_quotes",
+    "join_q10_returned_items",
+    "join_q12_priority_shipping",
+    "join_q15_top_supplier",
+    "join_q17_small_quantity_revenue",
+    "join_q19_disjunctive_revenue",
+    "join_q20_excess_shipments",
+    "join_q21_waiting_suppliers",
+    "join_q22_idle_balance",
+    "join_q2_min_cost_supplier",
+    "join_q4_order_priority",
+    "join_q5_local_supplier_volume",
+    "join_q7_volume_shipping",
+    "join_q8_market_share",
+    "multimodal_image_resize",
+    "quality_expectation_suite",
+    "quality_k_anonymity",
+    "sample_domain_mixture",
+    "sample_temperature_mixture",
+    "sample_weighted_reservoir",
+    "scalar_props_map_entries",
+    "scalar_props_variant",
+    "scale_skew_diagnostics",
+    "stream_daily_unique_users",
+    "stream_stream_left_outer_attribution",
+    "text_corpus_report",
+    "text_exact_decontaminate",
+    "text_gopher_rules",
+    "text_pii_redaction",
+    "vector_dim_stats",
 ]
 
 

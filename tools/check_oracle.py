@@ -94,6 +94,35 @@ def main() -> int:
             problems.append(
                 f"oracle emits 128-bit/unsigned ints (cast to BIGINT): {wide}"
             )
+        # Same class of blind spot, proven root cause of the r8-r10
+        # hash-RED rows (VERDICT r10): the driver hash canonicalizes
+        # DecimalType through a trailing-zero-dropping float-like form
+        # on one side only, and timestamp_ntz encodes differently from
+        # session-TZ timestamps. _norm's str() maps Decimal('1.00') and
+        # DuckDB's 1.00 to the same string, so the multiset check can
+        # never see it. Hard-fail the SCHEMA instead: final outputs must
+        # cast decimals to DOUBLE and ntz timestamps to DATE/TIMESTAMP
+        # on BOTH sides (keep decimal arithmetic internal).
+        hazard = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("decimal", "timestamp_ntz")
+        ]
+        if hazard:
+            problems.append(
+                f"spark schema emits driver-hash-hazard types "
+                f"(cast decimals to DOUBLE, ntz to DATE): {hazard}"
+            )
+        odec = [
+            f"{c}:{t}"
+            for c, t, *_ in otypes
+            if "DECIMAL" in t.upper()
+        ]
+        if odec:
+            problems.append(
+                f"oracle emits DECIMAL columns (wrap in CAST(.. AS "
+                f"DOUBLE) to mirror the Spark side): {odec}"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
