@@ -57,8 +57,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scale_bucketed_join",
     "join_q18_large_volume",
     "join_q3_shipping_priority",
+    # -- round-11 additions (never-checked): standing rule — a new
+    # oracle-backed query takes a window slot the round it lands
+    "scale_salted_window_rank",
+    "scale_layout_zorder_pruning",
     # -- stalest-green fill: the alphabetical head of the cohort last
-    # green in r05 (computed from CORRECTNESS_r01..r10) — 33 slots.
+    # green in r05 (computed from CORRECTNESS_r01..r10) — 31 slots.
     "events_session_stats",
     "funcs_bollinger_bands",
     "join_asof_forward_quotes",
@@ -90,11 +94,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_corpus_report",
     "text_exact_decontaminate",
     "text_gopher_rules",
-    "text_pii_redaction",
-    "vector_dim_stats",
 
     # -- displaced: the r10 window's green tail (all 38 green rows in
-    # CORRECTNESS_r10); all remain verifiable via tools/check_oracle.py.
+    # CORRECTNESS_r10) and the r05-cohort tail from text_pii_redaction
+    # on; all remain verifiable via tools/check_oracle.py.
 )
 
 

@@ -776,3 +776,171 @@ FROM orders
 """
     }
 )
+
+
+def scale_salted_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY windowed rank over EXTREME key skew without a hot
+    partition — the windowed complement of ``skew_salted_join_orders``
+    (VERDICT r10 task 7). ``ROW_NUMBER() OVER (PARTITION BY
+    l_returnflag ORDER BY ...)`` on lineitem has only 3 key values, so
+    WindowExec lands ~1/3 of the table in EACH task — at 100 TB that is
+    a straggler/OOM, the same class of killer as the global rank's
+    SinglePartition exchange. The distributed two-pass form (the
+    per-key generalization of ``scale_global_rank_twopass``):
+
+    1. range-repartition on (key, order...) — the order is made TOTAL
+       by the (l_orderkey, l_linenumber) PK tie-break, so range
+       boundaries cannot split equal rows, and each key's rows occupy
+       a CONTIGUOUS ascending pid range;
+    2. local ROW_NUMBER per (pid, key) — every window partition is one
+       range-split's worth of one key, never the whole key;
+    3. per-(key, pid) counts → per-key cumulative offsets over pids
+       (a |keys| x |parts| frame — driver-trivial) broadcast back;
+       key_rank = offset + local rank.
+
+    The oracle IS the single-hot-partition form (DuckDB windows
+    centrally), so hash equality proves the stitched per-key ranks
+    equal the skewed window exactly, every row."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"
+    )
+    try:
+        parts = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect has no sparkContext
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = li.repartitionByRange(
+        parts,
+        F.asc("l_returnflag"),
+        F.asc("l_shipdate"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    ).withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid", "l_returnflag").orderBy(
+        F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    local = ranged.withColumn("lrank", F.row_number().over(lw))
+    # offsets: for each key, the cumulative count of that key's rows in
+    # all EARLIER range partitions; the frame is |keys| x |parts| rows
+    ow = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("l_returnflag", "pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.coalesce(F.sum("n").over(ow), F.lit(0)))
+        .select("l_returnflag", "pid", "offset")
+    )
+    return local.join(F.broadcast(offsets), ["l_returnflag", "pid"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("offset") + F.col("lrank")).cast("long").alias("key_rank"),
+    )
+
+
+def scale_layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-layout governance drive for sources/layout.py (VERDICT r10
+    task 7): lineitem is rewritten by :func:`zorder_write` — the
+    QUANTILE-BUCKETED Morton layout (one multi-column approxQuantile
+    sketch pass, fold-based bucket index, shift-chain interleave,
+    repartitionByRange into n_files z-contiguous files) — and a
+    conjunctive box predicate on both layout keys reads the governed
+    copy back. Differs from ``scale_zorder_clustering`` (operators/
+    zorder.py: raw-integer-key interleave) in exercising the
+    value-distribution-aware path a layout GOVERNANCE job runs on
+    arbitrary (skewed, non-integer) columns at 100 TB. The rewrite must
+    be a pure re-layout: checked_lazy pins read-back == original, and
+    the DuckDB oracle replays the identical filter over the source
+    parquet. The pruning effect itself (tight per-file min/max footers)
+    is pinned by tests/test_layout.py. EAGER (writes the governed copy
+    at construction; returns the lazy parquet-rooted twin)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources.layout import (
+        zorder_write,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="layout_z_")
+    try:
+        zorder_write(li, out_dir, ["l_orderkey", "l_partkey"], n_files=16)
+        back = spark.read.parquet(out_dir)
+
+        b = li.agg(
+            F.min("l_orderkey").alias("o_lo"),
+            F.max("l_orderkey").alias("o_hi"),
+            F.min("l_partkey").alias("p_lo"),
+            F.max("l_partkey").alias("p_hi"),
+        )
+
+        def boxed_agg(df: DataFrame) -> DataFrame:
+            boxed = df.crossJoin(F.broadcast(b)).filter(
+                F.col("l_orderkey").between(
+                    F.col("o_lo") + F.expr("(o_hi - o_lo) div 2"),
+                    F.col("o_lo")
+                    + F.expr("(o_hi - o_lo) div 2 + (o_hi - o_lo) div 8"),
+                )
+                & F.col("l_partkey").between(
+                    F.col("p_lo") + F.expr("(p_hi - p_lo) div 2"),
+                    F.col("p_lo")
+                    + F.expr("(p_hi - p_lo) div 2 + (p_hi - p_lo) div 8"),
+                )
+            )
+            return boxed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("price")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
+            )
+
+        return checked_lazy(
+            boxed_agg(back), boxed_agg(li), "scale_layout_zorder_pruning"
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+QUERIES.update(
+    {
+        "scale_salted_window_rank": scale_salted_window_rank,
+        "scale_layout_zorder_pruning": scale_layout_zorder_pruning,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "scale_salted_window_rank": """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY l_returnflag
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+       ) AS BIGINT) AS key_rank
+FROM lineitem
+""",
+        "scale_layout_zorder_pruning": """
+WITH b AS (
+  SELECT MIN(l_orderkey) AS o_lo, MAX(l_orderkey) AS o_hi,
+         MIN(l_partkey) AS p_lo, MAX(l_partkey) AS p_hi
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+            AS DECIMAL(27,2)) AS DOUBLE) AS sum_price
+FROM lineitem, b
+WHERE l_orderkey BETWEEN o_lo + (o_hi - o_lo) // 2
+                     AND o_lo + (o_hi - o_lo) // 2 + (o_hi - o_lo) // 8
+  AND l_partkey BETWEEN p_lo + (p_hi - p_lo) // 2
+                    AND p_lo + (p_hi - p_lo) // 2 + (p_hi - p_lo) // 8
+""",
+    }
+)

@@ -57,6 +57,7 @@ CONSTRUCTION_WRITERS = (
     "warehouse_vacuum_audit",
     "warehouse_write_audit_publish",
     "scale_zorder_clustering",
+    "scale_layout_zorder_pruning",
     "scale_bucketed_join",
     "scale_dynamic_partition_pruning",
     "stream_gold_incremental",

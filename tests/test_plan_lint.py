@@ -41,6 +41,7 @@ EAGER = {
     "source_orc_roundtrip",  # writes the roundtrip files at construction
     "source_json_roundtrip",  # writes the roundtrip files at construction
     "scale_zorder_clustering",  # writes the clustered copy at construction
+    "scale_layout_zorder_pruning",  # quantile sketch + governed copy at construction
     "warehouse_erase_rtbf",  # writes + erases the warehouse at construction
     "source_schema_evolution",  # writes the evolving table at construction
     "warehouse_time_travel",  # snapshot commits at construction

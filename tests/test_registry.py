@@ -21,7 +21,8 @@ WINDOW = 50
 # DOUBLE/DATE final outputs this round — the decimal-encoding root
 # cause, VERDICT r10; a conversion must be driver-proven), then the 5
 # other queries the same pass converted (3 value-luck decimal greens +
-# 2 ntz o_orderdate TPC-H shapes), then 33 stalest-green (the
+# 2 ntz o_orderdate TPC-H shapes), then the 2 new r11 queries (salted
+# window rank, layout-governed z-order), then 31 stalest-green (the
 # alphabetical head of the last-green-r05 cohort) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "source_orc_roundtrip",
@@ -41,6 +42,8 @@ PREVIOUSLY_UNCHECKED = [
     "scale_bucketed_join",
     "join_q18_large_volume",
     "join_q3_shipping_priority",
+    "scale_salted_window_rank",
+    "scale_layout_zorder_pruning",
     "events_session_stats",
     "funcs_bollinger_bands",
     "join_asof_forward_quotes",
@@ -72,8 +75,6 @@ PREVIOUSLY_UNCHECKED = [
     "text_corpus_report",
     "text_exact_decontaminate",
     "text_gopher_rules",
-    "text_pii_redaction",
-    "vector_dim_stats",
 ]
 
 
