@@ -872,7 +872,10 @@ def scale_layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.mkdtemp(prefix="layout_z_")
     try:
-        zorder_write(li, out_dir, ["l_orderkey", "l_partkey"], n_files=16)
+        # bits=6 (64 quantile buckets/dim): granularity is bounded by
+        # n_files=16 z-contiguous ranges, so finer bucketing buys no
+        # extra pruning — it only grows the approxQuantile prob list
+        zorder_write(li, out_dir, ["l_orderkey", "l_partkey"], n_files=16, bits=6)
         back = spark.read.parquet(out_dir)
 
         b = li.agg(

@@ -31,14 +31,24 @@ from pyspark.sql import functions as F
 
 def _bucket_expr(col: Column, boundaries: list[float]) -> Column:
     """Index of ``col``'s quantile bucket: the count of boundaries
-    <= value, evaluated as a fold over the broadcast literal array
-    (O(2^bits) JVM comparisons per row, no join)."""
-    arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    return F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, b: acc + F.when(col.cast("double") >= b, 1).otherwise(0),
-    )
+    <= value, evaluated as a BALANCED BINARY-SEARCH ``WHEN`` tree —
+    O(bits) comparisons per row inside whole-stage codegen. (The
+    previous array-fold form was O(2^bits) per row AND interpreted:
+    higher-order functions bypass codegen, which dominated the rewrite
+    cost at 255 boundaries — r11 profile: bits=8 bucket eval 2.5x the
+    whole remaining pipeline.)"""
+    d = col.cast("double")
+
+    def rec(lo: int, hi: int) -> Column:
+        # the answer (count of boundaries <= value) lies in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            d >= F.lit(float(boundaries[mid])), rec(mid + 1, hi)
+        ).otherwise(rec(lo, mid))
+
+    return rec(0, len(boundaries))
 
 
 def _interleave(cols: list[Column], bits: int) -> Column:
