@@ -90,7 +90,9 @@ def test_eager_return_is_testdata_rooted(spark, name):
     stray = [f for f in files if not f.startswith("/root/testdata/")]
     assert files and not stray, (
         f"{name}: returned plan must scan ONLY the source testdata "
-        f"parquet (driver hash protocol); found {stray[:3] or 'no files'}"
+        f"parquet (return-discipline contract: recomputable forever, "
+        f"no tempdir/checkpoint dependence); found "
+        f"{stray[:3] or 'no files'}"
     )
 
     before = sorted(map(str, df.collect()))
