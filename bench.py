@@ -7,10 +7,12 @@ Prints ONE JSON line:
 timings are in ``queries``. Each query is forced with a count() so the
 full plan executes without collecting results to the driver.
 
-Protocol (round 3+): each query is timed REPS times and the MINIMUM is
-reported — the minimum of repeated runs isolates plan cost from
-scheduler/GC jitter (±15-20% run-to-run on this box per BASELINE.md),
-so round-over-round deltas reflect plan changes, not noise.
+Protocol (round 3+, adaptive since round 11): each query is timed at
+least 3 and up to REPS times (stopping early once the minimum stops
+improving) and the MINIMUM is reported — the minimum of repeated runs
+isolates plan cost from scheduler/GC jitter and from the box's noisy
+neighbors (3-4x run-to-run swings under load spikes per BASELINE.md
+r11), so round-over-round deltas reflect plan changes, not noise.
 """
 
 from __future__ import annotations
@@ -128,22 +130,29 @@ def main() -> None:
     from market_data_pipeline_databricks_spark.plans.registry import all_queries
 
     queries = all_queries()
-    # 5 reps since round 11: the box acquired noisy neighbors (1-min
-    # load swings 0.3-11 independent of our work; 32-thread Spark
-    # stages run 2-3x slower during spikes while the single-thread
-    # calibration constant is unaffected — BASELINE.md r11). min-of-5
-    # gives each query more chances to land in a quiet scheduling
-    # window; the load_avg fields record the contention for the reader.
+    # Adaptive reps since round 11: the box acquired noisy neighbors
+    # (1-min load swings 0.3-11 independent of our work; 32-thread
+    # Spark stages run 2-3x slower during spikes while the
+    # single-thread calibration constant is unaffected — BASELINE.md
+    # r11). Each query runs at least 3 reps; if the min is still
+    # improving (>10% drop) it gets up to 5 draws to land in a quiet
+    # scheduling window. Quiet box: same wall as the old min-of-3.
+    # The load_avg fields record the contention for the reader.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    reps_min = min(3, reps)
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(reps):
+        done = no_improve = 0
+        while done < reps and (done < reps_min or no_improve < 2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            t = time.perf_counter() - t0
+            no_improve = 0 if t < best * 0.9 else no_improve + 1
+            best = min(best, t)
+            done += 1
         timings[name] = round(best, 3)
         # Queries persist multi-consumer frames that must outlive the
         # call (the driver contract returns lazy DataFrames), so a
@@ -163,7 +172,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
-                "protocol": "min_of_reps",
+                "protocol": "min_of_adaptive_reps_3_to_5",
                 "calibration_sec": _calibration(reps),
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
