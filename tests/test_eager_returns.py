@@ -280,3 +280,31 @@ def test_release_keepalive_reclaims_dirs():
     assert _eager.release_keepalive() >= 1
     assert not os.path.exists(d)
     assert _eager.release_keepalive() == 0
+
+
+def test_checked_lazy_rejects_reserved_diff_columns(spark):
+    """_side/_delta collide with the diff's bookkeeping columns —
+    withColumn would silently replace them and the proof would compare
+    the wrong data (round-10 advice)."""
+    from market_data_pipeline_databricks_spark.plans._eager import checked_lazy
+
+    df = spark.createDataFrame([(1, 1)], "k long, _side long")
+    with pytest.raises(ValueError, match="_side"):
+        checked_lazy(df, df, "t")
+    df2 = spark.createDataFrame([(1, 1)], "k long, _delta long")
+    with pytest.raises(ValueError, match="_delta"):
+        checked_lazy(df2, df2, "t")
+
+
+def test_checked_lazy_rejects_map_columns(spark):
+    """Map-typed columns cannot be GROUP BY keys — the multiset diff
+    would throw a cryptic analysis error; fail with a clear one."""
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_databricks_spark.plans._eager import checked_lazy
+
+    df = spark.range(1).select(
+        F.create_map(F.lit("a"), F.lit(1)).alias("m")
+    )
+    with pytest.raises(ValueError, match="map"):
+        checked_lazy(df, df, "t")
