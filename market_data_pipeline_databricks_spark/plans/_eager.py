@@ -85,6 +85,21 @@ def materialize(df: DataFrame, max_rows: int = MAX_MATERIALIZED_ROWS) -> DataFra
     return spark.createDataFrame(rows, df.schema)
 
 
+def _contains_map(dtype) -> bool:
+    """True if ``dtype`` is or nests a MapType — Spark rejects maps as
+    grouping keys, so the multiset diff must fail with a clear error
+    instead of a planning-time AnalysisException."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
 class ConstructionMismatchError(AssertionError):
     """A construction drive's result diverged from its lazy
     oracle-equivalent recomputation — the roundtrip/COW/DPP/state
@@ -136,12 +151,13 @@ def checked_lazy(
     unsupported = [
         f"{f.name}:{f.dataType.simpleString()}"
         for f in constructed.schema.fields
-        if f.dataType.typeName() == "map"
+        if _contains_map(f.dataType)
     ]
     if unsupported:
         raise ValueError(
-            f"{label}: map-typed columns cannot be GROUP BY keys in the "
-            f"multiset diff: {unsupported} — restructure to array<struct>"
+            f"{label}: map-typed columns (nested included) cannot be "
+            f"GROUP BY keys in the multiset diff: {unsupported} — "
+            "restructure to array<struct>"
         )
     delta = (
         constructed.withColumn("_side", F.lit(1))

@@ -412,10 +412,12 @@ def publish_staged(table_dir: str, branch: str) -> int:
     workflow is stage → audit → exactly one of publish/discard, by the
     one job that owns the branch (the WAP pattern's premise). As
     defense in depth the publish re-verifies staged-file existence
-    AFTER winning the exclusive manifest claim and rolls the claim
-    back if a concurrent discard won the files, so the published chain
-    never references deleted data even under a contract violation
-    (the discarder's files are simply gone — the publish raises)."""
+    AFTER winning the exclusive manifest claim and — when it is still
+    the head version — rolls the claim back if a concurrent discard
+    won the files. This NARROWS the contract-violation window (the
+    check-then-claim race remains; only branch ownership eliminates
+    it) and the rollback never touches a version that a later commit
+    has already built on."""
     _require_absolute(table_dir)
     sp = _staging_path(table_dir, branch)
     staged = json.loads(sp.read_text())["files"]
@@ -426,6 +428,12 @@ def publish_staged(table_dir: str, branch: str) -> int:
         # (also the crash-retry shape for an empty batch; publishing
         # would mint a duplicate no-op version)
         sp.unlink()
+        if prev == 0:
+            raise ValueError(
+                "empty staged batch on a never-published table: marker "
+                "removed, but there is no version to return — commit "
+                "data before publishing"
+            )
         return prev
     if set(staged) <= _retained_files(table_dir):
         # crash-retry: a previous publish_staged died between _publish
@@ -445,14 +453,28 @@ def publish_staged(table_dir: str, branch: str) -> int:
     # defense in depth against a concurrent discard_staged (contract
     # violation): if any staged file vanished between the check above
     # and the claim, unpublish the just-claimed manifest and raise
-    # rather than leave a version referencing deleted files.
+    # rather than leave a version referencing deleted files. Roll back
+    # ONLY while prev+1 is still the head — if an independent
+    # commit_append already built v(prev+2) on top, unlinking would
+    # punch a hole in the version chain (a worse corruption than the
+    # one being guarded); in that case surface the error and leave
+    # repair to the operator.
     gone = [f for f in staged if not Path(f).exists()]
     if gone:
-        (Path(table_dir) / f"v{prev + 1}.json").unlink(missing_ok=True)
+        rolled = False
+        if latest_version(table_dir) == prev + 1:
+            _manifest_path(table_dir, prev + 1).unlink(missing_ok=True)
+            rolled = True
         raise ConcurrentCommitError(
             f"staged file(s) for branch {branch!r} were deleted during "
             f"publish ({len(gone)} missing — concurrent discard_staged?); "
-            "the claimed manifest was rolled back"
+            + (
+                "the claimed manifest was rolled back"
+                if rolled
+                else f"v{prev + 1} is no longer the head so it was NOT "
+                "rolled back — repair the referenced files or expire the "
+                "version manually"
+            )
         )
     sp.unlink()
     return prev + 1

@@ -308,3 +308,15 @@ def test_checked_lazy_rejects_map_columns(spark):
     )
     with pytest.raises(ValueError, match="map"):
         checked_lazy(df, df, "t")
+
+
+def test_checked_lazy_rejects_nested_map_columns(spark):
+    from pyspark.sql import functions as F
+
+    from market_data_pipeline_databricks_spark.plans._eager import checked_lazy
+
+    df = spark.range(1).select(
+        F.struct(F.create_map(F.lit("a"), F.lit(1)).alias("m")).alias("s")
+    )
+    with pytest.raises(ValueError, match="map"):
+        checked_lazy(df, df, "t")

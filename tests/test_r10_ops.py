@@ -414,3 +414,24 @@ def test_wap_publish_rolls_back_claim_when_files_vanish(spark, tmp_path, monkeyp
     assert latest_version(tdir) == 1
     assert not (Path(tdir) / "v2.json").exists()
     assert snapshots.read_version(spark, tdir, 1).count() == 1
+
+
+def test_wap_publish_empty_staged_on_unpublished_table_raises(spark, tmp_path):
+    """prev == 0 is not a publishable version: the marker is cleaned up
+    but the caller gets a clear error instead of a version number that
+    read_version would crash on."""
+    import json
+    from pathlib import Path
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        publish_staged,
+    )
+
+    tdir = str(tmp_path / "t")
+    Path(tdir).mkdir(parents=True)
+    (Path(tdir) / "staging-br.json").write_text(
+        json.dumps({"branch": "br", "files": []})
+    )
+    with pytest.raises(ValueError, match="never-published"):
+        publish_staged(tdir, "br")
+    assert not (Path(tdir) / "staging-br.json").exists()

@@ -25,6 +25,7 @@ import duckdb
 import __spark_entry__ as entrymod
 from market_data_pipeline_databricks_spark.session import get_spark
 from market_data_pipeline_databricks_spark.sources.tables import TESTDATA_TABLES
+from tools.lint_schemas import _violations as _schema_violations
 
 
 def _norm(v):
@@ -100,14 +101,13 @@ def main() -> int:
         # on one side only, and timestamp_ntz encodes differently from
         # session-TZ timestamps. _norm's str() maps Decimal('1.00') and
         # DuckDB's 1.00 to the same string, so the multiset check can
-        # never see it. Hard-fail the SCHEMA instead: final outputs must
+        # never see it. Hard-fail the SCHEMA instead (recursively —
+        # array<decimal> hides the same hazard): final outputs must
         # cast decimals to DOUBLE and ntz timestamps to DATE/TIMESTAMP
         # on BOTH sides (keep decimal arithmetic internal).
-        hazard = [
-            f"{f.name}:{f.dataType.simpleString()}"
-            for f in sdf.schema.fields
-            if f.dataType.typeName() in ("decimal", "timestamp_ntz")
-        ]
+        hazard = []
+        for f in sdf.schema.fields:
+            hazard.extend(_schema_violations(f.dataType, f.name))
         if hazard:
             problems.append(
                 f"spark schema emits driver-hash-hazard types "

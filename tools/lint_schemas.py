@@ -88,12 +88,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     args = ap.parse_args()
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("lint-schemas")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    # the project session factory, so the scan sees schemas under the
+    # same pinned confs (UTC session TZ, AQE, ...) the driver runs with
+    from market_data_pipeline_databricks_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="lint-schemas",
+        extra_conf={"spark.sql.shuffle.partitions": "8"},
     )
     try:
         bad = scan(spark, args.sf_dir)
