@@ -100,6 +100,16 @@ HEADLINE = [
     # fan-out the other headliners don't exercise); a universe-filter
     # or join-order regression would otherwise be driver-invisible.
     "funcs_pairwise_correlation",
+    # round-11: the two new scale paths. The per-key two-pass rank
+    # (range partition → local window → offset broadcast) and the
+    # quantile-bucketed z-order governance rewrite (approxQuantile
+    # sketch + binary-search bucket codegen + range-partitioned write)
+    # — un-benched, a window-repartition or bucket-expression
+    # regression (the r11 interpreted-HOF bug cost 4.3x) would be
+    # driver-invisible. Baselines 1.5 s / 5.1 s at sf0.1 (BASELINE.md
+    # r11).
+    "scale_salted_window_rank",
+    "scale_layout_zorder_pruning",
 ]
 
 
