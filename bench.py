@@ -113,9 +113,31 @@ HEADLINE = [
 ]
 
 
+def _wait_for_quiet_box() -> float:
+    """Bounded pre-flight: delay the run until the 1-min load average
+    drops below a threshold, so the one driver-visible record lands in
+    a quiet window when one exists within the wait budget.
+
+    The box has noisy neighbors (load swings 0.3-11; BASELINE.md r11);
+    BENCH_r11 was budget-degraded purely by starting inside a spike.
+    Waiting is bounded — a record under documented load still beats a
+    DNF — and the seconds waited are reported in the JSON so the
+    reader can tell a gated start from a lucky one.
+    """
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "3.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT_SEC", "300"))
+    t0 = time.perf_counter()
+    while True:
+        waited = time.perf_counter() - t0
+        if os.getloadavg()[0] < threshold or waited >= max_wait:
+            return round(waited, 1)
+        time.sleep(min(15.0, max_wait - waited))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    gate_waited = _wait_for_quiet_box()
     spark = get_spark(app_name="bench")
 
     # Warm the JVM + parquet footers + codegen paths (scan, hash-agg,
@@ -152,7 +174,7 @@ def main() -> None:
     # spike outlasts all 5 draws no local rule can help — the load_avg
     # fields record that for the reader.) Quiet box: the old min-of-3
     # wall.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     reps_min = min(3, reps)
     # Completion guard: under a sustained neighbor spike every draw
     # inflates ~3x, and 30 queries x 5 draws can outlast whatever wall
@@ -174,7 +196,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             draws.append(time.perf_counter() - t0)
-            if len(draws) >= reps_min:
+            if len(draws) >= max(2, reps_min):
                 fastest, second = sorted(draws)[:2]
                 if second <= fastest * 1.15:
                     break
@@ -204,6 +226,7 @@ def main() -> None:
                 # cross-round drift ratio it exists to provide
                 "calibration_sec": _calibration(3),
                 "load_avg_start": [round(x, 2) for x in load_start],
+                "quiet_gate_waited_sec": gate_waited,
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "degraded_after": degraded_after,
             }

@@ -412,12 +412,13 @@ def publish_staged(table_dir: str, branch: str) -> int:
     workflow is stage → audit → exactly one of publish/discard, by the
     one job that owns the branch (the WAP pattern's premise). As
     defense in depth the publish re-verifies staged-file existence
-    AFTER winning the exclusive manifest claim and — when it is still
-    the head version — rolls the claim back if a concurrent discard
-    won the files. This NARROWS the contract-violation window (the
-    check-then-claim race remains; only branch ownership eliminates
-    it) and the rollback never touches a version that a later commit
-    has already built on."""
+    AFTER winning the exclusive manifest claim and, if a concurrent
+    discard won the files, rewrites the claimed manifest in place as a
+    NO-OP version (tombstone rollback — references the prior files
+    only, never unlinked, so the version chain can never have a hole
+    regardless of what concurrent committers did meanwhile). This
+    NARROWS the contract-violation window (the check-then-claim race
+    remains; only branch ownership eliminates it)."""
     _require_absolute(table_dir)
     sp = _staging_path(table_dir, branch)
     staged = json.loads(sp.read_text())["files"]
@@ -452,29 +453,39 @@ def publish_staged(table_dir: str, branch: str) -> int:
     _publish(table_dir, prev + 1, prior_files + staged)
     # defense in depth against a concurrent discard_staged (contract
     # violation): if any staged file vanished between the check above
-    # and the claim, unpublish the just-claimed manifest and raise
-    # rather than leave a version referencing deleted files. Roll back
-    # ONLY while prev+1 is still the head — if an independent
-    # commit_append already built v(prev+2) on top, unlinking would
-    # punch a hole in the version chain (a worse corruption than the
-    # one being guarded); in that case surface the error and leave
-    # repair to the operator.
+    # and the claim, neutralize the just-claimed manifest and raise
+    # rather than leave a version referencing deleted files. The
+    # rollback is TOMBSTONE-based, never an unlink: the v(prev+1)
+    # manifest is atomically rewritten in place (os.replace) to
+    # reference prior_files only — a no-op version equal to v(prev).
+    # An unlink guarded by a head check would be a TOCTOU: a
+    # concurrent commit_append can publish v(prev+2) between the check
+    # and the unlink, and the unlink would then punch a hole in the
+    # version chain. With the rewrite, every version number stays
+    # readable forever; the residual exposure is a commit_append that
+    # read v(prev+1) BEFORE the rewrite and so carries the deleted
+    # staged files forward — that window exists under any rollback
+    # mechanism and is exactly the one-operator-per-branch contract
+    # violation this guard bounds (to a failed publish + an error,
+    # never a missing version).
     gone = [f for f in staged if not Path(f).exists()]
     if gone:
-        rolled = False
-        if latest_version(table_dir) == prev + 1:
-            _manifest_path(table_dir, prev + 1).unlink(missing_ok=True)
-            rolled = True
+        mp = _manifest_path(table_dir, prev + 1)
+        tmp = mp.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(
+                json.dumps({"version": prev + 1, "files": sorted(prior_files)})
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mp)
+        _fsync_dir(mp.parent)
         raise ConcurrentCommitError(
             f"staged file(s) for branch {branch!r} were deleted during "
             f"publish ({len(gone)} missing — concurrent discard_staged?); "
-            + (
-                "the claimed manifest was rolled back"
-                if rolled
-                else f"v{prev + 1} is no longer the head so it was NOT "
-                "rolled back — repair the referenced files or expire the "
-                "version manually"
-            )
+            f"v{prev + 1} was rewritten as a no-op version referencing "
+            "only the prior files (tombstone rollback — the version "
+            "chain has no hole)"
         )
     sp.unlink()
     return prev + 1

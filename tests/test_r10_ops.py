@@ -408,11 +408,19 @@ def test_wap_publish_rolls_back_claim_when_files_vanish(spark, tmp_path, monkeyp
             Path(f).unlink(missing_ok=True)
 
     monkeypatch.setattr(snapshots, "_publish", racing_publish)
-    with pytest.raises(ConcurrentCommitError, match="rolled back"):
+    with pytest.raises(ConcurrentCommitError, match="tombstone"):
         snapshots.publish_staged(tdir, "br")
-    # the claimed v2 manifest was rolled back; the published chain is intact
-    assert latest_version(tdir) == 1
-    assert not (Path(tdir) / "v2.json").exists()
+    # tombstone rollback: v2 stays readable as a no-op version equal to
+    # v1 (an unlink would be a TOCTOU hole if a concurrent
+    # commit_append had already built v3) — the chain has no gap and
+    # no version references the deleted staged files
+    assert latest_version(tdir) == 2
+    assert (Path(tdir) / "v2.json").exists()
+    import json as _json
+
+    v2_files = _json.loads((Path(tdir) / "v2.json").read_text())["files"]
+    assert all(Path(f).exists() for f in v2_files)
+    assert snapshots.read_version(spark, tdir, 2).count() == 1
     assert snapshots.read_version(spark, tdir, 1).count() == 1
 
 
