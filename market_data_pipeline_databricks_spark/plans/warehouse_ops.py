@@ -1249,3 +1249,91 @@ FROM allrows GROUP BY o_orderstatus
 """
     }
 )
+
+
+def warehouse_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REWRITE-FREE partition-evolution drive
+    (sources/snapshots.py:evolve_partition_spec — the Iceberg
+    spec-evolution mechanic): version 1 commits the even-orderkey half
+    of orders un-clustered; the spec then evolves to cluster on
+    o_custkey; version 3 commits the odd half range-clustered with
+    per-file min/max bounds recorded in the manifest. The read is a
+    custkey range (100..400) through :func:`read_pruned` — pre-
+    evolution files are scanned (no bounds → conservative keep), post-
+    evolution files outside the range are SKIPPED at the manifest, and
+    the residual filter makes exactness independent of the pruning.
+    The DuckDB oracle replays the identical filter over the raw table,
+    so a prune that dropped a matching file (or double-listed one)
+    breaks the hash; the skip-count behavior itself is pinned by
+    tests/test_snapshots.py. At 100 TB this is the layout-change path:
+    evolving the spec costs one manifest write, never a table rewrite.
+    EAGER (commits + evolves at construction)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        evolve_partition_spec,
+        read_pruned,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    tdir = tempfile.mkdtemp(prefix="pevolve_")
+    try:
+        commit_append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), tdir
+        )
+        evolve_partition_spec(tdir, ["o_custkey"])
+        commit_append(
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            tdir,
+            cluster_partitions=8,
+        )
+        pruned = read_pruned(spark, tdir, "o_custkey", 100, 400)
+        constructed = pruned.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_totalprice")
+            .cast("decimal(27,2)")
+            .cast("double")
+            .alias("sum_price"),
+        )
+        twin = (
+            orders.filter(F.col("o_custkey").between(100, 400))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return checked_lazy(
+            constructed, twin, "warehouse_partition_evolution"
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+QUERIES.update(
+    {"warehouse_partition_evolution": warehouse_partition_evolution}
+)
+
+ORACLE_SQL.update(
+    {
+        "warehouse_partition_evolution": """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400
+GROUP BY o_orderstatus
+"""
+    }
+)

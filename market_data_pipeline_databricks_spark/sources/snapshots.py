@@ -164,18 +164,59 @@ def _exclusive_write(target: Path, payload: str, conflict_msg: str) -> None:
         raise
 
 
-def _publish(table_dir: str, version: int, files: list[str]) -> None:
+def _publish(
+    table_dir: str,
+    version: int,
+    files: list[str],
+    spec: list[str] | None = None,
+    file_stats: dict[str, dict[str, list]] | None = None,
+) -> None:
     """Atomic + EXCLUSIVE manifest publication via
     :func:`_exclusive_write`: two writers racing to the same version
     number cannot both win — the loser raises
     :class:`ConcurrentCommitError` instead of silently replacing the
-    winner's commit (which a rename would)."""
+    winner's commit (which a rename would).
+
+    ``spec`` records the partition spec ACTIVE at this version (the
+    clustering keys future commits should honor); ``file_stats`` maps
+    a data file to per-spec-key ``[min, max]`` value bounds used for
+    manifest-level file pruning (:func:`read_pruned`). Both are
+    optional metadata: manifests without them read identically (legacy
+    versions prune nothing, which is always correct)."""
+    payload: dict = {"version": version, "files": sorted(files)}
+    if spec:
+        payload["spec"] = list(spec)
+    if file_stats:
+        # only stats for files this manifest actually lists — a stale
+        # entry for an expired/rewritten file would prune against
+        # bounds that no longer describe any listed data
+        listed = set(files)
+        payload["file_stats"] = {
+            f: s for f, s in file_stats.items() if f in listed
+        }
     _exclusive_write(
         _manifest_path(table_dir, version),
-        json.dumps({"version": version, "files": sorted(files)}),
+        json.dumps(payload),
         f"version {version} of {table_dir} was committed by a "
         "concurrent writer — re-read latest_version() and retry",
     )
+
+
+def _manifest_meta(
+    table_dir: str, version: int
+) -> tuple[list[str], dict[str, dict[str, list]]]:
+    """(partition spec, per-file stats) recorded at ``version``;
+    ``([], {})`` for legacy manifests written before partition
+    evolution existed."""
+    d = json.loads(_manifest_path(table_dir, version).read_text())
+    return list(d.get("spec", [])), dict(d.get("file_stats", {}))
+
+
+def active_spec(table_dir: str) -> list[str]:
+    """The partition spec new commits should cluster by: the one the
+    LATEST manifest records (empty for legacy/unevolved tables)."""
+    v = latest_version(table_dir)
+    return _manifest_meta(table_dir, v)[0] if v else []
 
 
 def _write_commit_files(df: DataFrame, table_dir: str) -> list[str]:
@@ -198,16 +239,172 @@ def read_version(
     return spark.read.parquet(*_read_manifest(table_dir, v))
 
 
-def commit_append(df: DataFrame, table_dir: str) -> int:
+def _collect_file_stats(
+    spark: SparkSession, files: list[str], keys: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file ``[min, max]`` bounds of the spec keys for a batch of
+    just-written data files — the Iceberg-style metadata pass that
+    makes manifest-level pruning possible. One column-pruned scan of
+    the new files (never the table), grouped by ``input_file_name``.
+    JSON-representable bounds only: numerics stay numbers, everything
+    else is stored via ``str()`` and compared lexically at prune time.
+    """
+    from urllib.parse import unquote, urlparse
+
+    aggs = []
+    for k in keys:
+        aggs.append(F.min(k).alias(f"__min_{k}"))
+        aggs.append(F.max(k).alias(f"__max_{k}"))
+    # bounded collect: one row per just-written data file (the commit's
+    # own file count — partition-scaled, never row-scaled)
+    rows = (
+        spark.read.parquet(*files)
+        .withColumn("__file__", F.input_file_name())
+        .groupBy("__file__")
+        .agg(*aggs)
+        .collect()
+    )
+
+    def _jsonable(v):
+        return v if isinstance(v, (int, float, str)) or v is None else str(v)
+
+    stats: dict[str, dict[str, list]] = {}
+    for r in rows:
+        path = str(Path(unquote(urlparse(r["__file__"]).path)).resolve())
+        stats[path] = {
+            k: [_jsonable(r[f"__min_{k}"]), _jsonable(r[f"__max_{k}"])]
+            for k in keys
+        }
+    return stats
+
+
+def commit_append(
+    df: DataFrame, table_dir: str, cluster_partitions: int | None = None
+) -> int:
     """Append commit: new files join the previous manifest's files by
-    reference. Returns the new version number."""
+    reference. Returns the new version number.
+
+    PARTITION-SPEC-AWARE: when the table's active spec (see
+    :func:`evolve_partition_spec`) is non-empty, the batch is
+    range-clustered on the spec keys before writing (contiguous value
+    ranges per file — tight min/max bounds) and per-file bounds are
+    recorded in the manifest for :func:`read_pruned`. Files committed
+    under OLDER specs are untouched — evolution is rewrite-free; they
+    simply never prune (conservative, always correct).
+    ``cluster_partitions`` pins the clustered file count; the default
+    lets AQE size range partitions to target bytes (the right call for
+    production commits — tests and governance drives pin it)."""
     _require_absolute(table_dir)
     Path(table_dir).mkdir(parents=True, exist_ok=True)
     prev = latest_version(table_dir)
     prior_files = _read_manifest(table_dir, prev) if prev else []
+    spec, prior_stats = _manifest_meta(table_dir, prev) if prev else ([], {})
+    if spec:
+        cols = [F.asc(k) for k in spec]
+        df = (
+            df.repartitionByRange(cluster_partitions, *cols)
+            if cluster_partitions
+            else df.repartitionByRange(*cols)
+        )
     new_files = _write_commit_files(df, table_dir)
-    _publish(table_dir, prev + 1, prior_files + new_files)
+    stats = dict(prior_stats)
+    if spec:
+        stats.update(
+            _collect_file_stats(df.sparkSession, new_files, spec)
+        )
+    _publish(
+        table_dir, prev + 1, prior_files + new_files, spec=spec,
+        file_stats=stats,
+    )
     return prev + 1
+
+
+def evolve_partition_spec(table_dir: str, keys: list[str]) -> int:
+    """REWRITE-FREE partition evolution (the Iceberg spec-evolution
+    mechanic): publish a new version with the SAME files whose manifest
+    records a new clustering spec. Every subsequent
+    :func:`commit_append` range-clusters its batch on the new keys and
+    records per-file min/max bounds; files written before the evolution
+    stay valid, unmoved, and simply opt out of pruning. At 100 TB this
+    is the only affordable way to change a table's layout — a re-layout
+    rewrite is a separate, optional compaction decision (see
+    ``sources/layout.py``), never a prerequisite.
+
+    Returns the new version number. Raises on an empty key list (use
+    ``keys=[]`` semantics via a fresh table instead: un-evolving is
+    publishing a spec of ``[]`` explicitly not supported to keep the
+    audit trail of manifests monotone)."""
+    if not keys:
+        raise ValueError(
+            "evolve_partition_spec needs at least one clustering key"
+        )
+    _require_absolute(table_dir)
+    prev = latest_version(table_dir)
+    if prev == 0:
+        raise ValueError(
+            f"{table_dir} has no published version to evolve — commit "
+            "data first (the spec rides on manifests)"
+        )
+    prior_files = _read_manifest(table_dir, prev)
+    _, prior_stats = _manifest_meta(table_dir, prev)
+    _publish(
+        table_dir, prev + 1, prior_files, spec=list(keys),
+        file_stats=prior_stats,
+    )
+    return prev + 1
+
+
+def prune_files(
+    table_dir: str,
+    key: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Manifest-level file pruning: the files of ``version`` whose
+    recorded ``[min, max]`` bounds for ``key`` intersect ``[lo, hi]``,
+    plus every file with NO recorded bounds for ``key`` (pre-evolution
+    commits — kept conservatively). Returns ``(kept_files,
+    total_files)``. Pure manifest arithmetic — no Spark job, no file
+    I/O beyond the JSON manifest; at 100 TB this is the planning-time
+    skip that turns a point/range query into an O(matching-files) scan.
+    """
+    _require_absolute(table_dir)
+    v = latest_version(table_dir) if version is None else version
+    files = _read_manifest(table_dir, v)
+    _, stats = _manifest_meta(table_dir, v)
+    kept = []
+    for f in files:
+        b = stats.get(f, {}).get(key)
+        if b is None or b[0] is None or b[1] is None:
+            kept.append(f)  # no/NULL bounds: cannot prune, must scan
+        elif not (b[1] < lo or b[0] > hi):
+            kept.append(f)
+    return kept, len(files)
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read of ``key BETWEEN lo AND hi`` with manifest-level
+    file skipping (:func:`prune_files`) plus the residual row filter —
+    exactness never depends on the pruning (bounds only ever EXCLUDE
+    files that provably hold no matching row). The residual filter also
+    reaches the parquet scan as a pushed predicate, so kept files still
+    row-group-skip on their footers."""
+    kept, _total = prune_files(table_dir, key, lo, hi, version)
+    if not kept:
+        # empty result with the right schema: scan nothing but keep the
+        # manifest's column shape via an all-files schema-only read
+        v = latest_version(table_dir) if version is None else version
+        empty = spark.read.parquet(*_read_manifest(table_dir, v)).limit(0)
+        return empty.filter(F.col(key).between(lo, hi))
+    return spark.read.parquet(*kept).filter(F.col(key).between(lo, hi))
 
 
 def commit_merge_keys(
@@ -294,8 +491,20 @@ def commit_merge_keys(
         if survivors is not None
         else batch
     )
+    spec, prior_stats = _manifest_meta(table_dir, prev)
+    if spec:
+        merged = merged.repartitionByRange(*[F.asc(k) for k in spec])
     new_files = _write_commit_files(merged, table_dir)
-    _publish(table_dir, prev + 1, untouched + new_files)
+    # spec + stats carry forward: untouched files keep their bounds,
+    # rewritten files get fresh bounds when a spec is active (the COW
+    # output is re-clustered above, so its bounds stay tight)
+    stats = dict(prior_stats)
+    if spec:
+        stats.update(_collect_file_stats(spark, new_files, spec))
+    _publish(
+        table_dir, prev + 1, untouched + new_files, spec=spec,
+        file_stats=stats,
+    )
     return prev + 1
 
 
@@ -450,7 +659,16 @@ def publish_staged(table_dir: str, branch: str) -> int:
             "publish followed by retention expiry) — discard_staged "
             "the marker instead of publishing deleted files"
         )
-    _publish(table_dir, prev + 1, prior_files + staged)
+    # spec carries forward; staged files were written by stage_append
+    # without spec clustering, so they get no bounds (conservative —
+    # they scan, never mis-prune)
+    wap_spec, wap_stats = (
+        _manifest_meta(table_dir, prev) if prev else ([], {})
+    )
+    _publish(
+        table_dir, prev + 1, prior_files + staged, spec=wap_spec,
+        file_stats=wap_stats,
+    )
     # defense in depth against a concurrent discard_staged (contract
     # violation): if any staged file vanished between the check above
     # and the claim, neutralize the just-claimed manifest and raise
@@ -472,10 +690,16 @@ def publish_staged(table_dir: str, branch: str) -> int:
     if gone:
         mp = _manifest_path(table_dir, prev + 1)
         tmp = mp.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
+        tomb: dict = {"version": prev + 1, "files": sorted(prior_files)}
+        if wap_spec:
+            tomb["spec"] = list(wap_spec)
+        if wap_stats:
+            listed = set(prior_files)
+            tomb["file_stats"] = {
+                f: s for f, s in wap_stats.items() if f in listed
+            }
         with open(tmp, "w") as f:
-            f.write(
-                json.dumps({"version": prev + 1, "files": sorted(prior_files)})
-            )
+            f.write(json.dumps(tomb))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, mp)

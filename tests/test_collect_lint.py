@@ -49,6 +49,11 @@ BOUNDED_COLLECTS = {
         "one row per data file containing a matched key (the COW "
         "working set; manifests are file-scaled, never row-scaled)",
     ),
+    ("sources/snapshots.py", "_collect_file_stats"): (
+        1,
+        "one row per just-written data file of a single commit "
+        "(partition-scaled metadata pass, never row-scaled)",
+    ),
 }
 
 

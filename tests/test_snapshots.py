@@ -288,3 +288,126 @@ def test_publish_fallback_unclaims_on_failed_write(spark, tdir, monkeypatch):
     monkeypatch.setattr(S.os, "fsync", real_fsync)
     S._publish(tdir, 1, ["/f.parquet"])
     assert latest_version(tdir) == 1
+
+
+# ---------------------------------------------------------------- #
+# partition evolution (round 12): rewrite-free spec changes +       #
+# manifest-level min/max file pruning                               #
+# ---------------------------------------------------------------- #
+
+
+def _mk_kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+
+
+def test_evolve_spec_is_rewrite_free_and_clusters_new_commits(spark, tdir):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        active_spec,
+        evolve_partition_spec,
+        prune_files,
+        read_pruned,
+    )
+
+    commit_append(_mk_kv(spark, 0, 1000).repartition(3), tdir)
+    files_v1 = set(
+        json.loads((Path(tdir) / "v1.json").read_text())["files"]
+    )
+    assert active_spec(tdir) == []
+    assert evolve_partition_spec(tdir, ["k"]) == 2
+    # rewrite-free: v2 lists exactly v1's files
+    files_v2 = set(
+        json.loads((Path(tdir) / "v2.json").read_text())["files"]
+    )
+    assert files_v2 == files_v1
+    assert active_spec(tdir) == ["k"]
+    # post-evolution commit clusters on k and records per-file bounds
+    commit_append(_mk_kv(spark, 1000, 2000), tdir, cluster_partitions=4)
+    man = json.loads((Path(tdir) / "v3.json").read_text())
+    new_files = set(man["files"]) - files_v1
+    assert len(new_files) == 4
+    stats = man["file_stats"]
+    assert set(stats) == new_files  # old files carry no bounds
+    # range clustering → tight, non-overlapping bounds covering 1000..1999
+    bounds = sorted(tuple(stats[f]["k"]) for f in new_files)
+    assert bounds[0][0] == 1000 and bounds[-1][1] == 1999
+    for (lo1, hi1), (lo2, _hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2
+    # pruning: a range inside ONE new file's bounds keeps that file
+    # plus the 3 statless v1 files
+    lo, hi = bounds[0][0], bounds[0][1]
+    kept, total = prune_files(tdir, "k", lo, hi)
+    assert total == 7 and len(kept) == 4
+    # exactness: pruned read == full filter
+    got = read_pruned(spark, tdir, "k", lo, hi)
+    assert got.count() == hi - lo + 1
+    full = read_version(spark, tdir).filter(F.col("k").between(lo, hi))
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+
+
+def test_pruned_read_empty_range_keeps_schema(spark, tdir):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        evolve_partition_spec,
+        read_pruned,
+    )
+
+    commit_append(_mk_kv(spark, 0, 100), tdir)
+    evolve_partition_spec(tdir, ["k"])
+    commit_append(_mk_kv(spark, 100, 200), tdir, cluster_partitions=2)
+    out = read_pruned(spark, tdir, "k", -50, -10)
+    assert out.count() == 0
+    assert out.columns == ["k", "v"]
+
+
+def test_cow_merge_preserves_spec_and_recomputes_bounds(spark, tdir):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        active_spec,
+        evolve_partition_spec,
+        prune_files,
+        read_pruned,
+    )
+
+    commit_append(_mk_kv(spark, 0, 500), tdir)
+    evolve_partition_spec(tdir, ["k"])
+    commit_append(_mk_kv(spark, 500, 1000), tdir, cluster_partitions=4)
+    batch = spark.createDataFrame(
+        [(250, 99), (750, 99)], "k long, v long"
+    )
+    commit_merge_keys(spark, tdir, batch, ["k"])
+    assert active_spec(tdir) == ["k"]
+    # merged result still exact under pruned reads
+    got = read_pruned(spark, tdir, "k", 700, 800)
+    rows = {(r["k"], r["v"]) for r in got.collect()}
+    assert (750, 99) in rows
+    assert len(rows) == 101
+    kept, total = prune_files(tdir, "k", 700, 800)
+    assert len(kept) <= total
+
+
+def test_evolve_rejects_empty_keys_and_empty_table(spark, tdir):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        evolve_partition_spec,
+    )
+
+    with pytest.raises(ValueError, match="at least one"):
+        evolve_partition_spec(tdir, [])
+    with pytest.raises(ValueError, match="no published version"):
+        evolve_partition_spec(tdir, ["k"])
+
+
+def test_wap_publish_carries_spec_forward(spark, tdir):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        active_spec,
+        evolve_partition_spec,
+        publish_staged,
+        stage_append,
+    )
+
+    commit_append(_mk_kv(spark, 0, 100), tdir)
+    evolve_partition_spec(tdir, ["k"])
+    stage_append(_mk_kv(spark, 100, 150), tdir, "audit")
+    publish_staged(tdir, "audit")
+    assert active_spec(tdir) == ["k"]
+    assert read_version(spark, tdir).count() == 150
