@@ -1,0 +1,88 @@
+"""Two-pass distributed ranking — the scale-safe replacement for
+mono-partition / hot-partition ROW_NUMBER windows.
+
+A ``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY plans every
+row through ONE task (Catalyst inserts a SinglePartition exchange); a
+``PARTITION BY key`` with few distinct keys lands ~|table|/|keys| rows
+in each window task. Both are executor-OOM shapes at 100 TB. The
+two-pass form keeps every window partition one range-split wide:
+
+1. range-repartition on (keys..., order...) — the caller's order plus
+   a unique tie-break makes the total order TOTAL, so range boundaries
+   cannot split equal rows and each key's rows occupy a CONTIGUOUS
+   ascending ``spark_partition_id`` range (AQE coalescing merges only
+   ADJACENT ranges, so the monotonicity survives);
+2. local ROW_NUMBER per (pid, keys...) — bounded by one range split;
+3. per-(keys, pid) counts → cumulative offsets over pids (a
+   |keys|×|parts| frame — driver-trivial) broadcast back;
+   rank = offset + local rank.
+
+Generalizes the inline forms proven by ``scale_global_rank_twopass``
+(no keys) and ``scale_salted_window_rank`` (skewed keys) in
+plans/scale_ops.py — both now delegate here, and the streaming rank
+maintenance (streaming/rank.py) reuses it per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_INTERNAL = ("pid", "lrank", "__n", "__offset")
+
+
+def two_pass_key_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    order_exprs: list[Column],
+    rank_col: str,
+    parts: int | None = None,
+) -> DataFrame:
+    """Append ``rank_col`` = ROW_NUMBER() OVER (PARTITION BY key_cols
+    ORDER BY order_exprs) computed with the two-pass range-partition
+    technique (module docstring). ``key_cols`` may be empty (global
+    rank). ``order_exprs`` are sort Columns (``F.asc(...)`` /
+    ``F.desc(...)``) and MUST end in a unique tie-break so the order
+    is total — otherwise range boundaries can split ties and the
+    stitched ranks are boundary-dependent, not equal to the window.
+    """
+    clash = [c for c in _INTERNAL if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"two_pass_key_rank bookkeeping columns {clash} collide with "
+            "input columns — rename them first"
+        )
+    spark = df.sparkSession
+    if parts is None:
+        try:
+            parts = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect has no sparkContext
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key_exprs = [F.asc(k) for k in key_cols]
+    ranged = df.repartitionByRange(
+        parts, *key_exprs, *order_exprs
+    ).withColumn("pid", F.spark_partition_id())
+    lw = Window.partitionBy("pid", *key_cols).orderBy(*order_exprs)
+    local = ranged.withColumn("lrank", F.row_number().over(lw))
+    # offsets: for each key, the cumulative count of that key's rows in
+    # all EARLIER range partitions. The frame is |keys|×|parts| rows —
+    # with no keys it is |parts| rows — so the mono-partition window
+    # below is bounded by aggregate cardinality, never the table.
+    ow = (
+        Window.partitionBy(*key_cols)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy(*key_cols, "pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__offset", F.coalesce(F.sum("__n").over(ow), F.lit(0)))
+        .select(*key_cols, "pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), [*key_cols, "pid"])
+        .withColumn(
+            rank_col, (F.col("__offset") + F.col("lrank")).cast("long")
+        )
+        .drop("pid", "lrank", "__offset")
+    )

@@ -26,78 +26,69 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-11 window. The r8-r10 hash-RED rows are now fully
-    # diagnosed (VERDICT r10): the driver's value hash canonicalizes
-    # DecimalType through a trailing-zero-dropping float-like form on
-    # one side only, so ANY final DecimalType (or timestamp_ntz)
-    # output column is a hash hazard — NOT the EAGER return plumbing
-    # r8/r9 theorized about. Round 11 casts every such final column to
-    # DOUBLE/DATE on both the Spark and DuckDB sides (decimals stay
-    # internal for exact arithmetic); tools/lint_schemas.py +
-    # tests/test_schema_lint.py enforce the rule registry-wide.
-    # Standing rule: a converted query must be driver-PROVEN, so the
-    # 12 reds stay pinned at the head...
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "source_schema_evolution",
-    "scale_zorder_clustering",
-    "warehouse_time_travel",
-    "warehouse_compact_small_files",
-    "stream_snapshot_commits",
-    "warehouse_snapshot_cdc",
-    "scale_dynamic_partition_pruning",
-    "stream_state_store_audit",
-    "warehouse_vacuum_audit",
-    "scale_global_rank_twopass",
-    # ...followed by the 5 other queries the decimal/ntz pass
-    # converted this round (3 value-luck greens + the 2 ntz o_orderdate
-    # TPC-H shapes the lint surfaced beyond the verdict's list):
-    "warehouse_write_audit_publish",
-    "warehouse_erase_rtbf",
-    "scale_bucketed_join",
-    "join_q18_large_volume",
-    "join_q3_shipping_priority",
-    # -- round-11 additions (never-checked): standing rule — a new
-    # oracle-backed query takes a window slot the round it lands
-    "scale_salted_window_rank",
-    "scale_layout_zorder_pruning",
-    # -- stalest-green fill: the alphabetical head of the cohort last
-    # green in r05 (computed from CORRECTNESS_r01..r10) — 31 slots.
-    "events_session_stats",
-    "funcs_bollinger_bands",
-    "join_asof_forward_quotes",
-    "join_asof_nearest_quotes",
-    "join_q10_returned_items",
-    "join_q12_priority_shipping",
-    "join_q15_top_supplier",
-    "join_q17_small_quantity_revenue",
-    "join_q19_disjunctive_revenue",
-    "join_q20_excess_shipments",
-    "join_q21_waiting_suppliers",
-    "join_q22_idle_balance",
-    "join_q2_min_cost_supplier",
-    "join_q4_order_priority",
-    "join_q5_local_supplier_volume",
-    "join_q7_volume_shipping",
-    "join_q8_market_share",
-    "multimodal_image_resize",
-    "quality_expectation_suite",
-    "quality_k_anonymity",
-    "sample_domain_mixture",
-    "sample_temperature_mixture",
-    "sample_weighted_reservoir",
-    "scalar_props_map_entries",
-    "scalar_props_variant",
-    "scale_skew_diagnostics",
-    "stream_daily_unique_users",
-    "stream_stream_left_outer_attribution",
-    "text_corpus_report",
-    "text_exact_decontaminate",
-    "text_gopher_rules",
+    # -- round-12 window. Rotation per the standing rules (VERDICT
+    # r11 task 4): the 19 freshly-proven r11 head slots (12 ex-reds +
+    # 5 conversions + 2 r11 debuts) yield; the two NEW round-12
+    # oracle-backed queries take debut slots (never-hash-checked beats
+    # stalest-green); the remaining 48 slots are the stalest-green
+    # cohort computed over CORRECTNESS_r01..r11 — the 5 queries last
+    # green in r05 (text_pii_redaction onward), then the alphabetical
+    # head of the 48-query r06 cohort (43 slots).
+    "stream_rank_maintenance",
+    "warehouse_partition_evolution",
+    # -- stalest-green fill: last green r05 (5), then r06 head (43)
+    "text_pii_redaction",
+    "vector_dim_stats",
+    "vector_label_cohesion",
+    "window_gapfill_daily_close",
+    "window_native_session_stats",
+    "agg_yoy_revenue_growth",
+    "cdc_supplier_balance_diff",
+    "dedup_containment_screen",
+    "dedup_cross_source_matrix",
+    "er_blocked_match_pairs",
+    "events_burst_detection",
+    "events_chi2_independence",
+    "events_interarrival_quantiles",
+    "events_last_touch_attribution",
+    "events_longest_streak",
+    "events_power_users_pareto",
+    "events_rolling_active_users",
+    "events_top_paths",
+    "events_user_value_deciles",
+    "funcs_atr_parkinson",
+    "funcs_cross_sectional_momentum",
+    "funcs_cusum_drift",
+    "funcs_dow_seasonality",
+    "funcs_macd",
+    "funcs_max_drawdown",
+    "funcs_rolling_median_close",
+    "funcs_rsi",
+    "funcs_sharpe_sortino",
+    "funcs_vwap_monthly",
+    "funcs_weekly_ohlc",
+    "gold_incremental_equivalence",
+    "graph_part_bfs_hops",
+    "graph_part_triangles",
+    "incremental_cdc_rollup",
+    "incremental_rollup_equivalence",
+    "join_asof_tolerance_quotes",
+    "join_interval_overlap",
+    "join_lateral_top_orders",
+    "nested_orders_rollup",
+    "quality_order_total_reconciliation",
+    "sample_stratified_reservoir",
+    "scale_heavy_hitters",
+    "source_synthetic_ticks_ohlc",
+    "stream_synthetic_ticks_ohlc",
+    "text_bigram_logprob",
+    "text_gopher_survivors",
+    "text_lang_confusion_matrix",
+    "text_length_histogram",
 
-    # -- displaced: the r10 window's green tail (all 38 green rows in
-    # CORRECTNESS_r10) and the r05-cohort tail from text_pii_redaction
-    # on; all remain verifiable via tools/check_oracle.py.
+    # -- displaced: the r11 head (all driver-proven r11) and the r06
+    # cohort tail from text_ngram_novelty on; all remain verifiable
+    # via tools/check_oracle.py.
 )
 
 

@@ -716,8 +716,14 @@ def scale_global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     so hash equality proves the stitched ranks equal the global sort
     exactly — every row, not just the top-k (``sort_topk_orders``
     covers the TakeOrdered shape; this covers full-table ranking, the
-    export/backfill shape where every row needs its position)."""
-    from pyspark.sql import Window
+    export/backfill shape where every row needs its position).
+
+    Delegates to the factored operator
+    (operators/ranking.py:two_pass_key_rank, round 12) — same plan,
+    now shared with the per-key and streaming rank paths."""
+    from market_data_pipeline_databricks_spark.operators.ranking import (
+        two_pass_key_rank,
+    )
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -726,39 +732,16 @@ def scale_global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         # columns are driver-hash hazards (VERDICT r10)
         F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
     )
-    try:
-        parts = spark.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect has no sparkContext
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = orders.repartitionByRange(
-        parts, F.desc("o_totalprice"), F.asc("o_orderkey")
-    ).withColumn("pid", F.spark_partition_id())
-    lw = Window.partitionBy("pid").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ranked = two_pass_key_rank(
+        orders,
+        [],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        "global_rank",
     )
-    local = ranged.withColumn("lrank", F.row_number().over(lw))
-    # offsets: cumulative count of all EARLIER range partitions
-    ow = (
-        # single-partition window: bounded — the input is the per-range-
-        # partition count frame, exactly |parts| rows (that is the
-        # point: mono-partition cost on parts rows, never on the table)
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        local.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("offset", F.coalesce(F.sum("n").over(ow), F.lit(0)))
-        .select("pid", "offset")
-    )
-    return (
-        local.join(F.broadcast(offsets), "pid")
-        .select(
-            "o_orderkey",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            (F.col("offset") + F.col("lrank")).cast("long").alias(
-                "global_rank"
-            ),
-        )
+    return ranked.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "global_rank",
     )
 
 
@@ -800,45 +783,26 @@ def scale_salted_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle IS the single-hot-partition form (DuckDB windows
     centrally), so hash equality proves the stitched per-key ranks
-    equal the skewed window exactly, every row."""
-    from pyspark.sql import Window
+    equal the skewed window exactly, every row.
+
+    Delegates to the factored operator
+    (operators/ranking.py:two_pass_key_rank, round 12) — same plan,
+    now shared with the global and streaming rank paths."""
+    from market_data_pipeline_databricks_spark.operators.ranking import (
+        two_pass_key_rank,
+    )
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"
     )
-    try:
-        parts = spark.sparkContext.defaultParallelism
-    except Exception:  # Spark Connect has no sparkContext
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = li.repartitionByRange(
-        parts,
-        F.asc("l_returnflag"),
-        F.asc("l_shipdate"),
-        F.asc("l_orderkey"),
-        F.asc("l_linenumber"),
-    ).withColumn("pid", F.spark_partition_id())
-    lw = Window.partitionBy("pid", "l_returnflag").orderBy(
-        F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ranked = two_pass_key_rank(
+        li,
+        ["l_returnflag"],
+        [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "key_rank",
     )
-    local = ranged.withColumn("lrank", F.row_number().over(lw))
-    # offsets: for each key, the cumulative count of that key's rows in
-    # all EARLIER range partitions; the frame is |keys| x |parts| rows
-    ow = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        local.groupBy("l_returnflag", "pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("offset", F.coalesce(F.sum("n").over(ow), F.lit(0)))
-        .select("l_returnflag", "pid", "offset")
-    )
-    return local.join(F.broadcast(offsets), ["l_returnflag", "pid"]).select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        (F.col("offset") + F.col("lrank")).cast("long").alias("key_rank"),
+    return ranked.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "key_rank"
     )
 
 

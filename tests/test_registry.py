@@ -13,68 +13,66 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# The round-11 rotation, as an EXPLICIT literal (not
+# The round-12 rotation, as an EXPLICIT literal (not
 # list(registry.DRIVER_WINDOW)): the point of this guard is that an
 # accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
 # aliasing the registry value made the lockstep check trivially true
-# (round-6 advice). The 12 r10 hash-RED queries lead (all converted to
-# DOUBLE/DATE final outputs this round — the decimal-encoding root
-# cause, VERDICT r10; a conversion must be driver-proven), then the 5
-# other queries the same pass converted (3 value-luck decimal greens +
-# 2 ntz o_orderdate TPC-H shapes), then the 2 new r11 queries (salted
-# window rank, layout-governed z-order), then 31 stalest-green (the
-# alphabetical head of the last-green-r05 cohort) — see registry.py.
+# (round-6 advice). The 2 new r12 queries lead (partition evolution,
+# streaming rank maintenance — a new oracle-backed query takes a window
+# slot the round it lands), then the stalest-green cohort computed over
+# CORRECTNESS_r01..r11: the 5 last-green-r05 queries, then the
+# alphabetical head of the r06 cohort (43 slots) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
-    "source_orc_roundtrip",
-    "source_json_roundtrip",
-    "source_schema_evolution",
-    "scale_zorder_clustering",
-    "warehouse_time_travel",
-    "warehouse_compact_small_files",
-    "stream_snapshot_commits",
-    "warehouse_snapshot_cdc",
-    "scale_dynamic_partition_pruning",
-    "stream_state_store_audit",
-    "warehouse_vacuum_audit",
-    "scale_global_rank_twopass",
-    "warehouse_write_audit_publish",
-    "warehouse_erase_rtbf",
-    "scale_bucketed_join",
-    "join_q18_large_volume",
-    "join_q3_shipping_priority",
-    "scale_salted_window_rank",
-    "scale_layout_zorder_pruning",
-    "events_session_stats",
-    "funcs_bollinger_bands",
-    "join_asof_forward_quotes",
-    "join_asof_nearest_quotes",
-    "join_q10_returned_items",
-    "join_q12_priority_shipping",
-    "join_q15_top_supplier",
-    "join_q17_small_quantity_revenue",
-    "join_q19_disjunctive_revenue",
-    "join_q20_excess_shipments",
-    "join_q21_waiting_suppliers",
-    "join_q22_idle_balance",
-    "join_q2_min_cost_supplier",
-    "join_q4_order_priority",
-    "join_q5_local_supplier_volume",
-    "join_q7_volume_shipping",
-    "join_q8_market_share",
-    "multimodal_image_resize",
-    "quality_expectation_suite",
-    "quality_k_anonymity",
-    "sample_domain_mixture",
-    "sample_temperature_mixture",
-    "sample_weighted_reservoir",
-    "scalar_props_map_entries",
-    "scalar_props_variant",
-    "scale_skew_diagnostics",
-    "stream_daily_unique_users",
-    "stream_stream_left_outer_attribution",
-    "text_corpus_report",
-    "text_exact_decontaminate",
-    "text_gopher_rules",
+    "stream_rank_maintenance",
+    "warehouse_partition_evolution",
+    "text_pii_redaction",
+    "vector_dim_stats",
+    "vector_label_cohesion",
+    "window_gapfill_daily_close",
+    "window_native_session_stats",
+    "agg_yoy_revenue_growth",
+    "cdc_supplier_balance_diff",
+    "dedup_containment_screen",
+    "dedup_cross_source_matrix",
+    "er_blocked_match_pairs",
+    "events_burst_detection",
+    "events_chi2_independence",
+    "events_interarrival_quantiles",
+    "events_last_touch_attribution",
+    "events_longest_streak",
+    "events_power_users_pareto",
+    "events_rolling_active_users",
+    "events_top_paths",
+    "events_user_value_deciles",
+    "funcs_atr_parkinson",
+    "funcs_cross_sectional_momentum",
+    "funcs_cusum_drift",
+    "funcs_dow_seasonality",
+    "funcs_macd",
+    "funcs_max_drawdown",
+    "funcs_rolling_median_close",
+    "funcs_rsi",
+    "funcs_sharpe_sortino",
+    "funcs_vwap_monthly",
+    "funcs_weekly_ohlc",
+    "gold_incremental_equivalence",
+    "graph_part_bfs_hops",
+    "graph_part_triangles",
+    "incremental_cdc_rollup",
+    "incremental_rollup_equivalence",
+    "join_asof_tolerance_quotes",
+    "join_interval_overlap",
+    "join_lateral_top_orders",
+    "nested_orders_rollup",
+    "quality_order_total_reconciliation",
+    "sample_stratified_reservoir",
+    "scale_heavy_hitters",
+    "source_synthetic_ticks_ohlc",
+    "stream_synthetic_ticks_ohlc",
+    "text_bigram_logprob",
+    "text_gopher_survivors",
+    "text_lang_confusion_matrix",
+    "text_length_histogram",
 ]
 
 
