@@ -110,6 +110,14 @@ HEADLINE = [
     # r11).
     "scale_salted_window_rank",
     "scale_layout_zorder_pruning",
+    # round-12: the two new warehouse/stream maintenance drives. The
+    # partition-evolution commit path (spec-aware range-clustered
+    # commits + manifest-pruned read) and the incremental streaming
+    # rank (3 micro-batches through foreachBatch + two-pass rank +
+    # keyed upsert) — un-benched, a clustering/stats regression or a
+    # per-batch O(history) recompute slip would be driver-invisible.
+    "warehouse_partition_evolution",
+    "stream_rank_maintenance",
 ]
 
 

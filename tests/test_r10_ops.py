@@ -401,8 +401,8 @@ def test_wap_publish_rolls_back_claim_when_files_vanish(spark, tmp_path, monkeyp
 
     real_publish = snapshots._publish
 
-    def racing_publish(table_dir, version, files):
-        real_publish(table_dir, version, files)
+    def racing_publish(table_dir, version, files, **meta):
+        real_publish(table_dir, version, files, **meta)
         # simulate a concurrent discard winning right after the claim
         for f in staged_files:
             Path(f).unlink(missing_ok=True)
