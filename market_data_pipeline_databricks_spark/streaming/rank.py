@@ -124,3 +124,51 @@ def stream_rank_maintenance(
     finally:
         if auto_checkpoint:
             shutil.rmtree(checkpoint_dir, ignore_errors=True)
+
+
+def repair_ranks(
+    spark,
+    late_rows: DataFrame,
+    warehouse_dir: str,
+    table: str = "events_ranked",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    rank_col: str = "user_seq",
+) -> None:
+    """Late-arrival repair for the maintained rank table: when rows
+    violate the stream's event-time-order precondition (a late event
+    whose ``ts`` precedes already-ranked rows of its key), insert them
+    and RE-RANK only the affected keys — the batch two-pass rank over
+    ``O(affected keys' rows)``, never the whole table. All other keys'
+    rows are untouched (the keyed upsert rewrites only the partitions
+    the repaired rows live in).
+
+    Idempotent: re-running with the same late rows recomputes and
+    rewrites identical ranks. Scale shape: the affected-key subset is
+    located with one broadcast semi-join on the key column; repair cost
+    tracks the hot keys' row counts, not table size."""
+    from market_data_pipeline_databricks_spark.operators.ranking import (
+        two_pass_key_rank,
+    )
+    from market_data_pipeline_databricks_spark.sources.tables import (
+        read_table,
+    )
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        upsert_by_key,
+    )
+
+    existing = read_table(spark, warehouse_dir, table)
+    keys = late_rows.select(key_col).distinct()
+    affected = existing.join(F.broadcast(keys), key_col, "semi").drop(
+        rank_col
+    )
+    # union late rows (dedup by id against rows already present — a
+    # replayed repair re-delivers the same late rows)
+    merged = affected.unionByName(
+        late_rows.select(*affected.columns)
+    ).dropDuplicates([id_col])
+    reranked = two_pass_key_rank(
+        merged, [key_col], [F.asc(ts_col), F.asc(id_col)], rank_col
+    )
+    upsert_by_key(spark, reranked, warehouse_dir, table, [id_col])

@@ -174,3 +174,135 @@ def test_partition_evolution_query_matches_plain_filter(spark):
         .collect()
     }
     assert rows == truth
+
+
+def test_repair_ranks_fixes_late_arrivals_for_affected_keys_only(spark):
+    """A late event (precondition violation) is repaired by re-ranking
+    ONLY its key; other keys' rows keep their stored ranks, and the
+    final table equals the batch window over the full input."""
+    from market_data_pipeline_databricks_spark.sources.tables import read_table
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        repair_ranks,
+        stream_rank_maintenance,
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="rkfeed_")
+    wh = tempfile.mkdtemp(prefix="rkwh_")
+    try:
+        ev = spark.read.parquet(f"{SF}/events.parquet").select(
+            "event_id", "ts", "user_id"
+        )
+        # hold back ONE early event of one user as the late arrival
+        target = ev.orderBy("ts", "event_id").limit(1).first()
+        on_time = ev.filter(F.col("event_id") != target.event_id)
+        lo, hi = on_time.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        for cond in (F.col("ts") < F.lit(mid), F.col("ts") >= F.lit(mid)):
+            on_time.filter(cond).coalesce(1).write.mode("append").parquet(
+                feed_dir
+            )
+        feed = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+        stream_rank_maintenance(feed, wh)
+        before = {
+            r.event_id: r.user_seq
+            for r in read_table(spark, wh, "events_ranked").collect()
+        }
+        late = ev.filter(F.col("event_id") == target.event_id)
+        repair_ranks(spark, late, wh)
+        repair_ranks(spark, late, wh)  # idempotent re-run
+        after = {
+            r.event_id: r.user_seq
+            for r in read_table(spark, wh, "events_ranked").collect()
+        }
+        w = Window.partitionBy("user_id").orderBy(
+            F.asc("ts"), F.asc("event_id")
+        )
+        truth = {
+            r.event_id: r.seq
+            for r in ev.withColumn("seq", F.row_number().over(w)).collect()
+        }
+        assert after == truth
+        # untouched keys kept their stored ranks
+        other = {
+            eid: s
+            for eid, s in before.items()
+            if truth[eid] == before[eid]
+        }
+        assert all(after[eid] == before[eid] for eid in other)
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_read_pruned_pushes_residual_filter_to_scan(spark, tmp_path):
+    """The kept files' scan must carry the range as PushedFilters and a
+    pruned ReadSchema — pruning composes with row-group skipping."""
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        evolve_partition_spec,
+        read_pruned,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    commit_append(df, tdir)
+    evolve_partition_spec(tdir, ["k"])
+    commit_append(
+        spark.range(1000, 2000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        tdir,
+        cluster_partitions=4,
+    )
+    plan = (
+        read_pruned(spark, tdir, "k", 1100, 1200)
+        .select("v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(k,1100)" in plan
+    assert "LessThanOrEqual(k,1200)" in plan
+
+
+def test_multi_key_spec_clusters_and_prunes_on_lead_key(spark, tmp_path):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        evolve_partition_spec,
+        prune_files,
+        read_pruned,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    commit_append(df, tdir)
+    evolve_partition_spec(tdir, ["k", "v"])
+    commit_append(
+        spark.range(100, 1100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        tdir,
+        cluster_partitions=5,
+    )
+    # bounds recorded for BOTH spec keys; lead-key pruning skips the
+    # out-of-range clustered files (5 clustered + statless v1 files)
+    kept_k, total = prune_files(tdir, "k", 100, 150)
+    assert len(kept_k) < total
+    got = read_pruned(spark, tdir, "k", 100, 150).count()
+    assert got == 51
+    # second key: v is 0..6 in every clustered file (range clustering
+    # on (k, v) gives v the full domain per file), so an out-of-domain
+    # range drops ALL clustered files and keeps only the statless v1
+    # files — the conservative path
+    kept_v, total_v = prune_files(tdir, "v", 100, 200)
+    assert len(kept_v) < total_v
+    assert read_pruned(spark, tdir, "v", 100, 200).count() == 0
