@@ -28,14 +28,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-12 window. Rotation per the standing rules (VERDICT
     # r11 task 4): the 19 freshly-proven r11 head slots (12 ex-reds +
-    # 5 conversions + 2 r11 debuts) yield; the two NEW round-12
+    # 5 conversions + 2 r11 debuts) yield; the three NEW round-12
     # oracle-backed queries take debut slots (never-hash-checked beats
-    # stalest-green); the remaining 48 slots are the stalest-green
+    # stalest-green); the remaining 47 slots are the stalest-green
     # cohort computed over CORRECTNESS_r01..r11 — the 5 queries last
     # green in r05 (text_pii_redaction onward), then the alphabetical
-    # head of the 48-query r06 cohort (43 slots).
+    # head of the 48-query r06 cohort (42 slots).
     "stream_rank_maintenance",
     "warehouse_partition_evolution",
+    "stream_evolved_commits",
     # -- stalest-green fill: last green r05 (5), then r06 head (43)
     "text_pii_redaction",
     "vector_dim_stats",
@@ -84,7 +85,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bigram_logprob",
     "text_gopher_survivors",
     "text_lang_confusion_matrix",
-    "text_length_histogram",
 
     # -- displaced: the r11 head (all driver-proven r11) and the r06
     # cohort tail from text_ngram_novelty on; all remain verifiable

@@ -954,3 +954,101 @@ FROM events
 """
     }
 )
+
+
+def stream_evolved_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITION drive for the round-12 partition-evolution surface
+    (sources/snapshots.py): version 1 commits a third of orders
+    un-clustered; the spec then evolves to cluster on o_custkey; the
+    remaining two thirds arrive as a STREAM (availableNow, one file per
+    trigger) whose foreachBatch sink commits through the spec-aware
+    ``commit_append`` — each micro-batch range-clusters itself and
+    records bounds with no code in the sink knowing about the spec;
+    ``rewrite_to_spec`` then re-clusters the pre-evolution tail, and
+    the final read is a custkey range through ``read_pruned`` over a
+    table where EVERY file carries bounds. The DuckDB oracle replays
+    the identical filter over the raw table — a batch lost/duplicated
+    by a streaming commit, a mis-clustered file, or a mis-pruned read
+    breaks the hash. EAGER (commits + streams + rewrites at
+    construction)."""
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        evolve_partition_spec,
+        read_pruned,
+        rewrite_to_spec,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    tdir = tempfile.mkdtemp(prefix=f"evcommit_{_NONCE}_")
+    feed_dir = tempfile.mkdtemp(prefix=f"evfeed_{_NONCE}_")
+    ckpt_dir = tempfile.mkdtemp(prefix=f"evckpt_{_NONCE}_")
+    try:
+        commit_append(
+            orders.filter(F.col("o_orderkey") % 3 == 0).repartition(3), tdir
+        )
+        evolve_partition_spec(tdir, ["o_custkey"])
+        for part in (1, 2):
+            orders.filter(F.col("o_orderkey") % 3 == part).coalesce(
+                1
+            ).write.mode("append").parquet(feed_dir)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.take(1):
+                return
+            commit_append(
+                batch_df.localCheckpoint(), tdir, cluster_partitions=4
+            )
+
+        feed = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rewrite_to_spec(spark, tdir, cluster_partitions=4)
+
+        def agg(df: DataFrame) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
+            )
+
+        constructed = agg(read_pruned(spark, tdir, "o_custkey", 100, 400))
+        twin = agg(orders.filter(F.col("o_custkey").between(100, 400)))
+        return checked_lazy(constructed, twin, "stream_evolved_commits")
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+QUERIES.update({"stream_evolved_commits": stream_evolved_commits})
+
+# the streamed+rewritten evolved table must aggregate exactly like the
+# raw custkey-range filter — shared shape with the batch evolution drive
+from market_data_pipeline_databricks_spark.plans import warehouse_ops as _wpe
+
+ORACLE_SQL.update(
+    {
+        "stream_evolved_commits": _wpe.ORACLE_SQL[
+            "warehouse_partition_evolution"
+        ]
+    }
+)

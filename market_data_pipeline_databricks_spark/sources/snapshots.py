@@ -354,6 +354,63 @@ def evolve_partition_spec(table_dir: str, keys: list[str]) -> int:
     return prev + 1
 
 
+def rewrite_to_spec(
+    spark: SparkSession,
+    table_dir: str,
+    cluster_partitions: int | None = None,
+) -> tuple[int, int]:
+    """OPT-IN layout governance: re-cluster the files that predate the
+    current partition spec (no recorded bounds for its keys) into
+    spec-clustered files with manifest stats, and publish the result as
+    a new version. Files already carrying bounds for every spec key are
+    untouched — carried by reference, exactly like the COW merge's
+    unmatched files. Returns ``(new_version, n_files_rewritten)``
+    (``(current, 0)`` when nothing qualifies — no empty commit minted).
+
+    This is the separate compaction DECISION :func:`evolve_partition_spec`
+    deliberately does not make: evolution itself is free (one manifest),
+    and the historical tail is rewritten only when a governance job
+    decides the scan savings pay for the rewrite — at 100 TB usually
+    partition-by-partition, oldest first, which this function supports
+    by being re-runnable (each run rewrites whatever is still
+    statless). A pure re-layout: the published version is
+    multiset-identical to its predecessor (pinned by pytest)."""
+    _require_absolute(table_dir)
+    prev = latest_version(table_dir)
+    if prev == 0:
+        raise ValueError(f"{table_dir} has no published version")
+    spec, stats = _manifest_meta(table_dir, prev)
+    if not spec:
+        raise ValueError(
+            f"{table_dir} has no active partition spec — evolve one "
+            "first (rewrite_to_spec is the governance follow-up)"
+        )
+    files = _read_manifest(table_dir, prev)
+    statless = [
+        f
+        for f in files
+        if any(k not in stats.get(f, {}) for k in spec)
+    ]
+    if not statless:
+        return prev, 0
+    keep = [f for f in files if f not in set(statless)]
+    df = spark.read.parquet(*statless)
+    cols = [F.asc(k) for k in spec]
+    df = (
+        df.repartitionByRange(cluster_partitions, *cols)
+        if cluster_partitions
+        else df.repartitionByRange(*cols)
+    )
+    new_files = _write_commit_files(df, table_dir)
+    new_stats = dict(stats)
+    new_stats.update(_collect_file_stats(spark, new_files, spec))
+    _publish(
+        table_dir, prev + 1, keep + new_files, spec=spec,
+        file_stats=new_stats,
+    )
+    return prev + 1, len(statless)
+
+
 def prune_files(
     table_dir: str,
     key: str,

@@ -17,14 +17,16 @@ WINDOW = 50
 # list(registry.DRIVER_WINDOW)): the point of this guard is that an
 # accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
 # aliasing the registry value made the lockstep check trivially true
-# (round-6 advice). The 2 new r12 queries lead (partition evolution,
-# streaming rank maintenance — a new oracle-backed query takes a window
-# slot the round it lands), then the stalest-green cohort computed over
-# CORRECTNESS_r01..r11: the 5 last-green-r05 queries, then the
-# alphabetical head of the r06 cohort (43 slots) — see registry.py.
+# (round-6 advice). The 3 new r12 queries lead (partition evolution,
+# streaming rank maintenance, streamed evolved commits — a new
+# oracle-backed query takes a window slot the round it lands), then the
+# stalest-green cohort computed over CORRECTNESS_r01..r11: the 5
+# last-green-r05 queries, then the alphabetical head of the r06 cohort
+# (42 slots) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "stream_rank_maintenance",
     "warehouse_partition_evolution",
+    "stream_evolved_commits",
     "text_pii_redaction",
     "vector_dim_stats",
     "vector_label_cohesion",
@@ -72,7 +74,6 @@ PREVIOUSLY_UNCHECKED = [
     "text_bigram_logprob",
     "text_gopher_survivors",
     "text_lang_confusion_matrix",
-    "text_length_histogram",
 ]
 
 

@@ -411,3 +411,57 @@ def test_wap_publish_carries_spec_forward(spark, tdir):
     publish_staged(tdir, "audit")
     assert active_spec(tdir) == ["k"]
     assert read_version(spark, tdir).count() == 150
+
+
+def test_rewrite_to_spec_reclusters_only_statless_files(spark, tdir):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        evolve_partition_spec,
+        prune_files,
+        read_pruned,
+        rewrite_to_spec,
+    )
+
+    commit_append(_mk_kv(spark, 0, 1000).repartition(3), tdir)
+    evolve_partition_spec(tdir, ["k"])
+    commit_append(_mk_kv(spark, 1000, 2000), tdir, cluster_partitions=4)
+    man_before = json.loads(
+        (Path(tdir) / f"v{3}.json").read_text()
+    )
+    clustered = set(man_before["file_stats"])
+    before_rows = {
+        (r["k"], r["v"]) for r in read_version(spark, tdir).collect()
+    }
+    v, n = rewrite_to_spec(spark, tdir, cluster_partitions=4)
+    assert v == 4 and n == 3  # exactly the statless v1 files rewrote
+    man = json.loads((Path(tdir) / "v4.json").read_text())
+    # pre-clustered files carried by reference, stats intact
+    assert clustered <= set(man["files"])
+    assert clustered <= set(man["file_stats"])
+    # every listed file now carries bounds → full pruning
+    assert set(man["file_stats"]) == set(man["files"])
+    # pure re-layout: multiset-identical
+    after_rows = {
+        (r["k"], r["v"]) for r in read_version(spark, tdir).collect()
+    }
+    assert after_rows == before_rows
+    assert read_version(spark, tdir).count() == 2000
+    # pruning now skips on BOTH halves; a mid-range query keeps a
+    # strict subset
+    kept, total = prune_files(tdir, "k", 450, 550)
+    assert len(kept) < total
+    assert read_pruned(spark, tdir, "k", 450, 550).count() == 101
+    # idempotent: nothing statless remains
+    v2, n2 = rewrite_to_spec(spark, tdir)
+    assert (v2, n2) == (4, 0)
+
+
+def test_rewrite_to_spec_requires_spec(spark, tdir):
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        rewrite_to_spec,
+    )
+
+    with pytest.raises(ValueError, match="no published version"):
+        rewrite_to_spec(spark, tdir)
+    commit_append(_mk_kv(spark, 0, 10), tdir)
+    with pytest.raises(ValueError, match="no active partition spec"):
+        rewrite_to_spec(spark, tdir)
