@@ -46,7 +46,11 @@ def two_pass_key_rank(
     is total — otherwise range boundaries can split ties and the
     stitched ranks are boundary-dependent, not equal to the window.
     """
-    clash = [c for c in _INTERNAL if c in df.columns]
+    clash = [
+        c
+        for c in df.columns
+        if c in _INTERNAL or c.startswith("__k_") or c == "__offset"
+    ]
     if clash:
         raise ValueError(
             f"two_pass_key_rank bookkeeping columns {clash} collide with "
@@ -77,12 +81,30 @@ def two_pass_key_rank(
         local.groupBy(*key_cols, "pid")
         .agg(F.count(F.lit(1)).alias("__n"))
         .withColumn("__offset", F.coalesce(F.sum("__n").over(ow), F.lit(0)))
-        .select(*key_cols, "pid", "__offset")
+        .select(
+            *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+            F.col("pid").alias("__k_pid"),
+            "__offset",
+        )
     )
+    # NULL-SAFE key equality: a NULL key is a normal ROW_NUMBER window
+    # partition (groupBy above keeps it), but a plain equi-join would
+    # drop every NULL-keyed row (NULL != NULL) — silent row loss, the
+    # same hazard writers.py's _null_safe_* helpers guard the upserts
+    # against. pid itself is never NULL; the key columns may be.
+    cond = F.col("pid") == F.col("__k_pid")
+    for k in key_cols:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__k_{k}"))
     return (
-        local.join(F.broadcast(offsets), [*key_cols, "pid"])
+        local.join(F.broadcast(offsets), cond)
         .withColumn(
             rank_col, (F.col("__offset") + F.col("lrank")).cast("long")
         )
-        .drop("pid", "lrank", "__offset")
+        .drop(
+            "pid",
+            "lrank",
+            "__offset",
+            "__k_pid",
+            *[f"__k_{k}" for k in key_cols],
+        )
     )

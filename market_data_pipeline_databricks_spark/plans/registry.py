@@ -37,7 +37,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_rank_maintenance",
     "warehouse_partition_evolution",
     "stream_evolved_commits",
-    # -- stalest-green fill: last green r05 (5), then r06 head (43)
+    # -- stalest-green fill: last green r05 (5), then r06 head (42)
     "text_pii_redaction",
     "vector_dim_stats",
     "vector_label_cohesion",

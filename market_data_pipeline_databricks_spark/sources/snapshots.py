@@ -246,8 +246,14 @@ def _collect_file_stats(
     just-written data files — the Iceberg-style metadata pass that
     makes manifest-level pruning possible. One column-pruned scan of
     the new files (never the table), grouped by ``input_file_name``.
-    JSON-representable bounds only: numerics stay numbers, everything
-    else is stored via ``str()`` and compared lexically at prune time.
+    JSON-NATIVE bounds only: int/float/bool/str values are recorded;
+    any other key type (Decimal, timestamp, date, ...) records None —
+    such keys simply never prune (conservative scan, always correct).
+    A ``str()`` fallback would be WRONG, not just lossy: a Decimal
+    bound stored as ``'1000.00'`` compares lexically below ``'500'``
+    and would prune files that hold matching rows. Cluster on
+    numeric/string keys (or derive one, e.g. ``date_format``) to get
+    pruning for temporal/decimal domains.
     """
     from urllib.parse import unquote, urlparse
 
@@ -266,7 +272,8 @@ def _collect_file_stats(
     )
 
     def _jsonable(v):
-        return v if isinstance(v, (int, float, str)) or v is None else str(v)
+        # None for non-JSON-native types — NOT str() (docstring above)
+        return v if isinstance(v, (int, float, str)) or v is None else None
 
     stats: dict[str, dict[str, list]] = {}
     for r in rows:
@@ -430,12 +437,23 @@ def prune_files(
     v = latest_version(table_dir) if version is None else version
     files = _read_manifest(table_dir, v)
     _, stats = _manifest_meta(table_dir, v)
+    want_str = isinstance(lo, str) or isinstance(hi, str)
     kept = []
     for f in files:
         b = stats.get(f, {}).get(key)
         if b is None or b[0] is None or b[1] is None:
             kept.append(f)  # no/NULL bounds: cannot prune, must scan
-        elif not (b[1] < lo or b[0] > hi):
+            continue
+        if isinstance(b[0], str) != want_str:
+            # mixed-kind compare would be lexical-vs-numeric nonsense;
+            # refuse loudly rather than mis-prune or TypeError mid-loop
+            raise TypeError(
+                f"prune_files({key!r}): recorded bounds are "
+                f"{'string' if isinstance(b[0], str) else 'numeric'} but "
+                f"[lo, hi] is {'string' if want_str else 'numeric'} — "
+                "pass the key's native kind"
+            )
+        if not (b[1] < lo or b[0] > hi):
             kept.append(f)
     return kept, len(files)
 
@@ -746,6 +764,20 @@ def publish_staged(table_dir: str, branch: str) -> int:
     gone = [f for f in staged if not Path(f).exists()]
     if gone:
         mp = _manifest_path(table_dir, prev + 1)
+        if prev == 0:
+            # first-ever publish: a prior_files-only tombstone would be
+            # an EMPTY v1 that read_version cannot scan (zero parquet
+            # paths → AnalysisException at the head version, forever).
+            # Unlink is race-free HERE — any concurrent committer raced
+            # the SAME v1 claim through _exclusive_write and lost, so
+            # nothing can have built on the version being removed.
+            mp.unlink(missing_ok=True)
+            raise ConcurrentCommitError(
+                f"staged file(s) for branch {branch!r} were deleted "
+                f"during publish ({len(gone)} missing — concurrent "
+                "discard_staged?); the first-version claim was "
+                "unlinked (no prior version exists to tombstone to)"
+            )
         tmp = mp.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
         tomb: dict = {"version": prev + 1, "files": sorted(prior_files)}
         if wap_spec:

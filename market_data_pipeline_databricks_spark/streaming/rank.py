@@ -7,11 +7,17 @@ streaming implementation recomputes the window over all history each
 micro-batch — O(history) per batch, the streaming analogue of the
 recompute-everything gold job. This maintenance is INCREMENTAL:
 
-- precondition (documented, the classic streaming-rank premise): the
-  stream is event-time ordered ACROSS micro-batches — every row of
-  batch N+1 has ``ts`` >= every row of batch N. File drops cut on time
-  boundaries satisfy this; a late row would need the batch-rank repair
-  job instead (the batch two-pass rank over the affected keys).
+- precondition (STRICT, the classic streaming-rank premise): the
+  stream is event-time ordered ACROSS micro-batches and equal-``ts``
+  rows never split across a batch boundary — every row of batch N+1
+  has ``ts`` strictly greater than every row of batch N, OR shares no
+  ``ts`` value with batch N (value-cut file drops satisfy this; a
+  boundary TIE would let the strict ``ts < batch-min`` offset miss the
+  already-ranked tied rows and mint a duplicate rank). The sink GUARDS
+  the precondition: foreign rows at ``ts >=`` the batch min that the
+  batch does not contain raise instead of corrupting the table — late
+  rows go through :func:`repair_ranks` (the batch two-pass rank over
+  the affected keys).
 - per batch: the per-key OFFSET is the count of already-ranked rows
   with ``ts`` strictly below the batch's min ts — counted from the
   maintained table itself, so a REPLAYED batch (failure before the
@@ -22,12 +28,14 @@ recompute-everything gold job. This maintenance is INCREMENTAL:
 - rows land through the idempotent keyed upsert (replays rewrite the
   same values).
 
-Scale shape: per-batch cost is O(batch) for ranking + one
-column-pruned aggregate over the maintained table for offsets (at
-production scale the table is ts-partitioned so the ``ts <
-batch_min`` count prunes to recent partitions; the offset frame itself
-is |batch keys| rows, broadcast back). State is the checkpointed file
-log — never row-scaled driver state.
+Scale shape: the RANKING work is O(batch); the offsets count and the
+precondition guard are column-pruned scans of the maintained table
+(``partition_by_month=True`` partitions the table by a ts-derived
+month so both prune to recent partitions AND the keyed upsert rewrites
+only the touched months — without it the parquet upsert rewrites the
+whole table each batch, fine for drives, wrong for production). The
+offset frame itself is |batch keys| rows, broadcast back. State is the
+checkpointed file log — never row-scaled driver state.
 """
 
 from __future__ import annotations
@@ -39,6 +47,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class RankOrderViolation(ValueError):
+    """The micro-batch overlaps already-ranked event time: either a
+    late arrival or an equal-``ts`` split across a batch boundary. The
+    maintained table was NOT modified; route the offending rows through
+    :func:`repair_ranks`."""
+
+
 def stream_rank_maintenance(
     events_stream: DataFrame,
     warehouse_dir: str,
@@ -48,12 +63,19 @@ def stream_rank_maintenance(
     id_col: str = "event_id",
     rank_col: str = "user_seq",
     checkpoint_dir: str | None = None,
+    partition_by_month: bool = False,
 ) -> None:
     """Drain ``events_stream`` (availableNow) into ``warehouse_dir/
     table``, assigning each row its per-``key_col`` rank by
     (``ts_col``, ``id_col``) incrementally (module docstring). The
     final table equals the batch window over the full input whenever
-    the stream respects cross-batch event-time order."""
+    the stream respects the strict cross-batch event-time order — a
+    violating batch raises :class:`RankOrderViolation` before any
+    write. ``partition_by_month=True`` is the production layout: the
+    table partitions on a ts-derived month (functionally determined by
+    ``id_col`` — an event's ts never changes — so the upsert skips the
+    prior-partition scan) and each batch rewrites only touched months.
+    """
     from market_data_pipeline_databricks_spark.operators.ranking import (
         two_pass_key_rank,
     )
@@ -67,6 +89,16 @@ def stream_rank_maintenance(
     auto_checkpoint = checkpoint_dir is None
     if auto_checkpoint:
         checkpoint_dir = tempfile.mkdtemp(prefix=f"ckpt_rank_{table}_")
+    pcols = ["__p_month"] if partition_by_month else None
+
+    def _p(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "__p_month", F.date_format(F.col(ts_col), "yyyy-MM")
+            )
+            if partition_by_month
+            else df
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -92,16 +124,49 @@ def stream_rank_maintenance(
             rank_col,
         )
         if existing is not None:
+            # PRECONDITION GUARD (strict order, module docstring): an
+            # already-ranked row at ts >= batch-min that the batch does
+            # NOT itself contain is a late-arrival overlap or an
+            # equal-ts boundary split — ranking NEW rows under it would
+            # mint duplicates / leave stale ranks. Replay-safe twice
+            # over: a replayed batch's own landed rows match by id (not
+            # foreign), and a full RE-DRAIN (fresh checkpoint, later
+            # batches already landed) carries no NEW rows at all, so
+            # the second check lets it rewrite identical values. Both
+            # probes run only in the rare foreign case; the first is
+            # ts-bounded (partition-pruned under partition_by_month).
+            foreign = (
+                existing.filter(F.col(ts_col) >= F.lit(bmin))
+                .join(batch.select(id_col), id_col, "anti")
+                .take(1)
+            )
+            if foreign and batch.join(
+                existing.select(id_col), id_col, "anti"
+            ).take(1):
+                raise RankOrderViolation(
+                    f"micro-batch {batch_id} brings NEW rows while "
+                    f"already-ranked rows exist at or after its min "
+                    f"{ts_col} ({bmin!r}) — strict cross-batch order "
+                    "violated (late rows or an equal-ts boundary "
+                    "split); use repair_ranks for the offending rows"
+                )
             # offsets from the maintained table, NOT a side counter:
             # strict ts < batch-min excludes a replayed batch's own
-            # landed rows, so replays recompute identical ranks
+            # landed rows, so replays recompute identical ranks.
+            # NULL-safe key join: a NULL key is a normal window
+            # partition and must pick up its offset too.
             offsets = (
                 existing.filter(F.col(ts_col) < F.lit(bmin))
                 .groupBy(key_col)
                 .agg(F.count(F.lit(1)).alias("__base"))
+                .withColumnRenamed(key_col, "__k")
             )
             ranked = (
-                ranked.join(F.broadcast(offsets), key_col, "left")
+                ranked.join(
+                    F.broadcast(offsets),
+                    F.col(key_col).eqNullSafe(F.col("__k")),
+                    "left",
+                )
                 .withColumn(
                     rank_col,
                     (
@@ -109,9 +174,17 @@ def stream_rank_maintenance(
                         + F.col(rank_col)
                     ).cast("long"),
                 )
-                .drop("__base")
+                .drop("__base", "__k")
             )
-        upsert_by_key(spark, ranked, warehouse_dir, table, [id_col])
+        upsert_by_key(
+            spark,
+            _p(ranked),
+            warehouse_dir,
+            table,
+            [id_col],
+            pcols,
+            stable_partitions=partition_by_month,
+        )
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
@@ -135,19 +208,22 @@ def repair_ranks(
     ts_col: str = "ts",
     id_col: str = "event_id",
     rank_col: str = "user_seq",
+    partition_by_month: bool = False,
 ) -> None:
     """Late-arrival repair for the maintained rank table: when rows
     violate the stream's event-time-order precondition (a late event
     whose ``ts`` precedes already-ranked rows of its key), insert them
     and RE-RANK only the affected keys — the batch two-pass rank over
-    ``O(affected keys' rows)``, never the whole table. All other keys'
-    rows are untouched (the keyed upsert rewrites only the partitions
-    the repaired rows live in).
+    ``O(affected keys' rows)``, never the whole table's ranking.
 
     Idempotent: re-running with the same late rows recomputes and
     rewrites identical ranks. Scale shape: the affected-key subset is
-    located with one broadcast semi-join on the key column; repair cost
-    tracks the hot keys' row counts, not table size."""
+    located with one broadcast semi-join on the key column (NULL-safe:
+    a NULL-keyed late row repairs the NULL-key partition); the rerank
+    tracks the hot keys' row counts. The WRITE is bounded only under
+    ``partition_by_month=True`` (matching the maintenance layout —
+    touched months rewrite); the unpartitioned parquet upsert rewrites
+    the whole table, acceptable for drives, not for production."""
     from market_data_pipeline_databricks_spark.operators.ranking import (
         two_pass_key_rank,
     )
@@ -155,14 +231,15 @@ def repair_ranks(
         read_table,
     )
     from market_data_pipeline_databricks_spark.sources.writers import (
+        _null_safe_semi,
         upsert_by_key,
     )
 
     existing = read_table(spark, warehouse_dir, table)
+    if partition_by_month:
+        existing = existing.drop("__p_month")
     keys = late_rows.select(key_col).distinct()
-    affected = existing.join(F.broadcast(keys), key_col, "semi").drop(
-        rank_col
-    )
+    affected = _null_safe_semi(existing, keys, [key_col]).drop(rank_col)
     # union late rows (dedup by id against rows already present — a
     # replayed repair re-delivers the same late rows)
     merged = affected.unionByName(
@@ -171,4 +248,16 @@ def repair_ranks(
     reranked = two_pass_key_rank(
         merged, [key_col], [F.asc(ts_col), F.asc(id_col)], rank_col
     )
-    upsert_by_key(spark, reranked, warehouse_dir, table, [id_col])
+    if partition_by_month:
+        reranked = reranked.withColumn(
+            "__p_month", F.date_format(F.col(ts_col), "yyyy-MM")
+        )
+    upsert_by_key(
+        spark,
+        reranked,
+        warehouse_dir,
+        table,
+        [id_col],
+        ["__p_month"] if partition_by_month else None,
+        stable_partitions=partition_by_month,
+    )

@@ -306,3 +306,204 @@ def test_multi_key_spec_clusters_and_prunes_on_lead_key(spark, tmp_path):
     kept_v, total_v = prune_files(tdir, "v", 100, 200)
     assert len(kept_v) < total_v
     assert read_pruned(spark, tdir, "v", 100, 200).count() == 0
+
+
+def test_two_pass_rank_keeps_null_keyed_rows(spark):
+    """NULL keys form a normal window partition; the offsets join must
+    be null-safe or those rows silently vanish (review finding)."""
+    rows = [(1, 10, "a"), (2, 20, None), (3, 30, None), (4, 40, "a")]
+    df = spark.createDataFrame(rows, "id long, ts long, k string")
+    out = two_pass_key_rank(df, ["k"], [F.asc("ts"), F.asc("id")], "seq")
+    got = {(r.id): (r.k, r.seq) for r in out.collect()}
+    assert got == {1: ("a", 1), 4: ("a", 2), 2: (None, 1), 3: (None, 2)}
+
+
+def test_stream_rank_guard_raises_on_boundary_tie(spark):
+    """An equal-ts split across a batch boundary must RAISE before any
+    write (strict-precondition guard), not mint duplicate ranks."""
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        RankOrderViolation,
+        stream_rank_maintenance,
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="rkfeed_")
+    wh = tempfile.mkdtemp(prefix="rkwh_")
+    try:
+        import datetime as dt
+
+        t = dt.datetime(2025, 1, 1, 12, 0, 0)
+        schema = "event_id long, ts timestamp, user_id long"
+        b1 = spark.createDataFrame([(1, t, 7), (2, t, 7)], schema)
+        b2 = spark.createDataFrame([(3, t, 7)], schema)  # tied boundary
+        b1.coalesce(1).write.mode("append").parquet(feed_dir)
+        b2.coalesce(1).write.mode("append").parquet(feed_dir)
+        feed = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+        try:
+            stream_rank_maintenance(feed, wh)
+            raise AssertionError("boundary tie was not detected")
+        except Exception as exc:  # StreamingQueryException wraps it
+            assert "strict cross-batch order violated" in str(exc), exc
+        # RankOrderViolation is importable and is the raised class
+        assert issubclass(RankOrderViolation, ValueError)
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_stream_rank_month_partitioned_layout_equals_batch(spark):
+    """partition_by_month=True (the production layout: touched-month
+    rewrites) must produce the identical final table."""
+    from market_data_pipeline_databricks_spark.sources.tables import read_table
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        repair_ranks,
+        stream_rank_maintenance,
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="rkfeed_")
+    wh = tempfile.mkdtemp(prefix="rkwh_")
+    try:
+        ev = spark.read.parquet(f"{SF}/events.parquet").select(
+            "event_id", "ts", "user_id"
+        )
+        target = ev.orderBy("ts", "event_id").limit(1).first()
+        on_time = ev.filter(F.col("event_id") != target.event_id)
+        lo, hi = on_time.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        for cond in (F.col("ts") < F.lit(mid), F.col("ts") >= F.lit(mid)):
+            on_time.filter(cond).coalesce(1).write.mode("append").parquet(
+                feed_dir
+            )
+        feed = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed_dir)
+        )
+        stream_rank_maintenance(feed, wh, partition_by_month=True)
+        late = ev.filter(F.col("event_id") == target.event_id)
+        repair_ranks(spark, late, wh, partition_by_month=True)
+        got = {
+            r.event_id: r.user_seq
+            for r in read_table(spark, wh, "events_ranked")
+            .drop("__p_month")
+            .collect()
+        }
+        w = Window.partitionBy("user_id").orderBy(
+            F.asc("ts"), F.asc("event_id")
+        )
+        truth = {
+            r.event_id: r.seq
+            for r in ev.withColumn("seq", F.row_number().over(w)).collect()
+        }
+        assert got == truth
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_prune_files_rejects_mixed_kind_bounds(spark, tmp_path):
+    """Numeric lo/hi against string-recorded bounds must raise, never
+    compare lexically (review finding: silent mis-prune)."""
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        evolve_partition_spec,
+        prune_files,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.format_string("s%05d", "id").alias("s")
+    )
+    commit_append(df, tdir)
+    evolve_partition_spec(tdir, ["s"])
+    commit_append(
+        spark.range(100, 200).select(
+            F.col("id").alias("k"),
+            F.format_string("s%05d", "id").alias("s"),
+        ),
+        tdir,
+        cluster_partitions=2,
+    )
+    with pytest.raises(TypeError, match="native kind"):
+        prune_files(tdir, "s", 100, 200)
+    kept, total = prune_files(tdir, "s", "s00150", "s00160")
+    assert len(kept) < total
+
+
+def test_decimal_spec_key_records_no_bounds_and_scans(spark, tmp_path):
+    """Non-JSON-native key types (Decimal) record None bounds — the
+    conservative never-prune path, never a str() lexical hazard."""
+    import json as _json
+    from pathlib import Path as _P
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        evolve_partition_spec,
+        prune_files,
+        read_pruned,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 4).cast("decimal(10,2)").alias("d"),
+    )
+    commit_append(df, tdir)
+    evolve_partition_spec(tdir, ["d"])
+    commit_append(
+        spark.range(100, 200).select(
+            F.col("id").alias("k"),
+            (F.col("id") / 4).cast("decimal(10,2)").alias("d"),
+        ),
+        tdir,
+        cluster_partitions=2,
+    )
+    man = _json.loads(
+        (_P(tdir) / "v3.json").read_text()
+    )
+    for bounds in man["file_stats"].values():
+        assert bounds["d"] == [None, None]
+    kept, total = prune_files(tdir, "d", 10, 20)
+    assert len(kept) == total  # conservative: nothing prunes
+    # d in [10, 20] ⇔ id in [40, 80]: only commit 1 (ids 0..99) hits
+    assert read_pruned(spark, tdir, "d", 10, 20).count() == 41
+
+
+def test_wap_first_publish_race_unlinks_instead_of_empty_tombstone(
+    spark, tmp_path, monkeypatch
+):
+    """On a FIRST-EVER publish a tombstone would be an empty v1 that
+    read_version cannot scan; the rollback must unlink (race-free: no
+    concurrent version can exist below v1)."""
+    import json as _json
+    from pathlib import Path as _P
+
+    from market_data_pipeline_databricks_spark.sources import snapshots
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        latest_version,
+        stage_append,
+    )
+
+    tdir = str(tmp_path / "t")
+    stage_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), tdir, "br"
+    )
+    staged_files = _json.loads(
+        (_P(tdir) / "staging-br.json").read_text()
+    )["files"]
+    real_publish = snapshots._publish
+
+    def racing_publish(table_dir, version, files, **meta):
+        real_publish(table_dir, version, files, **meta)
+        for f in staged_files:
+            _P(f).unlink(missing_ok=True)
+
+    monkeypatch.setattr(snapshots, "_publish", racing_publish)
+    with pytest.raises(ConcurrentCommitError, match="first-version"):
+        snapshots.publish_staged(tdir, "br")
+    assert latest_version(tdir) == 0
+    assert not (_P(tdir) / "v1.json").exists()
