@@ -465,3 +465,91 @@ def test_rewrite_to_spec_requires_spec(spark, tdir):
     commit_append(_mk_kv(spark, 0, 10), tdir)
     with pytest.raises(ValueError, match="no active partition spec"):
         rewrite_to_spec(spark, tdir)
+
+
+_evo_ops = st.lists(
+    st.sampled_from(["append", "merge", "evolve", "rewrite", "stage"]),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_evo_ops, seed=st.integers(0, 10_000))
+def test_partition_evolution_model(spark, ops, seed):
+    """Model-based (round 12): any interleaving of append / COW merge /
+    spec evolution / governance rewrite / WAP stage+publish must keep
+    (a) dict-model row semantics at the head, (b) pruned reads exactly
+    equal to the model filter, and (c) the version chain hole-free.
+    Evolution and rewrite are metadata/layout moves — they must NEVER
+    change row content."""
+    import random
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        evolve_partition_spec,
+        latest_version,
+        prune_files,
+        publish_staged,
+        read_pruned,
+        rewrite_to_spec,
+        stage_append,
+    )
+
+    rng = random.Random(seed)
+    d = tempfile.mkdtemp(prefix="evoprop_")
+    try:
+        model: list[tuple[int, str]] = []
+        evolved = False
+        next_k = 0
+
+        def fresh_batch(n):
+            nonlocal next_k
+            out = [(next_k + i, rng.choice("abc")) for i in range(n)]
+            next_k += n
+            return out
+
+        for op in ops:
+            if op == "append":
+                b = fresh_batch(rng.randint(1, 5))
+                commit_append(_mk(spark, b), d)
+                model += b
+            elif op == "merge" and model:
+                ks = rng.sample([k for k, _ in model], min(2, len(model)))
+                b = [(k, "Z") for k in ks]
+                commit_merge_keys(spark, d, _mk(spark, b), ["k"])
+                model = [r for r in model if r[0] not in set(ks)] + b
+            elif op == "evolve" and latest_version(d) and not evolved:
+                evolve_partition_spec(d, ["k"])
+                evolved = True
+            elif op == "rewrite" and evolved:
+                rewrite_to_spec(spark, d, cluster_partitions=2)
+            elif op == "stage" and latest_version(d):
+                b = fresh_batch(rng.randint(1, 3))
+                stage_append(_mk(spark, b), d, "br")
+                publish_staged(d, "br")
+                model += b
+        if not latest_version(d):
+            return
+        got = sorted((r.k, r.v) for r in read_version(spark, d).collect())
+        assert got == sorted(model)
+        # pruned read == model filter, regardless of layout history
+        lo, hi = 1, max(3, next_k // 2)
+        got_p = sorted(
+            (r.k, r.v)
+            for r in read_pruned(spark, d, "k", lo, hi).collect()
+        )
+        assert got_p == sorted(r for r in model if lo <= r[0] <= hi)
+        # version chain is hole-free and every version still reads
+        head = latest_version(d)
+        for v in range(1, head + 1):
+            assert (Path(d) / f"v{v}.json").exists(), v
+            read_version(spark, d, v).count()
+        # pruning never keeps more files than the manifest lists
+        kept, total = prune_files(d, "k", lo, hi)
+        assert len(kept) <= total
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
