@@ -56,6 +56,14 @@ def two_pass_key_rank(
             f"two_pass_key_rank bookkeeping columns {clash} collide with "
             "input columns — rename them first"
         )
+    # rank_col itself must not be a bookkeeping name: the final drop()
+    # would silently remove the rank it just created (or mis-drop live
+    # bookkeeping), returning a frame with no rank column.
+    if rank_col in _INTERNAL or rank_col.startswith("__k_"):
+        raise ValueError(
+            f"rank_col {rank_col!r} collides with two_pass_key_rank "
+            "bookkeeping names — pick a different rank column name"
+        )
     spark = df.sparkSession
     if parts is None:
         try:

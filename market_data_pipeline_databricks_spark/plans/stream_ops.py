@@ -878,8 +878,17 @@ def stream_rank_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     table must equal the batch window ``ROW_NUMBER() OVER (PARTITION
     BY user_id ORDER BY ts, event_id)`` over the whole input — the
     stream==batch equality statement for incremental ranking, with
-    O(batch) work per batch instead of O(history). EAGER (drains the
-    stream at construction)."""
+    O(batch) work per batch instead of O(history). Runs the PRODUCTION
+    layout (``partition_by_month=True``, VERDICT r12 task 2): the
+    maintained table partitions on a ts-derived bucket, so the order
+    guard and offset scans prune to recent partitions and each batch's
+    upsert rewrites only its touched buckets — the whole-table-rewrite
+    default is a drive convenience the production path must not use.
+    The test events span a single calendar month, so the drive sets
+    the bucket grain to DAYS (``partition_fmt="yyyy-MM-dd"``) — ~30
+    partitions, each time-cut batch touching only its ~10 — and
+    asserts the partitioned layout actually materialized on disk.
+    EAGER (drains the stream at construction)."""
     import shutil
     import tempfile
 
@@ -924,7 +933,24 @@ def stream_rank_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             wh_dir,
             table="events_ranked",
             checkpoint_dir=ckpt_dir,
+            partition_by_month=True,
+            partition_fmt="yyyy-MM-dd",
         )
+        # layout proof: the sink actually wrote hive-style time-bucket
+        # partitions (the bounded-rewrite production layout), not one
+        # flat directory
+        from pathlib import Path as _Path
+
+        month_dirs = [
+            p.name
+            for p in (_Path(wh_dir) / "events_ranked").iterdir()
+            if p.is_dir() and p.name.startswith("__p_month=")
+        ]
+        if len(month_dirs) < 2:
+            raise AssertionError(
+                "stream_rank_maintenance: expected a month-partitioned "
+                f"table layout, found partitions {month_dirs!r}"
+            )
         constructed = read_table(spark, wh_dir, "events_ranked").select(
             "event_id", "user_id", "user_seq"
         )
@@ -1050,5 +1076,196 @@ ORACLE_SQL.update(
         "stream_evolved_commits": _wpe.ORACLE_SQL[
             "warehouse_partition_evolution"
         ]
+    }
+)
+
+
+def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival REPAIR drive for the maintained rank table
+    (streaming/rank.py:repair_ranks, VERDICT r12 task 4) — the half of
+    the streaming-rank contract users actually hit at 100 TB, where
+    late events are the norm, not the exception.
+
+    Composition: the earliest half of one user's events is held back
+    as the late slice; the rest streams through the incremental
+    maintenance in three event-time-ordered micro-batches on the
+    production layout (day-grain partitions). The drive then (1)
+    INJECTS the late slice as a fourth micro-batch and asserts the
+    RankOrderViolation guard fires BEFORE any write (per-partition
+    file listing byte-identical across the failed injection), (2)
+    repairs through ``repair_ranks`` — re-ranking ONLY the affected
+    key — and asserts every partition holding none of that key's rows
+    kept its exact files (the bounded O(touched-partitions) write the
+    layout exists for), and (3) requires the repaired table to equal
+    the batch window ``ROW_NUMBER() OVER (PARTITION BY user_id ORDER
+    BY ts, event_id)`` over the WHOLE input. The held-back user is the
+    one covering the fewest distinct days (deterministic tie-break on
+    user_id), which maximizes the untouched-partition set the
+    stability assertion covers. EAGER (streams + repairs at
+    construction)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from market_data_pipeline_databricks_spark.sources.tables import (
+        read_table,
+    )
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        repair_ranks,
+        stream_rank_maintenance as _maintain,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    day = F.date_format("ts", "yyyy-MM-dd")
+    target_user = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct(day).alias("nd"))
+        .orderBy(F.asc("nd"), F.asc("user_id"))
+        .first()["user_id"]
+    )
+    mine = ev.filter(F.col("user_id") == target_user)
+    uw = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    n_mine = mine.count()
+    late = (
+        mine.withColumn("__rn", F.row_number().over(uw))
+        .filter(F.col("__rn") <= max(1, n_mine // 2))
+        .drop("__rn")
+        .localCheckpoint()  # freeze: reused as stream feed + repair input
+    )
+    on_time = ev.join(late.select("event_id"), "event_id", "anti")
+
+    feed_dir = tempfile.mkdtemp(prefix=f"rprfeed_{_NONCE}_")
+    late_dir = tempfile.mkdtemp(prefix=f"rprlate_{_NONCE}_")
+    wh_dir = tempfile.mkdtemp(prefix=f"rprwh_{_NONCE}_")
+    ck1 = tempfile.mkdtemp(prefix=f"rprck1_{_NONCE}_")
+    ck2 = tempfile.mkdtemp(prefix=f"rprck2_{_NONCE}_")
+    try:
+        lo, hi = on_time.agg(F.min("ts"), F.max("ts")).first()
+        span = hi - lo
+        t1, t2 = lo + span / 3, lo + 2 * span / 3
+        for cond in (
+            F.col("ts") < F.lit(t1),
+            (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)),
+            F.col("ts") >= F.lit(t2),
+        ):
+            on_time.filter(cond).coalesce(1).write.mode("append").parquet(
+                feed_dir
+            )
+
+        def _stream(src_dir: str, ckpt: str) -> None:
+            feed = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            _maintain(
+                feed,
+                wh_dir,
+                table="events_ranked",
+                checkpoint_dir=ckpt,
+                partition_by_month=True,
+                partition_fmt="yyyy-MM-dd",
+            )
+
+        _stream(feed_dir, ck1)
+        tdir = Path(wh_dir) / "events_ranked"
+
+        def _listing() -> dict[str, tuple[int, int]]:
+            return {
+                str(p.relative_to(tdir)): (
+                    p.stat().st_size,
+                    p.stat().st_mtime_ns,
+                )
+                for p in tdir.rglob("*")
+                if p.is_file()
+            }
+
+        before = _listing()
+        # (1) the late slice through the STREAM must be refused by the
+        # order guard — before any write
+        late.coalesce(1).write.mode("append").parquet(late_dir)
+        try:
+            _stream(late_dir, ck2)
+            raise AssertionError(
+                "stream_rank_repair: late slice was accepted by the "
+                "maintenance sink — RankOrderViolation guard missing"
+            )
+        except AssertionError:
+            raise
+        except Exception as exc:  # StreamingQueryException wraps it
+            if "strict cross-batch order violated" not in str(exc):
+                raise
+        if _listing() != before:
+            raise AssertionError(
+                "stream_rank_repair: the refused injection modified "
+                "the maintained table — guard must raise before write"
+            )
+        # (2) bounded repair: only partitions holding the affected
+        # key's rows may change
+        repair_ranks(
+            spark,
+            late,
+            wh_dir,
+            partition_by_month=True,
+            partition_fmt="yyyy-MM-dd",
+        )
+        touched = {
+            f"__p_month={r.d}"
+            for r in mine.select(day.alias("d")).distinct().collect()
+        }
+        after = _listing()
+        changed = (set(before) ^ set(after)) | {
+            f for f in before.keys() & after.keys() if before[f] != after[f]
+        }
+        stray = {
+            f
+            for f in changed
+            if f.startswith("__p_month=") and f.split("/")[0] not in touched
+        }
+        if stray:
+            raise AssertionError(
+                "stream_rank_repair: repair rewrote partitions outside "
+                f"the affected key's days: {sorted(stray)[:5]!r}"
+            )
+        all_parts = {
+            f.split("/")[0] for f in before if f.startswith("__p_month=")
+        }
+        if not all_parts - touched:
+            raise AssertionError(
+                "stream_rank_repair: no untouched partition existed — "
+                "the stability assertion was vacuous; pick a sparser key"
+            )
+        constructed = read_table(spark, wh_dir, "events_ranked").select(
+            "event_id", "user_id", "user_seq"
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.asc("ts"), F.asc("event_id")
+        )
+        twin = ev.withColumn(
+            "user_seq", F.row_number().over(w).cast("long")
+        ).select("event_id", "user_id", "user_seq")
+        return checked_lazy(constructed, twin, "stream_rank_repair")
+    finally:
+        for d in (feed_dir, late_dir, wh_dir, ck1, ck2):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+QUERIES.update({"stream_rank_repair": stream_rank_repair})
+
+# the repaired table must equal the batch window over the FULL input —
+# same equality statement (and oracle) as the maintenance drive
+ORACLE_SQL.update(
+    {
+        "stream_rank_repair": """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS BIGINT) AS user_seq
+FROM events
+"""
     }
 )

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from pathlib import Path
 
@@ -219,6 +220,110 @@ def active_spec(table_dir: str) -> list[str]:
     return _manifest_meta(table_dir, v)[0] if v else []
 
 
+# --- hidden partitioning (Iceberg-style transform keys) -------------
+#
+# A spec entry is either a raw column name (identity) or a TRANSFORM
+# of a source column: ``month(ts)``, ``day(ts)``, ``bucket(16, key)``,
+# ``truncate(1000, key)``. Commits cluster and record per-file bounds
+# in TRANSFORM space; queries keep filtering on the SOURCE column and
+# pruning maps the predicate into transform space — the partitioning
+# stays hidden from query authors, which is the Iceberg insight that
+# kills the "forgot the redundant month predicate → full scan" class
+# of bug. Monotone transforms (month/day/truncate, identity) prune
+# ranges; bucket prunes equality probes (prune_files_eq).
+#
+# bucket() uses crc32 over the value's string cast — NOT Iceberg's
+# murmur3 — because it is cheaply computable on BOTH sides: Spark-side
+# per row (F.crc32, codegen) and Python-side at plan time for the
+# probe value (zlib.crc32; pinned equal by pytest). Restrict bucket
+# keys to int/string columns so the two string casts agree.
+
+_TRANSFORM_RE = re.compile(
+    r"^(month|day|bucket|truncate)\("
+    r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\)$"
+)
+
+
+def _parse_spec_key(key: str) -> tuple[str, int | None, str]:
+    """``spec entry -> (kind, param, source_col)``; raw column names
+    parse as ``("identity", None, key)``. Malformed transform syntax
+    raises (a typo like ``bucket(ts)`` must not silently become an
+    identity column of that name)."""
+    m = _TRANSFORM_RE.match(key)
+    if m:
+        kind, param, src = m.group(1), m.group(2), m.group(3)
+        if kind in ("bucket", "truncate"):
+            if param is None:
+                raise ValueError(
+                    f"spec key {key!r}: {kind} needs a numeric first "
+                    f"argument — {kind}(N, column)"
+                )
+            n = int(param)
+            if n <= 0:
+                raise ValueError(f"spec key {key!r}: N must be positive")
+            return (kind, n, src)
+        if param is not None:
+            raise ValueError(
+                f"spec key {key!r}: {kind} takes a single column"
+            )
+        return (kind, None, src)
+    if "(" in key or ")" in key:
+        raise ValueError(
+            f"unparseable transform spec key {key!r} — supported: "
+            "month(col), day(col), bucket(N, col), truncate(W, col), "
+            "or a raw column name"
+        )
+    return ("identity", None, key)
+
+
+def _derived_expr(key: str):
+    """The Spark Column that materializes a spec entry's partition
+    value — used for clustering and per-file stats collection."""
+    kind, p, src = _parse_spec_key(key)
+    if kind == "identity":
+        return F.col(src)
+    if kind == "month":
+        return F.date_format(F.col(src), "yyyy-MM")
+    if kind == "day":
+        return F.date_format(F.col(src), "yyyy-MM-dd")
+    if kind == "bucket":
+        return F.pmod(F.crc32(F.col(src).cast("string")), F.lit(p)).cast(
+            "int"
+        )
+    # truncate: width-W value bins, monotone (Iceberg truncate[W])
+    return (F.floor(F.col(src) / p) * p).cast("long")
+
+
+def _bucket_of(value, n: int) -> int:
+    """Python twin of the bucket() transform for plan-time probes —
+    must equal Spark's ``pmod(crc32(cast(col as string)), n)`` (CRC-32
+    over the UTF-8 string cast; pinned by pytest)."""
+    import zlib
+
+    return zlib.crc32(str(value).encode("utf-8")) % n
+
+
+def _probe_bounds(kind: str, p: int | None, lo, hi):
+    """Map a SOURCE-column range into a transform's partition space
+    (monotone transforms only — the mapped range covers exactly the
+    partition values any matching row can have)."""
+    import datetime as _dt
+
+    if kind == "identity":
+        return lo, hi
+    if kind in ("month", "day"):
+        fmt = "%Y-%m" if kind == "month" else "%Y-%m-%d"
+        for v in (lo, hi):
+            if not isinstance(v, (_dt.date, _dt.datetime)):
+                raise TypeError(
+                    f"{kind}() pruning needs date/datetime probe "
+                    f"bounds, got {type(v).__name__}"
+                )
+        return lo.strftime(fmt), hi.strftime(fmt)
+    # truncate: floor both ends to the bin width
+    return (lo // p) * p, (hi // p) * p
+
+
 def _write_commit_files(df: DataFrame, table_dir: str) -> list[str]:
     commit_dir = Path(table_dir) / "data" / f"commit-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(str(commit_dir))
@@ -252,15 +357,20 @@ def _collect_file_stats(
     A ``str()`` fallback would be WRONG, not just lossy: a Decimal
     bound stored as ``'1000.00'`` compares lexically below ``'500'``
     and would prune files that hold matching rows. Cluster on
-    numeric/string keys (or derive one, e.g. ``date_format``) to get
-    pruning for temporal/decimal domains.
+    numeric/string keys, or use a TRANSFORM spec key (``month(ts)``,
+    ``day(ts)``, ...) whose derived partition value is JSON-native —
+    the hidden-partitioning answer for temporal/decimal domains.
+
+    Transform spec keys record bounds of the DERIVED value (month
+    string, bucket int, ...) under the transform string itself.
     """
     from urllib.parse import unquote, urlparse
 
     aggs = []
-    for k in keys:
-        aggs.append(F.min(k).alias(f"__min_{k}"))
-        aggs.append(F.max(k).alias(f"__max_{k}"))
+    for i, k in enumerate(keys):
+        e = _derived_expr(k)
+        aggs.append(F.min(e).alias(f"__min_{i}"))
+        aggs.append(F.max(e).alias(f"__max_{i}"))
     # bounded collect: one row per just-written data file (the commit's
     # own file count — partition-scaled, never row-scaled)
     rows = (
@@ -279,8 +389,8 @@ def _collect_file_stats(
     for r in rows:
         path = str(Path(unquote(urlparse(r["__file__"]).path)).resolve())
         stats[path] = {
-            k: [_jsonable(r[f"__min_{k}"]), _jsonable(r[f"__max_{k}"])]
-            for k in keys
+            k: [_jsonable(r[f"__min_{i}"]), _jsonable(r[f"__max_{i}"])]
+            for i, k in enumerate(keys)
         }
     return stats
 
@@ -307,7 +417,7 @@ def commit_append(
     prior_files = _read_manifest(table_dir, prev) if prev else []
     spec, prior_stats = _manifest_meta(table_dir, prev) if prev else ([], {})
     if spec:
-        cols = [F.asc(k) for k in spec]
+        cols = [F.asc(_derived_expr(k)) for k in spec]
         df = (
             df.repartitionByRange(cluster_partitions, *cols)
             if cluster_partitions
@@ -345,6 +455,8 @@ def evolve_partition_spec(table_dir: str, keys: list[str]) -> int:
         raise ValueError(
             "evolve_partition_spec needs at least one clustering key"
         )
+    for k in keys:
+        _parse_spec_key(k)  # reject malformed transforms at evolve time
     _require_absolute(table_dir)
     prev = latest_version(table_dir)
     if prev == 0:
@@ -402,7 +514,7 @@ def rewrite_to_spec(
         return prev, 0
     keep = [f for f in files if f not in set(statless)]
     df = spark.read.parquet(*statless)
-    cols = [F.asc(k) for k in spec]
+    cols = [F.asc(_derived_expr(k)) for k in spec]
     df = (
         df.repartitionByRange(cluster_partitions, *cols)
         if cluster_partitions
@@ -418,6 +530,65 @@ def rewrite_to_spec(
     return prev + 1, len(statless)
 
 
+def _prune(
+    files: list[str],
+    stats: dict[str, dict[str, list]],
+    probes: dict[str, tuple],
+) -> list[str]:
+    """Shared prune loop: keep a file unless SOME probe entry's
+    recorded bounds provably exclude it. ``probes`` maps spec-entry
+    strings to ``(lo, hi)`` ranges ALREADY in that entry's partition
+    space. Files with no/NULL bounds for an entry are never excluded
+    by it (pre-evolution commits — conservative, always correct)."""
+    kept = []
+    for f in files:
+        skip = False
+        for s, (plo, phi) in probes.items():
+            b = stats.get(f, {}).get(s)
+            if b is None or b[0] is None or b[1] is None:
+                continue  # no bounds under this entry: cannot prune
+            want_str = isinstance(plo, str) or isinstance(phi, str)
+            if isinstance(b[0], str) != want_str:
+                # mixed-kind compare would be lexical-vs-numeric
+                # nonsense; refuse loudly rather than mis-prune
+                raise TypeError(
+                    f"prune({s!r}): recorded bounds are "
+                    f"{'string' if isinstance(b[0], str) else 'numeric'}"
+                    f" but the probe is "
+                    f"{'string' if want_str else 'numeric'} — pass the "
+                    "key's native kind"
+                )
+            if b[1] < plo or b[0] > phi:
+                skip = True
+                break
+        if not skip:
+            kept.append(f)
+    return kept
+
+
+def _range_probes(
+    spec: list[str], stats: dict, key: str, lo, hi
+) -> dict[str, tuple]:
+    """Every spec entry that can range-prune a ``key BETWEEN lo AND
+    hi`` predicate, with the probe mapped into its partition space:
+    the identity entry plus every MONOTONE transform of ``key``
+    (month/day/truncate — bucket hashes are not monotone, so a range
+    tells them nothing). Also admits ``key`` itself when older
+    manifests recorded bounds under it but the current spec no longer
+    lists it (stats survive spec evolution; they should keep pruning).
+    """
+    probes: dict[str, tuple] = {}
+    for s in spec:
+        kind, p, src = _parse_spec_key(s)
+        if src == key and kind != "bucket":
+            probes[s] = _probe_bounds(kind, p, lo, hi)
+    if key not in probes and any(key in st for st in stats.values()):
+        kind, p, src = _parse_spec_key(key)
+        if kind != "bucket":
+            probes[key] = _probe_bounds(kind, p, lo, hi)
+    return probes
+
+
 def prune_files(
     table_dir: str,
     key: str,
@@ -425,10 +596,14 @@ def prune_files(
     hi,
     version: int | None = None,
 ) -> tuple[list[str], int]:
-    """Manifest-level file pruning: the files of ``version`` whose
-    recorded ``[min, max]`` bounds for ``key`` intersect ``[lo, hi]``,
-    plus every file with NO recorded bounds for ``key`` (pre-evolution
-    commits — kept conservatively). Returns ``(kept_files,
+    """Manifest-level file pruning for ``key BETWEEN lo AND hi`` where
+    ``key`` is a SOURCE column: files whose recorded bounds (under the
+    identity entry and/or any monotone TRANSFORM entry of ``key`` —
+    hidden partitioning) provably exclude the range are skipped; files
+    with no recorded bounds are kept conservatively. The caller
+    filters on the source column and never names the transform —
+    pruning through ``month(ts)`` from a plain ``ts`` range is the
+    hidden-partitioning contract. Returns ``(kept_files,
     total_files)``. Pure manifest arithmetic — no Spark job, no file
     I/O beyond the JSON manifest; at 100 TB this is the planning-time
     skip that turns a point/range query into an O(matching-files) scan.
@@ -436,26 +611,35 @@ def prune_files(
     _require_absolute(table_dir)
     v = latest_version(table_dir) if version is None else version
     files = _read_manifest(table_dir, v)
-    _, stats = _manifest_meta(table_dir, v)
-    want_str = isinstance(lo, str) or isinstance(hi, str)
-    kept = []
-    for f in files:
-        b = stats.get(f, {}).get(key)
-        if b is None or b[0] is None or b[1] is None:
-            kept.append(f)  # no/NULL bounds: cannot prune, must scan
-            continue
-        if isinstance(b[0], str) != want_str:
-            # mixed-kind compare would be lexical-vs-numeric nonsense;
-            # refuse loudly rather than mis-prune or TypeError mid-loop
-            raise TypeError(
-                f"prune_files({key!r}): recorded bounds are "
-                f"{'string' if isinstance(b[0], str) else 'numeric'} but "
-                f"[lo, hi] is {'string' if want_str else 'numeric'} — "
-                "pass the key's native kind"
-            )
-        if not (b[1] < lo or b[0] > hi):
-            kept.append(f)
-    return kept, len(files)
+    spec, stats = _manifest_meta(table_dir, v)
+    probes = _range_probes(spec, stats, key, lo, hi)
+    return _prune(files, stats, probes), len(files)
+
+
+def prune_files_eq(
+    table_dir: str,
+    key: str,
+    value,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Manifest-level file pruning for the point predicate ``key =
+    value``: every monotone entry prunes with the degenerate range
+    ``[value, value]`` AND every ``bucket(N, key)`` entry prunes by
+    hashing the probe value into its bucket — the equality-lookup half
+    of hidden partitioning (a hash bucket cannot serve ranges, but a
+    point probe lands in exactly one bucket). Same conservative
+    no-bounds-keeps-the-file rule as :func:`prune_files`."""
+    _require_absolute(table_dir)
+    v = latest_version(table_dir) if version is None else version
+    files = _read_manifest(table_dir, v)
+    spec, stats = _manifest_meta(table_dir, v)
+    probes = _range_probes(spec, stats, key, value, value)
+    for s in spec:
+        kind, p, src = _parse_spec_key(s)
+        if src == key and kind == "bucket":
+            b = _bucket_of(value, p)
+            probes[s] = (b, b)
+    return _prune(files, stats, probes), len(files)
 
 
 def read_pruned(
@@ -480,6 +664,26 @@ def read_pruned(
         empty = spark.read.parquet(*_read_manifest(table_dir, v)).limit(0)
         return empty.filter(F.col(key).between(lo, hi))
     return spark.read.parquet(*kept).filter(F.col(key).between(lo, hi))
+
+
+def read_pruned_eq(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read of ``key = value`` with manifest-level file
+    skipping through every entry of ``key`` — including hash buckets
+    (:func:`prune_files_eq`) — plus the residual row filter, so
+    exactness never depends on the pruning. The residual equality also
+    reaches the parquet scan as a pushed predicate."""
+    kept, _total = prune_files_eq(table_dir, key, value, version)
+    if not kept:
+        v = latest_version(table_dir) if version is None else version
+        empty = spark.read.parquet(*_read_manifest(table_dir, v)).limit(0)
+        return empty.filter(F.col(key) == F.lit(value))
+    return spark.read.parquet(*kept).filter(F.col(key) == F.lit(value))
 
 
 def commit_merge_keys(
@@ -767,16 +971,35 @@ def publish_staged(table_dir: str, branch: str) -> int:
         if prev == 0:
             # first-ever publish: a prior_files-only tombstone would be
             # an EMPTY v1 that read_version cannot scan (zero parquet
-            # paths → AnalysisException at the head version, forever).
-            # Unlink is race-free HERE — any concurrent committer raced
-            # the SAME v1 claim through _exclusive_write and lost, so
-            # nothing can have built on the version being removed.
-            mp.unlink(missing_ok=True)
+            # paths → AnalysisException at the head version, forever),
+            # so the rollback here is an unlink. NOT unconditionally
+            # race-free: writers racing the v1 claim itself lost at
+            # _exclusive_write, but a commit_append that STARTED after
+            # our claim can read latest_version()==1 and publish a v2
+            # built on the (doomed) staged files — unlinking v1 then
+            # would punch a hole under a live v2. Head re-check: only
+            # unlink while v1 is still the head; if a later version
+            # already exists, leave the manifest and demand manual
+            # repair (honest residual: the re-check itself is a TOCTOU
+            # — a v2 landing between check and unlink is the same
+            # one-operator-per-branch contract violation this whole
+            # guard only BOUNDS, per the tombstone comment above).
+            if latest_version(table_dir) == 1:
+                mp.unlink(missing_ok=True)
+                raise ConcurrentCommitError(
+                    f"staged file(s) for branch {branch!r} were deleted "
+                    f"during publish ({len(gone)} missing — concurrent "
+                    "discard_staged?); the first-version claim was "
+                    "unlinked (no prior version exists to tombstone to)"
+                )
             raise ConcurrentCommitError(
                 f"staged file(s) for branch {branch!r} were deleted "
-                f"during publish ({len(gone)} missing — concurrent "
-                "discard_staged?); the first-version claim was "
-                "unlinked (no prior version exists to tombstone to)"
+                f"during publish ({len(gone)} missing) AND a concurrent "
+                "commit built a later version on top of the first-"
+                "version claim — v1 was left in place (unlinking it "
+                "would hole the chain); the chain references deleted "
+                "files and needs manual repair (re-commit the data, "
+                "then expire the damaged versions)"
             )
         tmp = mp.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
         tomb: dict = {"version": prev + 1, "files": sorted(prior_files)}

@@ -64,6 +64,7 @@ def stream_rank_maintenance(
     rank_col: str = "user_seq",
     checkpoint_dir: str | None = None,
     partition_by_month: bool = False,
+    partition_fmt: str = "yyyy-MM",
 ) -> None:
     """Drain ``events_stream`` (availableNow) into ``warehouse_dir/
     table``, assigning each row its per-``key_col`` rank by
@@ -72,9 +73,13 @@ def stream_rank_maintenance(
     the stream respects the strict cross-batch event-time order — a
     violating batch raises :class:`RankOrderViolation` before any
     write. ``partition_by_month=True`` is the production layout: the
-    table partitions on a ts-derived month (functionally determined by
+    table partitions on a ts-derived bucket (functionally determined by
     ``id_col`` — an event's ts never changes — so the upsert skips the
-    prior-partition scan) and each batch rewrites only touched months.
+    prior-partition scan) and each batch rewrites only touched buckets.
+    ``partition_fmt`` sets the bucket grain (a ``date_format`` pattern;
+    the default ``yyyy-MM`` is calendar months — pick the grain that
+    puts a micro-batch's span across a handful of partitions). The
+    partition column is named ``__p_month`` at every grain.
     """
     from market_data_pipeline_databricks_spark.operators.ranking import (
         two_pass_key_rank,
@@ -94,7 +99,7 @@ def stream_rank_maintenance(
     def _p(df: DataFrame) -> DataFrame:
         return (
             df.withColumn(
-                "__p_month", F.date_format(F.col(ts_col), "yyyy-MM")
+                "__p_month", F.date_format(F.col(ts_col), partition_fmt)
             )
             if partition_by_month
             else df
@@ -105,6 +110,19 @@ def stream_rank_maintenance(
             return
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint()  # cut per-batch lineage
+        # NON-NULL event time is a hard precondition, guarded here in
+        # the sink's fail-loud style: F.min skips NULLs and both the
+        # foreign probe (ts >= bmin) and the offset count (ts < bmin)
+        # exclude NULL-ts rows, so a NULL-ts event would bypass the
+        # order guard AND the offsets and silently mint a duplicate
+        # per-key rank (NULLS FIRST in the asc window).
+        if batch.filter(F.col(ts_col).isNull()).take(1):
+            raise RankOrderViolation(
+                f"micro-batch {batch_id} contains NULL {ts_col} rows — "
+                "event time must be non-null for incremental rank "
+                "maintenance (NULL-ts rows bypass the order guard and "
+                "the offset count); filter or impute upstream"
+            )
         bmin = batch.agg(F.min(ts_col).alias("m")).first()["m"]
         # explicit existence probe, not try/except around the scan: a
         # missing first-batch table is the normal case, and letting the
@@ -209,6 +227,7 @@ def repair_ranks(
     id_col: str = "event_id",
     rank_col: str = "user_seq",
     partition_by_month: bool = False,
+    partition_fmt: str = "yyyy-MM",
 ) -> None:
     """Late-arrival repair for the maintained rank table: when rows
     violate the stream's event-time-order precondition (a late event
@@ -238,6 +257,14 @@ def repair_ranks(
     existing = read_table(spark, warehouse_dir, table)
     if partition_by_month:
         existing = existing.drop("__p_month")
+    # same non-null event-time precondition as the streaming sink: a
+    # NULL-ts row landed here would poison every later batch's offset
+    # count and order guard (both ts-bounded filters skip NULLs).
+    if late_rows.filter(F.col(ts_col).isNull()).take(1):
+        raise RankOrderViolation(
+            f"late rows contain NULL {ts_col} — event time must be "
+            "non-null for rank maintenance; filter or impute upstream"
+        )
     keys = late_rows.select(key_col).distinct()
     affected = _null_safe_semi(existing, keys, [key_col]).drop(rank_col)
     # union late rows (dedup by id against rows already present — a
@@ -250,7 +277,7 @@ def repair_ranks(
     )
     if partition_by_month:
         reranked = reranked.withColumn(
-            "__p_month", F.date_format(F.col(ts_col), "yyyy-MM")
+            "__p_month", F.date_format(F.col(ts_col), partition_fmt)
         )
     upsert_by_key(
         spark,
