@@ -26,68 +26,67 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-12 window. Rotation per the standing rules (VERDICT
-    # r11 task 4): the 19 freshly-proven r11 head slots (12 ex-reds +
-    # 5 conversions + 2 r11 debuts) yield; the three NEW round-12
+    # -- round-13 window. Rotation per the standing rules: the 50 r12
+    # slots are freshly proven and yield; the two NEW round-13
     # oracle-backed queries take debut slots (never-hash-checked beats
-    # stalest-green); the remaining 47 slots are the stalest-green
-    # cohort computed over CORRECTNESS_r01..r11 — the 5 queries last
-    # green in r05 (text_pii_redaction onward), then the alphabetical
-    # head of the 48-query r06 cohort (42 slots).
-    "stream_rank_maintenance",
-    "warehouse_partition_evolution",
-    "stream_evolved_commits",
-    # -- stalest-green fill: last green r05 (5), then r06 head (42)
-    "text_pii_redaction",
-    "vector_dim_stats",
-    "vector_label_cohesion",
-    "window_gapfill_daily_close",
-    "window_native_session_stats",
-    "agg_yoy_revenue_growth",
-    "cdc_supplier_balance_diff",
-    "dedup_containment_screen",
-    "dedup_cross_source_matrix",
-    "er_blocked_match_pairs",
-    "events_burst_detection",
-    "events_chi2_independence",
-    "events_interarrival_quantiles",
-    "events_last_touch_attribution",
-    "events_longest_streak",
-    "events_power_users_pareto",
-    "events_rolling_active_users",
-    "events_top_paths",
-    "events_user_value_deciles",
-    "funcs_atr_parkinson",
-    "funcs_cross_sectional_momentum",
-    "funcs_cusum_drift",
-    "funcs_dow_seasonality",
-    "funcs_macd",
-    "funcs_max_drawdown",
-    "funcs_rolling_median_close",
-    "funcs_rsi",
-    "funcs_sharpe_sortino",
-    "funcs_vwap_monthly",
-    "funcs_weekly_ohlc",
-    "gold_incremental_equivalence",
-    "graph_part_bfs_hops",
-    "graph_part_triangles",
-    "incremental_cdc_rollup",
-    "incremental_rollup_equivalence",
-    "join_asof_tolerance_quotes",
-    "join_interval_overlap",
-    "join_lateral_top_orders",
-    "nested_orders_rollup",
-    "quality_order_total_reconciliation",
-    "sample_stratified_reservoir",
-    "scale_heavy_hitters",
-    "source_synthetic_ticks_ohlc",
-    "stream_synthetic_ticks_ohlc",
-    "text_bigram_logprob",
-    "text_gopher_survivors",
-    "text_lang_confusion_matrix",
+    # stalest-green); the remaining 48 slots are the stalest-green
+    # cohort computed over CORRECTNESS_r01..r12 — the 6 queries last
+    # green in r06 (text_length_histogram onward), then the
+    # alphabetical head of the 49-query r07 cohort (42 slots, through
+    # text_bpe_encode_stats).
+    "stream_rank_repair",
+    "warehouse_hidden_partitioning",
+    "text_length_histogram",
+    "text_ngram_novelty",
+    "text_zipf_fit",
+    "vector_truncation_fidelity",
+    "window_linear_interpolate_close",
+    "window_pareto_frontier_orders",
+    "agg_customer_rfm_segments",
+    "agg_pricing_summary",
+    "agg_revenue_share",
+    "agg_segment_value_quantiles",
+    "analyst_dq_triage_cte",
+    "analyst_top_movers_today",
+    "curate_chunk_corpus_lsh",
+    "curate_multimodal_corpus_lsh",
+    "curate_training_corpus",
+    "dedup_cdc_duplicate_coverage",
+    "dedup_cdc_duplicate_spans",
+    "dedup_cdc_incremental",
+    "dedup_cdc_repeated_chunks",
+    "dedup_component_size_histogram",
+    "dedup_components_lsh",
+    "dedup_editdistance_verify",
+    "dedup_incremental_fuzzy",
+    "dedup_incremental_fuzzy_lsh",
+    "dedup_method_agreement",
+    "dedup_minhash_near",
+    "dedup_simhash_near",
+    "dedup_winnow_overlap",
+    "er_resolved_entities",
+    "events_cumulative_reach",
+    "events_funnel_time_to_convert",
+    "filter_project_revenue",
+    "funcs_feature_panel",
+    "graph_frequent_itemsets",
+    "graph_part_association_rules",
+    "graph_part_pagerank",
+    "join_asof_orders_quotes",
+    "join_q9_product_type_profit",
+    "join_range_binned_volatility",
+    "quality_benford_screen",
+    "quality_mad_outliers",
+    "scalar_regexp_extract",
+    "scd2_supplier_history",
+    "skew_salted_pricing_summary",
+    "stream_cdc_incremental",
+    "stream_gold_incremental",
+    "stream_stateful_user_totals",
+    "text_bpe_encode_stats",
 
-    # -- displaced: the r11 head (all driver-proven r11) and the r06
-    # cohort tail from text_ngram_novelty on; all remain verifiable
+    # -- displaced: the r12 window (all driver-proven r12) and the r07
+    # cohort tail from text_bpe_train_merges on; all remain verifiable
     # via tools/check_oracle.py.
 )
 

@@ -1337,3 +1337,137 @@ GROUP BY o_orderstatus
 """
     }
 )
+
+
+def warehouse_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN-PARTITIONING drive (sources/snapshots.py transform spec
+    keys — the Iceberg feature the raw-column spec stopped short of):
+    two snapshot tables are built from orders, one evolved to
+    ``month(o_orderdate)``, one to ``bucket(8, o_custkey)``; each gets
+    an un-clustered pre-evolution commit, a spec-aware clustered
+    commit, and a ``rewrite_to_spec`` of the tail so every file
+    carries TRANSFORM-space bounds. The reads then filter on the
+    SOURCE columns only — a plain ``o_orderdate`` range and a plain
+    ``o_custkey`` equality; the engine maps the predicates into month
+    / hash-bucket space at the manifest (``prune_files`` /
+    ``prune_files_eq``) and the drive ASSERTS files were actually
+    skipped on both paths, so the hidden mapping is enforced, not
+    incidental. Residual row filters keep exactness independent of
+    pruning; the DuckDB oracle replays both raw filters, so a
+    mis-mapped month or a Python/Spark bucket-hash mismatch that drops
+    a matching file breaks the hash. At 100 TB this kills the
+    "analyst forgot the redundant partition predicate → full scan"
+    failure mode: queries never name the transform. EAGER (commits +
+    evolves + rewrites at construction)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        evolve_partition_spec,
+        prune_files,
+        prune_files_eq,
+        read_pruned,
+        read_pruned_eq,
+        rewrite_to_spec,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+    )
+    lo = dt.datetime(1996, 3, 1)
+    hi = dt.datetime(1996, 5, 31, 23, 59, 59)
+    cust = 371
+    tm = tempfile.mkdtemp(prefix="hidmonth_")
+    tb = tempfile.mkdtemp(prefix="hidbucket_")
+    try:
+
+        def _build(tdir: str, spec_key: str) -> None:
+            commit_append(
+                orders.filter(F.col("o_orderkey") % 3 == 0).repartition(3),
+                tdir,
+            )
+            evolve_partition_spec(tdir, [spec_key])
+            commit_append(
+                orders.filter(F.col("o_orderkey") % 3 != 0),
+                tdir,
+                cluster_partitions=8,
+            )
+            rewrite_to_spec(spark, tdir, cluster_partitions=4)
+
+        _build(tm, "month(o_orderdate)")
+        _build(tb, "bucket(8, o_custkey)")
+        kept_m, total_m = prune_files(tm, "o_orderdate", lo, hi)
+        kept_b, total_b = prune_files_eq(tb, "o_custkey", cust)
+        if not (len(kept_m) < total_m and len(kept_b) < total_b):
+            raise AssertionError(
+                "warehouse_hidden_partitioning: transform pruning "
+                f"skipped nothing (month {len(kept_m)}/{total_m}, "
+                f"bucket {len(kept_b)}/{total_b}) — the hidden mapping "
+                "is not engaging"
+            )
+
+        def agg(df: DataFrame, label: str) -> DataFrame:
+            return (
+                df.groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("o_totalprice")
+                    .cast("decimal(27,2)")
+                    .cast("double")
+                    .alias("sum_price"),
+                )
+                .withColumn("slice", F.lit(label))
+                .select("slice", "o_orderstatus", "n_rows", "sum_price")
+            )
+
+        constructed = agg(
+            read_pruned(spark, tm, "o_orderdate", lo, hi), "month_range"
+        ).unionByName(
+            agg(read_pruned_eq(spark, tb, "o_custkey", cust), "custkey_point")
+        )
+        twin = agg(
+            orders.filter(F.col("o_orderdate").between(lo, hi)),
+            "month_range",
+        ).unionByName(
+            agg(orders.filter(F.col("o_custkey") == cust), "custkey_point")
+        )
+        return checked_lazy(
+            constructed, twin, "warehouse_hidden_partitioning"
+        )
+    finally:
+        shutil.rmtree(tm, ignore_errors=True)
+        shutil.rmtree(tb, ignore_errors=True)
+
+
+QUERIES.update(
+    {"warehouse_hidden_partitioning": warehouse_hidden_partitioning}
+)
+
+ORACLE_SQL.update(
+    {
+        "warehouse_hidden_partitioning": """
+SELECT 'month_range' AS slice, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+                      AND TIMESTAMP '1996-05-31 23:59:59'
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 'custkey_point' AS slice, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_custkey = 371
+GROUP BY o_orderstatus
+"""
+    }
+)

@@ -1,0 +1,271 @@
+"""Round-13 additions: hidden partitioning (transform spec keys) on
+the snapshot format, the NULL-event-time / rank_col guards from the
+round-12 advice, and the head-recheck on the first-publish WAP
+rollback.
+
+Hidden partitioning (sources/snapshots.py): spec entries may be
+Iceberg-style transforms — ``month(col)``, ``day(col)``,
+``bucket(N, col)``, ``truncate(W, col)`` — and queries keep filtering
+on the SOURCE column; predicate mapping into transform space happens
+at the manifest (prune_files / prune_files_eq).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json as _json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.sources.snapshots import (
+    _bucket_of,
+    _parse_spec_key,
+    commit_append,
+    evolve_partition_spec,
+    prune_files,
+    prune_files_eq,
+    read_pruned,
+    read_pruned_eq,
+    rewrite_to_spec,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _days_df(spark, n=400, start=dt.datetime(2024, 1, 1)):
+    """n rows, one per 6 hours from start — spans >2 months."""
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (
+            F.lit(start)
+            + F.make_interval(hours=(F.col("id") * 6).cast("int"))
+        ).alias("ts"),
+        (F.col("id") % 11).alias("v"),
+    )
+
+
+def test_parse_spec_key_accepts_transforms_and_rejects_typos():
+    assert _parse_spec_key("month(ts)") == ("month", None, "ts")
+    assert _parse_spec_key("day(ts)") == ("day", None, "ts")
+    assert _parse_spec_key("bucket(16, key)") == ("bucket", 16, "key")
+    assert _parse_spec_key("truncate(1000, k)") == ("truncate", 1000, "k")
+    assert _parse_spec_key("plain_col") == ("identity", None, "plain_col")
+    for bad in ("bucket(ts)", "month(1, ts)", "zorder(ts)", "month(ts"):
+        with pytest.raises(ValueError):
+            _parse_spec_key(bad)
+
+
+def test_evolve_rejects_malformed_transform(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    commit_append(_days_df(spark), tdir)
+    with pytest.raises(ValueError, match="bucket"):
+        evolve_partition_spec(tdir, ["bucket(ts)"])
+
+
+def test_bucket_python_twin_matches_spark_hash(spark):
+    """_bucket_of (plan-time probe) must equal Spark's
+    pmod(crc32(cast(col as string)), n) (write-time clustering) — a
+    mismatch silently prunes files that HOLD the probed key."""
+    vals = [0, 1, 42, -7, 123456789, "alpha", "Ω-unicode", "x y"]
+    got = [
+        r.b
+        for r in spark.createDataFrame([(v,) for v in map(str, vals)], "s string")
+        .select(
+            F.pmod(F.crc32(F.col("s").cast("string")), F.lit(16))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()
+    ]
+    assert got == [_bucket_of(v, 16) for v in vals]
+
+
+def test_month_transform_prunes_source_column_range(spark, tmp_path):
+    """The query names only the SOURCE column; month-space bounds must
+    skip out-of-range files and the residual keeps exactness."""
+    tdir = str(tmp_path / "t")
+    df = _days_df(spark)
+    commit_append(df.filter(F.col("k") % 2 == 0).repartition(2), tdir)
+    evolve_partition_spec(tdir, ["month(ts)"])
+    commit_append(df.filter(F.col("k") % 2 == 1), tdir, cluster_partitions=6)
+    lo, hi = dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 29, 23, 59, 59)
+    kept, total = prune_files(tdir, "ts", lo, hi)
+    assert len(kept) < total  # post-evolution out-of-Feb files skipped
+    got = read_pruned(spark, tdir, "ts", lo, hi).count()
+    want = df.filter(F.col("ts").between(lo, hi)).count()
+    assert got == want > 0
+    # recorded bounds live in transform space under the entry string
+    man = _json.loads(
+        (Path(tdir) / "v3.json").read_text()
+    )
+    bounded = [
+        s["month(ts)"]
+        for s in man["file_stats"].values()
+        if "month(ts)" in s
+    ]
+    assert bounded and all(
+        isinstance(b[0], str) and b[0].count("-") == 1 for b in bounded
+    )
+
+
+def test_month_probe_requires_temporal_bounds(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    df = _days_df(spark)
+    commit_append(df, tdir)
+    evolve_partition_spec(tdir, ["month(ts)"])
+    commit_append(df, tdir, cluster_partitions=4)
+    with pytest.raises(TypeError, match="date/datetime"):
+        prune_files(tdir, "ts", "2024-01", "2024-02")
+
+
+def test_bucket_transform_prunes_equality_not_ranges(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    df = _days_df(spark)
+    commit_append(df.filter(F.col("k") % 2 == 0).repartition(2), tdir)
+    evolve_partition_spec(tdir, ["bucket(8, k)"])
+    commit_append(df.filter(F.col("k") % 2 == 1), tdir, cluster_partitions=8)
+    rewrite_to_spec(spark, tdir, cluster_partitions=4)
+    kept, total = prune_files_eq(tdir, "k", 123)
+    assert len(kept) < total
+    assert read_pruned_eq(spark, tdir, "k", 123).count() == 1
+    # a RANGE probe learns nothing from a hash bucket: keeps all files
+    kept_r, total_r = prune_files(tdir, "k", 100, 150)
+    assert len(kept_r) == total_r
+    n = read_pruned(spark, tdir, "k", 100, 150).count()
+    assert n == 51
+
+
+def test_truncate_transform_prunes_numeric_bins(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    df = _days_df(spark, n=1000)
+    commit_append(df, tdir)
+    evolve_partition_spec(tdir, ["truncate(100, k)"])
+    commit_append(
+        _days_df(spark, n=1000).withColumn("k", F.col("k") + 1000),
+        tdir,
+        cluster_partitions=10,
+    )
+    kept, total = prune_files(tdir, "k", 1500, 1599)
+    assert len(kept) < total
+    got = read_pruned(spark, tdir, "k", 1500, 1599).count()
+    assert got == 100
+
+
+def test_rewrite_to_spec_backfills_transform_bounds(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    df = _days_df(spark)
+    commit_append(df.repartition(3), tdir)
+    evolve_partition_spec(tdir, ["month(ts)"])
+    v, n = rewrite_to_spec(spark, tdir, cluster_partitions=4)
+    assert n == 3
+    man = _json.loads((Path(tdir) / f"v{v}.json").read_text())
+    assert all(
+        "month(ts)" in s and s["month(ts)"][0] is not None
+        for s in man["file_stats"].values()
+    )
+    # pure re-layout: multiset-identical to the pre-rewrite version
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        read_version,
+    )
+
+    a = read_version(spark, tdir, v - 1).groupBy().agg(
+        F.count(F.lit(1)), F.sum("k"), F.sum("v")
+    ).first()
+    b = read_version(spark, tdir, v).groupBy().agg(
+        F.count(F.lit(1)), F.sum("k"), F.sum("v")
+    ).first()
+    assert a == b
+
+
+def test_rank_col_collision_raises(spark):
+    from market_data_pipeline_databricks_spark.operators.ranking import (
+        two_pass_key_rank,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    for bad in ("pid", "lrank", "__offset", "__k_a"):
+        with pytest.raises(ValueError, match="rank_col"):
+            two_pass_key_rank(df, ["a"], [F.asc("b")], bad)
+
+
+def test_stream_rank_rejects_null_event_time(spark, tmp_path):
+    """NULL ts bypasses both the order guard and the offset count —
+    the sink must refuse the batch (advice finding)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        RankOrderViolation,
+        repair_ranks,
+        stream_rank_maintenance,
+    )
+
+    feed = _tf.mkdtemp(prefix="rk13_")
+    wh = _tf.mkdtemp(prefix="rk13wh_")
+    try:
+        t = dt.datetime(2025, 1, 1)
+        schema = "event_id long, ts timestamp, user_id long"
+        spark.createDataFrame(
+            [(1, t, 7), (2, None, 7)], schema
+        ).coalesce(1).write.mode("append").parquet(feed)
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        with pytest.raises(Exception, match="NULL ts"):
+            stream_rank_maintenance(s, wh)
+        # repair path refuses NULL-ts late rows the same way
+        spark.createDataFrame([(1, t, 7)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{wh}/events_ranked")
+        with pytest.raises(RankOrderViolation, match="NULL ts"):
+            repair_ranks(
+                spark,
+                spark.createDataFrame([(3, None, 7)], schema),
+                wh,
+            )
+    finally:
+        _sh.rmtree(feed, ignore_errors=True)
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+def test_wap_first_publish_leaves_v1_when_later_version_exists(
+    spark, tmp_path, monkeypatch
+):
+    """If a concurrent commit built v2 on top of the doomed v1 claim,
+    the rollback must NOT unlink v1 (that holes the chain under a live
+    v2) — it raises the manual-repair variant instead (advice
+    finding)."""
+    from market_data_pipeline_databricks_spark.sources import snapshots
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        ConcurrentCommitError,
+        latest_version,
+        stage_append,
+    )
+
+    tdir = str(tmp_path / "t")
+    stage_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"), tdir, "br"
+    )
+    staged_files = _json.loads(
+        (Path(tdir) / "staging-br.json").read_text()
+    )["files"]
+    real_publish = snapshots._publish
+
+    def racing_publish(table_dir, version, files, **meta):
+        real_publish(table_dir, version, files, **meta)
+        if version == 1:
+            # concurrent discard deletes the staged files AND a
+            # concurrent commit publishes v2 on top of the claim
+            for f in staged_files:
+                Path(f).unlink(missing_ok=True)
+            real_publish(table_dir, 2, [], **meta)
+
+    monkeypatch.setattr(snapshots, "_publish", racing_publish)
+    with pytest.raises(ConcurrentCommitError, match="manual repair"):
+        snapshots.publish_staged(tdir, "br")
+    assert (Path(tdir) / "v1.json").exists()  # chain has no hole
+    assert latest_version(tdir) == 2

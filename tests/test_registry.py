@@ -13,67 +13,67 @@ from market_data_pipeline_databricks_spark.plans import registry
 
 WINDOW = 50
 
-# The round-12 rotation, as an EXPLICIT literal (not
+# The round-13 rotation, as an EXPLICIT literal (not
 # list(registry.DRIVER_WINDOW)): the point of this guard is that an
 # accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
 # aliasing the registry value made the lockstep check trivially true
-# (round-6 advice). The 3 new r12 queries lead (partition evolution,
-# streaming rank maintenance, streamed evolved commits — a new
-# oracle-backed query takes a window slot the round it lands), then the
-# stalest-green cohort computed over CORRECTNESS_r01..r11: the 5
-# last-green-r05 queries, then the alphabetical head of the r06 cohort
-# (42 slots) — see registry.py.
+# (round-6 advice). The 2 new r13 queries lead (streaming rank repair,
+# hidden partitioning — a new oracle-backed query takes a window slot
+# the round it lands), then the stalest-green cohort computed over
+# CORRECTNESS_r01..r12: the 6 last-green-r06 queries, then the
+# alphabetical head of the 49-query r07 cohort (42 slots) — see
+# registry.py.
 PREVIOUSLY_UNCHECKED = [
-    "stream_rank_maintenance",
-    "warehouse_partition_evolution",
-    "stream_evolved_commits",
-    "text_pii_redaction",
-    "vector_dim_stats",
-    "vector_label_cohesion",
-    "window_gapfill_daily_close",
-    "window_native_session_stats",
-    "agg_yoy_revenue_growth",
-    "cdc_supplier_balance_diff",
-    "dedup_containment_screen",
-    "dedup_cross_source_matrix",
-    "er_blocked_match_pairs",
-    "events_burst_detection",
-    "events_chi2_independence",
-    "events_interarrival_quantiles",
-    "events_last_touch_attribution",
-    "events_longest_streak",
-    "events_power_users_pareto",
-    "events_rolling_active_users",
-    "events_top_paths",
-    "events_user_value_deciles",
-    "funcs_atr_parkinson",
-    "funcs_cross_sectional_momentum",
-    "funcs_cusum_drift",
-    "funcs_dow_seasonality",
-    "funcs_macd",
-    "funcs_max_drawdown",
-    "funcs_rolling_median_close",
-    "funcs_rsi",
-    "funcs_sharpe_sortino",
-    "funcs_vwap_monthly",
-    "funcs_weekly_ohlc",
-    "gold_incremental_equivalence",
-    "graph_part_bfs_hops",
-    "graph_part_triangles",
-    "incremental_cdc_rollup",
-    "incremental_rollup_equivalence",
-    "join_asof_tolerance_quotes",
-    "join_interval_overlap",
-    "join_lateral_top_orders",
-    "nested_orders_rollup",
-    "quality_order_total_reconciliation",
-    "sample_stratified_reservoir",
-    "scale_heavy_hitters",
-    "source_synthetic_ticks_ohlc",
-    "stream_synthetic_ticks_ohlc",
-    "text_bigram_logprob",
-    "text_gopher_survivors",
-    "text_lang_confusion_matrix",
+    "stream_rank_repair",
+    "warehouse_hidden_partitioning",
+    "text_length_histogram",
+    "text_ngram_novelty",
+    "text_zipf_fit",
+    "vector_truncation_fidelity",
+    "window_linear_interpolate_close",
+    "window_pareto_frontier_orders",
+    "agg_customer_rfm_segments",
+    "agg_pricing_summary",
+    "agg_revenue_share",
+    "agg_segment_value_quantiles",
+    "analyst_dq_triage_cte",
+    "analyst_top_movers_today",
+    "curate_chunk_corpus_lsh",
+    "curate_multimodal_corpus_lsh",
+    "curate_training_corpus",
+    "dedup_cdc_duplicate_coverage",
+    "dedup_cdc_duplicate_spans",
+    "dedup_cdc_incremental",
+    "dedup_cdc_repeated_chunks",
+    "dedup_component_size_histogram",
+    "dedup_components_lsh",
+    "dedup_editdistance_verify",
+    "dedup_incremental_fuzzy",
+    "dedup_incremental_fuzzy_lsh",
+    "dedup_method_agreement",
+    "dedup_minhash_near",
+    "dedup_simhash_near",
+    "dedup_winnow_overlap",
+    "er_resolved_entities",
+    "events_cumulative_reach",
+    "events_funnel_time_to_convert",
+    "filter_project_revenue",
+    "funcs_feature_panel",
+    "graph_frequent_itemsets",
+    "graph_part_association_rules",
+    "graph_part_pagerank",
+    "join_asof_orders_quotes",
+    "join_q9_product_type_profit",
+    "join_range_binned_volatility",
+    "quality_benford_screen",
+    "quality_mad_outliers",
+    "scalar_regexp_extract",
+    "scd2_supplier_history",
+    "skew_salted_pricing_summary",
+    "stream_cdc_incremental",
+    "stream_gold_incremental",
+    "stream_stateful_user_totals",
+    "text_bpe_encode_stats",
 ]
 
 
