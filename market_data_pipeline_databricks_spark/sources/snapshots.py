@@ -804,13 +804,24 @@ def expire_versions(table_dir: str, keep_last: int = 1) -> tuple[int, int]:
     for v in keep:
         referenced.update(_read_manifest(table_dir, v))
     files_deleted = 0
+    versions_removed = 0
     for v in drop:
-        for f in _read_manifest(table_dir, v):
+        try:
+            doomed = _read_manifest(table_dir, v)
+        except FileNotFoundError:
+            # already removed by an earlier expiry run — the drop range
+            # always starts at v1, so RE-RUNNING retention (the normal
+            # cron shape) walks versions prior runs deleted; skipping
+            # them is what makes expiry idempotent (pinned by the
+            # multi-process torture test)
+            continue
+        for f in doomed:
             if f not in referenced and Path(f).exists():
                 Path(f).unlink()
                 files_deleted += 1
-        _manifest_path(table_dir, v).unlink()
-    return (len(drop), files_deleted)
+        _manifest_path(table_dir, v).unlink(missing_ok=True)
+        versions_removed += 1
+    return (versions_removed, files_deleted)
 
 
 # ---------------------------------------------------------------------------
@@ -873,7 +884,14 @@ def _retained_files(table_dir: str) -> set[str]:
     d = Path(table_dir)
     for mp in d.glob("v*.json"):
         if mp.stem[1:].isdigit():
-            referenced.update(json.loads(mp.read_text())["files"])
+            try:
+                referenced.update(json.loads(mp.read_text())["files"])
+            except FileNotFoundError:
+                # concurrent expire_versions unlinked it between glob
+                # and read: an expired version's still-live files are
+                # carried forward by retained manifests (commits are
+                # by-reference), so skipping it loses nothing
+                continue
     return referenced
 
 
