@@ -118,6 +118,16 @@ HEADLINE = [
     # per-batch O(history) recompute slip would be driver-invisible.
     "warehouse_partition_evolution",
     "stream_rank_maintenance",
+    # round-13: the two new drives. Hidden partitioning (transform
+    # spec keys: month()/bucket() clustering + predicate mapping at
+    # the manifest) and the late-arrival rank repair (order-guard
+    # refusal + affected-key rerank + untouched-partition stability)
+    # — un-benched, a transform-stats regression or an
+    # O(whole-table) repair slip would be driver-invisible. The
+    # maintenance drive also switched to the day-partitioned
+    # production layout this round (same band as flat, measured).
+    "warehouse_hidden_partitioning",
+    "stream_rank_repair",
 ]
 
 
