@@ -772,7 +772,11 @@ def commit_merge_keys(
     )
     spec, prior_stats = _manifest_meta(table_dir, prev)
     if spec:
-        merged = merged.repartitionByRange(*[F.asc(k) for k in spec])
+        # transform-aware: cluster by the DERIVED partition values
+        # (month string, bucket int, ...), same as commit_append
+        merged = merged.repartitionByRange(
+            *[F.asc(_derived_expr(k)) for k in spec]
+        )
     new_files = _write_commit_files(merged, table_dir)
     # spec + stats carry forward: untouched files keep their bounds,
     # rewritten files get fresh bounds when a spec is active (the COW

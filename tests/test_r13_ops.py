@@ -269,3 +269,39 @@ def test_wap_first_publish_leaves_v1_when_later_version_exists(
         snapshots.publish_staged(tdir, "br")
     assert (Path(tdir) / "v1.json").exists()  # chain has no hole
     assert latest_version(tdir) == 2
+
+
+def test_cow_merge_under_transform_spec_reclusters_and_prunes(
+    spark, tmp_path
+):
+    """commit_merge_keys on a transform-evolved table must cluster its
+    COW output by the DERIVED values (raw spec strings are not
+    columns) and keep pruning correct after the merge."""
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_merge_keys,
+        read_version,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = _days_df(spark)
+    commit_append(df, tdir)
+    evolve_partition_spec(tdir, ["month(ts)"])
+    commit_append(
+        _days_df(spark).withColumn("k", F.col("k") + 1000),
+        tdir,
+        cluster_partitions=6,
+    )
+    batch = _days_df(spark, n=5).select(
+        "k", "ts", (F.col("v") + 100).alias("v")
+    )
+    v = commit_merge_keys(spark, tdir, batch, ["k"])
+    got = read_version(spark, tdir, v)
+    assert got.count() == 800
+    assert got.filter(F.col("v") >= 100).count() == 5
+    lo, hi = dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 29, 23, 59, 59)
+    kept, total = prune_files(tdir, "ts", lo, hi, version=v)
+    assert len(kept) < total
+    want = (
+        got.filter(F.col("ts").between(lo, hi)).count()
+    )
+    assert read_pruned(spark, tdir, "ts", lo, hi, version=v).count() == want
