@@ -24,6 +24,12 @@ PKG = Path(__file__).resolve().parent.parent / "market_data_pipeline_databricks_
 
 # (relative file, enclosing function) -> (allowed site count, documented bound)
 BOUNDED_COLLECTS = {
+    ("plans/stream_ops.py", "stream_rank_repair"): (
+        1,
+        "ONE user's distinct event days (<=31 rows at the 1-month "
+        "testdata span; O(days-of-one-key) in general) — drives the "
+        "untouched-partition stability assertion",
+    ),
     ("operators/pq.py", "_adc_scores"): (
         1,
         "O(|queries|) LUT build; ValueError contract caps at 100k rows",
