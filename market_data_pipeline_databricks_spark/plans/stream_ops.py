@@ -1086,22 +1086,25 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming-rank contract users actually hit at 100 TB, where
     late events are the norm, not the exception.
 
-    Composition: the earliest half of one user's events is held back
-    as the late slice; the rest streams through the incremental
-    maintenance in three event-time-ordered micro-batches on the
-    production layout (day-grain partitions). The drive then (1)
-    INJECTS the late slice as a fourth micro-batch and asserts the
+    Composition: the SECOND QUARTER of one user's events (by per-user
+    rank) is held back as the late slice; the rest streams through the
+    incremental maintenance in three event-time-ordered micro-batches
+    on the production layout (day-grain partitions). The drive then
+    (1) INJECTS the late slice as a fourth micro-batch and asserts the
     RankOrderViolation guard fires BEFORE any write (per-partition
     file listing byte-identical across the failed injection), (2)
-    repairs through ``repair_ranks`` — re-ranking ONLY the affected
-    key — and asserts every partition holding none of that key's rows
-    kept its exact files (the bounded O(touched-partitions) write the
-    layout exists for), and (3) requires the repaired table to equal
-    the batch window ``ROW_NUMBER() OVER (PARTITION BY user_id ORDER
-    BY ts, event_id)`` over the WHOLE input. The held-back user is the
-    one covering the fewest distinct days (deterministic tie-break on
-    user_id), which maximizes the untouched-partition set the
-    stability assertion covers. EAGER (streams + repairs at
+    repairs through ``repair_ranks`` — SUFFIX-BOUNDED: only the
+    affected key's rows at or after its earliest late ts rerank — and
+    asserts the write touched ONLY partitions holding that suffix:
+    other keys' exclusive days AND the affected user's own pre-late
+    days kept their exact files (the O(suffix-partitions) write the
+    bound exists for; holding back a middle chunk rather than the head
+    is what makes the prefix nonempty and the assertion meaningful),
+    and (3) requires the repaired table to equal the batch window
+    ``ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)``
+    over the WHOLE input. The held-back user is the one covering the
+    fewest distinct days (deterministic tie-break on user_id), which
+    maximizes the untouched-partition set. EAGER (streams + repairs at
     construction)."""
     import shutil
     import tempfile
@@ -1130,9 +1133,13 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     mine = ev.filter(F.col("user_id") == target_user)
     uw = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     n_mine = mine.count()
+    # middle chunk (ranks (n/4, n/2]): leaves a nonempty prefix whose
+    # ranks — and partitions — the suffix-bounded repair must not touch
+    lo_rn = n_mine // 4
+    hi_rn = max(lo_rn + 1, n_mine // 2)
     late = (
         mine.withColumn("__rn", F.row_number().over(uw))
-        .filter(F.col("__rn") <= max(1, n_mine // 2))
+        .filter((F.col("__rn") > lo_rn) & (F.col("__rn") <= hi_rn))
         .drop("__rn")
         .localCheckpoint()  # freeze: reused as stream feed + repair input
     )
@@ -1204,8 +1211,10 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stream_rank_repair: the refused injection modified "
                 "the maintained table — guard must raise before write"
             )
-        # (2) bounded repair: only partitions holding the affected
-        # key's rows may change
+        # (2) SUFFIX-bounded repair: only partitions holding the
+        # affected key's rows AT OR AFTER its earliest late ts may
+        # change — the user's pre-late days (and every other key's
+        # exclusive day) must keep their exact files
         repair_ranks(
             spark,
             late,
@@ -1213,9 +1222,13 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_by_month=True,
             partition_fmt="yyyy-MM-dd",
         )
+        late_lo = late.agg(F.min("ts")).first()[0]
         touched = {
             f"__p_month={r.d}"
-            for r in mine.select(day.alias("d")).distinct().collect()
+            for r in mine.filter(F.col("ts") >= F.lit(late_lo))
+            .select(day.alias("d"))
+            .distinct()
+            .collect()
         }
         after = _listing()
         changed = (set(before) ^ set(after)) | {

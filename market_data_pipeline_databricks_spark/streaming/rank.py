@@ -23,19 +23,32 @@ recompute-everything gold job. This maintenance is INCREMENTAL:
   maintained table itself, so a REPLAYED batch (failure before the
   checkpoint commit) excludes its own landed rows and recomputes the
   same offsets: exactly-once in effect, with no side counter to drift.
+- the offsets count rides an ADVISORY CACHE (``<table>__offsets``:
+  per-key counts up to a high-water ``ts``): when the cache's
+  watermark is strictly below the batch min, offsets = cached counts
+  plus a DELTA count over ``(wm, bmin)`` — a partition-pruned sliver —
+  so the per-batch READ is O(recent), not O(history). The cache is
+  never trusted for correctness: a replayed batch (watermark >= batch
+  min), a missing/partial cache file, or a post-repair invalidation
+  all fall back to the full ``ts < bmin`` count, and a cache that
+  missed its post-batch update is healed by the delta term. Repair
+  INVALIDATES the cache before writing (late rows land below the
+  watermark, which the cache cannot represent).
 - within the batch, ranks come from the shared two-pass operator
   (operators/ranking.py) — batch-scaled work, skew-safe;
 - rows land through the idempotent keyed upsert (replays rewrite the
   same values).
 
-Scale shape: the RANKING work is O(batch); the offsets count and the
-precondition guard are column-pruned scans of the maintained table
-(``partition_by_month=True`` partitions the table by a ts-derived
-month so both prune to recent partitions AND the keyed upsert rewrites
-only the touched months — without it the parquet upsert rewrites the
-whole table each batch, fine for drives, wrong for production). The
-offset frame itself is |batch keys| rows, broadcast back. State is the
-checkpointed file log — never row-scaled driver state.
+Scale shape: the RANKING work is O(batch); the precondition guard and
+the delta count are ts-bounded scans that PRUNE to recent partitions
+under ``partition_by_month=True`` (the table partitions on a
+ts-derived bucket — ``partition_fmt`` must be lexicographically
+time-monotone, the ``yyyy-MM``/``yyyy-MM-dd`` family — and the keyed
+upsert rewrites only touched buckets; without it the parquet upsert
+rewrites the whole table each batch, fine for drives, wrong for
+production). The offset frame itself is |batch keys| rows, broadcast
+back. State is the checkpointed file log plus the |keys|-row offsets
+cache — never row-scaled driver state.
 """
 
 from __future__ import annotations
@@ -52,6 +65,64 @@ class RankOrderViolation(ValueError):
     late arrival or an equal-``ts`` split across a batch boundary. The
     maintained table was NOT modified; route the offending rows through
     :func:`repair_ranks`."""
+
+
+def _offsets_cache_path(warehouse_dir: str, table: str):
+    from pathlib import Path
+
+    return Path(warehouse_dir) / f"{table}__offsets"
+
+
+def _read_offsets_cache(spark, warehouse_dir: str, table: str):
+    """(per-key counts frame ``(__k, __n)``, watermark ts) or
+    ``(None, None)``. DEFENSIVE by contract: the cache is advisory —
+    a missing dir, a partial write from a crash, or a wrong schema
+    must read as 'no cache' (full-scan fallback), never as wrong
+    counts."""
+    p = _offsets_cache_path(warehouse_dir, table)
+    if not p.exists():
+        return None, None
+    try:
+        df = spark.read.parquet(str(p))
+        if set(df.columns) != {"__k", "__n", "__wm"}:
+            return None, None
+        wm = df.agg(F.max("__wm")).first()[0]
+        if wm is None:
+            return None, None
+        return df.select("__k", "__n"), wm
+    except Exception:
+        return None, None
+
+
+def _write_offsets_cache(
+    spark, counts: DataFrame, wm, warehouse_dir: str, table: str
+) -> None:
+    """Replace the cache with ``counts`` (``__k``, ``__n``) stamped at
+    watermark ``wm``: staging write + directory swap. A crash mid-swap
+    leaves a missing/partial dir, which _read_offsets_cache treats as
+    no cache — safe."""
+    import uuid
+    from pathlib import Path
+
+    dest = _offsets_cache_path(warehouse_dir, table)
+    staging = Path(warehouse_dir) / f".cachestage_{uuid.uuid4().hex[:8]}"
+    counts.withColumn("__wm", F.lit(wm)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(staging))
+    if dest.exists():
+        shutil.rmtree(dest)
+    shutil.move(str(staging), str(dest))
+
+
+def invalidate_offsets_cache(warehouse_dir: str, table: str) -> None:
+    """Drop the advisory offsets cache; the next micro-batch falls
+    back to the full count and rebuilds it. Called by repair (late
+    rows land below the watermark, which per-key counts up to a single
+    watermark cannot represent) and available to operators after any
+    out-of-band table surgery."""
+    p = _offsets_cache_path(warehouse_dir, table)
+    if p.exists():
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def stream_rank_maintenance(
@@ -91,6 +162,13 @@ def stream_rank_maintenance(
         upsert_by_key,
     )
 
+    if partition_by_month and not partition_fmt.startswith("yyyy"):
+        # the partition predicate in _since compares bucket STRINGS,
+        # which is only time-monotone for year-leading formats
+        raise ValueError(
+            f"partition_fmt {partition_fmt!r} must be year-leading "
+            "(yyyy...) so bucket-string order is time order"
+        )
     auto_checkpoint = checkpoint_dir is None
     if auto_checkpoint:
         checkpoint_dir = tempfile.mkdtemp(prefix=f"ckpt_rank_{table}_")
@@ -123,7 +201,22 @@ def stream_rank_maintenance(
                 "maintenance (NULL-ts rows bypass the order guard and "
                 "the offset count); filter or impute upstream"
             )
-        bmin = batch.agg(F.min(ts_col).alias("m")).first()["m"]
+        brow = batch.agg(
+            F.min(ts_col).alias("m"), F.max(ts_col).alias("M")
+        ).first()
+        bmin, bmax = brow["m"], brow["M"]
+
+        def _since(df: DataFrame, lob) -> DataFrame:
+            # partition-prune a ts-lower-bounded scan: the bucket
+            # string is time-monotone (yyyy-prefixed fmt contract), so
+            # __p_month >= fmt(lob) is a constant-folded partition
+            # predicate that skips every older bucket's files
+            if partition_by_month:
+                df = df.filter(
+                    F.col("__p_month")
+                    >= F.date_format(F.lit(lob), partition_fmt)
+                )
+            return df
         # explicit existence probe, not try/except around the scan: a
         # missing first-batch table is the normal case, and letting the
         # AnalysisException fly inside foreachBatch makes the streaming
@@ -154,7 +247,8 @@ def stream_rank_maintenance(
             # probes run only in the rare foreign case; the first is
             # ts-bounded (partition-pruned under partition_by_month).
             foreign = (
-                existing.filter(F.col(ts_col) >= F.lit(bmin))
+                _since(existing, bmin)
+                .filter(F.col(ts_col) >= F.lit(bmin))
                 .join(batch.select(id_col), id_col, "anti")
                 .take(1)
             )
@@ -170,15 +264,50 @@ def stream_rank_maintenance(
                 )
             # offsets from the maintained table, NOT a side counter:
             # strict ts < batch-min excludes a replayed batch's own
-            # landed rows, so replays recompute identical ranks.
-            # NULL-safe key join: a NULL key is a normal window
-            # partition and must pick up its offset too.
-            offsets = (
-                existing.filter(F.col(ts_col) < F.lit(bmin))
-                .groupBy(key_col)
-                .agg(F.count(F.lit(1)).alias("__base"))
-                .withColumnRenamed(key_col, "__k")
-            )
+            # landed rows, so replays recompute identical ranks. The
+            # advisory cache bounds the READ: when its watermark is
+            # strictly below bmin, cached counts + a partition-pruned
+            # delta over (wm, bmin) replace the full-history scan; a
+            # replay (wm >= bmin) or an unreadable cache falls back to
+            # the full count — the cache can shrink the scan, never
+            # change the result. NULL-safe key joins throughout: a
+            # NULL key is a normal window partition.
+            cached, wm = _read_offsets_cache(spark, warehouse_dir, table)
+            if cached is not None and wm < bmin:
+                delta = (
+                    _since(existing, wm)
+                    .filter(
+                        (F.col(ts_col) > F.lit(wm))
+                        & (F.col(ts_col) < F.lit(bmin))
+                    )
+                    .groupBy(key_col)
+                    .agg(F.count(F.lit(1)).alias("__d"))
+                    .withColumnRenamed(key_col, "__k2")
+                )
+                offsets = (
+                    cached.join(
+                        delta,
+                        F.col("__k").eqNullSafe(F.col("__k2")),
+                        "full",
+                    )
+                    .select(
+                        F.coalesce(F.col("__k"), F.col("__k2")).alias(
+                            "__k"
+                        ),
+                        (
+                            F.coalesce(F.col("__n"), F.lit(0))
+                            + F.coalesce(F.col("__d"), F.lit(0))
+                        ).alias("__base"),
+                    )
+                )
+            else:
+                offsets = (
+                    existing.filter(F.col(ts_col) < F.lit(bmin))
+                    .groupBy(key_col)
+                    .agg(F.count(F.lit(1)).alias("__base"))
+                    .withColumnRenamed(key_col, "__k")
+                )
+            offsets = offsets.localCheckpoint()  # reused for the cache
             ranked = (
                 ranked.join(
                     F.broadcast(offsets),
@@ -202,6 +331,44 @@ def stream_rank_maintenance(
             [id_col],
             pcols,
             stable_partitions=partition_by_month,
+        )
+        # cache update AFTER the upsert: new counts = (all keys' rows
+        # at ts < bmin — the offsets frame) + this batch's rows, at
+        # watermark bmax. Crash between upsert and here leaves a STALE
+        # watermark, which the next batch's delta term heals; a crash
+        # mid-write leaves an unreadable cache, which reads as absent.
+        # Under the strict order precondition every pre-batch key has
+        # rows below bmin, so offsets ∪ batch covers every key.
+        batch_counts = (
+            batch.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__b"))
+            .withColumnRenamed(key_col, "__kb")
+        )
+        base = (
+            offsets
+            if existing is not None
+            else spark.createDataFrame([], batch_counts.schema)
+            .withColumnRenamed("__kb", "__k")
+            .withColumnRenamed("__b", "__base")
+        )
+        new_counts = (
+            base.join(
+                batch_counts,
+                F.col("__k").eqNullSafe(F.col("__kb")),
+                "full",
+            )
+            .select(
+                F.coalesce(F.col("__k"), F.col("__kb")).alias("__k"),
+                (
+                    F.coalesce(F.col("__base"), F.lit(0))
+                    + F.coalesce(F.col("__b"), F.lit(0))
+                )
+                .cast("long")
+                .alias("__n"),
+            )
+        )
+        _write_offsets_cache(
+            spark, new_counts, bmax, warehouse_dir, table
         )
 
     q = (
@@ -232,17 +399,26 @@ def repair_ranks(
     """Late-arrival repair for the maintained rank table: when rows
     violate the stream's event-time-order precondition (a late event
     whose ``ts`` precedes already-ranked rows of its key), insert them
-    and RE-RANK only the affected keys — the batch two-pass rank over
-    ``O(affected keys' rows)``, never the whole table's ranking.
+    and re-rank — SUFFIX-BOUNDED: for each affected key only the rows
+    at or after that key's earliest late ``ts`` are reranked and
+    rewritten. Rows strictly before it keep their stored ranks (a
+    correct rank over a prefix of the key's total order cannot change
+    when rows are inserted after it), and their per-key count is the
+    base offset added to the reranked suffix. At 100 TB this is the
+    difference that matters: a key with years of history and a
+    late event from yesterday repairs in O(one day's rows), never
+    O(the key's history) — and the write touches only the suffix's
+    partitions.
 
     Idempotent: re-running with the same late rows recomputes and
-    rewrites identical ranks. Scale shape: the affected-key subset is
-    located with one broadcast semi-join on the key column (NULL-safe:
-    a NULL-keyed late row repairs the NULL-key partition); the rerank
-    tracks the hot keys' row counts. The WRITE is bounded only under
-    ``partition_by_month=True`` (matching the maintenance layout —
-    touched months rewrite); the unpartitioned parquet upsert rewrites
-    the whole table, acceptable for drives, not for production."""
+    rewrites identical ranks (the late rows are then already present;
+    the per-key threshold and prefix counts are unchanged). NULL-safe
+    on the key (a NULL-keyed late row repairs the NULL-key partition);
+    a late key with no existing rows inserts with base 0. The WRITE is
+    bounded only under ``partition_by_month=True`` (matching the
+    maintenance layout — touched suffix buckets rewrite); the
+    unpartitioned parquet upsert rewrites the whole table, acceptable
+    for drives, not for production."""
     from market_data_pipeline_databricks_spark.operators.ranking import (
         two_pass_key_rank,
     )
@@ -250,13 +426,18 @@ def repair_ranks(
         read_table,
     )
     from market_data_pipeline_databricks_spark.sources.writers import (
-        _null_safe_semi,
         upsert_by_key,
     )
 
     existing = read_table(spark, warehouse_dir, table)
     if partition_by_month:
         existing = existing.drop("__p_month")
+    clash = {"__k", "__lo", "__base"} & set(existing.columns)
+    if clash:
+        raise ValueError(
+            f"repair_ranks bookkeeping columns {sorted(clash)} collide "
+            "with table columns — rename them first"
+        )
     # same non-null event-time precondition as the streaming sink: a
     # NULL-ts row landed here would poison every later batch's offset
     # count and order guard (both ts-bounded filters skip NULLs).
@@ -265,20 +446,64 @@ def repair_ranks(
             f"late rows contain NULL {ts_col} — event time must be "
             "non-null for rank maintenance; filter or impute upstream"
         )
-    keys = late_rows.select(key_col).distinct()
-    affected = _null_safe_semi(existing, keys, [key_col]).drop(rank_col)
+    # per-key repair threshold: the earliest late ts of that key — a
+    # |late keys|-row frame, broadcast to locate the affected rows
+    lo_per_key = (
+        late_rows.groupBy(key_col)
+        .agg(F.min(ts_col).alias("__lo"))
+        .withColumnRenamed(key_col, "__k")
+    )
+    affected = existing.join(
+        F.broadcast(lo_per_key),
+        F.col(key_col).eqNullSafe(F.col("__k")),
+        "inner",
+    )
+    # prefix rows keep their ranks; their per-key count is the base
+    # offset (ties are safe: every prefix ts is STRICTLY below every
+    # late/suffix ts of its key, so (ts, id) order across the split
+    # cannot interleave)
+    base = (
+        affected.filter(F.col(ts_col) < F.col("__lo"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__base"))
+    )
+    suffix = (
+        affected.filter(F.col(ts_col) >= F.col("__lo"))
+        .drop("__k", "__lo", rank_col)
+    )
     # union late rows (dedup by id against rows already present — a
     # replayed repair re-delivers the same late rows)
-    merged = affected.unionByName(
-        late_rows.select(*affected.columns)
+    merged = suffix.unionByName(
+        late_rows.select(*suffix.columns)
     ).dropDuplicates([id_col])
-    reranked = two_pass_key_rank(
-        merged, [key_col], [F.asc(ts_col), F.asc(id_col)], rank_col
+    reranked = (
+        two_pass_key_rank(
+            merged, [key_col], [F.asc(ts_col), F.asc(id_col)], rank_col
+        )
+        .join(
+            F.broadcast(base),
+            F.col(key_col).eqNullSafe(F.col("__k")),
+            "left",
+        )
+        .withColumn(
+            rank_col,
+            (F.coalesce(F.col("__base"), F.lit(0)) + F.col(rank_col))
+            .cast("long"),
+        )
+        .drop("__k", "__base")
     )
     if partition_by_month:
         reranked = reranked.withColumn(
             "__p_month", F.date_format(F.col(ts_col), partition_fmt)
         )
+    # invalidate BEFORE the write: late rows land below the cache's
+    # watermark, which per-key counts up to one watermark cannot
+    # represent. Delete-first is the crash-safe order — a crash after
+    # the delete but before (or during) the upsert leaves no cache
+    # (next batch full-scans); the reverse order could leave a stale
+    # undercounting cache over repaired data, silently minting
+    # duplicate ranks.
+    invalidate_offsets_cache(warehouse_dir, table)
     upsert_by_key(
         spark,
         reranked,

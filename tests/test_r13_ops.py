@@ -305,3 +305,190 @@ def test_cow_merge_under_transform_spec_reclusters_and_prunes(
         got.filter(F.col("ts").between(lo, hi)).count()
     )
     assert read_pruned(spark, tdir, "ts", lo, hi, version=v).count() == want
+
+
+def test_repair_ranks_is_suffix_bounded_per_key(spark):
+    """Repair must rerank only rows at/after each key's earliest late
+    ts (prefix ranks and their partitions untouched), apply per-key
+    base offsets, and insert never-seen keys with base 0."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from market_data_pipeline_databricks_spark.sources.tables import (
+        read_table,
+    )
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        repair_ranks,
+        stream_rank_maintenance,
+    )
+
+    feed = _tf.mkdtemp(prefix="rk13s_")
+    wh = _tf.mkdtemp(prefix="rk13swh_")
+    try:
+        t0 = dt.datetime(2025, 1, 1)
+        rows = []
+        # key 7: 10 on-time events over 10 days; key 9: 4 events
+        for i in range(10):
+            rows.append((100 + i, t0 + dt.timedelta(days=i), 7))
+        for i in range(4):
+            rows.append((200 + i, t0 + dt.timedelta(days=i), 9))
+        schema = "event_id long, ts timestamp, user_id long"
+        ot = spark.createDataFrame(rows, schema)
+        mid = t0 + dt.timedelta(days=5)
+        for cond in (F.col("ts") < F.lit(mid), F.col("ts") >= F.lit(mid)):
+            ot.filter(cond).coalesce(1).write.mode("append").parquet(feed)
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        stream_rank_maintenance(
+            s, wh, partition_by_month=True, partition_fmt="yyyy-MM-dd"
+        )
+        tdir = Path(f"{wh}/events_ranked")
+        listing_before = {
+            str(p.relative_to(tdir)): p.stat().st_mtime_ns
+            for p in tdir.rglob("*.parquet")
+        }
+        # late: key 7 at day 6.5 (suffix = days 7,8,9 + late row);
+        # key 9 at day 1.5; key 11 is brand new at day 20
+        late = spark.createDataFrame(
+            [
+                (900, t0 + dt.timedelta(days=6, hours=12), 7),
+                (901, t0 + dt.timedelta(days=1, hours=12), 9),
+                (902, t0 + dt.timedelta(days=20), 11),
+            ],
+            schema,
+        )
+        repair_ranks(
+            spark, late, wh, partition_by_month=True,
+            partition_fmt="yyyy-MM-dd",
+        )
+        repair_ranks(  # idempotent re-run
+            spark, late, wh, partition_by_month=True,
+            partition_fmt="yyyy-MM-dd",
+        )
+        got = {
+            r.event_id: r.user_seq
+            for r in read_table(spark, wh, "events_ranked").collect()
+        }
+        ev = ot.unionByName(late)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.asc("ts"), F.asc("event_id")
+        )
+        truth = {
+            r.event_id: r.seq
+            for r in ev.withColumn("seq", F.row_number().over(w)).collect()
+        }
+        assert got == truth
+        # prefix partitions untouched: key 7's late ts is day 6.5 and
+        # key 9's is day 1.5, so days 01-01 (both keys' prefix)
+        # through 01-02 hold only prefix rows of 7 plus the suffix of
+        # 9 from day 1.5 — the STRICT prefix days are 01-01 only.
+        # Check it kept its exact file mtimes.
+        listing_after = {
+            str(p.relative_to(tdir)): p.stat().st_mtime_ns
+            for p in tdir.rglob("*.parquet")
+        }
+        prefix_day = "__p_month=2025-01-01"
+        pre = {k: v for k, v in listing_before.items() if prefix_day in k}
+        post = {k: v for k, v in listing_after.items() if prefix_day in k}
+        assert pre and pre == post
+    finally:
+        _sh.rmtree(feed, ignore_errors=True)
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+def test_offsets_cache_bounds_reads_and_heals_stale_watermark(spark):
+    """The advisory offsets cache must (a) exist after a drain, (b)
+    serve the next batch through counts+delta, and (c) HEAL a stale
+    watermark (simulated crash between upsert and cache write) via the
+    delta term — final ranks equal the batch window either way."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from market_data_pipeline_databricks_spark.sources.tables import (
+        read_table,
+    )
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        _offsets_cache_path,
+        _read_offsets_cache,
+        stream_rank_maintenance,
+    )
+
+    feed = _tf.mkdtemp(prefix="rk13c_")
+    wh = _tf.mkdtemp(prefix="rk13cwh_")
+    ck = _tf.mkdtemp(prefix="rk13cck_")
+    stash = _tf.mkdtemp(prefix="rk13cstash_")
+    try:
+        t0 = dt.datetime(2025, 1, 1)
+        schema = "event_id long, ts timestamp, user_id long"
+
+        def mk(ids_days_users):
+            return spark.createDataFrame(
+                [
+                    (i, t0 + dt.timedelta(days=d), u)
+                    for i, d, u in ids_days_users
+                ],
+                schema,
+            )
+
+        def drain():
+            s = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(feed)
+            )
+            stream_rank_maintenance(
+                s,
+                wh,
+                checkpoint_dir=ck,
+                partition_by_month=True,
+                partition_fmt="yyyy-MM-dd",
+            )
+
+        mk([(1, 0, 7), (2, 1, 7), (3, 1, 9)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        drain()
+        cache_dir = _offsets_cache_path(wh, "events_ranked")
+        assert cache_dir.exists()
+        _sh.copytree(cache_dir, f"{stash}/c1")  # batch-1-era cache
+        counts, wm = _read_offsets_cache(spark, wh, "events_ranked")
+        assert wm == t0 + dt.timedelta(days=1)
+        assert {(r["__k"], r["__n"]) for r in counts.collect()} == {
+            (7, 2),
+            (9, 1),
+        }
+        # batches 2 and 3 (same checkpoint: only new files process)
+        mk([(4, 2, 7), (5, 3, 9)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        drain()
+        # simulate the crash window: revert the cache to the STALE
+        # batch-1 watermark, then land batch 3 — the delta over
+        # (wm, bmin) must re-count batch 2's rows
+        _sh.rmtree(cache_dir)
+        _sh.copytree(f"{stash}/c1", cache_dir)
+        mk([(6, 4, 7), (7, 5, 11)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        drain()
+        got = {
+            r.event_id: r.user_seq
+            for r in read_table(spark, wh, "events_ranked").collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 1, 4: 3, 5: 2, 6: 4, 7: 1}
+        # cache rebuilt to the true head
+        counts, wm = _read_offsets_cache(spark, wh, "events_ranked")
+        assert wm == t0 + dt.timedelta(days=5)
+        assert {(r["__k"], r["__n"]) for r in counts.collect()} == {
+            (7, 4),
+            (9, 2),
+            (11, 1),
+        }
+    finally:
+        for d in (feed, wh, ck, stash):
+            _sh.rmtree(d, ignore_errors=True)
