@@ -1180,6 +1180,13 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         _stream(feed_dir, ck1)
         tdir = Path(wh_dir) / "events_ranked"
+        # the advisory offsets cache must exist after a drain (it is
+        # what bounds the next batch's read to O(recent))
+        cache_dir = Path(wh_dir) / "events_ranked__offsets"
+        if not cache_dir.exists():
+            raise AssertionError(
+                "stream_rank_repair: offsets cache missing after drain"
+            )
 
         def _listing() -> dict[str, tuple[int, int]]:
             return {
@@ -1222,6 +1229,11 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_by_month=True,
             partition_fmt="yyyy-MM-dd",
         )
+        if cache_dir.exists():
+            raise AssertionError(
+                "stream_rank_repair: repair must invalidate the "
+                "offsets cache (late rows land below its watermark)"
+            )
         late_lo = late.agg(F.min("ts")).first()[0]
         touched = {
             f"__p_month={r.d}"
