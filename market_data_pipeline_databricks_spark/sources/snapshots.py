@@ -294,6 +294,49 @@ def _derived_expr(key: str):
     return (F.floor(F.col(src) / p) * p).cast("long")
 
 
+def _check_spec_types(df: DataFrame, spec: list[str]) -> None:
+    """Fail-loud transform/column-type compatibility, enforced at
+    every clustering site (evolve time has no schema to check): a
+    bucket() over a decimal/timestamp key would hash Spark's string
+    cast ('371.00') while the Python probe hashes str(371) — a SILENT
+    mis-prune; truncate() over a non-numeric column derives all-NULL
+    partition values — a silent no-op of the feature (review
+    findings)."""
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    numeric = integral + (T.FloatType, T.DoubleType, T.DecimalType)
+    temporal = (T.DateType, T.TimestampType, T.TimestampNTZType)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for k in spec:
+        kind, _p, src = _parse_spec_key(k)
+        dt_ = fields.get(src)
+        if dt_ is None:
+            raise ValueError(
+                f"spec key {k!r}: column {src!r} not in the batch "
+                f"schema {sorted(fields)}"
+            )
+        if kind == "bucket" and not isinstance(
+            dt_, integral + (T.StringType,)
+        ):
+            raise TypeError(
+                f"bucket() key {src!r} must be an integer or string "
+                f"column (the portable crc32-on-string hash requires "
+                f"both sides' string casts to agree), got "
+                f"{dt_.simpleString()}"
+            )
+        if kind == "truncate" and not isinstance(dt_, numeric):
+            raise TypeError(
+                f"truncate() key {src!r} must be numeric, got "
+                f"{dt_.simpleString()}"
+            )
+        if kind in ("month", "day") and not isinstance(dt_, temporal):
+            raise TypeError(
+                f"{kind}() key {src!r} must be a date/timestamp "
+                f"column, got {dt_.simpleString()}"
+            )
+
+
 def _bucket_of(value, n: int) -> int:
     """Python twin of the bucket() transform for plan-time probes —
     must equal Spark's ``pmod(crc32(cast(col as string)), n)`` (CRC-32
@@ -312,14 +355,21 @@ def _probe_bounds(kind: str, p: int | None, lo, hi):
     if kind == "identity":
         return lo, hi
     if kind in ("month", "day"):
-        fmt = "%Y-%m" if kind == "month" else "%Y-%m-%d"
         for v in (lo, hi):
             if not isinstance(v, (_dt.date, _dt.datetime)):
                 raise TypeError(
                     f"{kind}() pruning needs date/datetime probe "
                     f"bounds, got {type(v).__name__}"
                 )
-        return lo.strftime(fmt), hi.strftime(fmt)
+
+        def _f(v):
+            # explicit zero-padding, NOT strftime: glibc's %Y prints
+            # year 999 as '999' while Spark's yyyy records '0999' —
+            # the lexical compare would then mis-prune (review finding)
+            s = f"{v.year:04d}-{v.month:02d}"
+            return s if kind == "month" else f"{s}-{v.day:02d}"
+
+        return _f(lo), _f(hi)
     # truncate: floor both ends to the bin width
     return (lo // p) * p, (hi // p) * p
 
@@ -417,6 +467,7 @@ def commit_append(
     prior_files = _read_manifest(table_dir, prev) if prev else []
     spec, prior_stats = _manifest_meta(table_dir, prev) if prev else ([], {})
     if spec:
+        _check_spec_types(df, spec)
         cols = [F.asc(_derived_expr(k)) for k in spec]
         df = (
             df.repartitionByRange(cluster_partitions, *cols)
@@ -514,6 +565,7 @@ def rewrite_to_spec(
         return prev, 0
     keep = [f for f in files if f not in set(statless)]
     df = spark.read.parquet(*statless)
+    _check_spec_types(df, spec)
     cols = [F.asc(_derived_expr(k)) for k in spec]
     df = (
         df.repartitionByRange(cluster_partitions, *cols)
@@ -637,6 +689,16 @@ def prune_files_eq(
     for s in spec:
         kind, p, src = _parse_spec_key(s)
         if src == key and kind == "bucket":
+            if isinstance(value, bool) or not isinstance(
+                value, (int, str)
+            ):
+                # a float/decimal probe would hash str(371.0) while
+                # the column hashed '371' — silent mis-prune; the key
+                # column itself is int/string by _check_spec_types
+                raise TypeError(
+                    f"bucket() probe for {key!r} must be an int or "
+                    f"str, got {type(value).__name__}"
+                )
             b = _bucket_of(value, p)
             probes[s] = (b, b)
     return _prune(files, stats, probes), len(files)
@@ -774,6 +836,7 @@ def commit_merge_keys(
     if spec:
         # transform-aware: cluster by the DERIVED partition values
         # (month string, bucket int, ...), same as commit_append
+        _check_spec_types(merged, spec)
         merged = merged.repartitionByRange(
             *[F.asc(_derived_expr(k)) for k in spec]
         )

@@ -106,12 +106,61 @@ def _write_offsets_cache(
 
     dest = _offsets_cache_path(warehouse_dir, table)
     staging = Path(warehouse_dir) / f".cachestage_{uuid.uuid4().hex[:8]}"
-    counts.withColumn("__wm", F.lit(wm)).coalesce(1).write.mode(
+    # the rewrite is the maintenance's one key-scaled step (|keys|
+    # rows, columnar, amortized per batch); coalesce to a few files so
+    # neither a single giant task nor a shuffle-partition spray of
+    # tiny files lands on the hot path
+    counts.withColumn("__wm", F.lit(wm)).coalesce(8).write.mode(
         "overwrite"
     ).parquet(str(staging))
     if dest.exists():
         shutil.rmtree(dest)
     shutil.move(str(staging), str(dest))
+
+
+def _merge_counts(a: DataFrame, an: str, b: DataFrame, bn: str, out: str):
+    """Per-key count merge: full-outer NULL-SAFE join of ``a`` (keyed
+    ``__k``, counts ``an``) with ``b`` (keyed ``__kb``, counts ``bn``)
+    → ``(__k, out)`` where absent sides count 0. One shape for both
+    cache-path offsets (cached + delta) and the cache rewrite
+    (offsets + batch)."""
+    return a.join(
+        b, F.col("__k").eqNullSafe(F.col("__kb")), "full"
+    ).select(
+        F.coalesce(F.col("__k"), F.col("__kb")).alias("__k"),
+        (
+            F.coalesce(F.col(an), F.lit(0))
+            + F.coalesce(F.col(bn), F.lit(0))
+        )
+        .cast("long")
+        .alias(out),
+    )
+
+
+def _check_partition_fmt(existing: DataFrame, ts_col: str, fmt: str, who: str):
+    """A table's on-disk bucket grain must match the caller's
+    ``partition_fmt``: a mismatch makes the upsert's touched set miss
+    every existing partition, landing fresh rows in NEW bucket dirs
+    while their stale copies survive in the old ones — silent
+    duplicate keys with conflicting ranks. One-row sample check,
+    fail-loud (review finding)."""
+    # STRING comparison on both sides: partition type inference can
+    # read day-grain __p_month back as DATE, and date==string coerces
+    # the string ('2025-01' casts to 2025-01-01), silently passing a
+    # month-fmt check against a day-grain table
+    s = existing.select(
+        (
+            F.col("__p_month").cast("string")
+            == F.date_format(F.col(ts_col), fmt)
+        ).alias("ok"),
+        F.col("__p_month").cast("string").alias("__p_month"),
+    ).first()
+    if s is not None and not s["ok"]:
+        raise ValueError(
+            f"{who}: partition_fmt {fmt!r} does not reproduce the "
+            f"table's on-disk bucket values (sample {s['__p_month']!r})"
+            " — pass the fmt the table was built with"
+        )
 
 
 def invalidate_offsets_cache(warehouse_dir: str, table: str) -> None:
@@ -193,17 +242,23 @@ def stream_rank_maintenance(
         # foreign probe (ts >= bmin) and the offset count (ts < bmin)
         # exclude NULL-ts rows, so a NULL-ts event would bypass the
         # order guard AND the offsets and silently mint a duplicate
-        # per-key rank (NULLS FIRST in the asc window).
-        if batch.filter(F.col(ts_col).isNull()).take(1):
-            raise RankOrderViolation(
-                f"micro-batch {batch_id} contains NULL {ts_col} rows — "
-                "event time must be non-null for incremental rank "
-                "maintenance (NULL-ts rows bypass the order guard and "
-                "the offset count); filter or impute upstream"
-            )
+        # per-key rank (NULLS FIRST in the asc window). Folded into
+        # the min/max aggregate — one batch scan, not two.
         brow = batch.agg(
-            F.min(ts_col).alias("m"), F.max(ts_col).alias("M")
+            F.min(ts_col).alias("m"),
+            F.max(ts_col).alias("M"),
+            F.sum(
+                F.when(F.col(ts_col).isNull(), 1).otherwise(0)
+            ).alias("nn"),
         ).first()
+        if brow["nn"]:
+            raise RankOrderViolation(
+                f"micro-batch {batch_id} contains {brow['nn']} NULL "
+                f"{ts_col} rows — event time must be non-null for "
+                "incremental rank maintenance (NULL-ts rows bypass "
+                "the order guard and the offset count); filter or "
+                "impute upstream"
+            )
         bmin, bmax = brow["m"], brow["M"]
 
         def _since(df: DataFrame, lob) -> DataFrame:
@@ -235,6 +290,10 @@ def stream_rank_maintenance(
             rank_col,
         )
         if existing is not None:
+            if partition_by_month:
+                _check_partition_fmt(
+                    existing, ts_col, partition_fmt, "stream_rank_maintenance"
+                )
             # PRECONDITION GUARD (strict order, module docstring): an
             # already-ranked row at ts >= batch-min that the batch does
             # NOT itself contain is a late-arrival overlap or an
@@ -282,24 +341,9 @@ def stream_rank_maintenance(
                     )
                     .groupBy(key_col)
                     .agg(F.count(F.lit(1)).alias("__d"))
-                    .withColumnRenamed(key_col, "__k2")
+                    .withColumnRenamed(key_col, "__kb")
                 )
-                offsets = (
-                    cached.join(
-                        delta,
-                        F.col("__k").eqNullSafe(F.col("__k2")),
-                        "full",
-                    )
-                    .select(
-                        F.coalesce(F.col("__k"), F.col("__k2")).alias(
-                            "__k"
-                        ),
-                        (
-                            F.coalesce(F.col("__n"), F.lit(0))
-                            + F.coalesce(F.col("__d"), F.lit(0))
-                        ).alias("__base"),
-                    )
-                )
+                offsets = _merge_counts(cached, "__n", delta, "__d", "__base")
             else:
                 offsets = (
                     existing.filter(F.col(ts_col) < F.lit(bmin))
@@ -308,9 +352,17 @@ def stream_rank_maintenance(
                     .withColumnRenamed(key_col, "__k")
                 )
             offsets = offsets.localCheckpoint()  # reused for the cache
+            # only the BATCH's keys ride the broadcast into the rank
+            # join — the full frame is |all keys ever| and belongs
+            # only in the cache rewrite (review finding). NULL-safe
+            # semi: a NULL-keyed batch must keep its offset row.
+            bkeys = batch.select(F.col(key_col).alias("__kq")).distinct()
+            batch_offsets = offsets.join(
+                bkeys, F.col("__k").eqNullSafe(F.col("__kq")), "left_semi"
+            )
             ranked = (
                 ranked.join(
-                    F.broadcast(offsets),
+                    F.broadcast(batch_offsets),
                     F.col(key_col).eqNullSafe(F.col("__k")),
                     "left",
                 )
@@ -351,22 +403,7 @@ def stream_rank_maintenance(
             .withColumnRenamed("__kb", "__k")
             .withColumnRenamed("__b", "__base")
         )
-        new_counts = (
-            base.join(
-                batch_counts,
-                F.col("__k").eqNullSafe(F.col("__kb")),
-                "full",
-            )
-            .select(
-                F.coalesce(F.col("__k"), F.col("__kb")).alias("__k"),
-                (
-                    F.coalesce(F.col("__base"), F.lit(0))
-                    + F.coalesce(F.col("__b"), F.lit(0))
-                )
-                .cast("long")
-                .alias("__n"),
-            )
-        )
+        new_counts = _merge_counts(base, "__base", batch_counts, "__b", "__n")
         _write_offsets_cache(
             spark, new_counts, bmax, warehouse_dir, table
         )
@@ -431,6 +468,7 @@ def repair_ranks(
 
     existing = read_table(spark, warehouse_dir, table)
     if partition_by_month:
+        _check_partition_fmt(existing, ts_col, partition_fmt, "repair_ranks")
         existing = existing.drop("__p_month")
     clash = {"__k", "__lo", "__base"} & set(existing.columns)
     if clash:
@@ -445,6 +483,21 @@ def repair_ranks(
         raise RankOrderViolation(
             f"late rows contain NULL {ts_col} — event time must be "
             "non-null for rank maintenance; filter or impute upstream"
+        )
+    # rows BEYOND the table head are not late arrivals: inserting one
+    # would trip the maintenance order guard on every subsequent
+    # in-order batch until the stream's event time passes it — the
+    # stream wedges (review finding). Such rows belong in the stream.
+    head = existing.agg(F.max(ts_col)).first()[0]
+    if head is not None and late_rows.filter(
+        F.col(ts_col) > F.lit(head)
+    ).take(1):
+        raise RankOrderViolation(
+            f"late rows carry {ts_col} beyond the maintained table's "
+            f"head ({head!r}) — those are FUTURE events, not late "
+            "arrivals; feed them through the stream instead (repairing"
+            " them would wedge the order guard for every batch until "
+            "event time catches up)"
         )
     # per-key repair threshold: the earliest late ts of that key — a
     # |late keys|-row frame, broadcast to locate the affected rows

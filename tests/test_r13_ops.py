@@ -351,12 +351,13 @@ def test_repair_ranks_is_suffix_bounded_per_key(spark):
             for p in tdir.rglob("*.parquet")
         }
         # late: key 7 at day 6.5 (suffix = days 7,8,9 + late row);
-        # key 9 at day 1.5; key 11 is brand new at day 20
+        # key 9 at day 1.5; key 11 is brand new at day 8 (within the
+        # table head — beyond-head rows are refused as future events)
         late = spark.createDataFrame(
             [
                 (900, t0 + dt.timedelta(days=6, hours=12), 7),
                 (901, t0 + dt.timedelta(days=1, hours=12), 9),
-                (902, t0 + dt.timedelta(days=20), 11),
+                (902, t0 + dt.timedelta(days=8), 11),
             ],
             schema,
         )
@@ -492,3 +493,97 @@ def test_offsets_cache_bounds_reads_and_heals_stale_watermark(spark):
     finally:
         for d in (feed, wh, ck, stash):
             _sh.rmtree(d, ignore_errors=True)
+
+
+def test_repair_refuses_future_rows_and_fmt_mismatch(spark):
+    """Rows beyond the table head are future events, not late arrivals
+    (repairing one wedges the order guard); a partition_fmt that does
+    not reproduce the on-disk bucket values must fail loud instead of
+    silently duplicating keys across bucket grains (review findings).
+    """
+    import shutil as _sh
+    import tempfile as _tf
+
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        RankOrderViolation,
+        repair_ranks,
+        stream_rank_maintenance,
+    )
+
+    feed = _tf.mkdtemp(prefix="rk13f_")
+    wh = _tf.mkdtemp(prefix="rk13fwh_")
+    try:
+        t0 = dt.datetime(2025, 1, 1)
+        schema = "event_id long, ts timestamp, user_id long"
+        spark.createDataFrame(
+            [(1, t0, 7), (2, t0 + dt.timedelta(days=3), 7)], schema
+        ).coalesce(1).write.mode("append").parquet(feed)
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        stream_rank_maintenance(
+            s, wh, partition_by_month=True, partition_fmt="yyyy-MM-dd"
+        )
+        future = spark.createDataFrame(
+            [(3, t0 + dt.timedelta(days=9), 7)], schema
+        )
+        with pytest.raises(RankOrderViolation, match="FUTURE"):
+            repair_ranks(
+                spark, future, wh, partition_by_month=True,
+                partition_fmt="yyyy-MM-dd",
+            )
+        ok_late = spark.createDataFrame(
+            [(4, t0 + dt.timedelta(days=1), 7)], schema
+        )
+        with pytest.raises(ValueError, match="partition_fmt"):
+            repair_ranks(spark, ok_late, wh, partition_by_month=True)
+    finally:
+        _sh.rmtree(feed, ignore_errors=True)
+        _sh.rmtree(wh, ignore_errors=True)
+
+
+def test_spec_type_enforcement_at_clustering_sites(spark, tmp_path):
+    """bucket() on a decimal column and truncate() on a string column
+    must raise at commit time, and a non-int/str bucket probe must
+    raise at prune time — each would otherwise be a silent mis-prune
+    or a silent no-op (review findings)."""
+    tdir = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 4).cast("decimal(10, 2)").alias("d"),
+        F.concat(F.lit("c"), F.col("id")).alias("s"),
+    )
+    commit_append(df, tdir)
+    evolve_partition_spec(tdir, ["bucket(8, d)"])
+    with pytest.raises(TypeError, match="bucket"):
+        commit_append(df, tdir, cluster_partitions=4)
+    t2 = str(tmp_path / "t2")
+    commit_append(df, t2)
+    evolve_partition_spec(t2, ["truncate(10, s)"])
+    with pytest.raises(TypeError, match="truncate"):
+        commit_append(df, t2, cluster_partitions=4)
+    t3 = str(tmp_path / "t3")
+    commit_append(df, t3)
+    evolve_partition_spec(t3, ["bucket(8, k)"])
+    commit_append(df, t3, cluster_partitions=4)
+    with pytest.raises(TypeError, match="probe"):
+        prune_files_eq(t3, "k", 12.0)
+
+
+def test_probe_bounds_zero_pad_years():
+    """strftime('%Y') prints year 999 as '999' while Spark records
+    '0999' — the probe must zero-pad or the lexical compare
+    mis-prunes (review finding)."""
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        _probe_bounds,
+    )
+
+    lo = dt.datetime(999, 3, 2)
+    hi = dt.datetime(1001, 11, 30)
+    assert _probe_bounds("month", None, lo, hi) == ("0999-03", "1001-11")
+    assert _probe_bounds("day", None, lo, hi) == (
+        "0999-03-02",
+        "1001-11-30",
+    )
