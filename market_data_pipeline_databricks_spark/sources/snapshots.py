@@ -857,7 +857,14 @@ def commit_merge_keys(
 def expire_versions(table_dir: str, keep_last: int = 1) -> tuple[int, int]:
     """VACUUM: drop manifests older than the newest ``keep_last``
     versions and delete every data file no retained version references.
-    Returns (versions_removed, files_deleted). Retained versions are
+    Returns (versions_removed, files_deleted), where
+    ``versions_removed`` counts manifests THIS RUN actually removed —
+    NOT the size of the requested drop range. Expiry is idempotent
+    under re-runs and concurrent runs (the cron shape): versions an
+    earlier run already deleted are skipped, so a re-run over an
+    already-expired range returns ``(0, 0)``; callers verifying "all
+    requested versions are gone" should check ``latest_version`` /
+    manifest presence, not this count. Retained versions are
     untouched — their manifests pin their files, so reads of any kept
     version are unaffected (the retention/undrop trade every table
     format documents). Driver-side work is manifest-scaled (file

@@ -53,11 +53,44 @@ cache — never row-scaled driver state.
 
 from __future__ import annotations
 
+import re
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: the ONLY accepted partition_fmt family. _since() relies on
+#: date_format(ts, fmt) being lexicographically time-monotone; a
+#: plausible lowercase typo ('yyyy-mm-dd' — mm is minute-of-hour in
+#: date_format patterns) passes a loose startswith('yyyy') check but
+#: produces non-monotone bucket strings, so the order-guard scan and
+#: the offsets delta silently prune partitions that still hold rows
+#: in range (advice finding). Whitelist the known-monotone prefixes
+#: explicitly instead of guessing.
+_MONOTONE_FMT = re.compile(r"yyyy(-MM(-dd(-HH)?)?)?")
+
+
+def _check_fmt_monotone(partition_fmt: str, who: str) -> None:
+    if not _MONOTONE_FMT.fullmatch(partition_fmt):
+        raise ValueError(
+            f"{who}: partition_fmt {partition_fmt!r} is not in the "
+            "lexicographically time-monotone family yyyy[-MM[-dd[-HH]]]"
+            " (note case: 'mm' is minute-of-hour, 'dd' day-of-month in"
+            " date_format patterns) — partition pruning would silently"
+            " skip live buckets under any other pattern"
+        )
+
+
+#: rendered shape of each whitelisted fmt component, for the on-disk
+#: bucket-value structural check (every component renders zero-padded
+#: fixed-width, so each whitelist fmt has exactly one value shape)
+_FMT_VALUE_RE = {
+    "yyyy": r"\d{4}",
+    "yyyy-MM": r"\d{4}-\d{2}",
+    "yyyy-MM-dd": r"\d{4}-\d{2}-\d{2}",
+    "yyyy-MM-dd-HH": r"\d{4}-\d{2}-\d{2}-\d{2}",
+}
 
 
 class RankOrderViolation(ValueError):
@@ -73,49 +106,88 @@ def _offsets_cache_path(warehouse_dir: str, table: str):
     return Path(warehouse_dir) / f"{table}__offsets"
 
 
-def _read_offsets_cache(spark, warehouse_dir: str, table: str):
+#: cache stamp columns — the configuration the counts were computed
+#: under. A cache written for one (key_col, ts_col, fmt, key dtype)
+#: merged into a run with another would attribute counts to the wrong
+#: keys through eqNullSafe's implicit coercion (advice finding), so a
+#: stamp mismatch must read as 'no cache', never as wrong counts.
+_CACHE_STAMP = ("__key_col", "__ts_col", "__pfmt", "__ktype")
+_CACHE_COLS = {"__k", "__n", "__wm", *_CACHE_STAMP}
+
+
+def _read_offsets_cache(
+    spark, warehouse_dir: str, table: str, meta: dict
+):
     """(per-key counts frame ``(__k, __n)``, watermark ts) or
     ``(None, None)``. DEFENSIVE by contract: the cache is advisory —
-    a missing dir, a partial write from a crash, or a wrong schema
-    must read as 'no cache' (full-scan fallback), never as wrong
-    counts."""
+    a missing dir, a partial write from a crash, a wrong schema, or a
+    stamp that doesn't match ``meta`` (key_col/ts_col/partition_fmt/
+    key dtype the caller is running under) must read as 'no cache'
+    (full-scan fallback), never as wrong counts."""
     p = _offsets_cache_path(warehouse_dir, table)
     if not p.exists():
         return None, None
     try:
         df = spark.read.parquet(str(p))
-        if set(df.columns) != {"__k", "__n", "__wm"}:
+        if set(df.columns) != _CACHE_COLS:
             return None, None
-        wm = df.agg(F.max("__wm")).first()[0]
+        head = df.select("__wm", *_CACHE_STAMP).agg(
+            F.max("__wm").alias("__wm"),
+            *[F.min(c).alias(c) for c in _CACHE_STAMP],
+            *[F.max(c).alias(f"{c}_hi") for c in _CACHE_STAMP],
+        ).first()
+        wm = head["__wm"]
         if wm is None:
             return None, None
+        for c in _CACHE_STAMP:
+            # min==max guards a half-merged dir of mixed-era files
+            if head[c] != meta[c] or head[f"{c}_hi"] != meta[c]:
+                return None, None
         return df.select("__k", "__n"), wm
     except Exception:
         return None, None
 
 
 def _write_offsets_cache(
-    spark, counts: DataFrame, wm, warehouse_dir: str, table: str
+    spark, counts: DataFrame, wm, warehouse_dir: str, table: str,
+    meta: dict,
 ) -> None:
     """Replace the cache with ``counts`` (``__k``, ``__n``) stamped at
-    watermark ``wm``: staging write + directory swap. A crash mid-swap
-    leaves a missing/partial dir, which _read_offsets_cache treats as
-    no cache — safe."""
+    watermark ``wm`` and configuration ``meta`` (the _CACHE_STAMP
+    keys): staging write + directory swap. A crash mid-swap leaves a
+    missing/partial dir, which _read_offsets_cache treats as no cache
+    — safe."""
     import uuid
     from pathlib import Path
 
     dest = _offsets_cache_path(warehouse_dir, table)
     staging = Path(warehouse_dir) / f".cachestage_{uuid.uuid4().hex[:8]}"
+    stamped = counts.withColumn("__wm", F.lit(wm))
+    for c in _CACHE_STAMP:
+        stamped = stamped.withColumn(c, F.lit(meta[c]))
     # the rewrite is the maintenance's one key-scaled step (|keys|
     # rows, columnar, amortized per batch); coalesce to a few files so
     # neither a single giant task nor a shuffle-partition spray of
     # tiny files lands on the hot path
-    counts.withColumn("__wm", F.lit(wm)).coalesce(8).write.mode(
-        "overwrite"
-    ).parquet(str(staging))
+    stamped.coalesce(8).write.mode("overwrite").parquet(str(staging))
     if dest.exists():
         shutil.rmtree(dest)
     shutil.move(str(staging), str(dest))
+
+
+def _cache_meta(
+    df: DataFrame, key_col: str, ts_col: str,
+    partition_by_month: bool, partition_fmt: str,
+) -> dict:
+    """The _CACHE_STAMP values for a run's configuration. The fmt
+    stamp is '' when the table is unpartitioned (fmt is then unused —
+    no pruning to be wrong about)."""
+    return {
+        "__key_col": key_col,
+        "__ts_col": ts_col,
+        "__pfmt": partition_fmt if partition_by_month else "",
+        "__ktype": df.schema[key_col].dataType.simpleString(),
+    }
 
 
 def _merge_counts(a: DataFrame, an: str, b: DataFrame, bn: str, out: str):
@@ -137,28 +209,64 @@ def _merge_counts(a: DataFrame, an: str, b: DataFrame, bn: str, out: str):
     )
 
 
-def _check_partition_fmt(existing: DataFrame, ts_col: str, fmt: str, who: str):
+def _check_partition_fmt(
+    existing: DataFrame, ts_col: str, fmt: str, who: str, table_path
+):
     """A table's on-disk bucket grain must match the caller's
     ``partition_fmt``: a mismatch makes the upsert's touched set miss
     every existing partition, landing fresh rows in NEW bucket dirs
     while their stale copies survive in the old ones — silent
-    duplicate keys with conflicting ranks. One-row sample check,
-    fail-loud (review finding)."""
+    duplicate keys with conflicting ranks. DETERMINISTIC two-part
+    check (advice finding — the old one-row sample could pass or fail
+    nondeterministically on a mixed-grain table):
+
+    1. structural: EVERY on-disk bucket value (directory listing —
+       O(#partitions), no data read) must match the fmt's rendered
+       shape. Each whitelisted fmt renders a distinct fixed width, so
+       a mixed-grain table (a crashed run that upserted some buckets
+       under another fmt) is caught regardless of which bucket Spark
+       would have sampled.
+    2. semantic: within the LATEST bucket only (partition-pruned, so
+       bounded — never an O(table) scan on the per-batch hot path),
+       an aggregate counts rows where the stored bucket differs from
+       ``date_format(ts, fmt)`` — catches a same-shape mismatch such
+       as a different source timestamp column.
+    """
+    from pathlib import Path
+
+    vals = sorted(
+        p.name.split("=", 1)[1]
+        for p in Path(table_path).glob("__p_month=*")
+        if p.is_dir()
+    )
+    shape = re.compile(_FMT_VALUE_RE[fmt])
+    bad = [v for v in vals if not shape.fullmatch(v)]
+    if bad:
+        raise ValueError(
+            f"{who}: partition_fmt {fmt!r} does not reproduce the "
+            f"table's on-disk bucket values (e.g. {bad[0]!r}; "
+            f"{len(bad)} of {len(vals)} buckets mismatch) — pass the "
+            "fmt the table was built with"
+        )
+    if not vals:
+        return
     # STRING comparison on both sides: partition type inference can
     # read day-grain __p_month back as DATE, and date==string coerces
     # the string ('2025-01' casts to 2025-01-01), silently passing a
     # month-fmt check against a day-grain table
-    s = existing.select(
-        (
+    n_bad = (
+        existing.filter(F.col("__p_month").cast("string") == vals[-1])
+        .filter(
             F.col("__p_month").cast("string")
-            == F.date_format(F.col(ts_col), fmt)
-        ).alias("ok"),
-        F.col("__p_month").cast("string").alias("__p_month"),
-    ).first()
-    if s is not None and not s["ok"]:
+            != F.date_format(F.col(ts_col), fmt)
+        )
+        .count()
+    )
+    if n_bad:
         raise ValueError(
             f"{who}: partition_fmt {fmt!r} does not reproduce the "
-            f"table's on-disk bucket values (sample {s['__p_month']!r})"
+            f"table's bucket values ({n_bad} rows of bucket "
+            f"{vals[-1]!r} disagree with date_format({ts_col}, {fmt!r}))"
             " — pass the fmt the table was built with"
         )
 
@@ -211,13 +319,10 @@ def stream_rank_maintenance(
         upsert_by_key,
     )
 
-    if partition_by_month and not partition_fmt.startswith("yyyy"):
+    if partition_by_month:
         # the partition predicate in _since compares bucket STRINGS,
-        # which is only time-monotone for year-leading formats
-        raise ValueError(
-            f"partition_fmt {partition_fmt!r} must be year-leading "
-            "(yyyy...) so bucket-string order is time order"
-        )
+        # which is only time-monotone for the whitelisted family
+        _check_fmt_monotone(partition_fmt, "stream_rank_maintenance")
     auto_checkpoint = checkpoint_dir is None
     if auto_checkpoint:
         checkpoint_dir = tempfile.mkdtemp(prefix=f"ckpt_rank_{table}_")
@@ -289,10 +394,15 @@ def stream_rank_maintenance(
             [F.asc(ts_col), F.asc(id_col)],
             rank_col,
         )
+        meta = _cache_meta(
+            batch, key_col, ts_col, partition_by_month, partition_fmt
+        )
         if existing is not None:
             if partition_by_month:
                 _check_partition_fmt(
-                    existing, ts_col, partition_fmt, "stream_rank_maintenance"
+                    existing, ts_col, partition_fmt,
+                    "stream_rank_maintenance",
+                    Path(warehouse_dir) / table,
                 )
             # PRECONDITION GUARD (strict order, module docstring): an
             # already-ranked row at ts >= batch-min that the batch does
@@ -331,7 +441,9 @@ def stream_rank_maintenance(
             # the full count — the cache can shrink the scan, never
             # change the result. NULL-safe key joins throughout: a
             # NULL key is a normal window partition.
-            cached, wm = _read_offsets_cache(spark, warehouse_dir, table)
+            cached, wm = _read_offsets_cache(
+                spark, warehouse_dir, table, meta
+            )
             if cached is not None and wm < bmin:
                 delta = (
                     _since(existing, wm)
@@ -405,7 +517,7 @@ def stream_rank_maintenance(
         )
         new_counts = _merge_counts(base, "__base", batch_counts, "__b", "__n")
         _write_offsets_cache(
-            spark, new_counts, bmax, warehouse_dir, table
+            spark, new_counts, bmax, warehouse_dir, table, meta
         )
 
     q = (
@@ -466,9 +578,16 @@ def repair_ranks(
         upsert_by_key,
     )
 
+    if partition_by_month:
+        _check_fmt_monotone(partition_fmt, "repair_ranks")
     existing = read_table(spark, warehouse_dir, table)
     if partition_by_month:
-        _check_partition_fmt(existing, ts_col, partition_fmt, "repair_ranks")
+        from pathlib import Path
+
+        _check_partition_fmt(
+            existing, ts_col, partition_fmt, "repair_ranks",
+            Path(warehouse_dir) / table,
+        )
         existing = existing.drop("__p_month")
     clash = {"__k", "__lo", "__base"} & set(existing.columns)
     if clash:

@@ -419,6 +419,13 @@ def test_offsets_cache_bounds_reads_and_heals_stale_watermark(spark):
         stream_rank_maintenance,
     )
 
+    meta = {
+        "__key_col": "user_id",
+        "__ts_col": "ts",
+        "__pfmt": "yyyy-MM-dd",
+        "__ktype": "bigint",
+    }
+
     feed = _tf.mkdtemp(prefix="rk13c_")
     wh = _tf.mkdtemp(prefix="rk13cwh_")
     ck = _tf.mkdtemp(prefix="rk13cck_")
@@ -457,7 +464,7 @@ def test_offsets_cache_bounds_reads_and_heals_stale_watermark(spark):
         cache_dir = _offsets_cache_path(wh, "events_ranked")
         assert cache_dir.exists()
         _sh.copytree(cache_dir, f"{stash}/c1")  # batch-1-era cache
-        counts, wm = _read_offsets_cache(spark, wh, "events_ranked")
+        counts, wm = _read_offsets_cache(spark, wh, "events_ranked", meta)
         assert wm == t0 + dt.timedelta(days=1)
         assert {(r["__k"], r["__n"]) for r in counts.collect()} == {
             (7, 2),
@@ -483,7 +490,7 @@ def test_offsets_cache_bounds_reads_and_heals_stale_watermark(spark):
         }
         assert got == {1: 1, 2: 2, 3: 1, 4: 3, 5: 2, 6: 4, 7: 1}
         # cache rebuilt to the true head
-        counts, wm = _read_offsets_cache(spark, wh, "events_ranked")
+        counts, wm = _read_offsets_cache(spark, wh, "events_ranked", meta)
         assert wm == t0 + dt.timedelta(days=5)
         assert {(r["__k"], r["__n"]) for r in counts.collect()} == {
             (7, 4),
