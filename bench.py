@@ -269,6 +269,15 @@ def main() -> None:
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "quiet_gate_waited_sec": gate_waited,
                 "midrun_gate_waited_sec": round(midrun_waited, 1),
+                # a spent mid-run gate means later queries ran WITHOUT
+                # spike protection — the record may be spike-priced
+                # even when no draw breached the wall budget
+                # ("degraded_after" stays null in that case). Flagged
+                # explicitly so such a record self-identifies (r13
+                # verdict: 240.0 s waited + degraded_after null read
+                # as undegraded).
+                "midrun_gate_exhausted": midrun_waited
+                >= q_wait_total_cap - 1.0,
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "degraded_after": degraded_after,
             }

@@ -1088,8 +1088,11 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition: the SECOND QUARTER of one user's events (by per-user
     rank) is held back as the late slice; the rest streams through the
-    incremental maintenance in three event-time-ordered micro-batches
-    on the production layout (day-grain partitions). The drive then
+    incremental maintenance in two event-time-ordered micro-batches
+    on the production layout (day-grain partitions) — the drain here
+    is SETUP (the incremental multi-batch build is the maintenance
+    drive's proof, not this one's), so it uses the fewest batches
+    that still cross a batch boundary. The drive then
     (1) INJECTS the late slice as a fourth micro-batch and asserts the
     RankOrderViolation guard fires BEFORE any write (per-partition
     file listing byte-identical across the failed injection), (2)
@@ -1124,15 +1127,20 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id"
     )
     day = F.date_format("ts", "yyyy-MM-dd")
-    target_user = (
+    # one aggregation job picks the target AND sizes its slice (was
+    # two jobs — the drive is dominated by per-job overhead, not rows)
+    trow = (
         ev.groupBy("user_id")
-        .agg(F.countDistinct(day).alias("nd"))
+        .agg(
+            F.countDistinct(day).alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .orderBy(F.asc("nd"), F.asc("user_id"))
-        .first()["user_id"]
+        .first()
     )
+    target_user, n_mine = trow["user_id"], trow["n"]
     mine = ev.filter(F.col("user_id") == target_user)
     uw = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    n_mine = mine.count()
     # middle chunk (ranks (n/4, n/2]): leaves a nonempty prefix whose
     # ranks — and partitions — the suffix-bounded repair must not touch
     lo_rn = n_mine // 4
@@ -1152,12 +1160,10 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck2 = tempfile.mkdtemp(prefix=f"rprck2_{_NONCE}_")
     try:
         lo, hi = on_time.agg(F.min("ts"), F.max("ts")).first()
-        span = hi - lo
-        t1, t2 = lo + span / 3, lo + 2 * span / 3
+        mid = lo + (hi - lo) / 2
         for cond in (
-            F.col("ts") < F.lit(t1),
-            (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2)),
-            F.col("ts") >= F.lit(t2),
+            F.col("ts") < F.lit(mid),
+            F.col("ts") >= F.lit(mid),
         ):
             on_time.filter(cond).coalesce(1).write.mode("append").parquet(
                 feed_dir
@@ -1176,6 +1182,10 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
                 checkpoint_dir=ckpt,
                 partition_by_month=True,
                 partition_fmt="yyyy-MM-dd",
+                # this drive ASSERTS the cache lifecycle (exists after
+                # drain, invalidated by repair), so it forces the
+                # cache on — the size floor would skip it at sf0.1
+                offsets_cache_min_bytes=0,
             )
 
         _stream(feed_dir, ck1)

@@ -210,7 +210,8 @@ def _merge_counts(a: DataFrame, an: str, b: DataFrame, bn: str, out: str):
 
 
 def _check_partition_fmt(
-    existing: DataFrame, ts_col: str, fmt: str, who: str, table_path
+    existing: DataFrame, ts_col: str, fmt: str, who: str, table_path,
+    semantic: bool = True,
 ):
     """A table's on-disk bucket grain must match the caller's
     ``partition_fmt``: a mismatch makes the upsert's touched set miss
@@ -226,11 +227,15 @@ def _check_partition_fmt(
        a mixed-grain table (a crashed run that upserted some buckets
        under another fmt) is caught regardless of which bucket Spark
        would have sampled.
-    2. semantic: within the LATEST bucket only (partition-pruned, so
-       bounded — never an O(table) scan on the per-batch hot path),
-       an aggregate counts rows where the stored bucket differs from
-       ``date_format(ts, fmt)`` — catches a same-shape mismatch such
-       as a different source timestamp column.
+    2. semantic (``semantic=True``): within the LATEST bucket only
+       (partition-pruned, so bounded — never an O(table) scan on the
+       per-batch hot path), an aggregate counts rows where the stored
+       bucket differs from ``date_format(ts, fmt)`` — catches a
+       same-shape mismatch such as a different source timestamp
+       column. The semantic half is one Spark job; the streaming sink
+       runs it once per run (later batches only ever append rows the
+       sink itself derived with this fmt, so re-proving it per batch
+       buys nothing) and keeps the free structural half per batch.
     """
     from pathlib import Path
 
@@ -248,7 +253,7 @@ def _check_partition_fmt(
             f"{len(bad)} of {len(vals)} buckets mismatch) — pass the "
             "fmt the table was built with"
         )
-    if not vals:
+    if not vals or not semantic:
         return
     # STRING comparison on both sides: partition type inference can
     # read day-grain __p_month back as DATE, and date==string coerces
@@ -293,6 +298,7 @@ def stream_rank_maintenance(
     checkpoint_dir: str | None = None,
     partition_by_month: bool = False,
     partition_fmt: str = "yyyy-MM",
+    offsets_cache_min_bytes: int = 256 << 20,
 ) -> None:
     """Drain ``events_stream`` (availableNow) into ``warehouse_dir/
     table``, assigning each row its per-``key_col`` rank by
@@ -308,6 +314,20 @@ def stream_rank_maintenance(
     the default ``yyyy-MM`` is calendar months — pick the grain that
     puts a micro-batch's span across a handful of partitions). The
     partition column is named ``__p_month`` at every grain.
+
+    ``offsets_cache_min_bytes`` gates the advisory offsets cache on
+    the maintained table's on-disk size: the cache exists to bound
+    the per-batch offset READ on tables whose history dwarfs a batch
+    (at 100 TB, O(recent) vs O(history)); below the floor a full
+    ``ts < bmin`` count is already cheaper than the cache's own
+    read+merge+rewrite jobs, so small tables skip both (measured:
+    ~1.5 s/drain of pure cache overhead at sf0.1 drive scale). The
+    size probe is a driver-side listing memoized once the floor is
+    passed — growth is monotone under the sink's appends — so large
+    tables never re-list. ``0`` forces the cache on (tests and the
+    lifecycle-asserting drives); correctness is identical either way
+    (the cache is advisory; a table crossing the floor mid-run starts
+    caching and a stale-watermark cache heals through the delta term).
     """
     from market_data_pipeline_databricks_spark.operators.ranking import (
         two_pass_key_rank,
@@ -327,6 +347,28 @@ def stream_rank_maintenance(
     if auto_checkpoint:
         checkpoint_dir = tempfile.mkdtemp(prefix=f"ckpt_rank_{table}_")
     pcols = ["__p_month"] if partition_by_month else None
+    # per-run memos (reset with every start(), which is what makes
+    # them safe): [0] the table passed the cache size floor — growth
+    # under this sink is monotone, so never re-list after passing;
+    # [1] the semantic fmt check ran against the pre-existing table —
+    # later batches only append rows this sink derived with fmt
+    run_state = {"floor_passed": False, "fmt_proven": False}
+
+    def _cache_active() -> bool:
+        if offsets_cache_min_bytes <= 0 or run_state["floor_passed"]:
+            return True
+        from pathlib import Path
+
+        tdir = Path(warehouse_dir) / table
+        size = (
+            sum(p.stat().st_size for p in tdir.rglob("*") if p.is_file())
+            if tdir.exists()
+            else 0
+        )
+        if size >= offsets_cache_min_bytes:
+            run_state["floor_passed"] = True
+            return True
+        return False
 
     def _p(df: DataFrame) -> DataFrame:
         return (
@@ -338,8 +380,6 @@ def stream_rank_maintenance(
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint()  # cut per-batch lineage
         # NON-NULL event time is a hard precondition, guarded here in
@@ -347,8 +387,9 @@ def stream_rank_maintenance(
         # foreign probe (ts >= bmin) and the offset count (ts < bmin)
         # exclude NULL-ts rows, so a NULL-ts event would bypass the
         # order guard AND the offsets and silently mint a duplicate
-        # per-key rank (NULLS FIRST in the asc window). Folded into
-        # the min/max aggregate — one batch scan, not two.
+        # per-key rank (NULLS FIRST in the asc window). The emptiness
+        # probe is folded in too (min NULL + zero NULL-count can only
+        # be an empty batch) — one batch scan, not three.
         brow = batch.agg(
             F.min(ts_col).alias("m"),
             F.max(ts_col).alias("M"),
@@ -364,6 +405,8 @@ def stream_rank_maintenance(
                 "the order guard and the offset count); filter or "
                 "impute upstream"
             )
+        if brow["m"] is None:
+            return  # empty micro-batch
         bmin, bmax = brow["m"], brow["M"]
 
         def _since(df: DataFrame, lob) -> DataFrame:
@@ -397,13 +440,16 @@ def stream_rank_maintenance(
         meta = _cache_meta(
             batch, key_col, ts_col, partition_by_month, partition_fmt
         )
+        cache_on = _cache_active()
         if existing is not None:
             if partition_by_month:
                 _check_partition_fmt(
                     existing, ts_col, partition_fmt,
                     "stream_rank_maintenance",
                     Path(warehouse_dir) / table,
+                    semantic=not run_state["fmt_proven"],
                 )
+                run_state["fmt_proven"] = True
             # PRECONDITION GUARD (strict order, module docstring): an
             # already-ranked row at ts >= batch-min that the batch does
             # NOT itself contain is a late-arrival overlap or an
@@ -441,8 +487,10 @@ def stream_rank_maintenance(
             # the full count — the cache can shrink the scan, never
             # change the result. NULL-safe key joins throughout: a
             # NULL key is a normal window partition.
-            cached, wm = _read_offsets_cache(
-                spark, warehouse_dir, table, meta
+            cached, wm = (
+                _read_offsets_cache(spark, warehouse_dir, table, meta)
+                if cache_on
+                else (None, None)
             )
             if cached is not None and wm < bmin:
                 delta = (
@@ -503,6 +551,10 @@ def stream_rank_maintenance(
         # mid-write leaves an unreadable cache, which reads as absent.
         # Under the strict order precondition every pre-batch key has
         # rows below bmin, so offsets ∪ batch covers every key.
+        # Below the size floor the update is skipped with the read —
+        # full counts are cheaper than maintaining the cache there.
+        if not cache_on:
+            return
         batch_counts = (
             batch.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("__b"))

@@ -455,6 +455,7 @@ def test_offsets_cache_bounds_reads_and_heals_stale_watermark(spark):
                 checkpoint_dir=ck,
                 partition_by_month=True,
                 partition_fmt="yyyy-MM-dd",
+                offsets_cache_min_bytes=0,  # the cache IS the subject
             )
 
         mk([(1, 0, 7), (2, 1, 7), (3, 1, 9)]).coalesce(1).write.mode(

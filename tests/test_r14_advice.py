@@ -87,6 +87,51 @@ def test_offsets_cache_stamp_mismatch_reads_as_no_cache(spark, tmp_path):
         ) == (None, None)
 
 
+def test_offsets_cache_respects_size_floor(spark, tmp_path):
+    """The advisory cache exists to bound reads on LARGE tables; below
+    ``offsets_cache_min_bytes`` both its read and its per-batch
+    rewrite are skipped (they cost more than the full count they
+    replace at that size), with identical final ranks. floor=0 forces
+    it on for the tests/drives that assert its lifecycle."""
+    from market_data_pipeline_databricks_spark.sources.tables import (
+        read_table,
+    )
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        _offsets_cache_path,
+        stream_rank_maintenance,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [(i, t0 + dt.timedelta(days=i), 7 + (i % 2)) for i in range(6)]
+    ranks = {}
+    for floor, expect_cache in ((256 << 20, False), (0, True)):
+        wh = str(tmp_path / f"wh_{floor}")
+        feed = tmp_path / f"feed_{floor}"
+        df = _mk(spark, rows)
+        for half in (
+            df.filter(F.col("ts") < F.lit(t0 + dt.timedelta(days=3))),
+            df.filter(F.col("ts") >= F.lit(t0 + dt.timedelta(days=3))),
+        ):
+            half.coalesce(1).write.mode("append").parquet(str(feed))
+        s = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(feed))
+        )
+        stream_rank_maintenance(
+            s, wh, partition_by_month=True, partition_fmt="yyyy-MM-dd",
+            offsets_cache_min_bytes=floor,
+        )
+        assert _offsets_cache_path(wh, "events_ranked").exists() is (
+            expect_cache
+        )
+        ranks[floor] = {
+            r.event_id: r.user_seq
+            for r in read_table(spark, wh, "events_ranked").collect()
+        }
+    assert ranks[0] == ranks[256 << 20]  # cache never changes results
+
+
 def test_mixed_grain_bucket_caught_structurally(spark, tmp_path):
     """A bucket dir left behind at another grain (crashed run) must
     fail the check deterministically — the old single-row sample
