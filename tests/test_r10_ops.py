@@ -401,8 +401,8 @@ def test_wap_publish_rolls_back_claim_when_files_vanish(spark, tmp_path, monkeyp
 
     real_publish = snapshots._publish
 
-    def racing_publish(table_dir, version, files, **meta):
-        real_publish(table_dir, version, files, **meta)
+    def racing_publish(table_dir, version, segments, removed, **meta):
+        real_publish(table_dir, version, segments, removed, **meta)
         # simulate a concurrent discard winning right after the claim
         for f in staged_files:
             Path(f).unlink(missing_ok=True)
@@ -416,9 +416,7 @@ def test_wap_publish_rolls_back_claim_when_files_vanish(spark, tmp_path, monkeyp
     # no version references the deleted staged files
     assert latest_version(tdir) == 2
     assert (Path(tdir) / "v2.json").exists()
-    import json as _json
-
-    v2_files = _json.loads((Path(tdir) / "v2.json").read_text())["files"]
+    v2_files = snapshots._read_manifest(tdir, 2)
     assert all(Path(f).exists() for f in v2_files)
     assert snapshots.read_version(spark, tdir, 2).count() == 1
     assert snapshots.read_version(spark, tdir, 1).count() == 1

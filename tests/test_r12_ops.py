@@ -461,10 +461,11 @@ def test_decimal_spec_key_records_no_bounds_and_scans(spark, tmp_path):
         tdir,
         cluster_partitions=2,
     )
-    man = _json.loads(
-        (_P(tdir) / "v3.json").read_text()
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        _manifest_meta,
     )
-    for bounds in man["file_stats"].values():
+
+    for bounds in _manifest_meta(tdir, 3)[1].values():
         assert bounds["d"] == [None, None]
     kept, total = prune_files(tdir, "d", 10, 20)
     assert len(kept) == total  # conservative: nothing prunes
@@ -497,8 +498,8 @@ def test_wap_first_publish_race_unlinks_instead_of_empty_tombstone(
     )["files"]
     real_publish = snapshots._publish
 
-    def racing_publish(table_dir, version, files, **meta):
-        real_publish(table_dir, version, files, **meta)
+    def racing_publish(table_dir, version, segments, removed, **meta):
+        real_publish(table_dir, version, segments, removed, **meta)
         for f in staged_files:
             _P(f).unlink(missing_ok=True)
 

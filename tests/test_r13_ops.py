@@ -97,13 +97,13 @@ def test_month_transform_prunes_source_column_range(spark, tmp_path):
     want = df.filter(F.col("ts").between(lo, hi)).count()
     assert got == want > 0
     # recorded bounds live in transform space under the entry string
-    man = _json.loads(
-        (Path(tdir) / "v3.json").read_text()
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        _manifest_meta,
     )
+
+    stats = _manifest_meta(tdir, 3)[1]
     bounded = [
-        s["month(ts)"]
-        for s in man["file_stats"].values()
-        if "month(ts)" in s
+        s["month(ts)"] for s in stats.values() if "month(ts)" in s
     ]
     assert bounded and all(
         isinstance(b[0], str) and b[0].count("-") == 1 for b in bounded
@@ -160,10 +160,13 @@ def test_rewrite_to_spec_backfills_transform_bounds(spark, tmp_path):
     evolve_partition_spec(tdir, ["month(ts)"])
     v, n = rewrite_to_spec(spark, tdir, cluster_partitions=4)
     assert n == 3
-    man = _json.loads((Path(tdir) / f"v{v}.json").read_text())
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        _manifest_meta,
+    )
+
     assert all(
         "month(ts)" in s and s["month(ts)"][0] is not None
-        for s in man["file_stats"].values()
+        for s in _manifest_meta(tdir, v)[1].values()
     )
     # pure re-layout: multiset-identical to the pre-rewrite version
     from market_data_pipeline_databricks_spark.sources.snapshots import (
@@ -255,14 +258,14 @@ def test_wap_first_publish_leaves_v1_when_later_version_exists(
     )["files"]
     real_publish = snapshots._publish
 
-    def racing_publish(table_dir, version, files, **meta):
-        real_publish(table_dir, version, files, **meta)
+    def racing_publish(table_dir, version, segments, removed, **meta):
+        real_publish(table_dir, version, segments, removed, **meta)
         if version == 1:
             # concurrent discard deletes the staged files AND a
             # concurrent commit publishes v2 on top of the claim
             for f in staged_files:
                 Path(f).unlink(missing_ok=True)
-            real_publish(table_dir, 2, [], **meta)
+            real_publish(table_dir, 2, [], [], **meta)
 
     monkeypatch.setattr(snapshots, "_publish", racing_publish)
     with pytest.raises(ConcurrentCommitError, match="manual repair"):

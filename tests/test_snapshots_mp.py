@@ -46,11 +46,12 @@ for i in range(k):
     f = data / f"w{{wid}}-{{i}}.bin"
     f.write_text("d")
     fp = str(f.resolve())
+    seg = S._write_segment(tdir, [fp])  # immutable: reusable on retry
     while True:
         prev = S.latest_version(tdir)
-        prior = S._read_manifest(tdir, prev) if prev else []
+        segs, removed = S._base_refs(tdir, prev)
         try:
-            S._publish(tdir, prev + 1, prior + [fp])
+            S._publish(tdir, prev + 1, segs + [seg], removed)
             break
         except S.ConcurrentCommitError:
             continue
@@ -106,7 +107,7 @@ def test_concurrent_commit_wap_expire_across_processes(tmp_path):
     data.mkdir(parents=True)
     seed = data / "seed.bin"
     seed.write_text("0")
-    S._publish(tdir, 1, [str(seed.resolve())])
+    S._publish(tdir, 1, [S._write_segment(tdir, [str(seed.resolve())])], [])
 
     n_commit, n_wap, k = 3, 2, 20
     procs = []
@@ -192,6 +193,7 @@ def test_concurrent_commit_wap_expire_across_processes(tmp_path):
     assert vers == list(range(vers[0], head + 1))
     # every WAP marker consumed
     assert not list(Path(tdir).glob("staging-*.json"))
-    # no duplicate references within the head manifest
-    raw = json.loads((Path(tdir) / f"v{head}.json").read_text())["files"]
+    # no duplicate references within the head manifest (resolution
+    # does not dedup, so a file listed by two segments would show here)
+    raw = S._read_manifest(tdir, head)
     assert len(raw) == len(set(raw))
