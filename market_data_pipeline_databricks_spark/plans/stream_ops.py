@@ -1304,3 +1304,229 @@ FROM events
 """
     }
 )
+
+
+def stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MATERIALIZED-AGGREGATE maintenance
+    (streaming/aggregate.py — VERDICT r13 task 8: the groupBy twin of
+    the rank sink, generalizing its watermark/guard/repair machinery to
+    algebraic aggregates). Composition mirrors the rank drives:
+
+    - the SECOND QUARTER (by per-user event order) of one user's rows
+      PLUS that user's final row are held back; the rest streams
+      through the sink in two event-time-cut micro-batches. Each batch
+      merges a map-side-combined partial into the per-user (COUNT,
+      SUM(value)) state via the per-group applied watermark — O(batch)
+      work, with the state table partitioned on a group-hash bucket so
+      reads and writes prune to touched buckets (layout asserted on
+      disk).
+    - the holdback pushed through the STREAM as one batch must raise
+      AggOrderViolation before any write: the user's batch rows MIX
+      the stale quarter (at-or-below the applied watermark) with the
+      genuinely-new tail row — exactly the realistic late-data shape
+      (late rows riding along with the stream's fresh rows), and
+      exactly what the per-group guard rejects. An all-stale isolated
+      slice would instead be absorbed as a replay — the documented
+      row-identity-free limitation (streaming/aggregate.py docstring).
+      Per-bucket file listing asserted byte-identical across the
+      refused injection.
+    - repair_group_aggregates recomputes the ONE affected user from
+      the full source (exact, idempotent, O(that user's rows)); the
+      drive asserts buckets not holding that user kept their exact
+      files.
+    - the final state must equal the batch GROUP BY over the WHOLE
+      input — the stream==batch equality statement for incremental
+      aggregation. float sum → ROUND(, 6), the registry convention.
+
+    EAGER (streams + repairs at construction)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    from market_data_pipeline_databricks_spark.sources.tables import (
+        read_table,
+    )
+    from market_data_pipeline_databricks_spark.streaming.aggregate import (
+        _nbuckets_col,
+        repair_group_aggregates,
+        stream_agg_maintenance as _maintain,
+    )
+
+    n_buckets = 8
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # target: smallest user with ≥8 rows whose max ts is UNIQUE — the
+    # held-back tail row must sit strictly above the applied watermark
+    # (a ts tie would make the injection all-stale = replay-shaped)
+    trow = (
+        ev.withColumn(
+            "__tmax", F.max("ts").over(Window.partitionBy("user_id"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("ts") == F.col("__tmax"), 1).otherwise(0)
+            ).alias("n_at_max"),
+        )
+        .filter((F.col("n") >= 8) & (F.col("n_at_max") == 1))
+        .orderBy(F.asc("n"), F.asc("user_id"))
+        .first()
+    )
+    if trow is None:
+        raise AssertionError(
+            "stream_agg_maintenance: no user with >=8 rows and a "
+            "unique max event time in this dataset"
+        )
+    target_user, n_mine = trow["user_id"], trow["n"]
+    mine = ev.filter(F.col("user_id") == target_user)
+    uw = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    lo_rn = n_mine // 4
+    hi_rn = max(lo_rn + 1, n_mine // 2)
+    # holdback = stale second quarter + the genuinely-new tail row:
+    # streamed together they form the per-group MIXED batch the guard
+    # must refuse (an all-stale slice alone reads as a replay)
+    late = (
+        mine.withColumn("__rn", F.row_number().over(uw))
+        .filter(
+            ((F.col("__rn") > lo_rn) & (F.col("__rn") <= hi_rn))
+            | (F.col("__rn") == n_mine)
+        )
+        .drop("__rn")
+        .localCheckpoint()  # frozen: stream feed + repair input
+    )
+    on_time = ev.join(late.select("event_id"), "event_id", "anti")
+
+    feed_dir = tempfile.mkdtemp(prefix=f"aggfeed_{_NONCE}_")
+    late_dir = tempfile.mkdtemp(prefix=f"agglate_{_NONCE}_")
+    wh_dir = tempfile.mkdtemp(prefix=f"aggwh_{_NONCE}_")
+    ck1 = tempfile.mkdtemp(prefix=f"aggck1_{_NONCE}_")
+    ck2 = tempfile.mkdtemp(prefix=f"aggck2_{_NONCE}_")
+    try:
+        lo, hi = on_time.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        for cond in (F.col("ts") < F.lit(mid), F.col("ts") >= F.lit(mid)):
+            on_time.filter(cond).coalesce(1).write.mode("append").parquet(
+                feed_dir
+            )
+
+        def _stream(src_dir: str, ckpt: str) -> None:
+            feed = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            _maintain(
+                feed,
+                wh_dir,
+                table="events_agg",
+                group_cols=["user_id"],
+                sum_cols=["value"],
+                checkpoint_dir=ckpt,
+                n_buckets=n_buckets,
+            )
+
+        _stream(feed_dir, ck1)
+        tdir = Path(wh_dir) / "events_agg"
+        bucket_dirs = [
+            p.name
+            for p in tdir.iterdir()
+            if p.is_dir() and p.name.startswith("__p_bucket=")
+        ]
+        if len(bucket_dirs) < 2:
+            raise AssertionError(
+                "stream_agg_maintenance: expected a bucket-partitioned "
+                f"state layout, found {bucket_dirs!r}"
+            )
+
+        def _listing() -> dict[str, tuple[int, int]]:
+            return {
+                str(p.relative_to(tdir)): (
+                    p.stat().st_size,
+                    p.stat().st_mtime_ns,
+                )
+                for p in tdir.rglob("*")
+                if p.is_file()
+            }
+
+        before = _listing()
+        late.coalesce(1).write.mode("append").parquet(late_dir)
+        try:
+            _stream(late_dir, ck2)
+            raise AssertionError(
+                "stream_agg_maintenance: late slice was accepted — "
+                "AggOrderViolation guard missing"
+            )
+        except AssertionError:
+            raise
+        except Exception as exc:  # StreamingQueryException wraps it
+            if "repair_group_aggregates" not in str(exc):
+                raise
+        if _listing() != before:
+            raise AssertionError(
+                "stream_agg_maintenance: the refused injection modified"
+                " the state table — guard must raise before write"
+            )
+        repair_group_aggregates(
+            spark,
+            ev,
+            late.select("user_id"),
+            wh_dir,
+            table="events_agg",
+            group_cols=["user_id"],
+            sum_cols=["value"],
+            n_buckets=n_buckets,
+        )
+        # repair bounded: only the target user's bucket may change
+        target_bucket = (
+            late.select(
+                _nbuckets_col(F.col("user_id"), n_buckets).alias("b")
+            )
+            .first()["b"]
+        )
+        after = _listing()
+        changed = (set(before) ^ set(after)) | {
+            f for f in before.keys() & after.keys() if before[f] != after[f]
+        }
+        stray = {
+            f
+            for f in changed
+            if f.startswith("__p_bucket=")
+            and f.split("/")[0] != f"__p_bucket={target_bucket}"
+        }
+        if stray:
+            raise AssertionError(
+                "stream_agg_maintenance: repair rewrote buckets outside"
+                f" the affected group's: {sorted(stray)[:5]!r}"
+            )
+        constructed = read_table(spark, wh_dir, "events_agg").select(
+            "user_id",
+            F.col("__n").alias("n_events"),
+            F.round("__sum_value", 6).alias("sum_value"),
+        )
+        twin = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        return checked_lazy(constructed, twin, "stream_agg_maintenance")
+    finally:
+        for d in (feed_dir, late_dir, wh_dir, ck1, ck2):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+QUERIES.update({"stream_agg_maintenance": stream_agg_maintenance})
+
+# the repaired state must equal the batch GROUP BY over the FULL input
+ORACLE_SQL.update(
+    {
+        "stream_agg_maintenance": """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY user_id
+"""
+    }
+)
