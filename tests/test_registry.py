@@ -17,63 +17,63 @@ WINDOW = 50
 # list(registry.DRIVER_WINDOW)): the point of this guard is that an
 # accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
 # aliasing the registry value made the lockstep check trivially true
-# (round-6 advice). The 2 new r13 queries lead (streaming rank repair,
-# hidden partitioning — a new oracle-backed query takes a window slot
-# the round it lands), then the stalest-green cohort computed over
-# CORRECTNESS_r01..r12: the 6 last-green-r06 queries, then the
-# alphabetical head of the 49-query r07 cohort (42 slots) — see
-# registry.py.
+# (round-6 advice). The new r14 query leads (streaming incremental
+# materialized-aggregate maintenance — a new oracle-backed query takes
+# a window slot the round it lands), then the stalest-green cohort
+# computed over CORRECTNESS_r01..r13: the 7-query r07 cohort tail
+# (text_bpe_train_merges onward), the 40-query r08 cohort, then the
+# alphabetical head of the r09 cohort (2 slots) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
-    "stream_rank_repair",
-    "warehouse_hidden_partitioning",
-    "text_length_histogram",
-    "text_ngram_novelty",
-    "text_zipf_fit",
-    "vector_truncation_fidelity",
-    "window_linear_interpolate_close",
-    "window_pareto_frontier_orders",
-    "agg_customer_rfm_segments",
-    "agg_pricing_summary",
-    "agg_revenue_share",
-    "agg_segment_value_quantiles",
-    "analyst_dq_triage_cte",
-    "analyst_top_movers_today",
-    "curate_chunk_corpus_lsh",
-    "curate_multimodal_corpus_lsh",
-    "curate_training_corpus",
-    "dedup_cdc_duplicate_coverage",
-    "dedup_cdc_duplicate_spans",
-    "dedup_cdc_incremental",
-    "dedup_cdc_repeated_chunks",
-    "dedup_component_size_histogram",
-    "dedup_components_lsh",
-    "dedup_editdistance_verify",
-    "dedup_incremental_fuzzy",
-    "dedup_incremental_fuzzy_lsh",
-    "dedup_method_agreement",
-    "dedup_minhash_near",
-    "dedup_simhash_near",
-    "dedup_winnow_overlap",
-    "er_resolved_entities",
-    "events_cumulative_reach",
-    "events_funnel_time_to_convert",
-    "filter_project_revenue",
-    "funcs_feature_panel",
-    "graph_frequent_itemsets",
-    "graph_part_association_rules",
-    "graph_part_pagerank",
-    "join_asof_orders_quotes",
-    "join_q9_product_type_profit",
-    "join_range_binned_volatility",
-    "quality_benford_screen",
-    "quality_mad_outliers",
-    "scalar_regexp_extract",
-    "scd2_supplier_history",
-    "skew_salted_pricing_summary",
-    "stream_cdc_incremental",
-    "stream_gold_incremental",
-    "stream_stateful_user_totals",
-    "text_bpe_encode_stats",
+    "stream_agg_maintenance",
+    "text_bpe_train_merges",
+    "text_kneser_ney_bigram",
+    "text_tokenizer_fertility",
+    "vector_ann_near_dup_lsh",
+    "vector_sign_ann_topk",
+    "window_dedup_latest_wins",
+    "window_supplier_daily_gold",
+    "agg_conditional_counts",
+    "agg_coverage_report",
+    "agg_cube_order_stats",
+    "agg_distinct_suppliers",
+    "agg_monthly_revenue",
+    "agg_rollup_revenue",
+    "dedup_lsh_recall_report",
+    "dedup_ngram_jaccard",
+    "filter_date_interval",
+    "filter_greatest_least",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "multimodal_audio_near_dup",
+    "multimodal_image_dedup_groups",
+    "multimodal_image_dedup_incremental",
+    "multimodal_image_near_dup",
+    "pivot_qty_by_status",
+    "quality_psi_drift",
+    "sample_perplexity_mixture",
+    "sample_soft_dedup_weights",
+    "sample_stratified_events",
+    "sample_token_budget_mixture",
+    "scalar_json_extract",
+    "scalar_string_kitchen",
+    "set_except_intersect_buyers",
+    "stream_image_dedup_incremental",
+    "text_bm25_topk",
+    "text_chunk_sliding",
+    "text_cross_source_contamination",
+    "text_fingerprint_groups",
+    "text_lang_id",
+    "vector_ann_ivf_fixed_topk",
+    "vector_ann_pq_fixed_topk",
+    "vector_kmeans_assign",
+    "window_gap_detection",
+    "window_jump_check",
+    "window_latest_event_per_user",
+    "window_lead_gap_to_next",
+    "window_rank_family",
+    "window_stale_check",
+    "agg_dup_grain_detector",
+    "agg_grouping_sets_revenue",
 ]
 
 
