@@ -27,14 +27,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- round-14 window. Rotation per the standing rules: the 50 r13
-    # slots are freshly proven and yield; the one NEW round-14
-    # oracle-backed query takes the debut slot (never-hash-checked
-    # beats stalest-green); the remaining 49 slots are the
+    # slots are freshly proven and yield; the two NEW round-14
+    # oracle-backed queries take debut slots (never-hash-checked
+    # beats stalest-green); the remaining 48 slots are the
     # stalest-green cohort computed over CORRECTNESS_r01..r13 — the
     # 7-query r07 cohort tail (text_bpe_train_merges onward), then the
     # 40-query r08 cohort, then the alphabetical head of the r09
-    # cohort (2 slots).
+    # cohort (1 slot).
     "stream_agg_maintenance",
+    "warehouse_composite_spec_pruning",
     "text_bpe_train_merges",
     "text_kneser_ney_bigram",
     "text_tokenizer_fertility",
@@ -83,7 +84,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_rank_family",
     "window_stale_check",
     "agg_dup_grain_detector",
-    "agg_grouping_sets_revenue",
 
     # -- displaced: the r13 window (all driver-proven r13); all remain
     # verifiable via tools/check_oracle.py.

@@ -1471,3 +1471,164 @@ GROUP BY o_orderstatus
 """
     }
 )
+
+
+def warehouse_composite_spec_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSITE transform spec + CONJUNCTIVE manifest pruning
+    (sources/snapshots.py:prune_files_conj — the follow-on to
+    warehouse_hidden_partitioning's single-entry specs): ONE snapshot
+    table of 1996 orders evolves to ``["month(o_orderdate)",
+    "bucket(8, o_custkey)"]`` — both transform dimensions at once —
+    with an un-clustered pre-evolution commit (the conservative
+    never-pruned path stays exercised) and a spec-clustered commit
+    whose files carry tight (month, bucket) bounds. The read then
+    filters on SOURCE columns only — a plain ``o_orderdate`` range AND
+    a plain ``o_custkey`` equality — and the engine prunes the
+    conjunction through BOTH entries at the manifest. The drive
+    ASSERTS the conjunction keeps strictly fewer files than either
+    predicate alone (each dimension must engage, not just ride along)
+    and than the total. The probed customer is the busiest one inside
+    the range, computed from the data on both sides (Spark argmax /
+    DuckDB scalar subquery) so the slice is never empty. Residual row
+    filters keep exactness independent of pruning; the oracle replays
+    the raw filters over the source table, so a mis-mapped month or a
+    bucket-hash mismatch that drops a matching file breaks the hash.
+    At 100 TB this is the point-lookup-in-a-time-window shape — scan
+    O(files of one month × one bucket), not O(table). EAGER (commits +
+    evolution at construction)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from market_data_pipeline_databricks_spark.sources.snapshots import (
+        commit_append,
+        evolve_partition_spec,
+        prune_files,
+        prune_files_conj,
+        prune_files_eq,
+        read_pruned_conj,
+    )
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between(
+                dt.datetime(1996, 1, 1), dt.datetime(1996, 12, 31, 23, 59, 59)
+            )
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        )
+    )
+    lo = dt.datetime(1996, 3, 1)
+    hi = dt.datetime(1996, 5, 31, 23, 59, 59)
+    target = (
+        orders.filter(F.col("o_orderdate").between(lo, hi))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .first()["o_custkey"]
+    )
+    td = tempfile.mkdtemp(prefix="hidconj_")
+    try:
+        commit_append(
+            orders.filter(F.col("o_orderkey") % 5 == 0).repartition(2), td
+        )
+        evolve_partition_spec(
+            td, ["month(o_orderdate)", "bucket(8, o_custkey)"]
+        )
+        commit_append(
+            orders.filter(F.col("o_orderkey") % 5 != 0),
+            td,
+            cluster_partitions=48,
+        )
+        preds = [
+            ("between", "o_orderdate", lo, hi),
+            ("eq", "o_custkey", int(target)),
+        ]
+        kept_c, total = prune_files_conj(td, preds)
+        kept_m, _ = prune_files(td, "o_orderdate", lo, hi)
+        kept_b, _ = prune_files_eq(td, "o_custkey", int(target))
+        if not (
+            len(kept_c) < len(kept_m)
+            and len(kept_c) < len(kept_b)
+            and len(kept_c) < total
+        ):
+            raise AssertionError(
+                "warehouse_composite_spec_pruning: the conjunction must "
+                "out-prune each single predicate (conj "
+                f"{len(kept_c)}, month-range {len(kept_m)}, bucket "
+                f"{len(kept_b)}, total {total}) — a composite spec "
+                "dimension is not engaging"
+            )
+        # conjunction semantics: intersection of the per-predicate sets
+        if set(kept_c) != set(kept_m) & set(kept_b):
+            raise AssertionError(
+                "warehouse_composite_spec_pruning: conjunctive kept set "
+                "is not the intersection of the per-predicate kept sets"
+            )
+        constructed = (
+            read_pruned_conj(spark, td, preds)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select("o_orderstatus", "n_rows", "sum_price")
+        )
+        twin = (
+            orders.filter(
+                F.col("o_orderdate").between(lo, hi)
+                & (F.col("o_custkey") == int(target))
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_totalprice")
+                .cast("decimal(27,2)")
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .select("o_orderstatus", "n_rows", "sum_price")
+        )
+        return checked_lazy(
+            constructed, twin, "warehouse_composite_spec_pruning"
+        )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+QUERIES.update(
+    {"warehouse_composite_spec_pruning": warehouse_composite_spec_pruning}
+)
+
+ORACLE_SQL.update(
+    {
+        "warehouse_composite_spec_pruning": """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(27,2))
+            AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+                      AND TIMESTAMP '1996-05-31 23:59:59'
+  AND o_custkey = (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+                            AND TIMESTAMP '1996-05-31 23:59:59'
+      GROUP BY o_custkey
+      ORDER BY COUNT(*) DESC, o_custkey ASC
+      LIMIT 1)
+GROUP BY o_orderstatus
+"""
+    }
+)

@@ -883,6 +883,17 @@ def prune_files_eq(
     v = latest_version(table_dir) if version is None else version
     files = _read_manifest(table_dir, v)
     spec, stats = _manifest_meta(table_dir, v)
+    probes = _eq_probes(spec, stats, key, value)
+    return _prune(files, stats, probes), len(files)
+
+
+def _eq_probes(
+    spec: list[str], stats: dict, key: str, value
+) -> dict[str, tuple]:
+    """Probe set for ``key = value``: every monotone entry with the
+    degenerate range plus every ``bucket(N, key)`` entry with the
+    probe value's own bucket (shared by :func:`prune_files_eq` and
+    the conjunctive pruner)."""
     probes = _range_probes(spec, stats, key, value, value)
     for s in spec:
         kind, p, src = _parse_spec_key(s)
@@ -899,7 +910,7 @@ def prune_files_eq(
                 )
             b = _bucket_of(value, p)
             probes[s] = (b, b)
-    return _prune(files, stats, probes), len(files)
+    return probes
 
 
 def read_pruned(
@@ -944,6 +955,81 @@ def read_pruned_eq(
         empty = spark.read.parquet(*_read_manifest(table_dir, v)).limit(0)
         return empty.filter(F.col(key) == F.lit(value))
     return spark.read.parquet(*kept).filter(F.col(key) == F.lit(value))
+
+
+def prune_files_conj(
+    table_dir: str,
+    preds: list[tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """CONJUNCTIVE manifest pruning — the composite-spec read path: a
+    file survives only if EVERY predicate can match it, so each
+    predicate prunes through its own spec dimension independently and
+    the kept set is the intersection. With a composite spec like
+    ``["month(ts)", "bucket(8, key)"]`` a query carrying both a time
+    range and a key equality skips through BOTH: the month entry
+    drops out-of-range months, the bucket entry drops wrong-bucket
+    files inside the range — each dimension alone keeps strictly more.
+
+    ``preds`` entries are ``("between", key, lo, hi)`` or
+    ``("eq", key, value)`` over SOURCE columns — query authors still
+    never name a transform. Two predicates over the same key simply
+    intersect (e.g. two ranges). Same conservative rule per predicate
+    as the single-key pruners: a file with no recorded bounds under a
+    predicate's entries is never excluded by that predicate. Pure
+    manifest arithmetic, no Spark job. Returns ``(kept_files,
+    total_files)``."""
+    _require_absolute(table_dir)
+    v = latest_version(table_dir) if version is None else version
+    files = _read_manifest(table_dir, v)
+    spec, stats = _manifest_meta(table_dir, v)
+    kept = files
+    for pred in preds:
+        op = pred[0]
+        if op == "between":
+            _op, key, lo, hi = pred
+            probes = _range_probes(spec, stats, key, lo, hi)
+        elif op == "eq":
+            _op, key, value = pred
+            probes = _eq_probes(spec, stats, key, value)
+        else:
+            raise ValueError(
+                f"prune_files_conj: unknown predicate op {op!r} — "
+                "supported: ('between', key, lo, hi), ('eq', key, value)"
+            )
+        kept = _prune(kept, stats, probes)
+    return kept, len(files)
+
+
+def read_pruned_conj(
+    spark: SparkSession,
+    table_dir: str,
+    preds: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read under a CONJUNCTION of source-column predicates
+    with composite-spec manifest pruning (:func:`prune_files_conj`)
+    plus the residual AND filter — exactness never depends on the
+    pruning, and the residual conjunction reaches the parquet scan as
+    pushed predicates for row-group skipping inside kept files."""
+
+    def _residual(df: DataFrame) -> DataFrame:
+        cond = F.lit(True)
+        for pred in preds:
+            if pred[0] == "between":
+                _op, key, lo, hi = pred
+                cond = cond & F.col(key).between(lo, hi)
+            else:
+                _op, key, value = pred
+                cond = cond & (F.col(key) == F.lit(value))
+        return df.filter(cond)
+
+    kept, _total = prune_files_conj(table_dir, preds, version)
+    if not kept:
+        v = latest_version(table_dir) if version is None else version
+        empty = spark.read.parquet(*_read_manifest(table_dir, v)).limit(0)
+        return _residual(empty)
+    return _residual(spark.read.parquet(*kept))
 
 
 def commit_merge_keys(

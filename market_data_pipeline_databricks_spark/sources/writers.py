@@ -114,12 +114,22 @@ def upsert_by_key(
     key_cols: list[str],
     partition_cols: list[str] | None = None,
     stable_partitions: bool = False,
+    null_safe_keys: bool = False,
 ) -> None:
     """Idempotent MERGE-style upsert on ``key_cols`` (S6).
 
     Matched rows are fully replaced by the update row (the reference's
     WHEN MATCHED UPDATE SET <all cols>); unmatched rows are inserted.
     Re-running the same batch is a no-op on the final state.
+
+    MATCHING defaults to ANSI MERGE semantics: a NULL key never
+    matches, so upserting a NULL-key row INSERTS a second copy instead
+    of replacing — exactly what ``MERGE ON a.k = b.k`` does. State
+    tables whose key is a normal grouping column (where NULL is a
+    legitimate group — e.g. the streaming aggregate maintenance state)
+    must pass ``null_safe_keys=True`` to get eqNullSafe replacement;
+    without it a NULL-key state row silently duplicates on every
+    upsert and downstream reads double-count the group.
 
     A key may arrive with a *different* partition value than the row it
     replaces (e.g. a corrected trade date on a date-partitioned table).
@@ -149,11 +159,14 @@ def upsert_by_key(
             # ...plus the partitions where updated keys CURRENTLY live,
             # so a key that moved partitions doesn't leave a duplicate
             # behind. Column-pruned scan: only key+partition columns.
+            upd_keys = updates.select(*key_cols).distinct()
             prior = (
-                existing.join(
-                    F.broadcast(updates.select(*key_cols).distinct()),
-                    key_cols,
-                    "left_semi",
+                (
+                    _null_safe_semi(existing, upd_keys, key_cols)
+                    if null_safe_keys
+                    else existing.join(
+                        F.broadcast(upd_keys), key_cols, "left_semi"
+                    )
                 )
                 .select(*partition_cols)
                 .distinct()
@@ -167,7 +180,12 @@ def upsert_by_key(
     else:
         affected = existing
 
-    kept = affected.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+    key_set = updates.select(*key_cols).distinct()
+    kept = (
+        _null_safe_anti(affected, key_set, key_cols)
+        if null_safe_keys
+        else affected.join(key_set, key_cols, "left_anti")
+    )
     merged = kept.unionByName(updates.select(*existing.columns))
 
     staging = path.parent / f".staging_{table}_{uuid.uuid4().hex[:8]}"

@@ -80,10 +80,17 @@ class AggOrderViolation(ValueError):
 def _nbuckets_col(group_expr, n_buckets: int):
     """Stable group-derived bucket for partition pruning: crc32 over
     the string cast (the same cheap both-sides hash the warehouse
-    bucket() transform uses — sources/snapshots.py)."""
-    return F.pmod(F.crc32(group_expr.cast("string")), F.lit(n_buckets)).cast(
-        "int"
-    )
+    bucket() transform uses — sources/snapshots.py). A NULL group is a
+    normal group, so its bucket must be deterministic too: crc32(NULL)
+    is NULL, which would scatter NULL-group state into a NULL
+    partition that bucket-pruned reads (``isin``) never match — the
+    string cast coalesces to '' first (an ''-keyed group sharing the
+    bucket is harmless: buckets only co-locate, keys stay
+    distinguished by the null-safe joins)."""
+    return F.pmod(
+        F.crc32(F.coalesce(group_expr.cast("string"), F.lit(""))),
+        F.lit(n_buckets),
+    ).cast("int")
 
 
 def _state_cols(group_cols: list[str], sum_cols: list[str]) -> list[str]:
@@ -187,6 +194,7 @@ def stream_agg_maintenance(
             upsert_by_key(
                 spark, state, warehouse_dir, table, [gcol],
                 ["__p_bucket"], stable_partitions=True,
+                null_safe_keys=True,
             )
             return
         # state rows for the BATCH's groups only: the read prunes to
@@ -302,6 +310,7 @@ def stream_agg_maintenance(
             [gcol],
             ["__p_bucket"],
             stable_partitions=True,
+            null_safe_keys=True,
         )
 
     q = (
@@ -389,4 +398,5 @@ def repair_group_aggregates(
         [gcol],
         ["__p_bucket"],
         stable_partitions=True,
+        null_safe_keys=True,
     )

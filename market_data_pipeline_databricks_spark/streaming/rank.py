@@ -396,6 +396,9 @@ def stream_rank_maintenance(
             F.sum(
                 F.when(F.col(ts_col).isNull(), 1).otherwise(0)
             ).alias("nn"),
+            F.sum(
+                F.when(F.col(id_col).isNull(), 1).otherwise(0)
+            ).alias("ni"),
         ).first()
         if brow["nn"]:
             raise RankOrderViolation(
@@ -404,6 +407,18 @@ def stream_rank_maintenance(
                 "incremental rank maintenance (NULL-ts rows bypass "
                 "the order guard and the offset count); filter or "
                 "impute upstream"
+            )
+        if brow["ni"]:
+            # row identity is what makes replays detectable (foreign
+            # probe matches by id) and the keyed upsert a REPLACE — a
+            # NULL id matches nothing under ANSI MERGE semantics, so a
+            # replayed NULL-id row would silently insert a duplicate
+            raise RankOrderViolation(
+                f"micro-batch {batch_id} contains {brow['ni']} NULL "
+                f"{id_col} rows — row identity must be non-null for "
+                "incremental rank maintenance (a NULL id breaks replay "
+                "detection and duplicates on upsert); filter or assign "
+                "ids upstream"
             )
         if brow["m"] is None:
             return  # empty micro-batch
@@ -654,6 +669,15 @@ def repair_ranks(
         raise RankOrderViolation(
             f"late rows contain NULL {ts_col} — event time must be "
             "non-null for rank maintenance; filter or impute upstream"
+        )
+    # same non-null identity precondition as the sink: the repaired
+    # suffix upserts by id, and a NULL id never matches under ANSI
+    # MERGE semantics — a re-run would duplicate instead of replace
+    if late_rows.filter(F.col(id_col).isNull()).take(1):
+        raise RankOrderViolation(
+            f"late rows contain NULL {id_col} — row identity must be "
+            "non-null for rank repair (a NULL id duplicates on "
+            "upsert); assign ids upstream"
         )
     # rows BEYOND the table head are not late arrivals: inserting one
     # would trip the maintenance order guard on every subsequent

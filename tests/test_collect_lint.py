@@ -24,6 +24,12 @@ PKG = Path(__file__).resolve().parent.parent / "market_data_pipeline_databricks_
 
 # (relative file, enclosing function) -> (allowed site count, documented bound)
 BOUNDED_COLLECTS = {
+    ("streaming/aggregate.py", "stream_agg_maintenance"): (
+        1,
+        "one row per DISTINCT BUCKET touched by the micro-batch "
+        "(<= n_buckets, default 16) — drives the partition-pruned "
+        "state read",
+    ),
     ("plans/stream_ops.py", "stream_rank_repair"): (
         1,
         "ONE user's distinct event days (<=31 rows at the 1-month "

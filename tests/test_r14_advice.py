@@ -181,3 +181,44 @@ def test_semantic_fmt_mismatch_caught_in_latest_bucket(spark, tmp_path):
     back = spark.read.parquet(str(tdir))
     with pytest.raises(ValueError, match="disagree"):
         _check_partition_fmt(back, "ts", "yyyy-MM-dd", "t", tdir)
+
+
+def test_null_id_rows_fail_loud_in_sink_and_repair(spark, tmp_path):
+    """Row identity is what makes replays detectable and the keyed
+    upsert a replace — a NULL id row must be refused by both the
+    maintenance sink and repair_ranks, not silently duplicated."""
+    from market_data_pipeline_databricks_spark.streaming.rank import (
+        RankOrderViolation,
+        repair_ranks,
+        stream_rank_maintenance,
+    )
+
+    df = _mk(
+        spark,
+        [(None, dt.datetime(2025, 1, 1), 7), (2, dt.datetime(2025, 1, 2), 7)],
+    )
+    feed = tmp_path / "feed"
+    df.coalesce(1).write.parquet(str(feed))
+    s = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    with pytest.raises(Exception, match="NULL event_id"):
+        stream_rank_maintenance(s, str(tmp_path / "wh"))
+
+    ok = _mk(spark, [(1, dt.datetime(2025, 1, 1), 7)])
+    feed2 = tmp_path / "feed2"
+    ok.coalesce(1).write.parquet(str(feed2))
+    s2 = (
+        spark.readStream.schema(ok.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed2))
+    )
+    stream_rank_maintenance(s2, str(tmp_path / "wh"))
+    with pytest.raises(RankOrderViolation, match="NULL event_id"):
+        repair_ranks(
+            spark,
+            _mk(spark, [(None, dt.datetime(2025, 1, 1), 7)]),
+            str(tmp_path / "wh"),
+        )

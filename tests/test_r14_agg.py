@@ -274,13 +274,27 @@ def test_null_group_key_is_a_normal_group(spark, tmp_path):
         ],
         "event_id long, ts timestamp, user_id long, value double",
     )
-    _drain(spark, df, tmp_path / "feed", tmp_path / "wh", cuts=[])
+    # two batches: the NULL group UPDATES through the merge-upsert
+    # path in batch 2 — with plain-equality upsert matching the old
+    # NULL state row would survive alongside the new one (the
+    # null_safe_keys regression this test pins)
+    _drain(
+        spark, df, tmp_path / "feed", tmp_path / "wh",
+        cuts=[T0 + dt.timedelta(hours=12)],
+    )
     st = _state(spark, tmp_path / "wh")
     assert st[None] == (2, 3.5, T0 + dt.timedelta(1))
     assert st[5] == (1, 3.0, T0)
+    tbl = read_table(spark, str(tmp_path / "wh"), "events_agg")
+    assert tbl.count() == 2  # one state ROW per group — no duplicates
     # repair the NULL group too (null-safe joins end to end)
-    repair_group_aggregates(
-        spark, df, spark.createDataFrame([(None,)], "user_id long"),
-        str(tmp_path / "wh"), sum_cols=["value"], n_buckets=4,
-    )
-    assert _state(spark, tmp_path / "wh") == st
+    for _ in range(2):
+        repair_group_aggregates(
+            spark, df, spark.createDataFrame([(None,)], "user_id long"),
+            str(tmp_path / "wh"), sum_cols=["value"], n_buckets=4,
+        )
+        assert _state(spark, tmp_path / "wh") == st
+        assert (
+            read_table(spark, str(tmp_path / "wh"), "events_agg").count()
+            == 2
+        )

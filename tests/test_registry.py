@@ -17,14 +17,16 @@ WINDOW = 50
 # list(registry.DRIVER_WINDOW)): the point of this guard is that an
 # accidental edit to DRIVER_WINDOW must be mirrored deliberately here —
 # aliasing the registry value made the lockstep check trivially true
-# (round-6 advice). The new r14 query leads (streaming incremental
-# materialized-aggregate maintenance — a new oracle-backed query takes
-# a window slot the round it lands), then the stalest-green cohort
-# computed over CORRECTNESS_r01..r13: the 7-query r07 cohort tail
+# (round-6 advice). The two new r14 queries lead (streaming
+# incremental materialized-aggregate maintenance, composite-spec
+# conjunctive pruning — a new oracle-backed query takes a window slot
+# the round it lands), then the stalest-green cohort computed over
+# CORRECTNESS_r01..r13: the 7-query r07 cohort tail
 # (text_bpe_train_merges onward), the 40-query r08 cohort, then the
-# alphabetical head of the r09 cohort (2 slots) — see registry.py.
+# alphabetical head of the r09 cohort (1 slot) — see registry.py.
 PREVIOUSLY_UNCHECKED = [
     "stream_agg_maintenance",
+    "warehouse_composite_spec_pruning",
     "text_bpe_train_merges",
     "text_kneser_ney_bigram",
     "text_tokenizer_fertility",
@@ -73,7 +75,6 @@ PREVIOUSLY_UNCHECKED = [
     "window_rank_family",
     "window_stale_check",
     "agg_dup_grain_detector",
-    "agg_grouping_sets_revenue",
 ]
 
 

@@ -33,3 +33,28 @@ def test_null_safe_semi_matches_null_partitions(spark):
     small = df.filter(F.col("id") == 2).select("p")  # the NULL partition
     assert _null_safe_semi(df, small, ["p"]).count() == 2  # both NULLs
     assert _null_safe_anti(df, small, ["p"]).count() == 2
+
+
+def test_upsert_null_safe_keys_replaces_null_key_rows(spark, tmp_path):
+    """Default upsert matching is ANSI MERGE (NULL never matches →
+    the NULL-key update INSERTS a second copy); ``null_safe_keys=True``
+    is the state-table mode where NULL is a legitimate key and the
+    update REPLACES. Both behaviors pinned."""
+    from market_data_pipeline_databricks_spark.sources.writers import (
+        upsert_by_key,
+    )
+
+    schema = "k long, v double"
+    base = spark.createDataFrame([(None, 1.0), (7, 2.0)], schema)
+    upd = spark.createDataFrame([(None, 9.0)], schema)
+    for null_safe, expect_rows in ((False, 3), (True, 2)):
+        wh = str(tmp_path / f"wh_{null_safe}")
+        upsert_by_key(spark, base, wh, "t", ["k"])
+        upsert_by_key(
+            spark, upd, wh, "t", ["k"], null_safe_keys=null_safe
+        )
+        rows = spark.read.parquet(f"{wh}/t").collect()
+        assert len(rows) == expect_rows
+        if null_safe:
+            vals = {r.k: r.v for r in rows}
+            assert vals[None] == 9.0 and vals[7] == 2.0
