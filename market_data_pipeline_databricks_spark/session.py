@@ -30,7 +30,20 @@ _DEFAULTS = {
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"),
+    # 16g, NOT the box's 128 GiB (the original fill-the-box 90g dated
+    # to the first commit and was never revisited): the driver should
+    # do almost no data work, and an oversized G1 heap actively hurts —
+    # young-gen regions grow to tens of GB, every fresh-region touch
+    # page-faults + zeroes in the kernel, and full GCs are so rare the
+    # ContextCleaner never reclaims checkpoint/broadcast blocks.
+    # Measured (round 14, pagerank min-of-6 in one session): 90g heap
+    # drew 8.8-73 s erratically with 65 young GCs totaling 17 s; 16g
+    # drew a stable 6.8 s — and the full headline bench dropped 122 s
+    # → 96 s with nothing else changed. Heavy per-node state (persisted
+    # shinglesets, broadcasts) spills via MEMORY_AND_DISK, so a larger
+    # heap buys nothing at any tested scale; override via env for
+    # atypical workloads.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
