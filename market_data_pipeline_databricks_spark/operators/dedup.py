@@ -791,12 +791,18 @@ def connected_components(
             .agg(F.min("v").alias("mnv"))
             .select("u", F.least("mnv", "u").alias("m"))
         )
+        # no distinct here: duplicate (u, v) rows collapse map-side in
+        # mins2's partial aggregation and in small's final distinct, so
+        # deduping first costs a full extra exchange per round (r14:
+        # one of ~6 round shuffles) for bytes the next stage would
+        # have collapsed anyway — the round output (small) stays
+        # distinct, which is what the fixpoint test and the result
+        # contract require.
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # -- small-star: group by the big end; link all (smaller)
         # neighbors and self to the group minimum.

@@ -71,9 +71,28 @@ def two_pass_key_rank(
         except Exception:  # Spark Connect has no sparkContext
             parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     key_exprs = [F.asc(k) for k in key_cols]
-    ranged = df.repartitionByRange(
-        parts, *key_exprs, *order_exprs
-    ).withColumn("pid", F.spark_partition_id())
+    # localCheckpoint is CORRECTNESS, not caching (r14 finding): pid
+    # assignment is the one nondeterministic step in this operator —
+    # the RangePartitioner SAMPLES its input with an RDD-id-derived
+    # seed, so two executions of the same range exchange can draw
+    # different boundaries. The final plan contains this subtree twice
+    # (under the offsets aggregate and as the join's probe side); when
+    # the optimizer reuses the exchange/stage (plain file scans today)
+    # both sides see one pid assignment and the stitched ranks are
+    # exact — but that reuse is an optimization, not a contract, and
+    # over an InMemoryRelation input (a persisted upstream frame) the
+    # stages do NOT canonicalize equal: each side samples its own
+    # boundaries, local ranks and offsets disagree on pids, and the
+    # operator silently returns wrong ranks (measured: 1,626 wrong
+    # rows on a persisted events scan at sf0.1). Materializing the
+    # pid-stamped frame once makes every downstream consumer read the
+    # SAME assignment regardless of plan reuse; everything after this
+    # point is deterministic (hash exchanges, window, aggregate).
+    ranged = (
+        df.repartitionByRange(parts, *key_exprs, *order_exprs)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     lw = Window.partitionBy("pid", *key_cols).orderBy(*order_exprs)
     local = ranged.withColumn("lrank", F.row_number().over(lw))
     # offsets: for each key, the cumulative count of that key's rows in

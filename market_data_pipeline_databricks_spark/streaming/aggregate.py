@@ -159,7 +159,17 @@ def stream_agg_maintenance(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint()  # cut per-batch lineage
+        # lazy persist, NOT localCheckpoint (r14, same finding as the
+        # rank sink): multiple consumers keep single-scan semantics at
+        # scale without a dedicated materialization job per batch, and
+        # the finally-unpersist frees blocks deterministically.
+        batch = batch_df.persist()
+        try:
+            _sink_body(spark, batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _sink_body(spark, batch: DataFrame, batch_id: int) -> None:
         # NULL event time breaks the watermark contract exactly as in
         # the rank sink (ts > __wm skips NULLs → silent drop). Folded
         # with the emptiness probe: one batch scan, not two.

@@ -381,7 +381,20 @@ def stream_rank_maintenance(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint()  # cut per-batch lineage
+        # lazy persist, NOT localCheckpoint (r14): the batch has ~6
+        # consumers (probe aggregate, rank sample+compute, foreign
+        # probe, key set, write), so single-scan semantics matter at
+        # scale — but localCheckpoint added a dedicated materialization
+        # job per batch and its blocks lingered until GC. persist()
+        # fills on the first consumer with no extra job, and the
+        # finally-unpersist frees the blocks deterministically.
+        batch = batch_df.persist()
+        try:
+            _sink_body(spark, batch, batch_id)
+        finally:
+            batch.unpersist()
+
+    def _sink_body(spark, batch: DataFrame, batch_id: int) -> None:
         # NON-NULL event time is a hard precondition, guarded here in
         # the sink's fail-loud style: F.min skips NULLs and both the
         # foreign probe (ts >= bmin) and the offset count (ts < bmin)
@@ -526,7 +539,12 @@ def stream_rank_maintenance(
                     .agg(F.count(F.lit(1)).alias("__base"))
                     .withColumnRenamed(key_col, "__k")
                 )
-            offsets = offsets.localCheckpoint()  # reused for the cache
+            if cache_on:
+                # reused below for the cache rewrite — materialize so
+                # the pruned count runs once; with the cache off (the
+                # default below the size floor) offsets has ONE
+                # consumer and the checkpoint would be a pure extra job
+                offsets = offsets.localCheckpoint()
             # only the BATCH's keys ride the broadcast into the rank
             # join — the full frame is |all keys ever| and belongs
             # only in the cache rewrite (review finding). NULL-safe
@@ -662,18 +680,23 @@ def repair_ranks(
             f"repair_ranks bookkeeping columns {sorted(clash)} collide "
             "with table columns — rename them first"
         )
-    # same non-null event-time precondition as the streaming sink: a
+    # both non-null preconditions and the max late ts in ONE aggregate
+    # (was three jobs — r14: the drive is fixed-job-count-bound): a
     # NULL-ts row landed here would poison every later batch's offset
-    # count and order guard (both ts-bounded filters skip NULLs).
-    if late_rows.filter(F.col(ts_col).isNull()).take(1):
+    # count and order guard (both ts-bounded filters skip NULLs), and
+    # a NULL id never matches under ANSI MERGE semantics so a re-run
+    # would duplicate instead of replace.
+    lrow = late_rows.agg(
+        F.sum(F.when(F.col(ts_col).isNull(), 1).otherwise(0)).alias("nn"),
+        F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias("ni"),
+        F.max(ts_col).alias("lmax"),
+    ).first()
+    if lrow["nn"]:
         raise RankOrderViolation(
             f"late rows contain NULL {ts_col} — event time must be "
             "non-null for rank maintenance; filter or impute upstream"
         )
-    # same non-null identity precondition as the sink: the repaired
-    # suffix upserts by id, and a NULL id never matches under ANSI
-    # MERGE semantics — a re-run would duplicate instead of replace
-    if late_rows.filter(F.col(id_col).isNull()).take(1):
+    if lrow["ni"]:
         raise RankOrderViolation(
             f"late rows contain NULL {id_col} — row identity must be "
             "non-null for rank repair (a NULL id duplicates on "
@@ -684,9 +707,9 @@ def repair_ranks(
     # in-order batch until the stream's event time passes it — the
     # stream wedges (review finding). Such rows belong in the stream.
     head = existing.agg(F.max(ts_col)).first()[0]
-    if head is not None and late_rows.filter(
-        F.col(ts_col) > F.lit(head)
-    ).take(1):
+    if head is not None and lrow["lmax"] is not None and (
+        lrow["lmax"] > head
+    ):
         raise RankOrderViolation(
             f"late rows carry {ts_col} beyond the maintained table's "
             f"head ({head!r}) — those are FUTURE events, not late "

@@ -508,3 +508,37 @@ def test_wap_first_publish_race_unlinks_instead_of_empty_tombstone(
         snapshots.publish_staged(tdir, "br")
     assert latest_version(tdir) == 0
     assert not (_P(tdir) / "v1.json").exists()
+
+
+def test_two_pass_rank_correct_over_persisted_input(spark):
+    """r14 regression: pid assignment must not depend on optimizer
+    exchange/stage reuse. The RangePartitioner samples with an
+    RDD-id-derived seed, so the two executions of the range exchange
+    (offsets subtree + join probe side) can draw different boundaries;
+    over an InMemoryRelation input the stages do not canonicalize
+    equal, and before the operator materialized the pid-stamped frame
+    the stitched ranks were silently wrong (1,626 wrong rows on a
+    persisted events scan at sf0.1). A persisted input must rank
+    exactly like the window."""
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "ts", "user_id")
+        .persist()
+    )
+    try:
+        got = {
+            r.event_id: r.seq
+            for r in two_pass_key_rank(
+                ev, ["user_id"], [F.asc("ts"), F.asc("event_id")], "seq"
+            ).collect()
+        }
+        w = Window.partitionBy("user_id").orderBy(
+            F.asc("ts"), F.asc("event_id")
+        )
+        truth = {
+            r.event_id: r.seq
+            for r in ev.withColumn("seq", F.row_number().over(w)).collect()
+        }
+        assert got == truth
+    finally:
+        ev.unpersist()
