@@ -427,15 +427,20 @@ def stream_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # boundaries are irrelevant to correctness (the cutoff algebra is
         # order-safe), only to the per-batch work profile
         bounds = ["1995-01-01", "1996-07-01", "1997-07-01"]
+        # materialize the rollup ONCE for the four chunk writes (r14:
+        # each write re-ran the full lineitem aggregation — 4 scans,
+        # ~1.4 s apiece at sf0.1). The lazy `silver` stays the twin's
+        # root so the returned plan remains testdata-parquet-rooted.
+        silver_m = silver.localCheckpoint()
         chunks = [
-            silver.filter(F.col("date") < bounds[0]),
-            silver.filter(
+            silver_m.filter(F.col("date") < bounds[0]),
+            silver_m.filter(
                 (F.col("date") >= bounds[0]) & (F.col("date") < bounds[1])
             ),
-            silver.filter(
+            silver_m.filter(
                 (F.col("date") >= bounds[1]) & (F.col("date") < bounds[2])
             ),
-            silver.filter(F.col("date") >= bounds[2]),
+            silver_m.filter(F.col("date") >= bounds[2]),
         ]
         for c in chunks:
             c.coalesce(1).write.mode("append").parquet(feed_dir)

@@ -208,10 +208,21 @@ def stream_gold_maintenance(
         checkpoint_dir = tempfile.mkdtemp(prefix=f"ckpt_gold_{gold_table}_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        spark = batch_df.sparkSession
-        batch = batch_df.localCheckpoint()  # cut the per-batch lineage
+        # lazy persist, NOT localCheckpoint (r14, same finding as the
+        # rank sink): the batch has several consumers (emptiness probe,
+        # silver upsert, the gold recompute's cutoff aggregate) —
+        # persist keeps single-scan semantics with no dedicated
+        # materialization job, and the finally-unpersist frees blocks
+        # deterministically.
+        batch = batch_df.persist()
+        try:
+            if not batch.take(1):
+                return
+            _sink_body(batch.sparkSession, batch)
+        finally:
+            batch.unpersist()
+
+    def _sink_body(spark, batch: DataFrame) -> None:
         # silver accumulates through the keyed UPSERT, not an append:
         # a replayed micro-batch (failure after the write, before the
         # checkpoint commit) re-delivers the same rows, and an append
