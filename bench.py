@@ -128,6 +128,15 @@ HEADLINE = [
     # production layout this round (same band as flat, measured).
     "warehouse_hidden_partitioning",
     "stream_rank_repair",
+    # round-14: the two debut drives. The incremental materialized-
+    # aggregate maintenance (watermark-merged groupBy state, bucket-
+    # pruned upserts) and the composite-spec conjunctive manifest
+    # pruning — un-benched, a watermark-merge recompute slip or a
+    # pruning regression would be driver-invisible, the same class of
+    # gap every prior round's additions closed. Baselines at sf0.1:
+    # ~7.4 s / ~3.7 s (OPTIMIZATION_r14.md).
+    "stream_agg_maintenance",
+    "warehouse_composite_spec_pruning",
 ]
 
 
