@@ -88,6 +88,13 @@ def two_pass_key_rank(
     # pid-stamped frame once makes every downstream consumer read the
     # SAME assignment regardless of plan reuse; everything after this
     # point is deterministic (hash exchanges, window, aggregate).
+    # Block lifetime (advice finding): a local checkpoint's blocks
+    # cannot be unpersisted while the result may still be consumed
+    # (the blocks ARE the data — freeing them breaks recompute), so
+    # reclamation relies on the ContextCleaner once the returned
+    # frame's RDD becomes unreferenced. Per-micro-batch callers drop
+    # their reference at batch end; blocks are MEMORY_AND_DISK, so
+    # between driver GCs the overhang spills rather than OOMs.
     ranged = (
         df.repartitionByRange(parts, *key_exprs, *order_exprs)
         .withColumn("pid", F.spark_partition_id())

@@ -106,6 +106,12 @@ def _null_safe_anti(df: DataFrame, small: DataFrame, cols: list[str]) -> DataFra
     return df.join(F.broadcast(_fresh(small, cols)), cond, "left_anti")
 
 
+# Inspection hook for plan-capture tooling (plans/r15): when set to a
+# callable it receives the staged-write frame just before the write
+# executes. No effect in production (None).
+_STAGED_PLAN_HOOK = None
+
+
 def upsert_by_key(
     spark: SparkSession,
     updates: DataFrame,
@@ -140,6 +146,20 @@ def upsert_by_key(
     keyed on symbol — every table this pipeline ships), pass
     ``stable_partitions=True`` to skip that scan: the batch's own
     partition values are then provably the only ones affected.
+
+    Scale shape of the staged write (r15): the touched-partition set is
+    collected once (partition-scaled, never row-scaled) and re-applied
+    to the existing table as a LITERAL partition predicate, so the scan
+    lists only the touched partitions' files (``PartitionFilters`` in
+    the plan) — the former broadcast semi-join read every partition and
+    filtered rows. Touched partitions with no live directory on disk
+    (a time-ordered stream appending new buckets — the common case)
+    need no merge at all: the existing-table scan, the key anti-join
+    and the union drop out of the plan entirely and the staged write is
+    a pure write of ``updates``. ``updates`` itself is persisted for
+    the call's duration: its plan feeds the touched-partition collect,
+    the key anti-join and the staged write, and without the persist a
+    caller's expensive update plan re-executes once per consumer.
     """
     path = _table_path(warehouse_dir, table)
     partition_cols = partition_cols or []
@@ -149,7 +169,78 @@ def upsert_by_key(
         return
 
     existing = spark.read.parquet(str(path))
+    updates = updates.persist()
+    try:
+        _upsert_staged(
+            spark, updates, existing, path, table, key_cols,
+            partition_cols, stable_partitions, null_safe_keys,
+        )
+    finally:
+        updates.unpersist()
 
+
+#: literal-predicate fallback cap: past this many touched partitions
+#: the OR-of-conjunctions plan text outgrows its benefit — use the
+#: broadcast semi-join instead (same result, row-level filter).
+_MAX_LITERAL_PARTITIONS = 512
+
+
+def _literal_ok(rows, partition_cols: list[str]) -> bool:
+    """True when every touched partition value renders identically via
+    ``str(v)`` (the tuple/dirname form) and Spark's ``cast(col as
+    string)`` — the equivalence the literal partition predicate relies
+    on. str/int/date values round-trip exactly; bool ('True' vs
+    'true'), float (scientific-notation forms) and timestamps do not
+    and fall back to the join path."""
+    import datetime as _dt
+
+    for r in rows:
+        for c in partition_cols:
+            v = r[c]
+            if v is None or isinstance(v, str):
+                continue
+            if isinstance(v, bool) or not isinstance(v, (int, _dt.date)):
+                return False
+            if isinstance(v, _dt.datetime):
+                return False
+    return True
+
+
+def _partition_pred(partition_cols: list[str], tuples):
+    """Static partition predicate for the touched set: OR over tuples
+    of AND over columns, compared on the string rendering (matching
+    ``_partition_tuple`` and the hive dir names — partition type
+    inference may read a day-grain value back as DATE and a bucket as
+    INT; the cast normalizes). References only partition attributes,
+    so Catalyst evaluates it against the partition spec at planning
+    time (``PartitionFilters``) and the scan never lists untouched
+    partitions' files."""
+    pred = F.lit(False)
+    for tup in sorted(tuples):
+        c = None
+        for col, v in zip(partition_cols, tup):
+            e = (
+                F.col(col).isNull()
+                if v == _HIVE_NULL
+                else (F.col(col).cast("string") == F.lit(v))
+            )
+            c = e if c is None else (c & e)
+        pred = pred | c
+    return pred
+
+
+def _upsert_staged(
+    spark: SparkSession,
+    updates: DataFrame,
+    existing: DataFrame,
+    path: Path,
+    table: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    stable_partitions: bool,
+    null_safe_keys: bool,
+) -> None:
+    touched_tuples: set[tuple[str, ...]] | None = None
     if partition_cols:
         # Only partitions touched by the batch need rewriting; the rest
         # of the table is untouched (scales: daily batch touches a few
@@ -172,28 +263,55 @@ def upsert_by_key(
                 .distinct()
             )
             touched = touched.unionByName(prior).distinct()
+        touched_rows = touched.collect()  # one small row per partition
         touched_tuples = {
-            _partition_tuple(row, partition_cols)
-            for row in touched.collect()  # one small row per partition
+            _partition_tuple(row, partition_cols) for row in touched_rows
         }
-        affected = _null_safe_semi(existing, touched, partition_cols)
+        # Partitions with no live directory hold nothing to merge —
+        # drop them from the read side. A time-ordered stream
+        # appending new buckets usually leaves this set empty, and the
+        # staged write then degenerates to a pure write of updates.
+        live = {
+            tuple(
+                unquote(p.split("=", 1)[1])
+                for p in leaf.relative_to(path).parts
+            )
+            for leaf in _leaf_partition_dirs(path, partition_cols)
+        }
+        merge_tuples = touched_tuples & live
+        if not merge_tuples:
+            affected = None
+        elif (
+            _literal_ok(touched_rows, partition_cols)
+            and len(merge_tuples) <= _MAX_LITERAL_PARTITIONS
+        ):
+            affected = existing.filter(
+                _partition_pred(partition_cols, merge_tuples)
+            )
+        else:
+            affected = _null_safe_semi(existing, touched, partition_cols)
     else:
         affected = existing
 
-    key_set = updates.select(*key_cols).distinct()
-    kept = (
-        _null_safe_anti(affected, key_set, key_cols)
-        if null_safe_keys
-        else affected.join(key_set, key_cols, "left_anti")
-    )
-    merged = kept.unionByName(updates.select(*existing.columns))
+    if affected is None:
+        merged = updates.select(*existing.columns)
+    else:
+        key_set = updates.select(*key_cols).distinct()
+        kept = (
+            _null_safe_anti(affected, key_set, key_cols)
+            if null_safe_keys
+            else affected.join(key_set, key_cols, "left_anti")
+        )
+        merged = kept.unionByName(updates.select(*existing.columns))
 
+    if _STAGED_PLAN_HOOK is not None:
+        _STAGED_PLAN_HOOK(merged)
     staging = path.parent / f".staging_{table}_{uuid.uuid4().hex[:8]}"
     writer = merged.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(str(staging))
-    _swap_staged(staging, path, partition_cols, touched_tuples if partition_cols else None)
+    _swap_staged(staging, path, partition_cols, touched_tuples)
 
 
 def _swap_staged(

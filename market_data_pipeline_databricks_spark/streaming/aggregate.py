@@ -162,7 +162,10 @@ def stream_agg_maintenance(
         # lazy persist, NOT localCheckpoint (r14, same finding as the
         # rank sink): multiple consumers keep single-scan semantics at
         # scale without a dedicated materialization job per batch, and
-        # the finally-unpersist frees blocks deterministically.
+        # the finally-unpersist initiates freeing at a known point
+        # (asynchronous removal — unpersist defaults to
+        # blocking=False — but blocks stop accumulating across
+        # batches).
         batch = batch_df.persist()
         try:
             _sink_body(spark, batch, batch_id)
@@ -172,12 +175,18 @@ def stream_agg_maintenance(
     def _sink_body(spark, batch: DataFrame, batch_id: int) -> None:
         # NULL event time breaks the watermark contract exactly as in
         # the rank sink (ts > __wm skips NULLs → silent drop). Folded
-        # with the emptiness probe: one batch scan, not two.
+        # with the emptiness probe AND the touched-bucket set (bounded
+        # by n_buckets, so collect_set is driver-trivial): one batch
+        # scan, not three (r15 — the separate bucket distinct+collect
+        # was a full extra batch pass per micro-batch).
         brow = batch.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 F.when(F.col(ts_col).isNull(), 1).otherwise(0)
             ).alias("nn"),
+            F.collect_set(
+                _nbuckets_col(F.col(gcol), n_buckets)
+            ).alias("bk"),
         ).first()
         if brow["nn"]:
             raise AggOrderViolation(
@@ -208,17 +217,16 @@ def stream_agg_maintenance(
             )
             return
         # state rows for the BATCH's groups only: the read prunes to
-        # the batch's buckets (partition filter) and the join frame is
-        # |batch groups| rows, broadcast
+        # the batch's buckets (partition filter, already collected in
+        # brow) and the join frame is |batch groups| rows, broadcast.
+        # Lazy persist, not localCheckpoint (r15): cur has two
+        # consumers (the watermark broadcast and the merge join) and
+        # is fully deterministic (a pruned file scan + semi-join), so
+        # single-scan semantics need no dedicated materialization job
+        # — the first consumer fills the cache; unpersisted after the
+        # upsert lands.
         bkeys = batch.select(F.col(gcol).alias("__g")).distinct()
-        bbuckets = [
-            r["b"]
-            for r in bkeys.select(
-                _nbuckets_col(F.col("__g"), n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
+        bbuckets = list(brow["bk"])
         cur = (
             existing.filter(F.col("__p_bucket").isin(bbuckets))
             .join(
@@ -227,8 +235,14 @@ def stream_agg_maintenance(
                 "left_semi",
             )
             .drop("__p_bucket")
-            .localCheckpoint()
+            .persist()
         )
+        try:
+            _merge_and_upsert(spark, batch, batch_id, cur)
+        finally:
+            cur.unpersist()
+
+    def _merge_and_upsert(spark, batch, batch_id, cur) -> None:
         # watermark-filtered partial: rows already applied (ts <= the
         # group's __wm) contribute nothing — a pure replay aggregates
         # an EMPTY partial and rewrites identical state

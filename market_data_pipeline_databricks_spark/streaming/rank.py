@@ -387,14 +387,22 @@ def stream_rank_maintenance(
         # scale — but localCheckpoint added a dedicated materialization
         # job per batch and its blocks lingered until GC. persist()
         # fills on the first consumer with no extra job, and the
-        # finally-unpersist frees the blocks deterministically.
+        # finally-unpersist initiates freeing at a known point (the
+        # removal itself is asynchronous — unpersist defaults to
+        # blocking=False — but blocks stop accumulating across batches,
+        # unlike checkpoint blocks which wait for a driver GC).
         batch = batch_df.persist()
+        freelist: list[DataFrame] = []
         try:
-            _sink_body(spark, batch, batch_id)
+            _sink_body(spark, batch, batch_id, freelist)
         finally:
             batch.unpersist()
+            for df in freelist:
+                df.unpersist()
 
-    def _sink_body(spark, batch: DataFrame, batch_id: int) -> None:
+    def _sink_body(
+        spark, batch: DataFrame, batch_id: int, freelist: list
+    ) -> None:
         # NON-NULL event time is a hard precondition, guarded here in
         # the sink's fail-loud style: F.min skips NULLs and both the
         # foreign probe (ts >= bmin) and the offset count (ts < bmin)
@@ -540,11 +548,17 @@ def stream_rank_maintenance(
                     .withColumnRenamed(key_col, "__k")
                 )
             if cache_on:
-                # reused below for the cache rewrite — materialize so
-                # the pruned count runs once; with the cache off (the
-                # default below the size floor) offsets has ONE
-                # consumer and the checkpoint would be a pure extra job
-                offsets = offsets.localCheckpoint()
+                # reused below for the cache rewrite — lazy persist
+                # (r15; was localCheckpoint) so the pruned count runs
+                # once without a dedicated materialization job: the
+                # count plan is deterministic (file scan + aggregate),
+                # the first consumer fills the cache, and the cache
+                # rewrite at the end of the batch unpersists it. With
+                # the cache off (the default below the size floor)
+                # offsets has ONE consumer and any materialization
+                # would be a pure extra job.
+                offsets = offsets.persist()
+                freelist.append(offsets)
             # only the BATCH's keys ride the broadcast into the rank
             # join — the full frame is |all keys ever| and belongs
             # only in the cache rewrite (review finding). NULL-safe
@@ -706,6 +720,18 @@ def repair_ranks(
     # would trip the maintenance order guard on every subsequent
     # in-order batch until the stream's event time passes it — the
     # stream wedges (review finding). Such rows belong in the stream.
+    # The head comparison below runs in driver-side Python, so the two
+    # ts types must match exactly (advice finding: a DateType late
+    # frame against a TimestampType table — previously coerced by
+    # Catalyst — would TypeError or compare differently here).
+    lt = late_rows.schema[ts_col].dataType
+    et = existing.schema[ts_col].dataType
+    if lt != et:
+        raise TypeError(
+            f"repair_ranks: late rows' {ts_col} type "
+            f"{lt.simpleString()} != table's {et.simpleString()} — "
+            "cast the late frame to the table's event-time type first"
+        )
     head = existing.agg(F.max(ts_col)).first()[0]
     if head is not None and lrow["lmax"] is not None and (
         lrow["lmax"] > head
