@@ -763,7 +763,14 @@ def connected_components(
     The driver loop carries only tiny change counts, never data;
     per-round ``localCheckpoint`` truncates lineage.
     """
-    # Canonical big→small directed edges, self-loops dropped.
+    # Canonical big→small directed edges, self-loops dropped. LAZY
+    # local checkpoint (r15): the count() just below is the first
+    # action and materializes the checkpoint — an eager checkpoint ran
+    # a dedicated job for data the count re-read immediately after
+    # (two jobs where one suffices, in a loop whose cost is per-round
+    # fixed overhead). Identity is unchanged: lazy or eager, the frame
+    # is rooted in ONE checkpointed RDD instance, so every later
+    # consumer reads the same materialized blocks.
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -771,7 +778,7 @@ def connected_components(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     converged = False
@@ -813,7 +820,9 @@ def connected_components(
             .unionByName(mins2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the fixpoint count below is the materializing
+            # action (same one-job-per-round cut as the initial set)
+            .localCheckpoint(eager=False)
         )
         # Fixpoint test on the canonical edge set: both sides are
         # distinct, so equal counts + empty one-way difference ⇔ equal.

@@ -94,7 +94,11 @@ def pagerank(
         ),
     )
     if checkpoint:
-        trans = trans.localCheckpoint()
+        # lazy (r15): materialized by the first iteration's compute —
+        # an eager checkpoint was a dedicated job; the RDD instance
+        # (and its blocks once computed) is shared by all k iterations
+        # either way
+        trans = trans.localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         contrib = trans.join(
@@ -109,7 +113,7 @@ def pagerank(
         # rank update) — checkpoint it so the heavy matrix-vector pass
         # runs once per round, not twice. O(|nodes|) rows.
         if checkpoint:
-            in_sum = in_sum.localCheckpoint()
+            in_sum = in_sum.localCheckpoint(eager=False)
         # Dangling mass via mass conservation: every non-dangling
         # source distributes its whole rank (Σ_dst p = 1 per src), so
         # Σ in_sum = Σ rank over non-dangling nodes and the dangling
@@ -152,7 +156,7 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -192,8 +196,9 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(level).cast("int"))
-            .localCheckpoint()
+            # lazy (r15): materialized with the level's first consumer
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited

@@ -95,10 +95,18 @@ def two_pass_key_rank(
     # frame's RDD becomes unreferenced. Per-micro-batch callers drop
     # their reference at batch end; blocks are MEMORY_AND_DISK, so
     # between driver GCs the overhang spills rather than OOMs.
+    # LAZY checkpoint (r15): eager ran a dedicated materialization job
+    # per call (per micro-batch in the streaming sinks); lazy defers to
+    # the caller's first action. The pinning guarantee is unchanged
+    # either way: the returned frame is rooted in ONE checkpointed RDD
+    # instance, range boundaries are sampled once when that instance
+    # first resolves its partitions, and each computed partition's
+    # block is stored under BlockManager locking — every consumer
+    # (window, offsets aggregate, join) reads the same assignment.
     ranged = (
         df.repartitionByRange(parts, *key_exprs, *order_exprs)
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     lw = Window.partitionBy("pid", *key_cols).orderBy(*order_exprs)
     local = ranged.withColumn("lrank", F.row_number().over(lw))

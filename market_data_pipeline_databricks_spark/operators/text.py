@@ -458,7 +458,9 @@ def bpe_train_merges(
             F.filter(F.split(F.col("word"), "(?!^)"), lambda s: s != ""),
             F.array(F.lit("</w>")),
         ).alias("syms"),
-    ).localCheckpoint()
+        # lazy (r15): the first merge round's argmax materializes it —
+        # eager was one extra job per call
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pair_structs = F.transform(
@@ -489,7 +491,9 @@ def bpe_train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        vocab = vocab.withColumn("syms", merged).localCheckpoint()
+        # lazy: next round's argmax (or the caller's first action)
+        # materializes — eager was one extra job per merge round
+        vocab = vocab.withColumn("syms", merged).localCheckpoint(eager=False)
     return merges
 
 

@@ -26,66 +26,72 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ops with no SQL twin) always sort last so they never spend a window
 # slot on a weaker rows-only check.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- round-14 window. Rotation per the standing rules: the 50 r13
-    # slots are freshly proven and yield; the two NEW round-14
-    # oracle-backed queries take debut slots (never-hash-checked
-    # beats stalest-green); the remaining 48 slots are the
-    # stalest-green cohort computed over CORRECTNESS_r01..r13 — the
-    # 7-query r07 cohort tail (text_bpe_train_merges onward), then the
-    # 40-query r08 cohort, then the alphabetical head of the r09
-    # cohort (1 slot).
+    # -- round-15 window. Rotation rule amended per the r14 verdict
+    # (task 2): queries whose OPERATOR CODE CHANGED THIS ROUND take
+    # window slots FIRST (the r14 rotation moved every then-modified
+    # query out of the window, so the driver's oracle never re-checked
+    # the modified paths — touched-this-round now beats
+    # never-hash-checked beats stalest-green). The 18 r15-touched
+    # queries lead: the keyed-upsert staged-write rewrite
+    # (sources/writers.py) and the streaming sink job cuts cover the
+    # six maintenance/incremental drives; the lazy local-checkpoint
+    # conversions cover the components family, pagerank/bfs, the
+    # two-pass rank pair and the BPE pair.
+    "stream_rank_maintenance",
+    "stream_rank_repair",
     "stream_agg_maintenance",
-    "warehouse_composite_spec_pruning",
-    "text_bpe_train_merges",
-    "text_kneser_ney_bigram",
-    "text_tokenizer_fertility",
-    "vector_ann_near_dup_lsh",
-    "vector_sign_ann_topk",
-    "window_dedup_latest_wins",
-    "window_supplier_daily_gold",
-    "agg_conditional_counts",
-    "agg_coverage_report",
-    "agg_cube_order_stats",
-    "agg_distinct_suppliers",
-    "agg_monthly_revenue",
-    "agg_rollup_revenue",
-    "dedup_lsh_recall_report",
-    "dedup_ngram_jaccard",
-    "filter_date_interval",
-    "filter_greatest_least",
-    "join_anti_customers_without_orders",
-    "join_semi_customers_with_orders",
-    "multimodal_audio_near_dup",
-    "multimodal_image_dedup_groups",
-    "multimodal_image_dedup_incremental",
-    "multimodal_image_near_dup",
-    "pivot_qty_by_status",
-    "quality_psi_drift",
-    "sample_perplexity_mixture",
-    "sample_soft_dedup_weights",
-    "sample_stratified_events",
-    "sample_token_budget_mixture",
-    "scalar_json_extract",
-    "scalar_string_kitchen",
-    "set_except_intersect_buyers",
+    "stream_gold_incremental",
+    "stream_cdc_incremental",
     "stream_image_dedup_incremental",
-    "text_bm25_topk",
-    "text_chunk_sliding",
-    "text_cross_source_contamination",
-    "text_fingerprint_groups",
-    "text_lang_id",
-    "vector_ann_ivf_fixed_topk",
-    "vector_ann_pq_fixed_topk",
-    "vector_kmeans_assign",
-    "window_gap_detection",
-    "window_jump_check",
-    "window_latest_event_per_user",
-    "window_lead_gap_to_next",
-    "window_rank_family",
-    "window_stale_check",
-    "agg_dup_grain_detector",
+    "er_resolved_entities",
+    "graph_part_pagerank",
+    "graph_part_bfs_hops",
+    "scale_global_rank_twopass",
+    "scale_salted_window_rank",
+    "dedup_components",
+    "dedup_components_lsh",
+    "dedup_component_survivors",
+    "dedup_representative_survivors",
+    "text_bpe_train_merges",
+    "text_bpe_encode_stats",
+    "dedup_component_size_histogram",
+    # -- remaining 32 slots: stalest-green cohort over
+    #    CORRECTNESS_r01..r14 (all last hash-checked in r09),
+    #    alphabetical within the cohort.
+    "agg_grouping_sets_revenue",
+    "analyst_completeness",
+    "analyst_liquidity_screen",
+    "analyst_point_in_time",
+    "analyst_single_key_recent",
+    "analyst_threshold_alerts",
+    "analyst_volatility_regime",
+    "curate_chunk_corpus",
+    "curate_multimodal_corpus",
+    "dedup_edit_distance_qgram",
+    "dedup_exact_survivors",
+    "dedup_incremental_batch",
+    "events_funnel",
+    "events_retention_cohorts",
+    "filter_case_classification",
+    "filter_scalar_subquery_latest",
+    "funcs_ewma_close",
+    "funcs_log_return_stats",
+    "funcs_market_beta",
+    "join_full_outer_reconcile",
+    "multimodal_wav_roundtrip",
+    "pack_training_sequences",
+    "quality_constraint_suite",
+    "quality_pii_pseudonymize",
+    "quality_zscore_outliers",
+    "sample_train_test_split",
+    "skew_salted_join_orders",
+    "stream_session_window_stats",
+    "stream_sliding_window_counts",
+    "stream_stream_click_attribution",
+    "stream_tumbling_daily_counts",
+    "text_bpe_token_count",
 
-    # -- displaced: the r13 window (all driver-proven r13); all remain
+    # -- displaced: the r14 window (all driver-proven r14); all remain
     # verifiable via tools/check_oracle.py.
 )
 

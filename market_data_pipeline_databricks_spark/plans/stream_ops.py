@@ -431,7 +431,8 @@ def stream_gold_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each write re-ran the full lineitem aggregation — 4 scans,
         # ~1.4 s apiece at sf0.1). The lazy `silver` stays the twin's
         # root so the returned plan remains testdata-parquet-rooted.
-        silver_m = silver.localCheckpoint()
+        # lazy (r15): the first chunk write materializes it
+        silver_m = silver.localCheckpoint(eager=False)
         chunks = [
             silver_m.filter(F.col("date") < bounds[0]),
             silver_m.filter(
@@ -512,7 +513,8 @@ def stream_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         TXX.cdc_chunks(docs.filter(F.col("doc_id") % 5 != 0), k=12, divisor=64)
         .select("chunk_fp")
         .distinct()
-        .localCheckpoint()
+        # lazy (r15): the first micro-batch materializes it
+        .localCheckpoint(eager=False)
     )
     feed_dir = tempfile.mkdtemp(prefix=f"cdc_feed_{_NONCE}_")
     out_dir = tempfile.mkdtemp(prefix=f"cdc_out_{_NONCE}_")
@@ -599,7 +601,8 @@ def stream_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     batch_docs = docs.filter(F.col("doc_id") % 10 == 0)
     corpus_sigs = MMX.image_ahash_words(
         MMX.synthesize_ppm_media(docs.filter(F.col("doc_id") % 10 != 0))
-    ).localCheckpoint()
+        # lazy (r15): the first micro-batch materializes it
+    ).localCheckpoint(eager=False)
     feed_dir = tempfile.mkdtemp(prefix=f"img_feed_{_NONCE}_")
     out_dir = tempfile.mkdtemp(prefix=f"img_out_{_NONCE}_")
     ckpt_dir = tempfile.mkdtemp(prefix=f"img_ckpt_{_NONCE}_")
@@ -1154,7 +1157,9 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         mine.withColumn("__rn", F.row_number().over(uw))
         .filter((F.col("__rn") > lo_rn) & (F.col("__rn") <= hi_rn))
         .drop("__rn")
-        .localCheckpoint()  # freeze: reused as stream feed + repair input
+        # freeze: reused as stream feed + repair input (lazy, r15 —
+        # the first feed write materializes it)
+        .localCheckpoint(eager=False)
     )
     on_time = ev.join(late.select("event_id"), "event_id", "anti")
 
@@ -1401,7 +1406,8 @@ def stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("__rn") == n_mine)
         )
         .drop("__rn")
-        .localCheckpoint()  # frozen: stream feed + repair input
+        # frozen: stream feed + repair input (lazy, r15)
+        .localCheckpoint(eager=False)
     )
     on_time = ev.join(late.select("event_id"), "event_id", "anti")
 

@@ -700,7 +700,8 @@ def dedup_representative_survivors(spark: SparkSession, sf_dir: str) -> DataFram
     # three times (measured 25 s → 12 s at sf0.1)
     pairs = DD.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.35
-    ).localCheckpoint()
+        # lazy (r15): the components loop's first count materializes it
+    ).localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionByName(

@@ -24,12 +24,8 @@ PKG = Path(__file__).resolve().parent.parent / "market_data_pipeline_databricks_
 
 # (relative file, enclosing function) -> (allowed site count, documented bound)
 BOUNDED_COLLECTS = {
-    ("streaming/aggregate.py", "stream_agg_maintenance"): (
-        1,
-        "one row per DISTINCT BUCKET touched by the micro-batch "
-        "(<= n_buckets, default 16) — drives the partition-pruned "
-        "state read",
-    ),
+    # (r15: the agg sink's per-batch bucket collect folded into the
+    # precondition aggregate's collect_set — no standalone site left)
     ("plans/stream_ops.py", "stream_rank_repair"): (
         1,
         "ONE user's distinct event days (<=31 rows at the 1-month "
@@ -48,7 +44,7 @@ BOUNDED_COLLECTS = {
         1,
         "M-step stats: groupBy(cluster, dim) aggregate -> k*dim rows",
     ),
-    ("sources/writers.py", "upsert_by_key"): (
+    ("sources/writers.py", "_upsert_staged"): (
         1,
         "one row per touched partition (distinct partition tuples)",
     ),

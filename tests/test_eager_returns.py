@@ -218,6 +218,7 @@ def test_sabotaged_compaction_count_raises(spark, monkeypatch):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_materialize_roundtrip_property(spark):
     """Property: materialize() preserves values and schema exactly for
     the types EAGER queries emit (strings with unicode, longs at the

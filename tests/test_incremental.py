@@ -5,6 +5,8 @@ partitions."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from market_data_pipeline_databricks_spark.operators.incremental import (
@@ -79,6 +81,7 @@ def test_incremental_update_touches_only_new_partition(spark):
     assert old.count() > 0 and new.count() > 0
 
 
+@pytest.mark.slow
 def test_stream_gold_maintenance_out_of_order_batches(spark, tmp_path):
     """A LATE batch (earlier dates arriving after later ones) must
     still converge to the exact full recompute: the cutoff algebra
@@ -135,6 +138,7 @@ def test_stream_gold_maintenance_out_of_order_batches(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_gold_maintenance_replayed_batch_is_idempotent(spark, tmp_path):
     """A re-delivered (duplicate) batch must not corrupt gold: the
     silver accumulation is a keyed upsert, so replays restate the same

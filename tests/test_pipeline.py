@@ -7,6 +7,8 @@ idempotency.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -150,6 +152,7 @@ def test_ewma_matches_reference_recursion(spark):
             assert abs(got[(sym, t)] - e) < 1e-12
 
 
+@pytest.mark.slow
 def test_cli_runs_pipeline(raw_dir, tmp_path):
     import subprocess, sys, os
     env = dict(os.environ, SPARK_GRAFT_CPUS="4", SPARK_GRAFT_DRIVER_MEM="4g")

@@ -7,6 +7,8 @@ contract here)."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import defaultdict
 
 import numpy as np
@@ -136,6 +138,7 @@ def test_pq_train_explicit_dim_skips_probe(spark):
     assert books.shape == (16, 8, 4)
 
 
+@pytest.mark.slow
 def test_ivfpq_one_metric_l2_cells_on_varying_norms(spark):
     """IVF-PQ must use ONE metric end to end (round-4 advice): a
     cosine coarse stage assigns a small-norm vector to the cell of its

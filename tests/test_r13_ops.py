@@ -310,6 +310,7 @@ def test_cow_merge_under_transform_spec_reclusters_and_prunes(
     assert read_pruned(spark, tdir, "ts", lo, hi, version=v).count() == want
 
 
+@pytest.mark.slow
 def test_repair_ranks_is_suffix_bounded_per_key(spark):
     """Repair must rerank only rows at/after each key's earliest late
     ts (prefix ranks and their partitions untouched), apply per-key
@@ -405,6 +406,7 @@ def test_repair_ranks_is_suffix_bounded_per_key(spark):
         _sh.rmtree(wh, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_offsets_cache_bounds_reads_and_heals_stale_watermark(spark):
     """The advisory offsets cache must (a) exist after a drain, (b)
     serve the next batch through counts+delta, and (c) HEAL a stale

@@ -87,6 +87,7 @@ def test_offsets_cache_stamp_mismatch_reads_as_no_cache(spark, tmp_path):
         ) == (None, None)
 
 
+@pytest.mark.slow
 def test_offsets_cache_respects_size_floor(spark, tmp_path):
     """The advisory cache exists to bound reads on LARGE tables; below
     ``offsets_cache_min_bytes`` both its read and its per-batch
@@ -183,6 +184,7 @@ def test_semantic_fmt_mismatch_caught_in_latest_bucket(spark, tmp_path):
         _check_partition_fmt(back, "ts", "yyyy-MM-dd", "t", tdir)
 
 
+@pytest.mark.slow
 def test_null_id_rows_fail_loud_in_sink_and_repair(spark, tmp_path):
     """Row identity is what makes replays detectable and the keyed
     upsert a replace — a NULL id row must be refused by both the

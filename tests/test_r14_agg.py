@@ -91,6 +91,7 @@ def _expected(df):
     }
 
 
+@pytest.mark.slow
 def test_multibatch_drain_equals_batch_groupby(spark, tmp_path):
     df = _mk(spark, _rows(24))
     _drain(
@@ -114,6 +115,7 @@ def test_state_layout_is_bucket_partitioned(spark, tmp_path):
     assert len(buckets) >= 2  # 6 users hash across >1 of 4 buckets
 
 
+@pytest.mark.slow
 def test_full_redrain_is_idempotent(spark, tmp_path):
     """Fresh checkpoint, same feed: every group re-arrives all-stale —
     the replay shape — and rewrites identical state."""
@@ -199,6 +201,7 @@ def test_bookkeeping_clash_and_multikey_raise(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_repair_recomputes_exactly_and_is_idempotent(spark, tmp_path):
     full = _mk(spark, _rows(20, users=4))
     late_ids = {5, 9}  # two mid-stream rows of user 1

@@ -17,6 +17,8 @@ tombstones: O(changed files) per commit, with
 
 from __future__ import annotations
 
+import pytest
+
 import json
 from pathlib import Path
 
@@ -29,6 +31,7 @@ def _mk(spark, rows):
     return spark.createDataFrame(rows, "k long, v string")
 
 
+@pytest.mark.slow
 def test_commit_metadata_is_o_changed_files_not_o_table(spark, tmp_path):
     """The manifest a commit writes must not embed the table's file
     list: its size is O(#segments + #removed) refs, and the segment
@@ -114,6 +117,7 @@ def test_expire_gcs_unreferenced_segments(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_manifest_list_compaction_bounds_segment_count(
     spark, tmp_path, monkeypatch
 ):

@@ -57,6 +57,7 @@ def test_dpp_contract_raises_when_pruning_disabled(spark):
         spark.conf.set(key, old)
 
 
+@pytest.mark.slow
 def test_edit_distance_qgram_short_keys_lossless(spark, tmp_path):
     """Round-9 review finding: the q-gram count bound is vacuous when
     the longer key has <= q*K grams, so short keys get an exhaustive

@@ -13,6 +13,8 @@ both the Spark and DuckDB sides.
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
@@ -74,6 +76,7 @@ def test_approved_types_pass():
         assert _violations(dt, "c") == []
 
 
+@pytest.mark.slow
 def test_no_oracle_backed_query_emits_hazard_types(spark):
     """Full registry sweep at sf0.001: every oracle-backed query's final
     schema must contain only approved types (nested included). Slow —

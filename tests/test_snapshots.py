@@ -103,6 +103,7 @@ _ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_ops)
+@pytest.mark.slow
 def test_snapshot_commits_match_dict_model(spark, ops):
     """Model-based: any sequence of append/merge commits must agree
     with plain dict semantics at EVERY version — append keeps old rows

@@ -1202,6 +1202,7 @@ def test_blocked_near_dups_bitwise_equal_bruteforce(emb):
         assert bl == bf
 
 
+@pytest.mark.slow
 def test_blocked_prefilter_keeps_borderline_rounding_pair(spark):
     """Regression pin for the GEMM prefilter slack (round-7 advice,
     fixed to 1e-6): a pair whose exact fold cosine sits in

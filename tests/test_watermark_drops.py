@@ -20,6 +20,8 @@ docs, which is exactly why they are pinned here):
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 import tempfile
@@ -79,6 +81,7 @@ def _stream(spark, src):
     )
 
 
+@pytest.mark.slow
 def test_dedup_drops_late_rows_one_batch_behind_the_watermark(spark):
     src = _write_batches(spark)
     dedup = (
@@ -98,6 +101,7 @@ def test_dedup_drops_late_rows_one_batch_behind_the_watermark(spark):
     assert out == [1, 2, 3, 4, 5, 6]
 
 
+@pytest.mark.slow
 def test_append_aggregation_emits_late_window_instead_of_dropping(spark):
     src = _write_batches(spark)
     agg = (
