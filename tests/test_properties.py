@@ -7,6 +7,8 @@ all-duplicate keys, NULL-heavy columns, single-row groups.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -47,6 +49,7 @@ def _silver_input(spark, rows):
 
 @given(rows=_rows)
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_silver_partitions_every_row(spark, rows):
     """valid ∪ rejected == deduped input, disjointly — no row is lost
     or double-routed whatever the data looks like."""

@@ -113,6 +113,7 @@ def test_stream_rank_maintenance_equals_batch_window(spark):
         shutil.rmtree(wh, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_stream_rank_maintenance_replay_is_idempotent(spark):
     """A replayed micro-batch (failure before the checkpoint commit)
     must rewrite the SAME ranks: offsets are counted from the
@@ -318,6 +319,7 @@ def test_two_pass_rank_keeps_null_keyed_rows(spark):
     assert got == {1: ("a", 1), 4: ("a", 2), 2: (None, 1), 3: (None, 2)}
 
 
+@pytest.mark.slow
 def test_stream_rank_guard_raises_on_boundary_tie(spark):
     """An equal-ts split across a batch boundary must RAISE before any
     write (strict-precondition guard), not mint duplicate ranks."""

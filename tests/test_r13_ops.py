@@ -193,6 +193,7 @@ def test_rank_col_collision_raises(spark):
             two_pass_key_rank(df, ["a"], [F.asc("b")], bad)
 
 
+@pytest.mark.slow
 def test_stream_rank_rejects_null_event_time(spark, tmp_path):
     """NULL ts bypasses both the order guard and the offset count —
     the sink must refuse the batch (advice finding)."""

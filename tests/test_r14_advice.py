@@ -133,6 +133,7 @@ def test_offsets_cache_respects_size_floor(spark, tmp_path):
     assert ranks[0] == ranks[256 << 20]  # cache never changes results
 
 
+@pytest.mark.slow
 def test_mixed_grain_bucket_caught_structurally(spark, tmp_path):
     """A bucket dir left behind at another grain (crashed run) must
     fail the check deterministically — the old single-row sample

@@ -157,6 +157,7 @@ def test_cross_group_mix_converges(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_per_group_mix_raises_before_write(spark, tmp_path):
     df = _mk(spark, _rows(12, users=2))
     _drain(spark, df, tmp_path / "feed", tmp_path / "wh", cuts=[])

@@ -78,6 +78,7 @@ def test_legacy_inline_manifest_reads_and_migrates(spark, tmp_path):
     assert all(stats2[f] == {"k": [1, 2]} for f in files)  # migrated
 
 
+@pytest.mark.slow
 def test_cow_merge_tombstones_and_compacts_dead_segments(spark, tmp_path):
     """A merge that replaces every file of a segment must drop that
     segment from the list (with its tombstones) instead of carrying
@@ -173,6 +174,7 @@ def test_next_commit_bytes_independent_of_table_size(spark, tmp_path):
     assert large < small * 2
 
 
+@pytest.mark.slow
 def test_wap_tombstone_rollback_on_segmented_table(spark, tmp_path):
     """The WAP vanished-files rollback rewrites the claimed version as
     the PRIOR segments only — no ref to the doomed staged segment."""

@@ -10,6 +10,7 @@ import __spark_entry__ as entrymod
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_edit_distance_qgram_equals_brute_force(spark):
     """The prefix/count-filter chain must be LOSSLESS: the blocked
     plan's pairs equal the all-pairs levenshtein <= 4 ground truth."""

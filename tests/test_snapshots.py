@@ -53,6 +53,7 @@ def test_merge_cow_replaces_and_time_travels(spark, tdir):
     assert old == {1: "a", 2: "b", 3: "c"}
 
 
+@pytest.mark.slow
 def test_merge_rewrites_only_affected_files(spark, tdir):
     # two single-file commits -> file boundaries we control
     commit_append(_mk(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
@@ -132,6 +133,7 @@ def test_snapshot_commits_match_dict_model(spark, ops):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_expire_versions_keeps_retained_reads_intact(spark, tdir):
     commit_append(_mk(spark, [(1, "a"), (2, "b")]).coalesce(1), tdir)
     commit_merge_keys(spark, tdir, _mk(spark, [(2, "B")]), ["k"])
@@ -488,6 +490,7 @@ _evo_ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=_evo_ops, seed=st.integers(0, 10_000))
+@pytest.mark.slow
 def test_partition_evolution_model(spark, ops, seed):
     """Model-based (round 12): any interleaving of append / COW merge /
     spec evolution / governance rewrite / WAP stage+publish must keep

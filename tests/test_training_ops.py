@@ -1351,6 +1351,7 @@ def test_ann_lsh_auto_multitable_recall(emb):
     assert hits / len(brute) >= 0.5, f"top-1 recall {hits}/{len(brute)}"
 
 
+@pytest.mark.slow
 def test_semdedup_precision_and_single_cluster_equality(spark, emb):
     """SemDeDup removals must be a SUBSET of the true near-dup pairs'
     higher ids (precision 1: exact verify inside clusters), and with
