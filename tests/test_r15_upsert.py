@@ -165,3 +165,17 @@ def test_key_moves_partition_unstable_path(spark, tmp_path):
         (1, "a2", "2024-01-05"),
         (2, "b", "2024-01-02"),
     }
+
+
+def test_special_char_partition_values_literal_merge(spark, tmp_path):
+    # hive escapes '=' and spaces in dirnames; the live-set listing
+    # unquotes them, so the literal path must still locate and merge
+    # the partition correctly
+    wh = str(tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a", "x y=z"), (2, "b", "plain")], "k int, v string, p string"
+    )
+    upsert_by_key(spark, base, wh, "t", ["k"], ["p"])
+    upd = spark.createDataFrame([(1, "a2", "x y=z")], "k int, v string, p string")
+    upsert_by_key(spark, upd, wh, "t", ["k"], ["p"])
+    assert _rows(spark, wh, "t") == {(1, "a2", "x y=z"), (2, "b", "plain")}
