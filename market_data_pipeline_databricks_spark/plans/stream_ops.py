@@ -1161,7 +1161,10 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the first feed write materializes it)
         .localCheckpoint(eager=False)
     )
-    on_time = ev.join(late.select("event_id"), "event_id", "anti")
+    # three consumers (the span agg + two slice writes) — persist so
+    # the full-events anti-join runs once, not three times (r15);
+    # freed right after the feed is written
+    on_time = ev.join(late.select("event_id"), "event_id", "anti").persist()
 
     feed_dir = tempfile.mkdtemp(prefix=f"rprfeed_{_NONCE}_")
     late_dir = tempfile.mkdtemp(prefix=f"rprlate_{_NONCE}_")
@@ -1178,6 +1181,7 @@ def stream_rank_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             on_time.filter(cond).coalesce(1).write.mode("append").parquet(
                 feed_dir
             )
+        on_time.unpersist()
 
         def _stream(src_dir: str, ckpt: str) -> None:
             feed = (
@@ -1409,7 +1413,8 @@ def stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frozen: stream feed + repair input (lazy, r15)
         .localCheckpoint(eager=False)
     )
-    on_time = ev.join(late.select("event_id"), "event_id", "anti")
+    # same three-consumer persist as the repair drive (r15)
+    on_time = ev.join(late.select("event_id"), "event_id", "anti").persist()
 
     feed_dir = tempfile.mkdtemp(prefix=f"aggfeed_{_NONCE}_")
     late_dir = tempfile.mkdtemp(prefix=f"agglate_{_NONCE}_")
@@ -1423,6 +1428,7 @@ def stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             on_time.filter(cond).coalesce(1).write.mode("append").parquet(
                 feed_dir
             )
+        on_time.unpersist()
 
         def _stream(src_dir: str, ckpt: str) -> None:
             feed = (
